@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design: image/audio/video payloads are `binary` columns riding next to
+typed metadata columns; heavy per-item work (decode, resize, frame
+sampling, feature extraction) runs in Arrow-batched `mapInPandas` so a
+100 TB corpus streams through Python in columnar batches, one partition
+per task, without ever collecting to the driver.
+
+The decode step itself is STUBBED (the container ships no image/audio
+codecs): `decode_image_meta` parses a deterministic fake header instead
+of real pixels, and `decode_frames` raises NotImplementedError unless
+the fake codec is requested. The Spark-side contract — schemas, batch
+iteration, partitioning — is real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Metadata schema every decoded asset carries.
+ASSET_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content_sha", StringType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a multimodal-shaped table from the documents corpus: the
+    utf-8 bytes stand in for an encoded media payload."""
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def decode_image_meta(assets: DataFrame) -> DataFrame:
+    """'Decode' each payload into typed metadata via mapInPandas.
+
+    Real systems swap `_fake_decode` for PIL/ffmpeg; the Arrow batch
+    shape, output schema, and partition-preserving plan are identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes,
+                    # deterministic fake dimensions derived from content
+                    "width": (n_bytes % 1920 + 16).astype("int32"),
+                    "height": (n_bytes % 1080 + 16).astype("int32"),
+                    "content_sha": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=ASSET_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def decode_frames(assets: DataFrame, every_n: int = 64, codec: str = "real") -> DataFrame:
+    """Frame sampling: explode each payload into every_n-th 'frame'.
+
+    codec='real' is NOT implemented in this container (no av libs) —
+    callers get an immediate, loud error instead of a silent stub.
+    codec='fake' chunks the raw bytes deterministically, exercising the
+    1→N fan-out plan shape (mapInPandas yielding multiple rows per
+    input) end-to-end.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not present in "
+            "this environment; pass codec='fake' for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_bytes = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i, off in enumerate(range(0, len(raw), every_n)):
+                    out_ids.append(asset_id)
+                    out_idx.append(i)
+                    out_bytes.append(raw[off : off + every_n])
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes}
+            )
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)

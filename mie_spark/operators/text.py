@@ -1,0 +1,157 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting, simhash.
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM-side,
+whole-stage-codegen); nothing here crosses the Python boundary per row.
+These are north-star extensions beyond the reference's surface (the
+reference's only text ops are substring/lowercase matching,
+reader.go:138-162,384-393).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (split on leading/trailing
+    whitespace yields '' entries in both Spark and DuckDB — filtering
+    keeps the two engines in lockstep)."""
+    return F.filter(F.split(text, TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles, order-preserving construction.
+
+    Spark SQL array indexing is 0-based; docs shorter than n shingle to
+    an empty array instead of erroring.
+    """
+    toks = tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(joined)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def type_token_ratio(text: Column) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def avg_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.size(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: sha256 of the
+    whitespace-normalized, lowercased text. Plays the role of the
+    reference's content-hash identity (ids.go:16-20) for documents."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.sha2(normalized, 256)
+
+
+# Minimal per-language stopword profiles for the n-gram/stopword
+# language-ID heuristic. Deliberately tiny: language ID at 100 TB must
+# be a broadcast map-side lookup, not a model inference.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"),
+    "zh": (),  # script-based, not stopword-based — handled by CJK ratio
+}
+
+
+def lang_scores(text: Column) -> Column:
+    """Map of language → stopword-hit-rate. Pure array expressions; the
+    CJK branch scores by codepoint-range ratio."""
+    t = F.transform(tokens(text), lambda x: F.lower(x))
+    entries = []
+    for lang, words in _LANG_PROFILES.items():
+        if words:
+            wl = F.array(*[F.lit(w) for w in words])
+            score = F.size(F.filter(t, lambda x: F.array_contains(wl, x))) / F.greatest(
+                F.size(t), F.lit(1)
+            )
+        else:
+            cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+            score = cjk / F.greatest(F.length(text), F.lit(1))
+        entries.append(F.struct(F.lit(lang).alias("lang"), score.cast("double").alias("score")))
+    return F.array(*entries)
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over lang_scores; 'und' when nothing scores > 0."""
+    scores = lang_scores(text)
+    best = F.array_max(F.transform(scores, lambda s: s["score"]))
+    pick = F.filter(scores, lambda s: s["score"] == best)
+    return F.when(best > 0, F.element_at(pick, 1)["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard quality-filter features: length, token stats, repetition,
+    punctuation/digit ratios. Columns append; caller thresholds."""
+    text = F.col(text_col)
+    t = tokens(text)
+    return (
+        df.withColumn("n_chars_m", F.length(text))
+        .withColumn("n_tokens", F.size(t))
+        .withColumn("n_uniq_tokens", F.size(F.array_distinct(t)))
+        .withColumn(
+            "ttr", (F.col("n_uniq_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)))
+        )
+        .withColumn("avg_token_len", avg_token_len(text))
+        .withColumn(
+            "punct_ratio",
+            F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+            / F.greatest(F.length(text), F.lit(1)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.length(F.regexp_replace(text, r"[^0-9]", ""))
+            / F.greatest(F.length(text), F.lit(1)),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """64-bit SimHash over n-gram shingles, fully JVM-side.
+
+    Shape: explode shingles → xxhash64 → 64 conditional-sum aggregates
+    (one per bit) → reassemble the signature. One shuffle on id_col with
+    map-side partial aggregation; no Python UDF, no per-row loop.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).withColumn("h", F.xxhash64("shingle"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # bit 63 is the sign bit; keep signatures non-negative
+    ]
+    sums = sh.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(63):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

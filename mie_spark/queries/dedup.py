@@ -1,0 +1,121 @@
+"""Dedup query coverage (north-star LLM-pipeline operators) over the
+``documents`` corpus. The corpus plants 25 near-duplicate pairs at
+shingle-Jaccard ≈0.99 with everything else <0.1, so threshold 0.5
+separates cleanly and the LSH path (verified candidates) provably
+matches the exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mie_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from mie_spark.operators.text import hamming64, simhash64
+from mie_spark.queries import query
+from mie_spark.sources import load_table
+
+# Exact Jaccard over 3-gram word shingles via inverted-index join —
+# shared oracle for both the exact and the MinHash-LSH entry.
+_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+           ELSE []::VARCHAR[] END) AS s
+  FROM toks
+), inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(common::DOUBLE / (a_n + b_n - common), 6) AS jaccard
+FROM pairs
+WHERE common::DOUBLE / (a_n + b_n - common) >= 0.5
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT content_hash, cnt FROM (
+      SELECT sha256(text) AS content_hash, count(*) AS cnt
+      FROM (SELECT text FROM documents UNION ALL SELECT text FROM documents)
+      GROUP BY 1
+    ) WHERE cnt > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash. The corpus has no byte-identical
+    dups, so the input is the corpus unioned with itself (a dirty
+    double-ingest) — every group must come back with cnt=2. The shuffle
+    carries (hash, id), never document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    return exact_duplicates(doubled, "doc_id").select("content_hash", "cnt")
+
+
+@query(
+    "dedup_keep_one",
+    oracle="""
+    SELECT count(*) AS n_unique FROM (
+      SELECT DISTINCT text
+      FROM (SELECT text FROM documents UNION ALL SELECT text FROM documents)
+    )
+    """,
+)
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    doubled = docs.unionByName(docs)
+    return doubled.dropDuplicates(["text"]).agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs; inverted-index join, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → 16×4 banded LSH → exact-Jaccard verification.
+    Oracle-checked against the *exact* pair list: at the corpus's
+    planted j≈0.99, P(LSH miss) = (1-0.99⁴)¹⁶ ≈ 1e-22, so approximate
+    candidate generation + exact verification equals the exact answer.
+    This is the 100 TB path: signatures shuffle, documents don't."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates at hamming ≤ 12 of 63 bits (no SQL
+    oracle — signature construction is engine-specific; recall vs the
+    exact Jaccard pairs is asserted in tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash64(docs, "doc_id", "text", n=3)
+    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"))
+    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming64(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("hamming") <= 12)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,242 @@
+"""Join & graph-traversal coverage: SURVEY.md §2.3 (J1-J7) plus the
+relationship-analytics layer the north star adds (multi-hop, triangles,
+connected components) — all expressed as DataFrame joins so Catalyst
+picks broadcast-hash vs sort-merge per side size, with AQE re-planning
+at runtime.
+
+The reference's graph is relational adjacency (edge tables joined to
+node tables, schema.go:97-132); the TPC-H-ish corpus plays the same
+role here: `lineitem` is an edge table (order)-[lineitem]->(part,supplier),
+`orders` is an edge (customer)-[orders]->(...), `nation`/`region` are
+small dimension nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mie_spark.queries import query
+from mie_spark.queries.relational import cents
+from mie_spark.sources import load_table
+
+# revenue in integer fixed-point (see relational.cents): sum of
+# ep_cents * (100 - disc_cents) (units of 1e-4 dollars), rounded to
+# cents with *integer* half-up — double round() diverges across engines
+# on exact .xx5 ties (Spark rounds the decimal string repr, DuckDB the
+# binary value), integer div never does.
+_REVENUE_SQL = (
+    "((sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)::DOUBLE / 100"
+)
+
+
+def _revenue_col() -> "F.Column":
+    units = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    return F.floor((units + 50) / 100).cast("double") / 100
+
+
+# --- J1: edge→node 2-hop traversal (reader.go:463-487) --------------------
+
+@query(
+    "j1_two_hop_traversal",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {_REVENUE_SQL} AS revenue,
+           strftime(any_value(o.o_orderdate), '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey
+    """,
+)
+def j1_two_hop_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact→edge→entity 2-hop parity (filtered start node, hop across an
+    edge table, project the far node). Customer side is filtered *before*
+    the join so the broadcast side is small; at cluster scale AQE sees
+    the post-filter size and converts to a broadcast-hash join."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(li.l_orderkey.alias("orderkey"))
+        .agg(
+            _revenue_col().alias("revenue"),
+            F.date_format(F.any_value(F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "orderdate"
+            ),
+        )
+    )
+
+
+# --- J3: traversal carrying edge attribute (reader.go:515-545) -------------
+
+@query(
+    "j3_edge_attr_traversal",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, s.s_name AS supplier_name,
+           l.l_quantity AS qty, l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity > 45
+    """,
+)
+def j3_edge_attr_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision→entity-with-role parity: the edge's own attribute
+    (l_quantity ≈ `role`) survives the join. Both dimension sides are
+    broadcast-sized; explicit hint on supplier (always tiny) keeps the
+    plan shuffle-free even without AQE."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("supplier_name"),
+            F.col("l_quantity").alias("qty"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+
+
+# --- J4: reverse traversal (reader.go:590-614) -----------------------------
+
+@query(
+    "j4_reverse_traversal",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_bal
+    FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j4_reverse_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity→incoming-edges parity (which suppliers point at this
+    nation), aggregated per target node."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# --- J6: two-direction union join as ONE pass (reader.go:547-583) ----------
+
+@query(
+    "j6_union_join_single_pass",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
+    FROM lineitem
+    WHERE l_partkey = 7 OR l_suppkey = 7
+    """,
+)
+def j6_union_join_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalidation-chain parity: the reference unions two Datalog rules
+    because CozoDB's or() can't wrap `=` (reader.go:550). One OR filter
+    replaces the union — a single scan instead of two."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_partkey") == 7) | (F.col("l_suppkey") == 7))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    )
+
+
+# --- multi-way join: TPC-H-Q5-style local supplier volume ------------------
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {_REVENUE_SQL} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join. Join order: facts (lineitem⋈orders⋈customer) shuffle on
+    keys; dimensions (supplier, nation, region) broadcast. The
+    c_nationkey = s_nationkey equi-condition rides the supplier join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_revenue_col().alias("revenue"))
+    )
+
+
+# --- graph analytics: triangle count (north-star extension) ----------------
+
+@query(
+    "g_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT a.s_suppkey AS u, b.s_suppkey AS v
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT count(*) AS triangles
+    FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-located-supplier graph via the
+    canonical oriented-edge 3-way self-join (u<v ordering kills the 6×
+    symmetry). This is the standard distributed formulation — shuffle on
+    edge endpoints, no vertex-centric state."""
+    s = load_table(spark, sf_dir, "supplier")
+    a, b = s.alias("a"), s.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(F.col("a.s_suppkey").alias("u"), F.col("b.s_suppkey").alias("v"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

@@ -1,0 +1,61 @@
+"""Multimodal query coverage: binary payload columns + typed metadata.
+
+The JVM-expressible parts (byte length, content hash) are
+oracle-checked; the mapInPandas decode/fan-out plumbing is rows-only
+here and behavior-pinned in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mie_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_frames,
+    decode_image_meta,
+)
+from mie_spark.queries import query
+from mie_spark.sources import load_table
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata computed JVM-side (no Python boundary):
+    the cheap-metadata fast path a media pipeline runs before deciding
+    what to decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+
+
+@query("mm_decode_meta")
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode to typed metadata (stubbed codec; real
+    schema/partitioning). Rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(attach_binary_payload(docs))
+
+
+@query("mm_frame_sample")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame fan-out via mapInPandas (fake codec), aggregated to
+    per-asset frame counts so the output stays small at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = decode_frames(attach_binary_payload(docs), every_n=64, codec="fake")
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
+    )

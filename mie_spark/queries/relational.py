@@ -1,0 +1,433 @@
+"""Relational operator coverage: scans, filters, aggregates, sorts, sets.
+
+Maps SURVEY.md §2.1/2.2/2.4/2.5/2.6 operator families onto the test
+corpus. Reference parity notes cite /root/reference file:line.
+
+Scale notes (100 TB stance):
+- Every filter is expressed declaratively so Catalyst pushes it into the
+  parquet scan (`PushedFilters` visible in .explain).
+- Aggregations are single-pass (`sum(when(...))` multi-counts) so a
+  stats sweep reads the table once, not 8 times like the reference's
+  GetStats (reader.go:616-643).
+- order/limit/offset compiles to TakeOrderedAndProject — no full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mie_spark.queries import query
+from mie_spark.sources import load_table
+
+
+def cents(col: str) -> "F.Column":
+    """Fixed-point view of a 2-decimal money/rate column.
+
+    Money sums are done in integer cents on BOTH the Spark and oracle
+    side: double summation order differs across engines, and the
+    corpus's 4-decimal-exact products land on round-half .xx5 boundaries
+    often enough that a 1-ulp disagreement flips round(x, 2). Integer
+    sums are order-independent, so the engines agree bit-for-bit.
+    """
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --- flagship: TPC-H-Q1-style pricing summary (F1 + A1/A4 + O1) ----------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100
+             AS sum_base_price,
+           ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+            )::DOUBLE / 100 AS sum_disc_price,
+           ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) // 10000
+            )::DOUBLE / 100 AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE
+                 / 100 / count(*), 4) AS avg_price,
+           round(sum(CAST(round(l_discount * 100) AS BIGINT))::DOUBLE
+                 / 100 / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan + filter + grouped aggregation; the widest single-table
+    aggregate in the suite. One shuffle (by the 2 low-cardinality group
+    keys); partial aggregation map-side makes the shuffle tiny. Money
+    math in integer cents (see `cents`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep, disc, tax = cents("l_extendedprice"), cents("l_discount"), cents("l_tax")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.sum(ep).cast("double") / 100).alias("sum_base_price"),
+            (
+                F.floor((F.sum(ep * (100 - disc)) + 50) / 100).cast("double") / 100
+            ).alias("sum_disc_price"),
+            (
+                F.floor((F.sum(ep * (100 - disc) * (100 + tax)) + 5000) / 10_000)
+                .cast("double")
+                / 100
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum(ep).cast("double") / 100 / n, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / 100 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# --- S1: full-table scan + projection (reader.go:768-846 export*) --------
+
+@query(
+    "s1_scan_projection",
+    oracle="""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS retail
+    FROM part WHERE p_size > 20
+    """,
+)
+def s1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + pushed filter; ReadSchema in the plan must show only
+    the 4 referenced columns (Catalyst ColumnPruning does what the
+    reference's explicit column lists do, reader.go:263-278)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 20)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("retail"))
+    )
+
+
+# --- S2: point lookup by key (reader.go:308-382 GetNodeByID) -------------
+
+@query(
+    "s2_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS total,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders WHERE o_orderkey = 42
+    """,
+)
+def s2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key = literal equality; pushes to the scan (and to min/max row-group
+    skipping on sorted data — the Delta/Z-order analog of the reference's
+    primary-key access)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == F.lit(42))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+# --- F2/F3: substring match + two-column disjunction (reader.go:138-162) -
+
+@query(
+    "f2_substring_match",
+    oracle="SELECT doc_id, lang, n_chars FROM documents WHERE contains(text, 'spark join')",
+)
+def f2_substring_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSearch parity: `str_includes(content, q)` → Column.contains."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").contains("spark join"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "f3_disjunction",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE contains(p_name, 'widget') OR p_type = 'PROMO'
+    """,
+)
+def f3_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column OR (reference: or(str_includes(title,q),
+    str_includes(rationale,q)), reader.go:146)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").contains("widget") | (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+# --- F4: case-insensitive equality (reader.go:384-393) -------------------
+
+@query(
+    "f4_case_insensitive",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE lower(c_mktsegment) = 'building'
+    """,
+)
+def f4_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.lower(F.col("c_mktsegment")) == "building")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# --- F5/F6: range + exclusion predicates → TPC-H-Q6-style revenue --------
+
+@query(
+    "f6_range_revenue",
+    oracle="""
+    SELECT ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100
+            )::DOUBLE / 100 AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+      AND l_returnflag <> 'A'
+    """,
+)
+def f6_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicates (F6: `distance < t` analog, conflicts.go:95) and
+    inequality exclusion (F5: `neighbor_id != self`, conflicts.go:94),
+    all pushed to the scan; global agg needs no shuffle beyond the final
+    single-partition reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+            & (F.col("l_returnflag") != "A")
+        )
+        .agg(
+            (
+                F.floor(
+                    (F.sum(cents("l_extendedprice") * cents("l_discount")) + 50) / 100
+                ).cast("double")
+                / 100
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- A1/A2: stats sweep as ONE pass (reader.go:616-643 GetStats) ---------
+
+@query(
+    "a1_stats_single_pass",
+    oracle="""
+    SELECT count(*)                                          AS total_orders,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_orders,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_orders,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_orders,
+           count(DISTINCT o_custkey)                         AS distinct_customers
+    FROM orders
+    """,
+)
+def a1_stats_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference issues 8 separate count queries for its stats sweep
+    (reader.go:616-643). One conditional-aggregate pass reads the table
+    once — at 100 TB that's an 8× scan saving."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def flag(cond):  # noqa: ANN001, ANN202
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return o.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        flag(F.col("o_orderstatus") == "O").alias("open_orders"),
+        flag(F.col("o_orderstatus") == "F").alias("finished_orders"),
+        flag(F.col("o_orderstatus") == "P").alias("pending_orders"),
+        flag(F.col("o_orderpriority") == "1-URGENT").alias("urgent_orders"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+    )
+
+
+# --- A3: sum of counts across relations (reader.go:645-665) --------------
+
+@query(
+    "a3_multi_table_counts",
+    oracle="""
+    SELECT 'orders' AS rel, count(*) AS n FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events',   count(*) FROM events
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    """,
+)
+def a3_multi_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-total parity: per-relation counts unioned (the reference sums
+    client-side; we keep it in-plan so it distributes)."""
+    parts = []
+    for rel in ("orders", "lineitem", "events", "customer"):
+        parts.append(
+            load_table(spark, sf_dir, rel).agg(
+                F.lit(rel).alias("rel"), F.count(F.lit(1)).alias("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- A4: group-by counts for display (tools/query.go:70-72) ---------------
+
+@query(
+    "a4_groupby_metrics",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_groupby_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --- O1/O2: order by ± column, limit/offset pagination (reader.go:205-216)
+
+@query(
+    "o1_order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 5 OFFSET 10
+    """,
+)
+def o1_order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`:order -col :limit N :offset M` parity. o_orderkey tiebreak makes
+    pagination deterministic (the reference pages on `-created_at`, which
+    can tie the same way)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(5)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# --- O3: top-k (reader.go:68-69 `:order distance :limit k`) ---------------
+
+@query(
+    "o3_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiles to TakeOrderedAndProject: per-partition heap + driver
+    merge, no global sort — the plan shape that survives 100 TB."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+        )
+    )
+
+
+# --- O5: first-match lookup (reader.go:392 FindEntityByName) --------------
+
+@query(
+    "o5_first_match",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE lower(c_name) = 'customer#000000042'
+    ORDER BY c_custkey LIMIT 1
+    """,
+)
+def o5_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.lower(F.col("c_name")) == "customer#000000042")
+        .orderBy("c_custkey")
+        .limit(1)
+        .select("c_custkey", "c_name")
+    )
+
+
+# --- U1: rule union (reader.go:552-561) ------------------------------------
+
+@query(
+    "u1_union_distinct",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+    UNION
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog `;` rule union parity — two rule bodies over the same
+    relation, deduplicated. (Catalyst will not fuse this into one scan by
+    itself; at scale prefer the single-pass OR form in j6.)"""
+    o_full = load_table(spark, sf_dir, "orders")
+    a = o_full.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = o_full.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b).dropDuplicates()
+
+
+# --- U2: symmetric pair dedup (conflicts.go:121-127) -----------------------
+
+@query(
+    "u2_pair_dedup",
+    oracle="""
+    SELECT a.s_suppkey AS s1, b.s_suppkey AS s2, a.s_nationkey AS nationkey
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+)
+def u2_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical ordering (a < b) replaces the reference's client-side
+    seen-set for symmetric pairs — the dedup happens in the join
+    condition itself, so no post-hoc distinct pass."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("s1"),
+        F.col("b.s_suppkey").alias("s2"),
+        F.col("a.s_nationkey").alias("nationkey"),
+    )

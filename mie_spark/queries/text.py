@@ -1,0 +1,141 @@
+"""Text-analysis query coverage (north-star LLM-pipeline operators)
+over the ``documents`` corpus: token stats, quality filtering,
+fingerprinting, token histograms, language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mie_spark.operators.text import (
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    token_count,
+    tokens,
+    type_token_ratio,
+)
+from mie_spark.queries import query
+from mie_spark.sources import load_table
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
+           round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6)
+             AS avg_token_len
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical-diversity features, all array
+    expressions inside whole-stage codegen — the per-document feature
+    pass a quality pipeline runs over every shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(text))).alias("n_uniq"),
+        F.round(type_token_ratio(text), 6).alias("ttr"),
+        F.round(avg_token_len(text), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang, len(toks) AS n_tokens,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr
+    FROM t
+    WHERE len(toks) BETWEEN 30 AND 1000
+      AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.25
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-based quality gate (length band + minimum lexical
+    diversity) — the shape of a Gopher/C4-style rule filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = token_count(text)
+    ttr = type_token_ratio(text)
+    return (
+        docs.filter((n_tok >= 30) & (n_tok <= 1000) & (ttr > 0.25))
+        .select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            F.round(ttr, 6).alias("ttr"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (document identity for dedup
+    bookkeeping; plays the role of the reference's deterministic
+    content-hash IDs, ids.go:16-20)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "text_token_histogram",
+    oracle=r"""
+    SELECT tok, count(*) AS freq
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency (vocabulary building): explode →
+    groupBy → top-k. Partial aggregation keeps the shuffle at
+    |vocab| rows, not |tokens|."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@query("text_lang_id")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/script-profile language ID (no SQL oracle — the profile
+    tables are engine-side; behavior pinned by tests/test_text.py on
+    known multilingual strings). Output is doc_id + predicted lang +
+    the corpus label for side-by-side accuracy reads."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )

@@ -1,0 +1,129 @@
+"""Vector / similarity query coverage: SURVEY.md §2.7 (V1-V7).
+
+The query vector is the stored embedding of vec_id=0 (the "embed the
+query" step of the reference's semantic search, reader.go:53-60, is a
+driver-side single-vector operation there too). Exact brute-force
+results define correctness; the LSH entry is the approximate scale path
+and carries no SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mie_spark.operators.vector import (
+    ann_topk_lsh,
+    cosine_topk,
+    knn_join_to_nodes,
+    similarity_self_join,
+)
+from mie_spark.queries import query
+from mie_spark.sources import load_table
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+# --- V2: exact top-k cosine search (reader.go:62-93) ------------------------
+
+@query(
+    "v2_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, round(sim, 6) AS sim FROM (
+      SELECT vec_id, label,
+             list_cosine_similarity(embedding::DOUBLE[], qe) AS sim
+      FROM embeddings, q
+      WHERE vec_id <> 0
+    ) ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def v2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    top = cosine_topk(emb, "embedding", _query_vec(spark, sf_dir), k=10)
+    return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
+
+
+# --- V3: all-pairs near-duplicate / conflict scan (conflicts.go:34-170) -----
+
+@query(
+    "v3_similarity_self_join",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
+def v3_similarity_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One vectorized join replaces the reference's O(n) loop of
+    sequential HNSW probes; threshold is minimum *similarity* (fixes the
+    distance/similarity quirk, SURVEY §2.10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity_self_join(emb, "embedding", threshold=0.45)
+    return pairs.select("a_id", "b_id", F.round("sim", 6).alias("sim"))
+
+
+# --- J5/V2: rank-then-join back to node table (reader.go:62-93) -------------
+
+@query(
+    "v_knn_join_nodes",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    top AS (
+      SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS sim
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id LIMIT 25
+    )
+    SELECT t.vec_id, t.sim, d.lang, d.n_chars
+    FROM top t JOIN documents d ON t.vec_id = d.doc_id
+    WHERE d.lang = 'en'
+    """,
+)
+def v_knn_join_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-search shape: top-k in vector space, join survivors back
+    to the node table, post-filter (valid=true analog: lang='en'). The
+    k-row side broadcasts; the node scan stays pruned to 3 columns."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = knn_join_to_nodes(
+        emb, docs, _query_vec(spark, sf_dir), k=25, emb_id="vec_id", node_id="doc_id"
+    )
+    return joined.filter(F.col("lang") == "en").select(
+        "vec_id", F.round("sim", 6).alias("sim"), "lang", "n_chars"
+    )
+
+
+# --- V5: normalization (embedding.go:481-502) --------------------------------
+
+@query(
+    "v5_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def v5_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mie_spark.functions.vectors import l2_norm
+
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# --- V1-analog: LSH-bucketed approximate top-k (no SQL oracle: ANN) ----------
+
+@query("v_ann_lsh_topk")
+def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate path behind the same semantics as v2_cosine_topk;
+    recall checked in tests/test_vector.py against the exact result."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    top = ann_topk_lsh(emb, "embedding", _query_vec(spark, sf_dir), k=10, n_planes=4)
+    return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))

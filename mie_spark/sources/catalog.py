@@ -1,0 +1,64 @@
+"""Table catalog over the parquet test corpus.
+
+The driver generates a TPC-H-ish star schema plus ``events`` (stream
+table), ``documents`` (text corpus) and ``embeddings`` (vector corpus)
+at several scale factors (TESTDATA.md). Every query entry point takes a
+``sf_dir`` so the same plan runs unchanged from sf0.001 smoke tests to
+a 100 TB cluster layout — only the path changes.
+
+Parquet scans here are the root of every plan, so this is where scan
+hygiene is enforced: column pruning and predicate pushdown are left to
+Catalyst (we never .cache() eagerly or collect schemas by reading data).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one table; no caching, no schema inference cost
+    beyond the parquet footer read.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read nanos as long
+    (legacy.parquet.nanosAsLong) and truncate to microseconds in-plan —
+    the same truncation DuckDB applies — so downstream plans see a real
+    timestamp column and the scan stays native/vectorized.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        # integer division — ns values overflow double mantissa, so no `/`
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view so ``spark.sql`` — the
+    raw-query escape hatch (reference: `mie query "<cozoscript>"`,
+    cmd/mie/query.go:22-123) — sees the same names DuckDB's oracle does."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,79 @@
+"""Local mirror of the driver's t2 correctness gate: run every
+registered query on Spark AND its DuckDB oracle, compare row sets.
+
+Comparison is order-insensitive (rows sorted by repr after sorting
+columns by name), exact for strings/ints and 1e-9-tolerant for floats —
+stricter than needed (queries round on both sides), so any drift here
+would also fail the driver's hash check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from mie_spark.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(out, key=repr)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is b
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    s = _normalize(spark_rows, spark_cols)
+    d = _normalize(duck_rows, duck_cols)
+    assert len(s) == len(d), f"{name}: row count {len(s)} vs oracle {len(d)}"
+    for i, (sr, dr) in enumerate(zip(s, d)):
+        for sv, dv in zip(sr, dr):
+            # timestamps: compare as strings (queries emit formatted strings
+            # or epoch ints by design, so this is just a safety net)
+            if not _values_equal(sv, dv):
+                assert False, f"{name}: row {i} differs: {sr} vs {dr}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
