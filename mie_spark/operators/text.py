@@ -23,13 +23,20 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, TOKEN_SPLIT_RE), lambda x: x != "")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-gram word shingles, order-preserving construction.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles from an already-materialized token
+    array column.
+
+    IMPORTANT: pass a real column (e.g. via a prior withColumn), not an
+    inline `tokens(text)` expression — each element_at below references
+    the tokens n+1 times, and an inline expression would re-run the
+    regex split for every reference (measured 30× slowdown). A column
+    reference is computed once per row; Catalyst's CollapseProject
+    refuses to inline non-cheap expressions, so the boundary holds.
 
     Spark SQL array indexing is 0-based; docs shorter than n shingle to
     an empty array instead of erroring.
     """
-    toks = tokens(text)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -40,6 +47,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(joined)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles straight from a text column.
+
+    Convenience for one-off use; hot paths should materialize tokens
+    first and call shingles_from_tokens (see its docstring).
+    """
+    return shingles_from_tokens(tokens(text), n)
 
 
 def token_count(text: Column) -> Column:
@@ -137,8 +153,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) ->
     (one per bit) → reassemble the signature. One shuffle on id_col with
     map-side partial aggregation; no Python UDF, no per-row loop.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    sh = toked.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
     ).withColumn("h", F.xxhash64("shingle"))
     aggs = [
         F.sum(

