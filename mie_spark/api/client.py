@@ -1,0 +1,712 @@
+"""MieClient — the knowledge-graph memory API, Spark-first.
+
+Reproduces the reference's memory layer semantics (pkg/memory/{reader,
+writer,conflicts}.go) over MieStore tables. Every read is a DataFrame
+plan (filters/joins/top-k stay declarative for Catalyst); writes are
+key-upserts with content-hash identity, embeddings written
+synchronously (the reference writes them fire-and-forget,
+writer.go:71-73 — synchronous keeps tests deterministic; SURVEY §2.7 V6).
+
+Deliberate semantic fix, documented in SURVEY §2.10: `threshold`
+ALWAYS means minimum cosine *similarity* here. The reference's
+conflicts tool documents similarity but consumes it as a distance
+bound (tools/conflicts.go:20-22 vs memory/conflicts.go:95).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mie_spark import ids
+from mie_spark import validators as V
+from mie_spark.embedding import MockEmbeddingProvider
+from mie_spark.functions.vectors import cosine_sim
+from mie_spark.schemas import (
+    EDGE_TABLES,
+    EMBEDDING_TABLES,
+    NODE_TABLES,
+    key_columns,
+)
+from mie_spark.storage import MieStore, now_s
+
+# node table → its embedding table + the text that gets embedded
+_EMBED_SOURCE = {
+    "mie_fact": ("mie_fact_embedding", "fact_id"),
+    "mie_decision": ("mie_decision_embedding", "decision_id"),
+    "mie_entity": ("mie_entity_embedding", "entity_id"),
+    "mie_event": ("mie_event_embedding", "event_id"),
+}
+
+# exact-search columns per node type (reader.go:138-162: content for
+# facts; two-column OR for the rest)
+_SEARCH_COLS = {
+    "mie_fact": ("content",),
+    "mie_decision": ("title", "rationale"),
+    "mie_entity": ("name", "description"),
+    "mie_event": ("title", "description"),
+    "mie_topic": ("name", "description"),
+}
+
+_TYPE_ALIASES = {
+    "fact": "mie_fact",
+    "decision": "mie_decision",
+    "entity": "mie_entity",
+    "event": "mie_event",
+    "topic": "mie_topic",
+}
+
+
+class MieClient:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | None = None,
+        embedder=None,
+        embedding_dim: int = 4,
+    ):
+        self.spark = spark
+        self.embedder = embedder or MockEmbeddingProvider(embedding_dim)
+        self.store = MieStore(spark, path, embedding_dim=embedding_dim)
+
+    # ------------------------------------------------------------------
+    # write path (writer.go)
+    # ------------------------------------------------------------------
+
+    def store_fact(
+        self,
+        content: str,
+        category: str | None = None,
+        confidence: float | None = None,
+        source_agent: str = "",
+        source_conversation: str = "",
+    ) -> str:
+        category = V.coerce_category(category)
+        fid = ids.fact_id(content, category)
+        ts = now_s()
+        self.store.upsert_rows(
+            "mie_fact",
+            [
+                {
+                    "id": fid,
+                    "content": content,
+                    "category": category,
+                    "confidence": V.clamp_confidence(confidence),
+                    "source_agent": source_agent,
+                    "source_conversation": source_conversation,
+                    "valid": True,
+                    "created_at": ts,
+                    "updated_at": ts,
+                }
+            ],
+        )
+        self._store_embedding("mie_fact", fid, content)
+        return fid
+
+    def store_decision(
+        self,
+        title: str,
+        rationale: str,
+        alternatives: str = "[]",
+        context: str = "",
+        status: str = "active",
+        source_agent: str = "",
+        source_conversation: str = "",
+    ) -> str:
+        V.validate_decision_status(status)
+        did = ids.decision_id(title, rationale)
+        ts = now_s()
+        self.store.upsert_rows(
+            "mie_decision",
+            [
+                {
+                    "id": did,
+                    "title": title,
+                    "rationale": rationale,
+                    "alternatives": alternatives or "[]",
+                    "context": context,
+                    "source_agent": source_agent,
+                    "source_conversation": source_conversation,
+                    "status": status,
+                    "created_at": ts,
+                    "updated_at": ts,
+                }
+            ],
+        )
+        self._store_embedding("mie_decision", did, f"{title} {rationale}")
+        return did
+
+    def store_entity(
+        self, name: str, kind: str, description: str = "", source_agent: str = ""
+    ) -> str:
+        V.validate_entity_kind(kind)
+        eid = ids.entity_id(name, kind)
+        ts = now_s()
+        self.store.upsert_rows(
+            "mie_entity",
+            [
+                {
+                    "id": eid,
+                    "name": name,
+                    "kind": kind,
+                    "description": description,
+                    "source_agent": source_agent,
+                    "created_at": ts,
+                    "updated_at": ts,
+                }
+            ],
+        )
+        self._store_embedding("mie_entity", eid, f"{name} {description}")
+        return eid
+
+    def store_event(
+        self,
+        title: str,
+        description: str = "",
+        event_date: str = "",
+        source_agent: str = "",
+        source_conversation: str = "",
+    ) -> str:
+        evid = ids.event_id(title, event_date)
+        ts = now_s()
+        self.store.upsert_rows(
+            "mie_event",
+            [
+                {
+                    "id": evid,
+                    "title": title,
+                    "description": description,
+                    "event_date": event_date,
+                    "source_agent": source_agent,
+                    "source_conversation": source_conversation,
+                    "created_at": ts,
+                    "updated_at": ts,
+                }
+            ],
+        )
+        self._store_embedding("mie_event", evid, f"{title} {description}")
+        return evid
+
+    def store_topic(self, name: str, description: str = "") -> str:
+        tid = ids.topic_id(name)
+        ts = now_s()
+        self.store.upsert_rows(
+            "mie_topic",
+            [
+                {
+                    "id": tid,
+                    "name": name,
+                    "description": description,
+                    "created_at": ts,
+                    "updated_at": ts,
+                }
+            ],
+        )
+        return tid
+
+    def _store_embedding(self, node_table: str, node_id: str, text: str) -> None:
+        emb_table, id_col = _EMBED_SOURCE[node_table]
+        vec = self.embedder.embed([text])[0]
+        self.store.upsert_rows(emb_table, [{id_col: node_id, "embedding": vec}])
+
+    def add_relationship(
+        self, edge_table: str, from_id: str, to_id: str, **values: str
+    ) -> None:
+        """Whitelisted edge insert (writer.go:264-310)."""
+        if edge_table not in EDGE_TABLES:
+            raise ValueError(
+                f"invalid edge table {edge_table!r}; valid: {sorted(EDGE_TABLES)}"
+            )
+        keys, vals = EDGE_TABLES[edge_table]
+        if "role" in values:
+            V.validate_entity_role(values["role"])
+        row = {keys[0]: from_id, keys[1]: to_id}
+        for col in vals:
+            row[col] = values.get(col, "")
+        self.store.upsert_rows(edge_table, [row])
+
+    def invalidate_fact(
+        self, new_fact_id: str, old_fact_id: str, reason: str = ""
+    ) -> None:
+        """Two writes: flip valid=false on the old fact, insert the
+        invalidation edge (writer.go:230-261). Ordered fact-first so a
+        failure between the two leaves a conservative state (fact
+        already invalid, edge missing — retry-safe; SURVEY §7 risk)."""
+        old = self.get_node_by_id(old_fact_id)
+        if old is None:
+            raise KeyError(f"fact not found: {old_fact_id}")
+        old["valid"] = False
+        old["updated_at"] = now_s()
+        self.store.upsert_rows("mie_fact", [old])
+        self.store.upsert_rows(
+            "mie_invalidates",
+            [
+                {
+                    "new_fact_id": new_fact_id,
+                    "old_fact_id": old_fact_id,
+                    "reason": reason,
+                }
+            ],
+        )
+
+    def update_description(self, node_id: str, description: str) -> None:
+        """RMW description update for entity/event/topic (writer.go:313-362)."""
+        table = ids.node_type_of(node_id)
+        if table not in ("mie_entity", "mie_event", "mie_topic"):
+            raise ValueError(f"{table} does not have a description update path")
+        row = self.get_node_by_id(node_id)
+        if row is None:
+            raise KeyError(f"node not found: {node_id}")
+        row["description"] = description
+        row["updated_at"] = now_s()
+        self.store.upsert_rows(table, [row])
+
+    def update_status(self, decision_id: str, status: str) -> None:
+        V.validate_decision_status(status)
+        row = self.get_node_by_id(decision_id)
+        if row is None:
+            raise KeyError(f"decision not found: {decision_id}")
+        row["status"] = status
+        row["updated_at"] = now_s()
+        self.store.upsert_rows("mie_decision", [row])
+
+    # ------------------------------------------------------------------
+    # read path (reader.go)
+    # ------------------------------------------------------------------
+
+    def get_node_by_id(self, node_id: str) -> dict[str, Any] | None:
+        """Point lookup with prefix dispatch (reader.go:308-382)."""
+        table = ids.node_type_of(node_id)
+        rows = (
+            self.store.table(table).filter(F.col("id") == F.lit(node_id)).collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def exact_search(
+        self,
+        query: str,
+        node_types: list[str] | None = None,
+        limit: int = 50,
+        valid_only: bool = True,
+    ) -> list[dict[str, Any]]:
+        """Substring search (F2/F3): `contains` on the type's text
+        columns, two-column OR where the reference ORs
+        (reader.go:138-162)."""
+        out: list[dict[str, Any]] = []
+        for table in self._tables_for(node_types):
+            df = self.store.table(table)
+            cols = _SEARCH_COLS[table]
+            cond = F.col(cols[0]).contains(query)
+            for col in cols[1:]:
+                cond = cond | F.col(col).contains(query)
+            if table == "mie_fact" and valid_only:
+                cond = cond & F.col("valid")
+            hits = (
+                df.filter(cond)
+                .orderBy(F.col("created_at").desc(), F.col("id"))
+                .limit(limit)
+                .collect()
+            )
+            out.extend({**r.asDict(), "node_type": table} for r in hits)
+        return out[:limit]
+
+    def semantic_search(
+        self,
+        query: str,
+        node_types: list[str] | None = None,
+        limit: int = 10,
+        valid_only: bool = True,
+    ) -> list[dict[str, Any]]:
+        """Exact top-k cosine over the requested types' embeddings,
+        merged and truncated (reader.go:38-119). One unioned plan, one
+        TakeOrderedAndProject — no per-type over-fetch (the reference
+        needs k·5 because it post-filters `valid` after ANN; we filter
+        before ranking)."""
+        qvec = self.embedder.embed_query(query)
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        per_type: list[DataFrame] = []
+        for table in self._tables_for(node_types):
+            if table == "mie_topic":
+                continue  # topics carry no embedding table (schema.go)
+            emb_table, id_col = _EMBED_SOURCE[table]
+            emb = self.store.table(emb_table)
+            nodes = self.store.table(table)
+            if table == "mie_fact" and valid_only:
+                nodes = nodes.filter(F.col("valid"))
+            joined = emb.join(nodes, emb[id_col] == nodes["id"]).select(
+                F.col("id").alias("node_id"),
+                F.lit(table).alias("node_type"),
+                cosine_sim(F.col("embedding"), q).alias("similarity"),
+            )
+            per_type.append(joined)
+        if not per_type:
+            return []
+        merged = per_type[0]
+        for df in per_type[1:]:
+            merged = merged.unionByName(df)
+        top = (
+            merged.orderBy(F.col("similarity").desc(), F.col("node_id"))
+            .limit(limit)
+            .collect()
+        )
+        results = []
+        for r in top:
+            node = self.get_node_by_id(r["node_id"]) or {}
+            results.append(
+                {
+                    **node,
+                    "node_type": r["node_type"],
+                    "similarity": float(r["similarity"]),
+                    "distance": 1.0 - float(r["similarity"]),
+                }
+            )
+        return results
+
+    def find_entity_by_name(self, name: str) -> dict[str, Any] | None:
+        """Case-insensitive first match (reader.go:384-393)."""
+        rows = (
+            self.store.table("mie_entity")
+            .filter(F.lower(F.col("name")) == name.lower())
+            .orderBy("id")
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def find_fact_by_content(self, content: str) -> dict[str, Any] | None:
+        rows = (
+            self.store.table("mie_fact")
+            .filter(F.col("content") == content)
+            .orderBy("id")
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def list_nodes(
+        self,
+        node_type: str,
+        category: str | None = None,
+        kind: str | None = None,
+        status: str | None = None,
+        valid_only: bool = False,
+        limit: int = 100,
+        offset: int = 0,
+    ) -> tuple[list[dict[str, Any]], int]:
+        """Filtered scan + order + pagination + total (tools/list.go).
+        Limit clamped to 100 like the tool layer (list.go:28-35)."""
+        limit = max(1, min(limit, 100))
+        table = self._resolve_type(node_type)
+        df = self.store.table(table)
+        if category and table == "mie_fact":
+            df = df.filter(F.col("category") == category)
+        if kind and table == "mie_entity":
+            df = df.filter(F.col("kind") == kind)
+        if status and table == "mie_decision":
+            df = df.filter(F.col("status") == status)
+        if valid_only and table == "mie_fact":
+            df = df.filter(F.col("valid"))
+        total = df.count()
+        rows = (
+            df.orderBy(F.col("created_at").desc(), F.col("id"))
+            .offset(offset)
+            .limit(limit)
+            .collect()
+        )
+        return [r.asDict() for r in rows], total
+
+    def get_stats(self) -> dict[str, int]:
+        """Node/edge census (reader.go:616-665). Facts sweep in ONE
+        conditional-aggregate pass instead of the reference's 8 counts."""
+        stats: dict[str, int] = {}
+        fact_agg = (
+            self.store.table("mie_fact")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("valid"),
+            )
+            .collect()[0]
+        )
+        stats["facts"] = fact_agg["total"] or 0
+        stats["valid_facts"] = int(fact_agg["valid"] or 0)
+        stats["invalid_facts"] = stats["facts"] - stats["valid_facts"]
+        dec_agg = (
+            self.store.table("mie_decision")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(F.col("status") == "active", 1).otherwise(0)).alias(
+                    "active"
+                ),
+            )
+            .collect()[0]
+        )
+        stats["decisions"] = dec_agg["total"] or 0
+        stats["active_decisions"] = int(dec_agg["active"] or 0)
+        for table, key in (
+            ("mie_entity", "entities"),
+            ("mie_event", "events"),
+            ("mie_topic", "topics"),
+        ):
+            stats[key] = self.store.table(table).count()
+        stats["relationships"] = sum(
+            self.store.table(t).count() for t in EDGE_TABLES
+        )
+        return stats
+
+    # ------------------------------------------------------------------
+    # graph traversals (reader.go:463-614) — J1-J4, J6
+    # ------------------------------------------------------------------
+
+    def _traverse(
+        self, edge_table: str, filter_col: str, node_table: str, join_col: str,
+        node_id: str, extra_cols: list[str] | None = None,
+    ) -> list[dict[str, Any]]:
+        edges = self.store.table(edge_table).filter(
+            F.col(filter_col) == F.lit(node_id)
+        )
+        nodes = self.store.table(node_table)
+        joined = F.broadcast(edges).join(
+            nodes, edges[join_col] == nodes["id"]
+        )
+        cols = [nodes[c.name] for c in NODE_TABLES[node_table]]
+        cols += [edges[c] for c in (extra_cols or [])]
+        return [r.asDict() for r in joined.select(*cols).collect()]
+
+    def get_entities_for_fact(self, fact_id: str) -> list[dict[str, Any]]:
+        return self._traverse(
+            "mie_fact_entity", "fact_id", "mie_entity", "entity_id", fact_id
+        )
+
+    def get_facts_for_entity(self, entity_id: str) -> list[dict[str, Any]]:
+        return self._traverse(
+            "mie_fact_entity", "entity_id", "mie_fact", "fact_id", entity_id
+        )
+
+    def get_entities_for_decision(self, decision_id: str) -> list[dict[str, Any]]:
+        """Traversal carrying the edge's own `role` attribute (J3)."""
+        return self._traverse(
+            "mie_decision_entity",
+            "decision_id",
+            "mie_entity",
+            "entity_id",
+            decision_id,
+            extra_cols=["role"],
+        )
+
+    def get_decisions_for_entity(self, entity_id: str) -> list[dict[str, Any]]:
+        return self._traverse(
+            "mie_decision_entity", "entity_id", "mie_decision", "decision_id", entity_id
+        )
+
+    def get_topics_for_fact(self, fact_id: str) -> list[dict[str, Any]]:
+        return self._traverse(
+            "mie_fact_topic", "fact_id", "mie_topic", "topic_id", fact_id
+        )
+
+    def get_invalidation_chain(self, fact_id: str) -> list[dict[str, Any]]:
+        """Both-direction chain (reader.go:547-583). The reference needs
+        a two-rule Datalog union because or() can't wrap `=`; one OR
+        filter + two aliased joins replaces it (J6)."""
+        edges = self.store.table("mie_invalidates").filter(
+            (F.col("new_fact_id") == fact_id) | (F.col("old_fact_id") == fact_id)
+        )
+        facts = self.store.table("mie_fact")
+        old_f = facts.alias("old_f")
+        new_f = facts.alias("new_f")
+        joined = (
+            edges.join(old_f, edges["old_fact_id"] == F.col("old_f.id"))
+            .join(new_f, edges["new_fact_id"] == F.col("new_f.id"))
+            .select(
+                edges["new_fact_id"],
+                edges["old_fact_id"],
+                edges["reason"],
+                F.col("old_f.content").alias("old_content"),
+                F.col("new_f.content").alias("new_content"),
+            )
+        )
+        return [r.asDict() for r in joined.collect()]
+
+    # ------------------------------------------------------------------
+    # conflicts (conflicts.go) — V3/V4, vectorized
+    # ------------------------------------------------------------------
+
+    def detect_conflicts(
+        self, threshold: float = 0.85, limit: int = 50
+    ) -> list[dict[str, Any]]:
+        """All-pairs similarity over *valid* facts as ONE self-join
+        (canonical a<b ordering) — replaces the reference's O(n)
+        sequential embed+probe loop (conflicts.go:73-154). threshold is
+        minimum similarity (quirk fix, SURVEY §2.10)."""
+        emb = self.store.table("mie_fact_embedding")
+        valid = self.store.table("mie_fact").filter(F.col("valid"))
+        ve = emb.join(valid, emb["fact_id"] == valid["id"]).select(
+            "fact_id", "embedding", "content"
+        )
+        a = ve.select(
+            F.col("fact_id").alias("a_id"),
+            F.col("embedding").alias("a_vec"),
+            F.col("content").alias("a_content"),
+        )
+        b = ve.select(
+            F.col("fact_id").alias("b_id"),
+            F.col("embedding").alias("b_vec"),
+            F.col("content").alias("b_content"),
+        )
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("similarity", cosine_sim(F.col("a_vec"), F.col("b_vec")))
+            .filter(F.col("similarity") >= threshold)
+            .orderBy(F.col("similarity").desc(), F.col("a_id"), F.col("b_id"))
+            .limit(limit)
+            .select("a_id", "b_id", "a_content", "b_content", "similarity")
+        )
+        return [r.asDict() for r in pairs.collect()]
+
+    def check_conflicts_for_content(
+        self,
+        content: str,
+        category: str | None = None,
+        threshold: float = 0.85,
+        k: int = 10,
+    ) -> list[dict[str, Any]]:
+        """New-content probe before store (conflicts.go:172-241)."""
+        qvec = self.embedder.embed_query(content)
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        emb = self.store.table("mie_fact_embedding")
+        facts = self.store.table("mie_fact").filter(F.col("valid"))
+        if category:
+            facts = facts.filter(F.col("category") == category)
+        joined = (
+            emb.join(facts, emb["fact_id"] == facts["id"])
+            .withColumn("similarity", cosine_sim(F.col("embedding"), q))
+            .filter(F.col("similarity") >= threshold)
+            .orderBy(F.col("similarity").desc(), F.col("fact_id"))
+            .limit(k)
+            .select("fact_id", "content", "category", "similarity")
+        )
+        return [r.asDict() for r in joined.collect()]
+
+    # ------------------------------------------------------------------
+    # export / import / raw query / usage (S5-S7, A5)
+    # ------------------------------------------------------------------
+
+    def export_json(self) -> dict[str, list[dict[str, Any]]]:
+        """Full-graph JSON export (reader.go:707-764)."""
+        out: dict[str, list[dict[str, Any]]] = {}
+        for table in list(NODE_TABLES) + list(EDGE_TABLES):
+            out[table] = [r.asDict() for r in self.store.table(table).collect()]
+        return out
+
+    def import_json(self, data: dict[str, list[dict[str, Any]]]) -> int:
+        """Re-store imported nodes: IDs re-derive from content and
+        embeddings regenerate, exactly like the reference import
+        (cmd/mie/import.go:116-207)."""
+        n = 0
+        for row in data.get("mie_fact", []):
+            self.store_fact(
+                row["content"],
+                row.get("category"),
+                row.get("confidence"),
+                row.get("source_agent", ""),
+                row.get("source_conversation", ""),
+            )
+            n += 1
+        for row in data.get("mie_decision", []):
+            self.store_decision(
+                row["title"],
+                row["rationale"],
+                row.get("alternatives", "[]"),
+                row.get("context", ""),
+                row.get("status", "active"),
+            )
+            n += 1
+        for row in data.get("mie_entity", []):
+            self.store_entity(
+                row["name"], row["kind"], row.get("description", "")
+            )
+            n += 1
+        for row in data.get("mie_event", []):
+            self.store_event(
+                row["title"], row.get("description", ""), row.get("event_date", "")
+            )
+            n += 1
+        for row in data.get("mie_topic", []):
+            self.store_topic(row["name"], row.get("description", ""))
+            n += 1
+        for table in EDGE_TABLES:
+            rows = data.get(table, [])
+            if rows:
+                self.store.upsert_rows(table, rows)
+                n += len(rows)
+        return n
+
+    def export_sql_script(self) -> str:
+        """Rows rendered as replayable INSERT statements — the Spark
+        analog of the reference's Datalog-script export
+        (pkg/tools/export.go:59-115)."""
+        lines: list[str] = []
+        for table in list(NODE_TABLES) + list(EDGE_TABLES):
+            for row in self.store.table(table).collect():
+                d = row.asDict()
+                cols = ", ".join(d.keys())
+                vals = ", ".join(_sql_literal(v) for v in d.values())
+                lines.append(f"INSERT INTO {table} ({cols}) VALUES ({vals});")
+        return "\n".join(lines)
+
+    def raw_query(self, sql: str) -> DataFrame:
+        """The raw escape hatch: reference exposes CozoScript
+        (cmd/mie/query.go:22-123); here it is the whole Spark SQL
+        surface over the registered graph tables."""
+        for table in list(NODE_TABLES) + list(EDGE_TABLES) + list(EMBEDDING_TABLES):
+            self.store.table(table).createOrReplaceTempView(table)
+        self.store.table("mie_meta").createOrReplaceTempView("mie_meta")
+        return self.spark.sql(sql)
+
+    def record_query(self) -> None:
+        self.store.meta_increment("total_queries")
+        self.store.meta_set("last_query_at", str(now_s()))
+
+    def record_store(self) -> None:
+        self.store.meta_increment("total_stores")
+        self.store.meta_set("last_store_at", str(now_s()))
+
+    def get_usage(self) -> dict[str, Any]:
+        g = self.store.meta_get
+        return {
+            "total_queries": int(g("total_queries") or 0),
+            "total_stores": int(g("total_stores") or 0),
+            "last_query_at": g("last_query_at"),
+            "last_store_at": g("last_store_at"),
+            "schema_version": g("schema_version"),
+        }
+
+    def reset(self) -> None:
+        self.store.reset()
+
+    # ------------------------------------------------------------------
+
+    def _resolve_type(self, node_type: str) -> str:
+        table = _TYPE_ALIASES.get(node_type, node_type)
+        if table not in NODE_TABLES:
+            raise ValueError(f"unknown node type {node_type!r}")
+        return table
+
+    def _tables_for(self, node_types: list[str] | None) -> list[str]:
+        if not node_types:
+            return list(NODE_TABLES)
+        return [self._resolve_type(t) for t in node_types]
+
+
+def _sql_literal(value: Any) -> str:
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return str(value)
+    escaped = str(value).replace("'", "''")
+    return f"'{escaped}'"

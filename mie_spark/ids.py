@@ -1,0 +1,80 @@
+"""Deterministic content-hash identity.
+
+Parity with the reference (pkg/memory/ids.go:16-47):
+    GenerateID(prefix, fields...) = prefix + ":" + hex(sha256(join(fields, "|")))[:16]
+Entity and topic names are lowercased before hashing (case-insensitive
+dedup); prefixes double as type tags for dispatch (`fact:` `dec:` `ent:`
+`evt:` `top:`, reader.go:310-325).
+
+Same content ⇒ same ID ⇒ upsert gives idempotent, dedup-by-construction
+writes. Provided both as plain Python (driver-side single writes) and
+as Spark column expressions (bulk ingest: sha2 + substring stay in
+whole-stage codegen, so a 100 TB ingest derives IDs with zero Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PREFIXES = ("fact", "dec", "ent", "evt", "top")
+
+
+def generate_id(prefix: str, *fields: str) -> str:
+    digest = hashlib.sha256("|".join(fields).encode("utf-8")).hexdigest()
+    return f"{prefix}:{digest[:16]}"
+
+
+def fact_id(content: str, category: str) -> str:
+    return generate_id("fact", content, category)
+
+
+def decision_id(title: str, rationale: str) -> str:
+    return generate_id("dec", title, rationale)
+
+
+def entity_id(name: str, kind: str) -> str:
+    return generate_id("ent", name.lower(), kind)
+
+
+def event_id(title: str, event_date: str) -> str:
+    return generate_id("evt", title, event_date)
+
+
+def topic_id(name: str) -> str:
+    return generate_id("top", name.lower())
+
+
+def node_type_of(node_id: str) -> str:
+    """Prefix-dispatch (writer.go:409-425): `fact:` is 5 chars, the rest 4."""
+    for prefix, table in (
+        ("fact:", "mie_fact"),
+        ("dec:", "mie_decision"),
+        ("ent:", "mie_entity"),
+        ("evt:", "mie_event"),
+        ("top:", "mie_topic"),
+    ):
+        if node_id.startswith(prefix):
+            return table
+    raise ValueError(f"unrecognized node id prefix: {node_id!r}")
+
+
+# --- column-expression variants (bulk/distributed ingest) -------------------
+
+def id_expr(prefix: str, *field_cols: Column) -> Column:
+    joined = F.concat_ws("|", *field_cols)
+    return F.concat(F.lit(prefix), F.lit(":"), F.substring(F.sha2(joined, 256), 1, 16))
+
+
+def fact_id_expr(content: Column, category: Column) -> Column:
+    return id_expr("fact", content, category)
+
+
+def entity_id_expr(name: Column, kind: Column) -> Column:
+    return id_expr("ent", F.lower(name), kind)
+
+
+def topic_id_expr(name: Column) -> Column:
+    return id_expr("top", F.lower(name))

@@ -1,0 +1,309 @@
+"""MieClient integration tests against the in-memory engine, modeled on
+the reference's integration suite (pkg/memory/integration_test.go):
+lifecycle (:104), semantic ranking (:237), conflicts (:287), idempotency
+(:338), traversal (:388), export (:465), stats (:540), edge cases
+(:613-757), list filters (:815).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mie_spark.api import MieClient
+from mie_spark.api import tools
+
+
+@pytest.fixture()
+def client(spark):
+    return MieClient(spark, path=None, embedding_dim=4)
+
+
+def test_full_lifecycle(client):
+    """store → query → traverse → invalidate → export."""
+    fid = client.store_fact("User prefers PostgreSQL for databases", "preference")
+    eid = client.store_entity("PostgreSQL", "technology", "relational database")
+    client.add_relationship("mie_fact_entity", fid, eid)
+
+    hits = client.exact_search("PostgreSQL", node_types=["fact"])
+    assert [h["id"] for h in hits] == [fid]
+    assert hits[0]["category"] == "preference"
+    assert hits[0]["valid"] is True
+
+    ents = client.get_entities_for_fact(fid)
+    assert [e["id"] for e in ents] == [eid]
+    facts = client.get_facts_for_entity(eid)
+    assert [f["id"] for f in facts] == [fid]
+
+    fid2 = client.store_fact("User now prefers MySQL", "preference")
+    client.invalidate_fact(fid2, fid, "changed preference")
+    assert client.get_node_by_id(fid)["valid"] is False
+    chain = client.get_invalidation_chain(fid)
+    assert len(chain) == 1
+    assert chain[0]["new_fact_id"] == fid2
+    assert chain[0]["old_content"] == "User prefers PostgreSQL for databases"
+
+    export = client.export_json()
+    assert len(export["mie_fact"]) == 2
+    assert len(export["mie_fact_entity"]) == 1
+    assert len(export["mie_invalidates"]) == 1
+
+
+def test_idempotent_upsert(client):
+    """Content-hash identity makes repeated stores a no-op
+    (integration_test.go:338 TestIntegrationIdempotency)."""
+    a = client.store_fact("same content", "general")
+    b = client.store_fact("same content", "general")
+    assert a == b
+    _, total = client.list_nodes("fact")
+    assert total == 1
+
+
+def test_semantic_search_ranks_self_first(client):
+    client.store_fact("alpha beta gamma", "general")
+    client.store_fact("totally different text", "general")
+    top = client.semantic_search("alpha beta gamma", limit=2)
+    assert top[0]["content"] == "alpha beta gamma"
+    assert top[0]["similarity"] > 0.999
+    assert top[0]["similarity"] >= top[1]["similarity"]
+
+
+def test_semantic_search_excludes_invalid(client):
+    fid = client.store_fact("obsolete statement", "general")
+    fid2 = client.store_fact("fresh statement", "general")
+    client.invalidate_fact(fid2, fid)
+    hits = client.semantic_search("obsolete statement", limit=5)
+    assert fid not in [h.get("id") for h in hits]
+
+
+def test_conflict_detection_identical_content(client):
+    """Same text in two categories → distinct IDs, identical embeddings
+    → similarity 1.0 conflict pair (integration_test.go:287)."""
+    a = client.store_fact("the sky is blue", "general")
+    b = client.store_fact("the sky is blue", "technical")
+    assert a != b
+    pairs = client.detect_conflicts(threshold=0.99)
+    assert len(pairs) == 1
+    assert {pairs[0]["a_id"], pairs[0]["b_id"]} == {a, b}
+    assert pairs[0]["similarity"] > 0.999
+
+    probe = client.check_conflicts_for_content("the sky is blue", threshold=0.99)
+    assert len(probe) == 2
+
+
+def test_decision_entity_role_traversal(client):
+    did = client.store_decision("Adopt Spark", "scales horizontally")
+    eid = client.store_entity("Spark", "technology")
+    client.add_relationship("mie_decision_entity", did, eid, role="subject")
+    rels = client.get_entities_for_decision(did)
+    assert rels[0]["role"] == "subject"
+    back = client.get_decisions_for_entity(eid)
+    assert back[0]["id"] == did
+
+
+def test_validators(client):
+    with pytest.raises(ValueError):
+        client.store_entity("X", "not-a-kind")
+    with pytest.raises(ValueError):
+        client.store_decision("t", "r", status="bogus")
+    with pytest.raises(ValueError):
+        client.add_relationship("mie_decision_entity", "dec:x", "ent:y", role="nope")
+    with pytest.raises(ValueError):
+        client.add_relationship("not_a_table", "a", "b")
+    # invalid category coerces, invalid confidence clamps (writer.go:39-44)
+    fid = client.store_fact("x", "weird-category", confidence=7.0)
+    node = client.get_node_by_id(fid)
+    assert node["category"] == "general"
+    assert node["confidence"] == 0.8
+
+
+def test_unicode_and_escaping(client):
+    """Japanese/emoji/quotes/backslashes round-trip
+    (integration_test.go:613-757)."""
+    for content in ("日本語のテキスト", "emoji 🎉✓", 'quotes "and" \'more\'', "back\\slash"):
+        fid = client.store_fact(content, "general")
+        assert client.get_node_by_id(fid)["content"] == content
+        assert client.find_fact_by_content(content)["id"] == fid
+
+
+def test_list_filters_and_pagination(client):
+    for i in range(5):
+        client.store_fact(f"tech fact {i}", "technical")
+    client.store_fact("personal fact", "personal")
+    rows, total = client.list_nodes("fact", category="technical", limit=3)
+    assert total == 5
+    assert len(rows) == 3
+    rows2, _ = client.list_nodes("fact", category="technical", limit=3, offset=3)
+    assert len(rows2) == 2
+    assert {r["id"] for r in rows} & {r["id"] for r in rows2} == set()
+
+
+def test_stats(client):
+    client.store_fact("a", "general")
+    fid = client.store_fact("b", "general")
+    fid2 = client.store_fact("c", "general")
+    client.invalidate_fact(fid2, fid)
+    client.store_entity("E", "other")
+    client.store_topic("T")
+    s = client.get_stats()
+    assert s["facts"] == 3
+    assert s["valid_facts"] == 2
+    assert s["invalid_facts"] == 1
+    assert s["entities"] == 1
+    assert s["topics"] == 1
+    assert s["relationships"] == 1  # the invalidation edge
+
+
+def test_find_entity_case_insensitive(client):
+    eid = client.store_entity("PostgreSQL", "technology")
+    assert client.find_entity_by_name("POSTGRESQL")["id"] == eid
+
+
+def test_export_import_roundtrip(client, spark):
+    client.store_fact("exported fact", "general")
+    client.store_entity("Exported", "other", "desc")
+    data = client.export_json()
+    other = MieClient(spark, path=None, embedding_dim=4)
+    n = other.import_json(data)
+    assert n == 2
+    assert other.find_fact_by_content("exported fact") is not None
+    # IDs re-derive identically because identity is content-hash
+    assert (
+        other.find_fact_by_content("exported fact")["id"]
+        == client.find_fact_by_content("exported fact")["id"]
+    )
+
+
+def test_raw_query_escape_hatch(client):
+    client.store_fact("raw sql target", "technical")
+    df = client.raw_query(
+        "SELECT category, count(*) AS n FROM mie_fact GROUP BY category"
+    )
+    rows = {r["category"]: r["n"] for r in df.collect()}
+    assert rows == {"technical": 1}
+
+
+def test_parquet_engine_persistence(spark, tmp_path):
+    path = str(tmp_path / "mie_store")
+    c1 = MieClient(spark, path=path, embedding_dim=4)
+    fid = c1.store_fact("persisted fact", "general")
+    del c1
+    c2 = MieClient(spark, path=path, embedding_dim=4)
+    assert c2.get_node_by_id(fid)["content"] == "persisted fact"
+    c2.reset()
+    assert c2.get_node_by_id(fid) is None
+
+
+def test_usage_counters(client):
+    client.record_store()
+    client.record_store()
+    client.record_query()
+    usage = client.get_usage()
+    assert usage["total_stores"] == 2
+    assert usage["total_queries"] == 1
+    assert usage["schema_version"] == "1"
+
+
+# ----------------------------------------------------------------------
+# tool layer (pkg/tools) — modeled on the mock-Querier tool tests
+# ----------------------------------------------------------------------
+
+
+def test_tool_store_and_query(client):
+    out = tools.store(
+        client,
+        {
+            "type": "fact",
+            "content": "Spark uses Catalyst",
+            "category": "technical",
+        },
+    )
+    assert out["id"].startswith("fact:")
+    res = tools.query(client, "Catalyst", mode="exact", node_types=["fact"])
+    assert res["count"] == 1
+
+
+def test_tool_bulk_store_with_refs(client):
+    """Cross-item target_ref resolution (bulk_store_test.go:89-158)."""
+    out = tools.bulk_store(
+        client,
+        [
+            {"type": "entity", "name": "Postgres", "kind": "technology"},
+            {
+                "type": "fact",
+                "content": "Postgres is relational",
+                "category": "technical",
+                "relationships": [
+                    {"edge_table": "mie_fact_entity", "from_ref": 1, "to_ref": 0}
+                ],
+            },
+            {"type": "fact", "content": "old belief", "category": "general"},
+            {
+                "type": "fact",
+                "content": "new belief",
+                "category": "general",
+                "invalidates_ref": 2,
+            },
+        ],
+    )
+    assert out["errors"] == []
+    assert len(out["stored"]) == 4
+    fact_id = out["stored"][1]["id"]
+    ents = client.get_entities_for_fact(fact_id)
+    assert ents[0]["name"] == "Postgres"
+    old_id = out["stored"][2]["id"]
+    assert client.get_node_by_id(old_id)["valid"] is False
+
+
+def test_tool_bulk_store_error_accumulation(client):
+    out = tools.bulk_store(
+        client,
+        [
+            {"type": "entity", "name": "ok", "kind": "other"},
+            {"type": "entity", "name": "bad", "kind": "invalid-kind"},
+            {"type": "fact", "content": "still stored", "category": "general"},
+        ],
+    )
+    assert len(out["stored"]) == 2
+    assert len(out["errors"]) == 1
+    assert out["errors"][0]["index"] == 1
+
+
+def test_tool_bulk_store_cap(client):
+    with pytest.raises(ValueError):
+        tools.bulk_store(client, [{"type": "topic", "name": f"t{i}"} for i in range(51)])
+
+
+def test_tool_analyze_conflicts(client):
+    tools.store(client, {"type": "fact", "content": "the sky is blue", "category": "general"})
+    out = tools.analyze(client, "the sky is blue")
+    assert out["conflicts"]
+    assert "review" in out["recommendation"]
+
+
+def test_tool_update_and_status(client):
+    eid = client.store_entity("Renamed", "other", "old description")
+    tools.update(client, "update_description", eid, description="new description")
+    assert client.get_node_by_id(eid)["description"] == "new description"
+    did = client.store_decision("D", "R")
+    tools.update(client, "update_status", did, status="superseded")
+    assert client.get_node_by_id(did)["status"] == "superseded"
+    st = tools.status(client)
+    assert st["healthy"] is True
+    assert st["stats"]["entities"] == 1
+
+
+def test_tool_conflicts_recommendation(client):
+    a = client.store_fact("the sky is blue", "general")
+    b = client.store_fact("the sky is blue", "technical")
+    out = tools.conflicts(client, threshold=0.99)
+    assert len(out["recommendations"]) == 1
+    rec = out["recommendations"][0]
+    assert {rec["keep"], rec["supersede"]} == {a, b}
+
+
+def test_tool_export_truncation_flag(client):
+    client.store_fact("short export", "general")
+    out = tools.export(client, "json")
+    assert not out["truncated"]
+    sql = tools.export(client, "sql")
+    assert "INSERT INTO mie_fact" in sql["data"]
