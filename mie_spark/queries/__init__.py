@@ -49,6 +49,7 @@ def _load_all() -> None:
         graph,
         multimodal,
         relational,
+        streaming,
         text,
         vector,
     )

@@ -1,0 +1,131 @@
+"""Oracle-checked Structured Streaming queries.
+
+Each entry runs a REAL streaming job — file stream source over the
+events parquet, ``trigger(availableNow=True)``, memory sink — and
+returns the drained sink (plus bounded post-processing where the sink
+mode requires it). Because the input is bounded, every one of these has
+an exact DuckDB oracle, so the driver's hash comparison exercises the
+streaming engine itself, not a batch stand-in.
+
+The reference has no streaming (SURVEY.md §2.11); this is the
+north-star extension surface. Batch twins of these plans live in
+mie_spark/queries/events.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mie_spark.queries import query
+from mie_spark.streaming import (
+    read_events_stream,
+    run_to_memory_sink,
+    sessionized_stream,
+    stateful_user_totals,
+    stream_dedup,
+    windowed_counts,
+)
+
+
+@query(
+    "st_hourly_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregate, complete mode.
+
+    Complete mode is what makes the bounded run oracle-exact: append
+    mode would hold back windows newer than (max event time − delay)
+    at stream end. In the continuous production path the same plan runs
+    in append/update mode and the watermark bounds state.
+    """
+    stream = windowed_counts(read_events_stream(spark, sf_dir))
+    return run_to_memory_sink(stream, output_mode="complete")
+
+
+@query(
+    "st_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` gap sessions (30 min) in the streaming
+    state store. The oracle derives the same sessions with the classic
+    lag/flag/running-sum window formulation — two independent
+    formulations, one hash. Session state scales with open sessions,
+    not events."""
+    stream = sessionized_stream(read_events_stream(spark, sf_dir))
+    return run_to_memory_sink(stream, output_mode="complete")
+
+
+@query(
+    "st_dedup_totals",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once via watermarked ``dropDuplicates`` on the
+    event key (streaming twin of content-hash idempotent upserts,
+    reference pkg/memory/ids.go:16-20), then a bounded aggregate over
+    the drained sink."""
+    deduped = run_to_memory_sink(
+        stream_dedup(read_events_stream(spark, sf_dir)), output_mode="append"
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("n_unique")
+    )
+
+
+@query(
+    "st_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals in exact integer cents, update mode. The memory sink
+    appends one row per (user, micro-batch); totals are monotone, so
+    max() per user recovers the final state no matter how many
+    micro-batches the source split into."""
+    sink = run_to_memory_sink(
+        stateful_user_totals(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").alias("total_cents"),
+    )

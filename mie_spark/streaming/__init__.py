@@ -1,0 +1,19 @@
+from mie_spark.streaming.ops import (
+    foreach_batch_upsert,
+    read_events_stream,
+    run_to_memory_sink,
+    sessionized_stream,
+    stateful_user_totals,
+    stream_dedup,
+    windowed_counts,
+)
+
+__all__ = [
+    "foreach_batch_upsert",
+    "read_events_stream",
+    "run_to_memory_sink",
+    "sessionized_stream",
+    "stateful_user_totals",
+    "stream_dedup",
+    "windowed_counts",
+]

@@ -1,0 +1,254 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.11) — its only
+incremental behaviors are an async embedding goroutine
+(`pkg/memory/writer.go:71-73`) and usage counters. This module is the
+north-star extension: the same logical event plans as
+``mie_spark/queries/events.py``, expressed as Structured Streaming so
+they run continuously over an unbounded source at cluster scale.
+
+Design notes (100 TB stance):
+
+- Source is the file stream source over the parquet corpus. In
+  production this would be a Kafka/Kinesis source; the transformations
+  are source-agnostic because they only touch columns.
+- Every aggregation carries a watermark so state is bounded: late data
+  beyond the delay is dropped and window state is evicted. Without a
+  watermark, streaming state grows without bound — the single biggest
+  operational failure mode of long-running aggs.
+- ``availableNow`` triggers make every op runnable as a bounded batch
+  (incremental backfill): the SAME streaming query both serves the
+  continuous path and, pointed at a directory of historical parquet,
+  drains it in micro-batches with state + exactly-once sink semantics.
+  That is how the driver's oracle check exercises real streaming plans.
+- Custom stateful logic uses ``applyInPandasWithState`` (Arrow-batched,
+  per-key state, timeout-driven eviction) — never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mie_spark.sources import load_table
+
+SESSION_GAP_SECONDS = 30 * 60
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over ``events.parquet``.
+
+    The file source needs an explicit schema (no inference on streams);
+    we take it from the parquet footer via a zero-row batch read. The
+    corpus writes ``ts`` as TIMESTAMP(NANOS) which the vectorized reader
+    only accepts as long (see sources/catalog.py) — we truncate to
+    micros in-plan, identically to the batch path, so streaming and
+    batch plans see the same column types.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource forces basePath to the source path unless the path
+    # is a glob, and basePath must be a directory — so feed it a glob
+    # that matches exactly the one file, anchored at the sf dir.
+    path = f"{sf_dir}/events.parquet*"
+    reader = spark.readStream.schema(schema).option("basePath", sf_dir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate per event_type.
+
+    State per (window, event_type) is a single count+sum — bounded by
+    watermark eviction. Partial (map-side) aggregation collapses the
+    shuffle to one row per group per partition.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream via ``dropDuplicates`` on the event key.
+
+    The watermark bounds the dedup state: an event_id older than the
+    delay can be evicted because any duplicate that late would be
+    dropped by the watermark anyway. This is the streaming form of the
+    content-hash idempotency the reference gets from `:put` upserts
+    (pkg/memory/ids.go:16-20 — same content ⇒ same ID ⇒ no duplicate).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def sessionized_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Native session windows: 30-min-gap sessions per user.
+
+    ``session_window`` merges overlapping per-event windows into gap
+    sessions inside the streaming state store — no driver involvement,
+    scales with (open sessions), not (events). Emitted columns match the
+    batch ``ev_sessionize`` aggregate (start = min ts, end = max ts,
+    n_events) so the two plans are directly comparable.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("win"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("last_ts")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("value_cents", LongType())]
+)
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``.
+
+    Arrow-batched per-key state (count + exact integer cents), updated
+    per micro-batch, emitted in update mode. This is the extension
+    surface for stateful logic that windowed aggs can't express
+    (counters, per-key ML state, CDC merge) — state lives in the
+    executor state store, sized by |keys|, never on the driver.
+
+    The state function is a closure (not a module-level def) so
+    cloudpickle ships it by value: Python workers don't have this
+    package on their import path when the driver runs us from a plain
+    session.
+    """
+
+    def totals_fn(
+        key: tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # per-user running totals; integer cents so accumulation is exact
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals_fn,
+            outputStructType=_TOTALS_OUT,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain a bounded stream with ``trigger(availableNow=True)`` into an
+    in-memory sink and return the sink table.
+
+    availableNow processes everything currently in the source across
+    micro-batches, then stops — the standard incremental-backfill
+    pattern. In production the sink is a Delta/parquet table or a
+    ``foreachBatch`` MERGE; memory sink keeps tests/oracles hermetic.
+    """
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def foreach_batch_upsert(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    apply_batch: Any,
+    timeout_s: int = 300,
+) -> None:
+    """Run a bounded stream through ``foreachBatch(apply_batch)``.
+
+    foreachBatch is the streaming write escape hatch: each micro-batch
+    is a normal DataFrame, so the storage layer's MERGE upsert
+    (mie_spark/storage.py — parity with the reference's `:put`,
+    pkg/memory/writer.go:61-67) applies unchanged. Exactly-once comes
+    from idempotent MERGE on content-hash keys + checkpointed offsets.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch(batch_df, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+__all__ = [
+    "read_events_stream",
+    "windowed_counts",
+    "stream_dedup",
+    "sessionized_stream",
+    "stateful_user_totals",
+    "run_to_memory_sink",
+    "foreach_batch_upsert",
+    "SESSION_GAP_SECONDS",
+]

@@ -1,0 +1,68 @@
+"""Structured Streaming tests: stream/batch plan parity and the
+foreachBatch → MERGE-upsert sink (exactly-once via idempotent writes).
+
+Correctness of the streaming queries themselves is covered by the
+DuckDB oracle parity suite (test_oracle_parity.py, st_* entries); this
+file covers the pieces the oracle can't see — sink semantics and
+re-delivery idempotency.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mie_spark.storage import MieStore
+from mie_spark.streaming import (
+    foreach_batch_upsert,
+    read_events_stream,
+    run_to_memory_sink,
+    stream_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    from mie_spark.sources import load_table
+
+    streamed = run_to_memory_sink(
+        stream_dedup(read_events_stream(spark, SF)), output_mode="append"
+    )
+    batch = load_table(spark, SF, "events").dropDuplicates(["event_id"])
+    assert streamed.count() == batch.count()
+    s_ids = {r[0] for r in streamed.select("event_id").collect()}
+    b_ids = {r[0] for r in batch.select("event_id").collect()}
+    assert s_ids == b_ids
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
+    """Replaying the same stream through the foreachBatch MERGE sink must
+    not duplicate rows — this is the exactly-once story: checkpointed
+    offsets bound re-delivery, idempotent MERGE absorbs it."""
+    store = MieStore(spark, path=str(tmp_path / "store"))
+
+    def apply_batch(batch_df, batch_id):
+        facts = batch_df.select(
+            F.concat(F.lit("fact:"), F.col("event_id").cast("string")).alias("id"),
+            F.col("props").alias("content"),
+            F.lit("general").alias("category"),
+            F.lit(0.8).alias("confidence"),
+            F.lit("stream").alias("source_agent"),
+            F.lit("").alias("source_conversation"),
+            F.lit(True).alias("valid"),
+            F.unix_seconds(F.col("ts")).alias("created_at"),
+            F.unix_seconds(F.col("ts")).alias("updated_at"),
+        )
+        store.upsert_df("mie_fact", facts)
+
+    ev = read_events_stream(spark, SF)
+    foreach_batch_upsert(spark, ev, apply_batch)
+    n1 = store.table("mie_fact").count()
+    assert n1 > 0
+
+    # replay: second full pass over the same source
+    ev2 = read_events_stream(spark, SF)
+    foreach_batch_upsert(spark, ev2, apply_batch)
+    n2 = store.table("mie_fact").count()
+    assert n2 == n1
