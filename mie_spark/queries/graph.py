@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from mie_spark.operators.graph import connected_components, pagerank
 from mie_spark.queries import query
 from mie_spark.queries.relational import cents
 from mie_spark.sources import load_table
@@ -240,3 +242,101 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+# --- iterative analytics: connected components & PageRank ------------------
+# (north-star extension; operators in mie_spark/operators/graph.py)
+
+@query(
+    "g_connected_components",
+    oracle="""
+    SELECT s_suppkey AS node,
+           min(s_suppkey) OVER (PARTITION BY s_nationkey) AS component
+    FROM supplier
+    """,
+)
+def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic iterative connected components (hash-min + pointer
+    jumping) run on a supplier chain graph: each supplier links to the
+    next suppkey in its nation, so every nation forms one path. The
+    oracle derives the same answer in closed form (component = min
+    suppkey per nation) — the Spark side has no idea the graph is a
+    path, so the hash proves the fixpoint loop converged correctly."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    edges = (
+        s.select(
+            F.col("s_suppkey").alias("src"),
+            F.lead("s_suppkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    nodes = s.select(F.col("s_suppkey").alias("node"))
+    return connected_components(edges, nodes)
+
+
+@query(
+    "g_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT s_suppkey AS u,
+             lead(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS nxt,
+             min(s_suppkey) OVER (PARTITION BY s_nationkey) AS mn
+      FROM supplier
+    ),
+    e AS (
+      SELECT u, v FROM (
+        SELECT u, coalesce(nxt, mn) AS v FROM base
+        UNION ALL
+        SELECT u, mn AS v FROM base WHERE u <> mn
+      ) t
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) t
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT u, count(*)::DOUBLE AS d FROM e GROUP BY u),
+    pr(iter, node, rank) AS (
+      SELECT 0, node, 1.0::DOUBLE / (SELECT n FROM nn) FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, e.v AS node,
+             0.15::DOUBLE / (SELECT n FROM nn)
+               + 0.85::DOUBLE * sum(p.rank / deg.d)
+      FROM pr p
+      JOIN deg ON deg.u = p.node
+      JOIN e ON e.u = p.node
+      WHERE p.iter < 8
+      GROUP BY p.iter, e.v
+    )
+    SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 8
+    """,
+)
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (8 rounds, d=0.85) on a supplier graph
+    where every node has in- and out-edges: a ring per nation (next
+    suppkey, wrapping) plus a shortcut edge to the nation minimum. The
+    oracle replays the exact recurrence as a DuckDB recursive CTE —
+    two engines, one recurrence, matching to 1e-6.
+
+    NOTE (DuckDB quirk): under WITH RECURSIVE, DuckDB 1.0 treats any
+    CTE whose top level is a set operation as seed/step and duplicates
+    rows — every union above is wrapped in a derived table to avoid it.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    wp = Window.partitionBy("s_nationkey")
+    base = s.select(
+        F.col("s_suppkey").alias("u"),
+        F.lead("s_suppkey").over(wo).alias("nxt"),
+        F.min("s_suppkey").over(wp).alias("mn"),
+    )
+    ring = base.select("u", F.coalesce("nxt", "mn").alias("v"))
+    tomin = base.filter(F.col("u") != F.col("mn")).select("u", F.col("mn").alias("v"))
+    edges = ring.unionByName(tomin).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    ranks = pagerank(edges, iterations=8, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
