@@ -119,3 +119,31 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 12)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# --- embedding-cosine near-duplicate detection ------------------------------
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT b.vec_id AS dup_id, min(a.vec_id) AS keep_id
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    GROUP BY b.vec_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: any vector similar (>= 0.45) to a
+    lower-id vector is a duplicate; canonical survivor = the smallest
+    such partner. Completes the dedup family (exact / minhash-LSH /
+    simhash / n-gram-jaccard / embedding-cosine); the pair scan is the
+    same blocked BLAS self-join as the conflict scan (operators/vector
+    .similarity_self_join), so it stays sub-quadratic at scale."""
+    from mie_spark.operators.vector import similarity_self_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity_self_join(emb, "embedding", threshold=0.45)
+    return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(
+        F.min("a_id").alias("keep_id")
+    )
