@@ -1,0 +1,17 @@
+from mie_spark.plans.explain import (
+    broadcast_join_count,
+    exchange_count,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+    wholestage_codegen_spans,
+)
+
+__all__ = [
+    "broadcast_join_count",
+    "exchange_count",
+    "formatted_plan",
+    "pushed_filters",
+    "read_schemas",
+    "wholestage_codegen_spans",
+]

@@ -1,0 +1,81 @@
+"""Physical-plan inspection helpers.
+
+The reference has no plan layer at all — its "plan" is a CozoScript
+string and the optimizer is opaque inside CozoDB (SURVEY.md §3, §4.2).
+In a Spark-first rebuild the plan IS the product: whether a filter
+reached the parquet scan or a join broadcast decides whether a query
+runs in seconds or hours at 100 TB. This module turns `.explain
+("formatted")` into assertable facts so tests/test_plans.py can pin
+scan hygiene (pushdown, pruning), join strategy, and shuffle counts —
+the properties the 1000-executor deployment depends on.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string (what .explain prints)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans, flattened.
+    Empty list means NO filter reached any scan — a red flag for any
+    query that filters a base table on a parquet-representable predicate."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read from each parquet scan (ReadSchema).
+    A scan reading 16 columns for a 2-column projection is a pruning
+    failure that multiplies IO by 8× at scale."""
+    plan = formatted_plan(df)
+    out: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        body = m.group(1)
+        cols = [c.split(":")[0].strip() for c in body.split(",") if ":" in c]
+        out.append(cols)
+    return out
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excluding broadcast exchanges and
+    AQE re-used/wrapped nodes). Each one is a full network shuffle of
+    its input at scale — the unit of cost to minimize."""
+    # formatted mode prints node headers like "(6) Exchange" with the
+    # partitioning in a separate Arguments section; BroadcastExchange is
+    # a distinct node name so \b keeps it out.
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    # detail headers only ("(6) BroadcastHashJoin"), so each join node
+    # counts once even though it also appears in the plan tree
+    plan = formatted_plan(df)
+    return len(
+        re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan)
+    )
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """How many WholeStageCodegen regions the plan compiles to. More,
+    wider spans = more of the query runs as generated JVM loops instead
+    of volcano iterators."""
+    plan = formatted_plan(df)
+    return len(set(re.findall(r"codegen id : (\d+)", plan)))
