@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     # Import for registration side effects; keep at bottom to avoid cycles.
     from mie_spark.queries import (  # noqa: F401
+        analytic,
         dedup,
         events,
         graph,

@@ -1,0 +1,171 @@
+"""Analytic SQL surface beyond the reference: window functions,
+grouping sets (ROLLUP/CUBE), and as-of joins.
+
+SURVEY.md §2.11 records that the reference has none of these — its
+escape hatch is raw CozoScript. Ours is Spark SQL, so a "complete
+engine" must cover the analytic constructs a warehouse user expects;
+each is oracle-checked against DuckDB's independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mie_spark.queries import query
+from mie_spark.queries.relational import cents
+from mie_spark.sources import load_table
+
+
+@query(
+    "w_rank_per_group",
+    oracle="""
+    SELECT nation, c_custkey, bal, rnk FROM (
+      SELECT n.n_name AS nation, c.c_custkey,
+             round(c.c_acctbal, 2) AS bal,
+             rank() OVER (PARTITION BY n.n_name
+                          ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    """,
+)
+def w_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation: broadcast the nation dim,
+    one shuffle on the window partition key. The rank filter runs
+    before any projection fan-out, so the window state stays 3 rows per
+    group. Tie-break on c_custkey makes ranking total and the hash
+    deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.col("c_acctbal"),
+        )
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("nation", "c_custkey", "bal", "rnk")
+    )
+
+
+@query(
+    "a_rollup_suppliers",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(s.s_suppkey) AS n_suppliers,
+           ((sum(CAST(round(s.s_acctbal * 100) AS BIGINT)))::DOUBLE / 100) AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a_rollup_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation): per-nation, per-region subtotal, and
+    grand total in one pass — Spark expands the grouping sets before
+    the single hash aggregate, so it's still one shuffle. Balances sum
+    in integer cents (double sums round differently across engines)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            "s_acctbal",
+        )
+        .rollup("region", "nation")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            (F.sum(cents("s_acctbal")).cast("double") / 100).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "a_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           ((sum(CAST(round(o_totalprice * 100) AS BIGINT)))::DOUBLE / 100) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions: all four grouping sets
+    from one scan + one shuffle (the grouping-set expansion multiplies
+    rows 4x pre-shuffle, still map-side combined)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("o_totalprice")).cast("double") / 100).alias("total"),
+    )
+
+
+@query(
+    "w_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ((sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING))::DOUBLE / 100) AS running_spend
+    FROM orders
+    """,
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer ordered by date: the classic
+    running-sum window, in integer cents. One shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / 100).alias(
+            "running_spend"
+        ),
+    )
+
+
+@query(
+    "ev_asof_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           epoch_us(max(e.ts)) AS last_event_us,
+           count(e.event_id) AS n_events_before
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event at-or-before the
+    order date for the same user (plus how many preceded it). Expressed
+    as an equi-join on the user key with the temporal bound as a join
+    filter, then max/count per order — ONE shuffle on the key, no
+    range-join explosion, because the equi-key carries the join. At
+    100 TB both sides bucket by user so even that shuffle co-locates.
+    Emitted as epoch micros; orders with no prior events keep NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    joined = o.join(
+        e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate), "left"
+    )
+    return joined.groupBy("o_orderkey", "o_custkey").agg(
+        F.unix_micros(F.max("ts")).alias("last_event_us"),
+        F.count("event_id").alias("n_events_before"),
+    )
