@@ -37,6 +37,11 @@ HEADLINE = [
     "text_token_stats",          # per-doc token features
     "ev_sessionize",             # two window passes + agg
     "ev_hourly_agg",             # tumbling-window agg
+    "ev_asof_join",              # as-of join (equi-key + temporal bound)
+    "w_running_total",           # cumulative window over orders
+    "g_pagerank",                # 8-iteration DataFrame fixpoint loop
+    "v_ann_ivf_topk",            # IVF cell-probed approximate top-k
+    "st_hourly_agg",             # real streaming job (availableNow drain)
 ]
 
 
