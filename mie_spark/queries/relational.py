@@ -431,3 +431,25 @@ def u2_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.s_suppkey").alias("s2"),
         F.col("a.s_nationkey").alias("nationkey"),
     )
+
+
+# --- S7: raw-query escape hatch (cmd/mie/query.go:22-123) -------------------
+
+_S7_SQL = """
+    SELECT n_name AS nation, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@query("s7_raw_sql", oracle=_S7_SQL)
+def s7_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole-SQL escape hatch: the reference exposes raw CozoScript
+    (`mie query "<script>"`, RawQuery client.go:130-132); ours is
+    spark.sql over the registered corpus views — the SAME text runs on
+    Spark and on the DuckDB oracle, which is the parity claim in its
+    purest form."""
+    from mie_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_S7_SQL)

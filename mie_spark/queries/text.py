@@ -139,3 +139,54 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id(F.col("text")).alias("predicted_lang"),
         F.col("lang").alias("labeled_lang"),
     )
+
+
+@query(
+    "pipe_clean_corpus",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents WHERE lang = 'en'
+    ), quality AS (
+      SELECT doc_id, source, len(toks) AS n_tokens, fp
+      FROM t
+      WHERE len(toks) BETWEEN 30 AND 1000
+        AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.25
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM deduped GROUP BY source
+    """,
+)
+def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep pipeline in ONE lazy plan:
+    language filter → rule-based quality gate → exact dedup on the
+    normalized fingerprint (first doc_id survives) → per-source corpus
+    manifest. Everything stays JVM-side; the lang filter pushes down to
+    the parquet scan, and the dedup window + final aggregate are the
+    only shuffles. This is the composition story: the same operators
+    exposed individually (text_quality_filter, dedup_exact,
+    text_fingerprint) fused by Catalyst when chained."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    text = F.col("text")
+    n_tok = token_count(text)
+    ttr = type_token_ratio(text)
+    quality = docs.filter((n_tok >= 30) & (n_tok <= 1000) & (ttr > 0.25)).select(
+        "doc_id", "source", n_tok.alias("n_tokens"), fingerprint(text).alias("fp")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
