@@ -120,3 +120,87 @@ def decode_frames(assets: DataFrame, every_n: int = 64, codec: str = "real") -> 
             )
 
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224, codec: str = "real"
+) -> DataFrame:
+    """Batch resize to a fixed (width, height) — the standard pre-
+    embedding normalization step. codec='real' errors loudly (no PIL in
+    this container); codec='fake' emits a deterministic byte payload of
+    exactly width*height//8 bytes derived from the source (cycle-padded
+    or truncated), so downstream batch-shape/size logic is exercised
+    with realistic per-row payload sizes."""
+    if codec != "fake":
+        raise NotImplementedError(
+            "real image resize requires PIL/opencv, absent here; "
+            "pass codec='fake' for the deterministic stub"
+        )
+    target = max(width * height // 8, 1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) or b"\x00"
+                reps = (target + len(raw) - 1) // len(raw)
+                out.append((raw * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic unit-norm feature vector per payload (the embed
+    step of an image/audio pipeline). Real systems swap the hash-based
+    fake for a model forward pass; the output column is the same
+    array<float> the vector operators (operators/vector.py) consume, so
+    multimodal → features → ANN composes end-to-end today."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        def feat(raw: bytes) -> list[float]:
+            vals = []
+            for i in range(dim):
+                h = hashlib.blake2b(raw, digest_size=8, salt=i.to_bytes(8, "big"))
+                v = int.from_bytes(h.digest(), "big") / 2**64 - 0.5
+                vals.append(v)
+            n = math.sqrt(sum(v * v for v in vals)) or 1.0
+            return [v / n for v in vals]
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "features": [feat(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=schema)

@@ -59,3 +59,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
     )
+
+
+@query("mm_resize_features")
+def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize → feature-extract → per-asset summary: the full multimodal
+    pre-embedding pipeline (deterministic fake codec), ending in the
+    array<float> column the vector operators consume. Rows-only check
+    (hash-based features aren't SQL-expressible)."""
+    from mie_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_binary_payload(docs)
+    resized = resize_images(assets, width=64, height=64, codec="fake")
+    feats = extract_features(resized, dim=8)
+    return feats.select(
+        "asset_id",
+        F.size("features").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

@@ -1,0 +1,81 @@
+"""Scale-toolkit tests: salted joins/aggs match their unsalted plans
+row-for-row, and bucketed tables join without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mie_spark.operators.skew import salted_groupby_agg, salted_join
+from mie_spark.plans import exchange_count
+from mie_spark.sources import load_table
+from mie_spark.sources.writers import write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    plain = o.join(li, "o_orderkey")
+    salted = salted_join(li, o, on="o_orderkey", n_salt=4)
+    assert _sorted_rows(plain.select("o_orderkey", "o_custkey", "l_quantity")) == \
+        _sorted_rows(salted.select("o_orderkey", "o_custkey", "l_quantity"))
+
+
+def test_salted_groupby_agg_equals_plain(spark):
+    ev = load_table(spark, SF, "events")
+    plain = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.max("value").alias("mx"),
+    )
+    salted = salted_groupby_agg(
+        ev,
+        "user_id",
+        {"n": ("count", "event_id"), "total": ("sum", "value"), "mx": ("max", "value")},
+        n_salt=4,
+    )
+    p = {r["user_id"]: (r["n"], round(r["total"], 6), r["mx"]) for r in plain.collect()}
+    s = {r["user_id"]: (r["n"], round(r["total"], 6), r["mx"]) for r in salted.collect()}
+    assert p == s
+
+
+def test_salted_groupby_rejects_non_decomposable(spark):
+    ev = load_table(spark, SF, "events")
+    try:
+        salted_groupby_agg(ev, "user_id", {"m": ("avg", "value")})
+    except ValueError as e:
+        assert "non-decomposable" in str(e)
+    else:
+        raise AssertionError("avg must be rejected (not naively combinable)")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts →
+    the join plan contains zero shuffle exchanges. This is the layout
+    contract the 100 TB design leans on for recurring fact-fact joins."""
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    write_bucketed(o, "b_orders", ["o_orderkey"], n_buckets=4, sort_cols=["o_orderkey"])
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        n_buckets=4,
+        sort_cols=["o_orderkey"],
+    )
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        assert exchange_count(joined) == 0
+        # and it still returns the right number of rows
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
