@@ -147,3 +147,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(
         F.min("a_id").alias("keep_id")
     )
+
+
+# --- dedup clusters: near-dup pairs → connected components ------------------
+
+_CLUSTER_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+           ELSE []::VARCHAR[] END) AS s
+  FROM toks
+), inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pr AS (
+  SELECT a_id, b_id FROM pairs
+  WHERE common::DOUBLE / (a_n + b_n - common) >= 0.5
+), e AS (
+  SELECT u, v FROM (
+    SELECT a_id AS u, b_id AS v FROM pr
+    UNION ALL
+    SELECT b_id AS u, a_id AS v FROM pr
+  ) t
+), reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.v, r.r FROM reach r JOIN e ON e.u = r.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("pipe_dedup_clusters", oracle=_CLUSTER_ORACLE)
+def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step after pair detection that
+    production dedup actually needs (A~B~C must collapse to ONE
+    survivor even when A~C was never directly detected): MinHash-LSH
+    pairs feed the generic iterative connected-components operator;
+    cluster id = min doc_id in the component. The oracle recomputes the
+    same thing independently: exact-Jaccard pairs via inverted-index
+    join, then transitive closure as a recursive CTE. Two pair
+    algorithms, two closure algorithms, one hash."""
+    from mie_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
