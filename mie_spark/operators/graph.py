@@ -146,6 +146,10 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: lineage still truncates at materialization,
+            # but fixed-iteration loops need no per-round action (unlike
+            # CC's convergence check), so the whole loop runs as ONE job
+            # instead of one eager job per iteration.
+            .localCheckpoint(eager=False)
         )
     return ranks
