@@ -167,28 +167,24 @@ def _signatures_from_shingles(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         A = np.array(a_vec, dtype=np.int64)[:, None]
         B = np.array(b_vec, dtype=np.int64)[:, None]
 
-        def h31(s: str) -> int:
-            return (
-                int.from_bytes(
-                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-                % _MERSENNE31
-            )
-
         for pdf in it:
             docs_out, sigs_out = [], []
-            flat: list[int] = []
+            flat: list[str] = []
             bounds = [0]
             for shingles in pdf["shingles"]:
-                flat.extend(h31(s) for s in shingles)
+                flat.extend(shingles)
                 bounds.append(len(flat))
             if flat:
-                hs = np.array(flat, dtype=np.int64)[None, :]
+                # vectorized 64-bit SipHash with pandas' fixed default
+                # key — deterministic across processes, ~100× faster
+                # than per-shingle hashlib calls in a Python loop.
+                # Signature hash choice is internal: candidates are
+                # exact-Jaccard-verified downstream either way.
+                h64 = pd.util.hash_array(np.asarray(flat, dtype=object))
+                hs = (h64 % _MERSENNE31).astype(np.int64)[None, :]
                 perms = (A * hs + B) % _MERSENNE31  # (num_hashes, total)
             for i, doc in enumerate(pdf["doc"]):
                 lo, hi = bounds[i], bounds[i + 1]
