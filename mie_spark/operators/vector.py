@@ -64,6 +64,7 @@ def similarity_self_join(
     threshold: float,
     id_col: str = "vec_id",
     n_buckets: int = 0,
+    n_bands: int = 4,
 ) -> DataFrame:
     """All-pairs (a < b) with cosine >= threshold.
 
@@ -77,10 +78,12 @@ def similarity_self_join(
       as a dense numpy matrix and stream the other through mapInPandas,
       computing cosine blocks with one BLAS matmul per Arrow batch.
       ~100× faster than per-pair array expressions.
-    - otherwise: expression join; with n_buckets > 0, vectors are
-      LSH-bucketed by random-hyperplane sign pattern first so only
-      intra-bucket pairs are compared (approximate: recall < 1) —
-      the 100 TB path, since the shuffle stays per-bucket-local.
+    - otherwise: expression join; with n_buckets > 0, banded
+      hyperplane LSH — n_bands independent signatures of n_buckets
+      planes each, candidates = pairs colliding in ANY band (recall =
+      1-(1-p^r)^b vs p^r for one signature), then the exact cosine
+      filter. The 100 TB path: the join shuffles (id, band, bucket)
+      tuples, never the vectors, and stays per-bucket-local.
     """
     if n_buckets == 0:
         first = df.select(vec_col).first()
@@ -90,19 +93,37 @@ def similarity_self_join(
             return _similarity_self_join_blocked(
                 df, vec_col, threshold, id_col
             )
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    if n_buckets > 0:
-        sig = _hyperplane_signature(F.col(vec_col), _planes(df, vec_col, n_buckets))
-        a = df.select(
-            F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), sig.alias("bkt")
-        )
-        b = df.select(
-            F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), sig.alias("bkt")
-        )
-        pairs = a.join(b, ["bkt"]).filter(F.col("a_id") < F.col("b_id"))
-    else:
+        a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+        b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
         pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    else:
+        planes = _planes(df, vec_col, n_buckets * n_bands)
+        band_sigs = F.array(
+            *[
+                _hyperplane_signature(
+                    F.col(vec_col), planes[bi * n_buckets : (bi + 1) * n_buckets]
+                )
+                for bi in range(n_bands)
+            ]
+        )
+        tagged = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(band_sigs).alias("band", "bkt"),
+        )
+        ta, tb = tagged.alias("ta"), tagged.alias("tb")
+        cand = (
+            ta.join(
+                tb,
+                (F.col("ta.band") == F.col("tb.band"))
+                & (F.col("ta.bkt") == F.col("tb.bkt"))
+                & (F.col("ta.id") < F.col("tb.id")),
+            )
+            .select(F.col("ta.id").alias("a_id"), F.col("tb.id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+        vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+        pairs = cand.join(va, "a_id").join(vb, "b_id")
     return (
         pairs.withColumn("sim", cosine_sim(F.col("a_vec"), F.col("b_vec")))
         .filter(F.col("sim") >= threshold)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 from typing import Any
 
@@ -83,6 +84,12 @@ class MieStore:
         self.path = path
         self.embedding_dim = embedding_dim
         self._mem: dict[str, pd.DataFrame] = {}
+        # Writers fully serialize, matching the reference's single
+        # RWMutex over the DB (storage/embedded.go:23-25,88-133): every
+        # mutation is read-snapshot -> modify -> commit-pointer, so two
+        # unserialized writers would lose one's rows. Reads need no lock
+        # (snapshots are immutable; the pointer flip is atomic).
+        self._write_lock = threading.RLock()
         if path:
             os.makedirs(path, exist_ok=True)
         self.ensure_schema()
@@ -162,6 +169,10 @@ class MieStore:
         """Insert-or-replace by key (`:put` parity). Returns rows written."""
         if not rows:
             return 0
+        with self._write_lock:
+            return self._upsert_rows_locked(table, rows)
+
+    def _upsert_rows_locked(self, table: str, rows: list[dict[str, Any]]) -> int:
         schema = table_schema(table)
         cols = [f.name for f in schema]
         keys = key_columns(table)
@@ -187,6 +198,10 @@ class MieStore:
         """Distributed upsert: used by bulk ingest paths where the new
         rows are already a DataFrame (e.g. streaming foreachBatch).
         Executes the anti-join in Spark, materializes the snapshot."""
+        with self._write_lock:
+            return self._upsert_df_locked(table, df)
+
+    def _upsert_df_locked(self, table: str, df: DataFrame) -> int:
         keys = key_columns(table)
         existing = self.table(table)
         kept = existing.join(df.select(*keys).dropDuplicates(keys), keys, "left_anti")
@@ -199,6 +214,10 @@ class MieStore:
         return df.count()
 
     def delete_rows(self, table: str, key_values: list[tuple]) -> int:
+        with self._write_lock:
+            return self._delete_rows_locked(table, key_values)
+
+    def _delete_rows_locked(self, table: str, key_values: list[tuple]) -> int:
         keys = key_columns(table)
         existing = self._read_pdf(table)
         if existing.empty:
@@ -223,15 +242,20 @@ class MieStore:
     def meta_increment(self, key: str) -> int:
         """Counter RMW done as one upsert (the reference's two-statement
         version is non-atomic, client.go:251-292 — noted in SURVEY §2.4)."""
-        current = self.meta_get(key)
-        value = (int(current) if current and current.isdigit() else 0) + 1
-        self.meta_set(key, str(value))
-        return value
+        with self._write_lock:  # RMW atomic under the writer lock
+            current = self.meta_get(key)
+            value = (int(current) if current and current.isdigit() else 0) + 1
+            self.meta_set(key, str(value))
+            return value
 
     # -- lifecycle ----------------------------------------------------------
 
     def reset(self) -> None:
         """Drop everything (cmd/mie/reset.go:17-60 deletes the data dir)."""
+        with self._write_lock:
+            self._reset_locked()
+
+    def _reset_locked(self) -> None:
         self._mem.clear()
         if self.path and os.path.isdir(self.path):
             shutil.rmtree(self.path)

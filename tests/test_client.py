@@ -307,3 +307,30 @@ def test_tool_export_truncation_flag(client):
     assert not out["truncated"]
     sql = tools.export(client, "sql")
     assert "INSERT INTO mie_fact" in sql["data"]
+
+
+def test_concurrent_writers_lose_nothing(client):
+    """10 threads storing distinct facts concurrently — every row must
+    survive (reference: integration_test.go:765 runs 10 goroutines under
+    the race detector; our MieStore serializes writers on a lock the
+    same way its RWMutex does)."""
+    import threading
+
+    errs = []
+
+    def worker(i: int) -> None:
+        try:
+            for j in range(5):
+                client.store_fact(f"concurrent fact {i}-{j}", category="technical")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows, _total = client.list_nodes("fact", limit=100)
+    got = {r["content"] for r in rows if r["content"].startswith("concurrent fact")}
+    assert got == {f"concurrent fact {i}-{j}" for i in range(10) for j in range(5)}

@@ -69,3 +69,45 @@ def test_ivf_probe_widening_converges_to_exact(spark):
         ).collect()
     ]
     assert exact == full
+
+
+def test_self_join_expression_path_equals_blocked(spark, monkeypatch):
+    """Past the broadcast-matrix size cap the self-join falls back to an
+    expression join — force that path and require identical pairs."""
+    import mie_spark.operators.vector as V
+
+    emb = load_table(spark, SF, "embeddings")
+    blocked = {
+        (r["a_id"], r["b_id"]): round(r["sim"], 9)
+        for r in V.similarity_self_join(emb, "embedding", threshold=0.45).collect()
+    }
+    monkeypatch.setattr(V, "_BLOCKED_MAX_CELLS", 0)
+    expr = {
+        (r["a_id"], r["b_id"]): round(r["sim"], 9)
+        for r in V.similarity_self_join(emb, "embedding", threshold=0.45).collect()
+    }
+    assert set(blocked) == set(expr)
+    for k in blocked:
+        assert abs(blocked[k] - expr[k]) < 1e-6
+
+
+def test_self_join_lsh_bucketed_recall(spark):
+    """The bucketed (approximate) self-join must keep high recall on the
+    strong pairs the exact join finds — at scale it's the only path
+    whose shuffle stays sub-quadratic."""
+    from mie_spark.operators.vector import similarity_self_join
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in similarity_self_join(emb, "embedding", threshold=0.45).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in similarity_self_join(
+            emb, "embedding", threshold=0.45, n_buckets=2
+        ).collect()
+    }
+    assert approx <= exact  # never invents pairs (same exact filter)
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.5
