@@ -66,3 +66,49 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
     foreach_batch_upsert(spark, ev2, apply_batch)
     n2 = store.table("mie_fact").count()
     assert n2 == n1
+
+
+def test_stateful_totals_across_multiple_microbatches(spark, tmp_path):
+    """The oracle-checked runs drain the corpus in ONE micro-batch; this
+    splits it into 4 files and feeds them one per trigger, so per-key
+    state genuinely carries across batches. Update-mode emissions are
+    monotone per user, so max() over the sink must equal the batch
+    aggregate no matter how the batches were cut."""
+    from pyspark.sql import functions as F
+
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import run_to_memory_sink
+    from mie_spark.streaming.ops import stateful_user_totals
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_split")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = run_to_memory_sink(stateful_user_totals(stream), output_mode="update")
+    # more than one emission per user proves multiple micro-batches ran
+    emissions = sink.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert emissions > 1
+
+    got = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in sink.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_cents").alias("cents"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, _) in want.items():
+        assert got[uid][0] == n
