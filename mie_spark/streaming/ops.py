@@ -252,3 +252,114 @@ __all__ = [
     "foreach_batch_upsert",
     "SESSION_GAP_SECONDS",
 ]
+
+
+def embed_and_upsert_stream(
+    stream_df: DataFrame,
+    store: Any,
+    embed_dim: int = 4,
+    id_col: str = "event_id",
+    text_col: str = "props",
+    timeout_s: int = 300,
+) -> None:
+    """Streaming embedding pipeline: each micro-batch derives content-
+    hash fact IDs, computes embeddings (deterministic mock provider —
+    swap for an HTTP provider in production) inside an Arrow-batched
+    mapInPandas, and MERGE-upserts BOTH the node rows and the embedding
+    rows through the store's writer lock.
+
+    This is the scale form of the reference's per-store embedding
+    goroutine (V6, writer.go:71-73,390-406): instead of one async HTTP
+    call per row, embeddings amortize over micro-batches, and
+    idempotent upserts + checkpointed offsets give exactly-once — with
+    the SAME eventual-consistency contract (search sees a node only
+    after its batch commits).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("content", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def embed_batch(it: "Any") -> "Any":
+        # closure-shipped: workers may not have mie_spark importable, so
+        # the hash mock is inlined (djb2 + L2 normalize, embedding.py)
+        import math
+
+        u64 = (1 << 64) - 1
+
+        def djb2(text: str) -> int:
+            h = 5381
+            for ch in text:
+                h = (((h << 5) & u64) + h + ord(ch)) & u64
+            return h
+
+        def embed(text: str) -> list[float]:
+            h = djb2(text)
+            vec = [
+                float((h + i * 7919) % 10000) / 10000.0 * 2.0 - 1.0
+                for i in range(embed_dim)
+            ]
+            n = math.sqrt(sum(x * x for x in vec)) or 1.0
+            return [x / n for x in vec]
+
+        import hashlib
+
+        for pdf in it:
+            texts = pdf["text"].astype(str)
+            ids = [
+                "fact:"
+                + hashlib.sha256(f"{t}|general".encode()).hexdigest()[:16]
+                for t in texts
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "content": texts,
+                    "embedding": [embed(t) for t in texts],
+                }
+            )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        embedded = (
+            batch_df.select(F.col(text_col).cast("string").alias("text"))
+            .mapInPandas(embed_batch, schema=out_schema)
+            .collect()
+        )
+        now = 0
+        facts, vecs = [], []
+        for r in embedded:
+            facts.append(
+                {
+                    "id": r["id"],
+                    "content": r["content"],
+                    "category": "general",
+                    "confidence": 0.8,
+                    "source_agent": "stream",
+                    "source_conversation": "",
+                    "valid": True,
+                    "created_at": now,
+                    "updated_at": now,
+                }
+            )
+            vecs.append({"fact_id": r["id"], "embedding": list(r["embedding"])})
+        store.upsert_rows("mie_fact", facts)
+        store.upsert_rows("mie_fact_embedding", vecs)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -112,3 +112,26 @@ def test_stateful_totals_across_multiple_microbatches(spark, tmp_path):
     assert set(got) == set(want)
     for uid, (n, _) in want.items():
         assert got[uid][0] == n
+
+
+def test_streaming_embedding_pipeline_feeds_semantic_search(spark):
+    """V6 at scale: stream events through the embedding foreachBatch
+    sink, then semantic_search over the store must rank the exact stored
+    content first (mock embeddings are deterministic, so the query
+    vector of an identical text has cosine 1.0 with its stored row)."""
+    from mie_spark.api.client import MieClient
+    from mie_spark.streaming.ops import embed_and_upsert_stream
+
+    client = MieClient(spark, embedding_dim=4)
+    ev = read_events_stream(spark, SF)
+    embed_and_upsert_stream(ev.limit(50), client.store, embed_dim=4)
+
+    assert client.store.table("mie_fact").count() > 0
+    assert (
+        client.store.table("mie_fact_embedding").count()
+        == client.store.table("mie_fact").count()
+    )
+    sample = client.store.table("mie_fact").select("content").first()[0]
+    hits = client.semantic_search(sample, limit=3, node_types=["fact"])
+    assert hits and hits[0]["content"] == sample
+    assert hits[0]["similarity"] > 0.999
