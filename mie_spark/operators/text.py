@@ -173,3 +173,18 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) ->
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# GPT-2-style pre-tokenization pattern, restricted to syntax BOTH Java
+# regex (Spark) and RE2 (DuckDB oracle) support — no lookahead, so the
+# trailing-space merging of the original pattern is dropped. Contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokens (the units a byte-pair encoder would merge
+    within). Token COUNTING at corpus scale needs the splitter, not the
+    merges: counts are within a few percent of a real tokenizer and the
+    expression stays JVM-side."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)

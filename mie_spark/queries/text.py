@@ -190,3 +190,30 @@ def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe,
+           len(list_distinct(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS n_uniq_bpe
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (restricted to the Java∩RE2 syntax so the SAME pattern runs on both
+    engines) — the cheap, distributable stand-in for exact tokenizer
+    counts when budgeting a 100 TB corpus."""
+    from mie_spark.operators.text import bpe_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = bpe_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_bpe"),
+        F.size(F.array_distinct(t)).alias("n_uniq_bpe"),
+    )
