@@ -101,6 +101,50 @@ def connected_components(
     return labels.select("node", F.col("comp").alias("component"))
 
 
+def bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 64,
+) -> DataFrame:
+    """Hop-distance BFS from ``sources`` over directed (src, dst) edges.
+
+    Returns (node, dist) for every node reachable within ``max_hops``,
+    with dist = minimum hop count. This is the generic multi-hop
+    traversal the reference cannot express (its graph layer is strictly
+    1-hop joins, pkg/tools/query.go:153-165); frontier expansion is the
+    standard distributed formulation (Pregel superstep as a join).
+
+    Scale notes: each hop is one shuffle join of the (small) frontier
+    against the edge table partitioned by src — at cluster scale the
+    frontier broadcasts while the edge table never moves. The visited
+    set grows monotonically; the left_anti join that dedups the next
+    frontier is keyed on node id, so it co-partitions with the frontier.
+    Early exit when a frontier comes back empty, so the loop runs
+    diameter+1 jobs, not max_hops.
+    """
+    dist = (
+        sources.select(F.col("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 8,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mie_spark.queries import query
+from mie_spark.queries.graph import _REVENUE_SQL, _revenue_col
 from mie_spark.queries.relational import cents
 from mie_spark.sources import load_table
 
@@ -168,4 +169,114 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey", "o_custkey").agg(
         F.unix_micros(F.max("ts")).alias("last_event_us"),
         F.count("event_id").alias("n_events_before"),
+    )
+
+
+# --- TPC-H-Q3-style shipping priority (join + agg + deterministic top-k) ----
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {_REVENUE_SQL} AS revenue,
+           strftime(any_value(o.o_orderdate), '%Y-%m-%d') AS orderdate,
+           any_value(o.o_orderpriority) AS orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-06-15'
+      AND l.l_shipdate  > TIMESTAMP '1996-06-15'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-orders ranking: filtered 3-way join, grouped exact
+    fixed-point revenue, fully deterministic top-10 (revenue is integer
+    cents and the sort key chain ends in the group key, so the LIMIT
+    boundary can never straddle a cross-engine float tie). Catalyst
+    executes the final step as TakeOrderedAndProject — no global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-06-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(li.l_orderkey.alias("orderkey"))
+        .agg(
+            _revenue_col().alias("revenue"),
+            F.date_format(F.any_value("o_orderdate"), "yyyy-MM-dd").alias(
+                "orderdate"
+            ),
+            F.any_value("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H-Q18-style large-volume orders (HAVING semi-join) -----------------
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+           o.o_orderkey AS orderkey,
+           strftime(any_value(o.o_orderdate), '%Y-%m-%d') AS orderdate,
+           round(any_value(o.o_totalprice), 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, o.o_orderkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: a grouped-HAVING subquery driving a
+    left-semi join, then re-aggregation with the customer dimension.
+    The `big` aggregate reuses the same l_orderkey exchange as the
+    outer sum (Catalyst ReuseExchange); the key list is tiny after the
+    HAVING cut, so AQE converts the semi-join to broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .groupBy(
+            c.c_custkey,
+            o.o_orderkey.alias("orderkey"),
+        )
+        .agg(
+            F.any_value("c_name").alias("c_name"),
+            F.date_format(F.any_value("o_orderdate"), "yyyy-MM-dd").alias(
+                "orderdate"
+            ),
+            F.round(F.any_value("o_totalprice"), 2).alias("totalprice"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .select(
+            "c_custkey", "c_name", "orderkey", "orderdate", "totalprice", "total_qty"
+        )
     )

@@ -135,3 +135,104 @@ def ev_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("spend").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "ev_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_view_click,
+           (SELECT count(*) FROM s3) AS n_view_click_purchase
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, each step
+    strictly after the previous one's first occurrence) — the classic
+    product-analytics sequence query. Each stage is one groupBy on
+    user_id; all three reuse the same hash partitioning, so at scale
+    the per-stage joins are co-partitioned and AQE broadcasts the
+    shrinking stage tables."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+
+
+@query(
+    "ev_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == ANSI percentile_cont == DuckDB quantile_cont). Exact percentiles
+    need the full value set per group — fine per-group here; at 100 TB
+    swap in approx_percentile (t-digest sketch, mergeable map-side) —
+    the one-line swap is the documented scale path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("ev_approx_distinct")
+def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (no SQL oracle:
+    sketch estimates are engine-specific; accuracy vs the exact count
+    is asserted in tests/test_scale.py). The sketch is the 100 TB
+    answer to COUNT(DISTINCT): mergeable map-side partials, no
+    shuffle of the full key set — rsd 1% keeps the register array
+    at ~10 KB per group regardless of cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

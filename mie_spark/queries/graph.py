@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mie_spark.operators.graph import connected_components, pagerank
+from mie_spark.operators.graph import bfs, connected_components, pagerank
 from mie_spark.queries import query
 from mie_spark.queries.relational import cents
 from mie_spark.sources import load_table
@@ -340,3 +340,49 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=8, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --- multi-hop BFS traversal (north-star extension) -------------------------
+
+@query(
+    "g_bfs_hops",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT s_suppkey AS u,
+             lead(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS nxt,
+             min(s_suppkey) OVER (PARTITION BY s_nationkey) AS mn
+      FROM supplier
+    ),
+    e AS (SELECT u, coalesce(nxt, mn) AS v FROM base),
+    walk(node, dist) AS (
+      SELECT (SELECT min(s_suppkey) FROM supplier), 0
+      UNION ALL
+      SELECT e.v, w.dist + 1
+      FROM walk w JOIN e ON e.u = w.node
+      WHERE w.dist < 64
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    """,
+)
+def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS: hop distance from the minimum supplier around its
+    nation's directed ring (next suppkey, wrapping). The reference's
+    graph mode only ever does 1-hop joins (pkg/tools/query.go:153-165);
+    this is the generic frontier-expansion traversal. The oracle replays
+    the walk as a recursive CTE with min-dist aggregation — the Spark
+    side's visited-set dedup must produce exactly those minima."""
+    s = load_table(spark, sf_dir, "supplier")
+    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    wp = Window.partitionBy("s_nationkey")
+    base = s.select(
+        F.col("s_suppkey").alias("u"),
+        F.lead("s_suppkey").over(wo).alias("nxt"),
+        F.min("s_suppkey").over(wp).alias("mn"),
+    )
+    edges = base.select(
+        F.col("u").alias("src"), F.coalesce("nxt", "mn").alias("dst")
+    )
+    src_id = s.agg(F.min("s_suppkey")).first()[0]
+    sources = spark.createDataFrame([(src_id,)], ["node"])
+    return bfs(edges, sources, max_hops=64)

@@ -453,3 +453,61 @@ def s7_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_S7_SQL)
+
+
+# --- set operations beyond the reference (it has only rule-union, U1) -------
+
+@query(
+    "u3_except_customers",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def u3_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (churned customers: ordered in 1996, not in 1997). The
+    reference's Datalog surface has no difference operator at all; in
+    Spark this is one scan feeding two aggregates + a left-anti hash
+    join under AQE (both sides shuffle on o_custkey once)."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.subtract(y97)
+
+
+@query(
+    "u4_intersect_customers",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def u4_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (retained customers: ordered in both years) — the
+    left-semi twin of u3_except_customers."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97)

@@ -217,3 +217,60 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(t).alias("n_bpe"),
         F.size(F.array_distinct(t)).alias("n_uniq_bpe"),
     )
+
+
+@query(
+    "text_tfidf",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    dfx AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfx.df,
+             tf.tf * round(ln(n.n / dfx.df), 6) AS score
+      FROM tf JOIN dfx ON tf.tok = dfx.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, round(score, 6) AS tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, entirely as DataFrame ops (the
+    MLlib HashingTF/IDF shape, but exact terms instead of hashed
+    buckets, so it is SQL-oracle-checkable). idf is rounded to 6dp
+    BEFORE the tf product on both engines so the rank-order comparison
+    never hinges on sub-ulp ln() differences.
+
+    Scale: the tf table shuffles on (doc_id, tok) with map-side partial
+    aggregation; df is |vocab|-sized and joins on tok — a natural
+    shuffle join at 100 TB (vocab too big to broadcast), and Catalyst
+    reuses the exploded tok exchange for both aggregates."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(dfx, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        (F.col("tf") * F.round(F.log(F.lit(n_docs) / F.col("df")), 6)).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", F.round("score", 6).alias("tfidf"))
+    )

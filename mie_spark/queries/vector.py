@@ -141,3 +141,59 @@ def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     top = ann_topk_ivf(emb, "embedding", _query_vec(spark, sf_dir), k=10)
     return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
+
+
+# --- batch KNN: top-k per query vector (the many-query search shape) ---------
+
+@query(
+    "v_batch_knn",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, round(sim, 6) AS sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY sim DESC, vec_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def v_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k: every query vector (here vec_id<5; in production the
+    day's new documents) against the whole corpus in ONE job — a
+    broadcast nested-loop of the small query side against the
+    partitioned corpus, then a per-query top-k window. This replaces N
+    sequential index probes (the reference's conflict loop shape,
+    conflicts.go:73-154) with one distributed pass; at 100 TB the
+    corpus never moves and the window's shuffle is |queries|·k rows."""
+    from pyspark.sql.window import Window
+
+    from mie_spark.functions.vectors import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("qe")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round("sim", 6).alias("sim"))
+    )

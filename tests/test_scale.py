@@ -79,3 +79,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ estimate at rsd=1% must land within 5% of the exact
+    distinct count (5 sigma; deterministic for a fixed dataset)."""
+    from pyspark.sql import functions as F
+
+    from mie_spark.queries import QUERIES
+    from mie_spark.sources import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["ev_approx_distinct"](spark, "/root/testdata/sf0.001").collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) <= max(1, 0.05 * exact[et]), (
+            et,
+            est,
+            exact[et],
+        )
