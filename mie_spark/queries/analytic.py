@@ -280,3 +280,177 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", "orderkey", "orderdate", "totalprice", "total_qty"
         )
     )
+
+
+# --- TPC-H-Q13-style customer distribution (left-outer + double agg) --------
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram with the join predicate on the
+    OUTER side (customers with zero non-urgent orders must survive as
+    c_count=0 — a filter-before-join, not a WHERE, which would turn the
+    outer join inner). Two aggregations: the first shuffles on the join
+    key it already has (no extra exchange under AQE); the second's
+    domain is |distinct counts| — tiny at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- NOT EXISTS anti-join (customers with no 1997 orders) -------------------
+
+@query(
+    "j8_anti_join_inactive",
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    GROUP BY c.c_nationkey
+    """,
+)
+def j8_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti hash join: customers with no orders
+    since 1997, counted per nation. The orders side is pre-filtered and
+    projected to the key column only before the anti join, so the build
+    side is one slim column; the date filter pushes to the parquet scan
+    (PushedFilters) and never reads the wide columns."""
+    c = load_table(spark, sf_dir, "customer")
+    active = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(active, c.c_custkey == active.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+# --- lag window: month-over-month delta -------------------------------------
+
+@query(
+    "w_lag_monthly_delta",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, total_cents,
+           total_cents - lag(total_cents) OVER (ORDER BY month) AS delta_cents
+    FROM m
+    """,
+)
+def w_lag_monthly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta via lag(). Sums are integer cents
+    (order-independent, engine-agreed); the unpartitioned window runs
+    over |months| rows — a dozen per year — AFTER aggregation, so the
+    single-partition window never sees raw data. First month keeps a
+    NULL delta, exercising null-handling in the hash compare."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.sum(cents("o_totalprice")).alias("total_cents"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "total_cents",
+        (F.col("total_cents") - F.lag("total_cents").over(w)).alias(
+            "delta_cents"
+        ),
+    )
+
+
+# --- explicit GROUPING SETS (beyond ROLLUP/CUBE) ----------------------------
+
+@query(
+    "a_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as one ROLLUP/CUBE
+    prefix chain is the general case; this instance picks three
+    explicit sets). Spark expands the sets with a single Expand node
+    over one scan — 3× the rows into one shuffle, never 3 scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+    )
+
+
+# --- argmin-per-group (TPC-H-Q2's correlated-min shape) ---------------------
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT p_partkey, suppkey, price_cents FROM (
+      SELECT l.l_partkey AS p_partkey, l.l_suppkey AS suppkey,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (
+               PARTITION BY l.l_partkey
+               ORDER BY round(l.l_extendedprice * 100), l.l_suppkey
+             ) AS rn
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size = 15
+    ) WHERE rn = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min (TPC-H Q2 shape): cheapest supplier per part,
+    decorrelated into a row_number window instead of a rescan-per-part
+    subquery. The part-dimension filter broadcasts and prunes before
+    the window shuffle on l_partkey; integer-cent ordering plus the
+    suppkey tie-break keeps the argmin unique across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    w = Window.partitionBy("l_partkey").orderBy(
+        cents("l_extendedprice"), "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            cents("l_extendedprice").alias("price_cents"),
+        )
+    )
