@@ -164,6 +164,17 @@ def pagerank(
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )
+    # Fold outdeg into the edge table ONCE (it is loop-invariant), and
+    # pre-shuffle it by src: every iteration's join then reuses this
+    # layout instead of re-joining deg and re-deriving edges 8 times.
+    # localCheckpoint preserves the physical partitioning, so the
+    # per-iteration join only shuffles the (tiny) rank side.
+    edgesd = (
+        edges.join(deg, deg.node == edges.src)
+        .select("src", "dst", "outdeg")
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -175,8 +186,7 @@ def pagerank(
 
     for _ in range(iterations):
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, deg.node == edges.src)
+            edgesd.join(ranks, edgesd.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))

@@ -274,28 +274,73 @@ def train_ivf_centroids(
     recompute is posexplode → groupBy(cell, pos) → avg, one shuffle per
     iteration. Only the (n_centroids × dim) centroid matrix ever reaches
     the driver, so the training loop scales to any table size."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     init_rows = (
         df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init_rows]
-    unit = df.select(
-        F.col(id_col), l2_normalize(F.col(vec_col)).alias("_u")
+    # Unit vectors are loop-invariant: materialize once, reuse per
+    # iteration (otherwise every Lloyd round re-scans the source).
+    unit = df.select(l2_normalize(F.col(vec_col)).alias("_u")).localCheckpoint()
+
+    partial_schema = StructType(
+        [
+            StructField("_c", IntegerType()),
+            StructField("_n", LongType()),
+            StructField("_s", ArrayType(DoubleType())),
+        ]
     )
+
     for _ in range(lloyd_iters):
-        cell = _nearest_centroid(F.col("_u"), centroids)
-        means = (
-            unit.select(cell.alias("_c"), F.posexplode("_u").alias("_p", "_v"))
+        cmat = np.asarray(centroids, dtype=np.float64)
+        cn = np.linalg.norm(cmat, axis=1)
+        cn[cn == 0] = 1.0
+        cunit = cmat / cn[:, None]
+
+        def partials(it):
+            # Fused assign + partial-sum: one BLAS matmul per Arrow
+            # batch, then ≤n_centroids output rows per batch. The
+            # shuffle moves (batches × cells) centroid-sized rows —
+            # independent of table row count, unlike a posexplode of
+            # every vector element.
+            for pdf in it:
+                m = np.array(pdf["_u"].tolist(), dtype=np.float64)
+                cells = (m @ cunit.T).argmax(axis=1)
+                out_c, out_n, out_s = [], [], []
+                for c in np.unique(cells):
+                    mask = cells == c
+                    out_c.append(int(c))
+                    out_n.append(int(mask.sum()))
+                    out_s.append(m[mask].sum(axis=0).tolist())
+                yield pd.DataFrame({"_c": out_c, "_n": out_n, "_s": out_s})
+
+        # The partials table is (batches × occupied cells) rows — tiny at
+        # any scale — so the element-wise reduction is a posexplode +
+        # groupBy over partials, never over the raw vectors.
+        agg = (
+            unit.mapInPandas(partials, schema=partial_schema)
+            .select("_c", "_n", F.posexplode("_s").alias("_p", "_v"))
             .groupBy("_c", "_p")
-            .agg(F.avg("_v").alias("_m"))
+            .agg(F.sum("_v").alias("_sv"), F.sum("_n").alias("_nn"))
             .collect()
         )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["_c"], {})[r["_p"]] = r["_m"]
-        centroids = [
-            [vals[p] for p in sorted(vals)] if (vals := by_cell.get(i)) else c
-            for i, c in enumerate(centroids)
-        ]
+        sums: dict[int, dict[int, float]] = {}
+        counts: dict[int, float] = {}
+        for r in agg:
+            sums.setdefault(r["_c"], {})[r["_p"]] = r["_sv"]
+            counts[r["_c"]] = float(r["_nn"])
+        for c, vals in sums.items():
+            n = counts[c]
+            centroids[c] = [vals[p] / n for p in sorted(vals)]
     return centroids
 
 
