@@ -50,6 +50,7 @@ def _load_all() -> None:
         graph,
         multimodal,
         relational,
+        sampling,
         streaming,
         text,
         vector,

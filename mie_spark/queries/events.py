@@ -236,3 +236,36 @@ def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "ev_multi_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             strftime(date_trunc('hour', ts), '%H') AS hour,
+             value
+      FROM events
+    )
+    SELECT day, hour, count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM e GROUP BY GROUPING SETS ((day, hour), (day))
+    """,
+)
+def ev_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hourly + daily in one pass) — the
+    hypertable continuous-aggregate shape. GROUPING SETS expands both
+    resolutions from ONE scan through a single Expand + shuffle; the
+    daily row is the hour=NULL stratum. At 100 TB this replaces two
+    jobs (and two scans) with one, and the coarser rollup rides the
+    same exchange as the finer one."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "HH").alias("hour"),
+        "value",
+    )
+    return e.groupingSets([["day", "hour"], ["day"]], "day", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
