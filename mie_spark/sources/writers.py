@@ -49,3 +49,57 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+# --- format-agnostic I/O (JSON / CSV / ORC / parquet) -----------------------
+
+_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Write in any supported interchange format.
+
+    Parquet/ORC are the performance formats (columnar, pushdown-able,
+    splittable); JSON/CSV exist for interchange parity with the
+    reference's export surface (reader.go:707-764). CSV gets an
+    explicit header so the file round-trips without positional guessing.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if compression:
+        w = w.option("compression", compression)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+) -> DataFrame:
+    """Read any supported format. For JSON/CSV an explicit schema is
+    REQUIRED: schema inference reads the data twice and types drift
+    between runs — both unacceptable at 100 TB (and CSV inference would
+    quietly widen ints to strings on a single dirty row). Parquet/ORC
+    carry their own schema."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {_FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} read requires an explicit schema")
+        r = r.schema(schema)
+    elif schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)

@@ -107,3 +107,45 @@ def test_approx_distinct_within_rsd(spark):
             est,
             exact[et],
         )
+
+
+def test_format_round_trip(spark, tmp_path):
+    """JSON/CSV/ORC round-trips preserve schema and values exactly when
+    read back with the explicit source schema (no inference)."""
+    from mie_spark.sources.writers import read_format, write_format
+
+    src = load_table(spark, SF, "customer")
+    expected = _sorted_rows(src)
+    for fmt in ("json", "csv", "orc"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_format(src, path, fmt=fmt)
+        back = read_format(spark, path, fmt=fmt, schema=src.schema)
+        assert back.schema == src.schema, fmt
+        assert _sorted_rows(back) == expected, fmt
+
+
+def test_json_csv_read_requires_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from mie_spark.sources.writers import read_format
+
+    for fmt in ("json", "csv"):
+        with _pytest.raises(ValueError, match="explicit schema"):
+            read_format(spark, str(tmp_path), fmt=fmt)
+
+
+def test_hash_split_deterministic_and_quantized(spark):
+    """Split membership is a pure function of the id (stable across
+    partitionings) and the train fraction lands within the 1/256
+    quantization of the requested rate."""
+    from mie_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", 0.75).collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7), "doc_id", 0.75).collect()
+    }
+    assert s1 == s2
+    frac = sum(v == "train" for v in s1.values()) / len(s1)
+    assert abs(frac - 0.75) < 0.1
