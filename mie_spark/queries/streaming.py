@@ -129,3 +129,39 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_cents").alias("total_cents"),
     )
+
+
+@query(
+    "st_attribution_join",
+    oracle="""
+    SELECT v.user_id,
+           count(*) AS n_pairs,
+           count(DISTINCT p.event_id) AS n_purchases
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY v.user_id
+    """,
+)
+def st_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution within
+    1 hour), both sides watermarked so join state is evictable. The
+    bounded availableNow drain makes the inner join oracle-exact; the
+    per-user rollup runs on the drained sink."""
+    from mie_spark.streaming import attribution_join
+
+    views = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = run_to_memory_sink(
+        attribution_join(views, purchases), output_mode="append"
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("purchase_id").alias("n_purchases"),
+    )

@@ -1,4 +1,5 @@
 from mie_spark.streaming.ops import (
+    attribution_join,
     foreach_batch_upsert,
     read_events_stream,
     run_to_memory_sink,
@@ -9,6 +10,7 @@ from mie_spark.streaming.ops import (
 )
 
 __all__ = [
+    "attribution_join",
     "foreach_batch_upsert",
     "read_events_stream",
     "run_to_memory_sink",

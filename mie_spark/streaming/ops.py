@@ -363,3 +363,50 @@ def embed_and_upsert_stream(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matches
+    the same user's views in the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound — that pair is what lets the engine EVICT join state: a
+    buffered view can be dropped once the purchase-side watermark passes
+    view_ts + window, so state is bounded by (event rate × window), not
+    by stream length. Without the time bound this join would buffer both
+    streams forever — the canonical unbounded-state mistake.
+
+    At 100 TB/day both sides hash-partition on user_id (the equi-key),
+    so matching is local to a partition; the interval predicate prunes
+    within the per-key buffer.
+    """
+    v = (
+        views.select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
