@@ -41,7 +41,12 @@ HEADLINE = [
     "w_running_total",           # cumulative window over orders
     "g_pagerank",                # 8-iteration DataFrame fixpoint loop
     "v_ann_ivf_topk",            # IVF cell-probed approximate top-k
+    "v_batch_knn",               # batch top-k (broadcast queries x corpus)
+    "q13_customer_distribution", # left-outer join + double aggregation
+    "text_tfidf",                # explode + two aggs + vocab shuffle join
+    "ev_multi_rollup",           # GROUPING SETS multi-resolution rollup
     "st_hourly_agg",             # real streaming job (availableNow drain)
+    "st_attribution_join",       # watermarked stream-stream interval join
 ]
 
 

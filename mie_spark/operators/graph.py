@@ -122,6 +122,7 @@ def bfs(
     Early exit when a frontier comes back empty, so the loop runs
     diameter+1 jobs, not max_hops.
     """
+    edges = edges.select("src", "dst").localCheckpoint()
     dist = (
         sources.select(F.col("node"))
         .distinct()
@@ -130,6 +131,9 @@ def bfs(
     )
     frontier = dist
     for hop in range(1, max_hops + 1):
+        # One eager materialization per hop (the frontier); the visited
+        # set stays a lazy union of already-checkpointed frontiers, so
+        # its lineage is depth-1 per element and never re-executes.
         nxt = (
             edges.join(frontier, edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
@@ -140,7 +144,7 @@ def bfs(
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
 

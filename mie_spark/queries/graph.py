@@ -360,18 +360,23 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT e.v, w.dist + 1
       FROM walk w JOIN e ON e.u = w.node
-      WHERE w.dist < 64
+      WHERE w.dist < 12
     )
     SELECT node, min(dist) AS dist FROM walk GROUP BY node
     """,
 )
 def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-hop BFS: hop distance from the minimum supplier around its
-    nation's directed ring (next suppkey, wrapping). The reference's
-    graph mode only ever does 1-hop joins (pkg/tools/query.go:153-165);
-    this is the generic frontier-expansion traversal. The oracle replays
-    the walk as a recursive CTE with min-dist aggregation — the Spark
-    side's visited-set dedup must produce exactly those minima."""
+    """12-hop BFS neighborhood: hop distance from the minimum supplier
+    around its nation's directed ring (next suppkey, wrapping). The
+    reference's graph mode only ever does 1-hop joins
+    (pkg/tools/query.go:153-165); this is the generic frontier-expansion
+    traversal, truncated at a fixed radius — the realistic "k-hop
+    neighborhood" ask, whose job count is bounded by k rather than by
+    graph diameter (an unbounded-diameter walk over a 100 TB graph is a
+    diameter-length chain of barriers no engine should sign up for).
+    The oracle replays the walk as a recursive CTE with min-dist
+    aggregation — the Spark side's visited-set dedup must produce
+    exactly those minima."""
     s = load_table(spark, sf_dir, "supplier")
     wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
     wp = Window.partitionBy("s_nationkey")
@@ -385,4 +390,4 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_id = s.agg(F.min("s_suppkey")).first()[0]
     sources = spark.createDataFrame([(src_id,)], ["node"])
-    return bfs(edges, sources, max_hops=64)
+    return bfs(edges, sources, max_hops=12)
