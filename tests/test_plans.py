@@ -71,3 +71,46 @@ def test_topk_has_no_shuffle(spark):
     partition heaps + driver merge), never a global sort exchange."""
     df = QUERIES["o3_topk"](spark, SF)
     assert exchange_count(df) == 0
+
+
+def test_anti_join_pushes_date_filter(spark):
+    """j8's orders-side date filter must reach the parquet scan, and the
+    orders side must be projected to the key column only."""
+    df = QUERIES["j8_anti_join_inactive"](spark, SF)
+    assert pushed_filters(df), "date filter not pushed to scan"
+    schemas = read_schemas(df)
+    assert any(set(s) == {"o_custkey", "o_orderdate"} for s in schemas), schemas
+
+
+def test_sampling_filter_fuses_into_scan(spark):
+    """Stratified sampling is a pure filter: exactly the one aggregate
+    exchange, no sampling-induced shuffle, and only the needed columns
+    read."""
+    df = QUERIES["samp_stratified"](spark, SF)
+    assert exchange_count(df) == 1
+    schemas = read_schemas(df)
+    assert any(set(s) == {"doc_id", "lang"} for s in schemas), schemas
+
+
+def test_multi_rollup_single_scan_single_shuffle(spark):
+    """GROUPING SETS must expand both resolutions from one scan and one
+    exchange — two scans would defeat the operator's purpose."""
+    df = QUERIES["ev_multi_rollup"](spark, SF)
+    assert len(read_schemas(df)) == 1
+    assert exchange_count(df) == 1
+
+
+def test_q2_argmin_broadcasts_dimension(spark):
+    """The filtered part dimension must broadcast into the lineitem join;
+    the only exchange is the window's partition-by shuffle."""
+    df = QUERIES["q2_min_cost_supplier"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) == 1
+
+
+def test_batch_knn_broadcasts_queries(spark):
+    """The query side of batch KNN must broadcast — the corpus side never
+    moves before scoring; the window top-k is the only exchange."""
+    df = QUERIES["v_batch_knn"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) <= 1
