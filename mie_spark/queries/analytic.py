@@ -454,3 +454,39 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents("l_extendedprice").alias("price_cents"),
         )
     )
+
+
+# --- statistical moment aggregates ------------------------------------------
+
+@query(
+    "a_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(l_quantity), 6) AS mean_qty,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate family (stddev/variance/corr/covar) in
+    one single-shuffle pass. All of these are mergeable sufficient-
+    statistic aggregates (n, Σx, Σx², Σxy), so map-side partials work
+    at any scale; both engines use numerically stable one-pass updates,
+    and 6dp rounding absorbs their summation-order difference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "covar_qty_price"
+        ),
+    )

@@ -269,3 +269,43 @@ def ev_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+@query(
+    "ev_pivot",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type NOT IN ('view','click','purchase'))
+             AS n_other
+    FROM events GROUP BY 1
+    """,
+)
+def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type pivot (the reporting-matrix shape). Pivot values
+    are EXPLICIT — with an unspecified value list Spark first runs a
+    distinct-scan job to discover columns, a full extra pass at 100 TB.
+    With the list given, pivot compiles to conditional counts inside one
+    ordinary single-shuffle aggregate, exactly like the FILTER oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    known = ["view", "click", "purchase"]
+    piv = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.when(F.col("event_type").isin(known), F.col("event_type"))
+            .otherwise("other")
+            .alias("et"),
+        )
+        .groupBy("day")
+        .pivot("et", known + ["other"])
+        .count()
+    )
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
+            for c in known + ["other"]
+        ],
+    )
