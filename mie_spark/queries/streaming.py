@@ -152,12 +152,11 @@ def st_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user rollup runs on the drained sink."""
     from mie_spark.streaming import attribution_join
 
-    views = read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "view"
-    )
-    purchases = read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
+    # one source, two filtered branches (stream self-join): the events
+    # file is scanned once per micro-batch, not once per side
+    ev = read_events_stream(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
     pairs = run_to_memory_sink(
         attribution_join(views, purchases), output_mode="append"
     )
