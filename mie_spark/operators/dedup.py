@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from mie_spark.operators import ensure_parallelism
 from mie_spark.operators.text import shingles_from_tokens, tokens
 
 # 31-bit Mersenne prime: coefficients and hashed shingles both live in
@@ -54,6 +55,10 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
+    # single-row-group inputs scan as one task; shingling/minhash are
+    # the per-row hot path, so buy back parallelism first (no-op when
+    # the input is already well-partitioned)
+    df = ensure_parallelism(df)
     # two projections on purpose: tokens materialize once per row, then
     # shingling references the token column (n+1 refs per shingle) —
     # inlining the split would re-run the regex per reference

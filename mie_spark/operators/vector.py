@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mie_spark.functions.vectors import cosine_sim, dot, l2_normalize
+from mie_spark.operators import ensure_parallelism
 
 
 def cosine_topk(
@@ -181,7 +182,11 @@ def _similarity_self_join_blocked(
                 {"a_id": a_ids[ai], "b_id": b_ids[bi], "sim": sims[ai, bi]}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
+    # the broadcast side is the whole matrix; the streamed side must
+    # actually stream in parallel (single-row-group scans won't)
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def knn_join_to_nodes(
@@ -289,8 +294,11 @@ def train_ivf_centroids(
     )
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     # Unit vectors are loop-invariant: materialize once, reuse per
-    # iteration (otherwise every Lloyd round re-scans the source).
-    unit = df.select(l2_normalize(F.col(vec_col)).alias("_u")).localCheckpoint()
+    # iteration (otherwise every Lloyd round re-scans the source) — in
+    # parallel (single-row-group scans arrive as one partition).
+    unit = ensure_parallelism(
+        df.select(l2_normalize(F.col(vec_col)).alias("_u"))
+    ).localCheckpoint()
 
     partial_schema = StructType(
         [
