@@ -309,3 +309,54 @@ def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in known + ["other"]
         ],
     )
+
+
+@query(
+    "ev_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.n, 0) AS n,
+           coalesce(d.value_cents, 0) AS value_cents
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: a generated day spine left-joined to daily
+    aggregates so silent days appear as explicit zeros (what every
+    downstream time-series model needs). The spine is sequence() over
+    the min/max bounds — O(days) rows built expression-side, broadcast
+    against the aggregate; no UDF, no driver loop."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+        )
+    )
