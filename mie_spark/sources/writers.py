@@ -103,3 +103,57 @@ def read_format(
     if fmt == "csv":
         r = r.option("header", "true")
     return r.load(path)
+
+
+# --- table maintenance: compaction & clustering -----------------------------
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a directory of small files into ~target-sized files.
+
+    Streaming sinks and fine-grained upserts accrete small files; at
+    scan time each file costs a task plus footer/open overhead, and a
+    100 TB table of 1 MB files is unreadable in practice. Compaction =
+    read → coalesce to ceil(bytes/target) → rewrite to a temp dir →
+    atomic-ish swap. Returns the output file count. coalesce (not
+    repartition) avoids a shuffle: it only merges read splits.
+    """
+    import math
+    import shutil
+
+    total = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(path).rglob("*") if f.is_file()
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(n_out).write.mode("overwrite").format(fmt).save(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_out
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster rows across files by the given columns, sorted
+    within each file — the plain-parquet substitute for Z-ordering on a
+    single key prefix. Each output file then covers a narrow min/max
+    range of the cluster columns, so parquet row-group statistics let
+    point/range scans on those columns skip almost every file.
+    repartitionByRange samples the keys to build balanced boundaries;
+    the sortWithinPartitions makes page-level stats tight too."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

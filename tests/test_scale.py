@@ -149,3 +149,47 @@ def test_hash_split_deterministic_and_quantized(spark):
     assert s1 == s2
     frac = sum(v == "train" for v in s1.values()) / len(s1)
     assert abs(frac - 0.75) < 0.1
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many small files compact to the computed target count with
+    identical contents."""
+    from mie_spark.sources.writers import compact_small_files
+
+    path = str(tmp_path / "frag")
+    src = load_table(spark, SF, "orders")
+    src.repartition(24).write.parquet(path)
+    import pathlib
+
+    before = len(list(pathlib.Path(path).glob("*.parquet")))
+    expected = _sorted_rows(src)
+    n_out = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    after = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert before == 24 and n_out == 1 and after == 1
+    assert _sorted_rows(spark.read.parquet(path)) == expected
+
+
+def test_write_clustered_files_cover_disjoint_ranges(spark, tmp_path):
+    """Range clustering must put disjoint key ranges in different files
+    (that disjointness is what row-group stats skipping feeds on)."""
+    import pyarrow.parquet as pq
+    import pathlib
+
+    from mie_spark.sources.writers import write_clustered
+
+    path = str(tmp_path / "clustered")
+    src = load_table(spark, SF, "orders")
+    write_clustered(src, path, ["o_orderkey"], n_files=4)
+    ranges = []
+    for f in pathlib.Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_orderkey"
+        )
+        st = md.row_group(0).column(idx).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    assert _sorted_rows(spark.read.parquet(path)) == _sorted_rows(src)
