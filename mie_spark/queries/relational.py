@@ -511,3 +511,126 @@ def u4_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_custkey")
     return y96.intersect(y97)
+
+
+# --- TPC-H-Q4-style order priority check (EXISTS semi-join) ------------------
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS decorrelated to a left-semi join (TPC-H Q4
+    shape: orders with at least one lineitem shipped after the order
+    date). The correlated predicate (l_shipdate > o_orderdate) rides
+    the semi-join as a join condition, so evaluation is one hash probe
+    per lineitem — no per-order subquery rescan. The quarter filter
+    pushes to the orders scan and shrinks the build side first."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- TPC-H-Q12-style shipmode classes (conditional aggregation) --------------
+
+@query(
+    "q12_priority_classes",
+    oracle="""
+    SELECT l.l_linestatus,
+           count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q12 shape): one join, one pass,
+    two mutually exclusive counts via sum(when) — never two filtered
+    subqueries over the same join. The date filter prunes lineitem at
+    the scan; the join shuffles each side once on orderkey."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H-Q14-style promo revenue share (ratio of conditional sums) ---------
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                     FILTER (p.p_type LIKE 'PROMO%')
+                   / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+             6
+           ) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio of conditional sums (TPC-H Q14 shape: % of revenue from
+    promo parts). Both numerator and denominator are integer-cent sums
+    from the SAME single pass (a filtered sum, not two joins); the part
+    dimension broadcasts, and the final division is one scalar — the
+    only float op, rounded identically on both engines."""
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(promo, rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
