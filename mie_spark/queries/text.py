@@ -260,7 +260,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = float(docs.count())
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfx = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency from the AGGREGATED tf table: tf already holds
+    # one row per (doc, tok), so count(*) per tok == countDistinct(doc)
+    # over raw tokens — same value, but this shuffles |tf| rows instead
+    # of re-exploding and re-shuffling every token occurrence
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfx, "tok").select(
         "doc_id",
         "tok",
