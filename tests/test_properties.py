@@ -83,3 +83,78 @@ def test_mock_embedding_unit_norm_and_stable(text, dim):
     assert len(v1) == dim
     norm = math.sqrt(sum(x * x for x in v1))
     assert abs(norm - 1.0) < 1e-9 or norm == 0.0
+
+
+# --- sampling: hash-cutoff quantization --------------------------------------
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_hash_split_cutoff_quantization(frac):
+    """The hex cutoff must encode round(frac*256) exactly: two lowercase
+    hex chars whose value differs from frac*256 by at most 0.5 — the
+    documented 1/256 quantization bound."""
+    cutoff = format(round(frac * 256), "02x")
+    assert len(cutoff) in (2, 3)  # '100' only at frac == 1.0 boundary
+    assert abs(int(cutoff, 16) - frac * 256) <= 0.5
+
+
+@given(st.text(alphabet="0123456789abcdef", min_size=2, max_size=2))
+def test_hex_prefix_comparison_is_numeric(bucket):
+    """String comparison of lowercase hex prefixes must agree with
+    numeric comparison — the property the sampling filter rests on."""
+    for cut in ("00", "40", "c0", "ff"):
+        assert (bucket < cut) == (int(bucket, 16) < int(cut, 16))
+
+
+# --- minhash: signature kernel invariants ------------------------------------
+
+def _mh_sig(shingles, num_hashes=16, seed=42):
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    M31 = (1 << 31) - 1
+    rng = random.Random(seed)
+    A = np.array(
+        [rng.randrange(1, M31) for _ in range(num_hashes)], dtype=np.int64
+    )[:, None]
+    B = np.array(
+        [rng.randrange(0, M31) for _ in range(num_hashes)], dtype=np.int64
+    )[:, None]
+    if not shingles:
+        return np.full(num_hashes, M31, dtype=np.int64)
+    h64 = pd.util.hash_array(np.asarray(list(shingles), dtype=object))
+    hs = (h64 % M31).astype(np.int64)[None, :]
+    return ((A * hs + B) % M31).min(axis=1)
+
+
+@given(st.sets(st.text(min_size=1, max_size=20), max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_minhash_signature_invariants(shingles):
+    """Signature values stay in [0, M31] (the ANSI-overflow-safe range),
+    are order-independent (set semantics), and adding a shingle can only
+    LOWER each component (min of a superset)."""
+    M31 = (1 << 31) - 1
+    sig = _mh_sig(shingles)
+    assert ((sig >= 0) & (sig <= M31)).all()
+    assert (_mh_sig(sorted(shingles)) == sig).all()
+    bigger = _mh_sig(set(shingles) | {"zzz-extra"})
+    assert (bigger <= sig).all()
+
+
+@given(
+    st.sets(st.text(min_size=1, max_size=10), min_size=1, max_size=20),
+    st.sets(st.text(min_size=1, max_size=10), min_size=1, max_size=20),
+)
+@settings(max_examples=50, deadline=None)
+def test_minhash_identical_sets_collide(a, b):
+    """sig(A) == sig(B) iff the hashed shingle sets are equal — for
+    equal sets always, and for the agreement fraction to estimate
+    Jaccard, disjoint sets must rarely share components."""
+    if a == b:
+        assert (_mh_sig(a) == _mh_sig(b)).all()
+    sig_a, sig_b = _mh_sig(a), _mh_sig(b)
+    if not (set(a) & set(b)):
+        # 16 components, each collides w.p. ~1/|a∪b| for random hashes;
+        # require they don't ALL collide (astronomically unlikely)
+        assert not (sig_a == sig_b).all() or a == b
