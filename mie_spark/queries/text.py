@@ -278,3 +278,61 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "df", F.round("score", 6).alias("tfidf"))
     )
+
+
+@query(
+    "text_repeat_ngrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tok
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 3
+                  THEN [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                        for i in range(1, len(tok) - 1)]
+                  ELSE [] END AS tri
+      FROM t
+    )
+    SELECT doc_id,
+           len(tri) AS n_tri,
+           len(list_distinct(tri)) AS n_uniq_tri,
+           round(1.0 - len(list_distinct(tri))::DOUBLE / len(tri), 6)
+             AS rep_ratio
+    FROM g WHERE len(tri) > 0
+    """,
+)
+def text_repeat_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: the share of word trigrams that are
+    duplicates of an earlier trigram in the SAME document — the
+    boilerplate/spam signal corpus-cleaning pipelines threshold on
+    (templated pages repeat internally long before they collide with
+    other documents). Pure array expressions per row: no explode, no
+    shuffle — at 100 TB this is a map-only pass the scan fuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    idx = F.when(
+        F.size("tok") >= 3, F.sequence(F.lit(0), F.size("tok") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("tok", (i + 1).cast("int")),
+            F.element_at("tok", (i + 2).cast("int")),
+            F.element_at("tok", (i + 3).cast("int")),
+        ),
+    )
+    g = toked.select("doc_id", tri.alias("tri")).filter(F.size("tri") > 0)
+    return g.select(
+        "doc_id",
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("n_uniq_tri"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("tri")).cast("double") / F.size("tri"),
+            6,
+        ).alias("rep_ratio"),
+    )
