@@ -204,3 +204,73 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=schema)
+
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", StringType()),
+    ]
+)
+
+
+def chunk_audio(
+    assets: DataFrame,
+    sample_rate: int = 16_000,
+    chunk_ms: int = 30_000,
+    overlap_ms: int = 1_000,
+    codec: str = "real",
+) -> DataFrame:
+    """Whisper-style audio windowing: each payload (treated as 16-bit
+    mono PCM at sample_rate) explodes into fixed-duration chunks with
+    overlap, each row carrying its time span and an RMS energy reading
+    (hex-formatted so the value is exactly reproducible — no float
+    hashing concerns).
+
+    codec='real' errors loudly (no audio libs in this container);
+    codec='fake' interprets the raw bytes as samples. Either way the
+    Spark plan — 1→N mapInPandas fan-out keyed on time, overlap math,
+    partition preservation — is the production shape: at 100 TB, chunks
+    flow straight into a transcription/embedding UDF without any
+    driver-side coordination.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            "real audio decoding requires codec libraries not present in "
+            "this environment; pass codec='fake' for the deterministic stub"
+        )
+    samples_per_chunk = sample_rate * chunk_ms // 1000
+    hop = sample_rate * (chunk_ms - overlap_ms) // 1000
+    bytes_per_sample = 2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "chunk_idx", "start_ms", "end_ms", "n_samples", "rms")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                usable = len(raw) - len(raw) % bytes_per_sample
+                sig = np.frombuffer(raw[:usable], dtype="<i2").astype(np.float64)
+                i = 0
+                for start in range(0, max(len(sig), 1), hop):
+                    win = sig[start : start + samples_per_chunk]
+                    if win.size == 0:
+                        break
+                    rms = float(np.sqrt(np.mean(win * win))) if win.size else 0.0
+                    out["asset_id"].append(asset_id)
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(start * 1000 // sample_rate)
+                    out["end_ms"].append((start + win.size) * 1000 // sample_rate)
+                    out["n_samples"].append(win.size)
+                    out["rms"].append(float(rms).hex())
+                    i += 1
+                    if start + samples_per_chunk >= len(sig):
+                        break
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=AUDIO_CHUNK_SCHEMA)

@@ -82,3 +82,17 @@ def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("dim"),
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+@query("mm_audio_chunks")
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plumbing (rows-only: the PCM interpretation of
+    the fake payload is engine-side; chunk boundary math and
+    determinism are pinned in tests/test_multimodal.py). Each document
+    payload chunks into overlapping 30s/1s-overlap windows at 16 kHz —
+    the fan-out that feeds transcription/embedding UDFs at scale."""
+    from mie_spark.operators.multimodal import chunk_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_binary_payload(docs)
+    return chunk_audio(assets, codec="fake")

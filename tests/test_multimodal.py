@@ -73,3 +73,41 @@ def test_features_are_unit_norm_and_stable(spark):
         assert abs(sum(x * x for x in v) - 1.0) < 1e-5
     again = extract_features(_assets(spark, 10), dim=8).collect()
     assert [r["features"] for r in feats] == [r["features"] for r in again]
+
+
+def test_chunk_audio_boundaries_and_determinism(spark):
+    """Chunk spans tile the signal with the configured hop/overlap, RMS
+    is bit-reproducible across runs, and the real codec path errors."""
+    import pytest as _pytest
+
+    from mie_spark.operators.multimodal import attach_binary_payload, chunk_audio
+    from mie_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    assets = attach_binary_payload(docs)
+    with _pytest.raises(NotImplementedError):
+        chunk_audio(assets, codec="real").count()
+
+    out = chunk_audio(
+        assets, sample_rate=1000, chunk_ms=2000, overlap_ms=500, codec="fake"
+    )
+    rows = out.collect()
+    assert rows
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for chunks in by_asset.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # hop = 1.5s at 1 kHz → consecutive starts differ by 1500 ms
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_ms"] - a["start_ms"] == 1500
+        for r in chunks:
+            assert 0 < r["n_samples"] <= 2000
+            assert r["end_ms"] - r["start_ms"] == r["n_samples"]  # 1 kHz
+    again = {
+        (r["asset_id"], r["chunk_idx"]): r["rms"]
+        for r in chunk_audio(
+            assets, sample_rate=1000, chunk_ms=2000, overlap_ms=500, codec="fake"
+        ).collect()
+    }
+    assert {(r["asset_id"], r["chunk_idx"]): r["rms"] for r in rows} == again
