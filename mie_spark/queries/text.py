@@ -127,12 +127,53 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_lang_id")
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang, text,
+             list_transform(
+               list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+               x -> lower(x)) AS tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, labeled_lang,
+        [
+          {'lang': 'en', 'score': len(list_filter(tok, x -> list_contains(
+             ['the','a','and','of','to','is','in','that','it','for'], x)))::DOUBLE
+             / greatest(len(tok), 1)},
+          {'lang': 'es', 'score': len(list_filter(tok, x -> list_contains(
+             ['el','la','de','que','y','en','un','por','con','los'], x)))::DOUBLE
+             / greatest(len(tok), 1)},
+          {'lang': 'fr', 'score': len(list_filter(tok, x -> list_contains(
+             ['le','la','de','et','les','des','un','une','est','dans'], x)))::DOUBLE
+             / greatest(len(tok), 1)},
+          {'lang': 'de', 'score': len(list_filter(tok, x -> list_contains(
+             ['der','die','das','und','ist','von','mit','den','ein','nicht'], x)))::DOUBLE
+             / greatest(len(tok), 1)},
+          {'lang': 'zh', 'score': length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1)}
+        ] AS scores
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN list_max(list_transform(scores, x -> x.score)) > 0
+                THEN list_filter(scores, x -> x.score =
+                       list_max(list_transform(scores, y -> y.score)))[1].lang
+                ELSE 'und' END AS predicted_lang,
+           labeled_lang
+    FROM s
+    """,
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword/script-profile language ID (no SQL oracle — the profile
-    tables are engine-side; behavior pinned by tests/test_text.py on
-    known multilingual strings). Output is doc_id + predicted lang +
-    the corpus label for side-by-side accuracy reads."""
+    """Stopword/script-profile language ID. The oracle replicates the
+    same tiny profiles in DuckDB SQL (struct-list argmax with identical
+    first-wins tie order), so even the heuristic is hash-checked —
+    both engines compute hit-rate = int/int in IEEE double, so scores
+    agree bitwise. Behavior additionally pinned on known multilingual
+    strings in tests. Output is doc_id + predicted lang + the corpus
+    label for side-by-side accuracy reads."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
