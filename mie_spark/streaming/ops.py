@@ -98,15 +98,22 @@ def windowed_counts(
 
 
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Exactly-once event stream via ``dropDuplicates`` on the event key.
+    """Exactly-once event stream via ``dropDuplicatesWithinWatermark``
+    on the event key.
 
-    The watermark bounds the dedup state: an event_id older than the
-    delay can be evicted because any duplicate that late would be
-    dropped by the watermark anyway. This is the streaming form of the
-    content-hash idempotency the reference gets from `:put` upserts
-    (pkg/memory/ids.go:16-20 — same content ⇒ same ID ⇒ no duplicate).
+    The WithinWatermark variant is load-bearing: plain
+    ``dropDuplicates(["event_id"])`` only consults the watermark for
+    eviction when the event-time column is part of the key subset, so
+    keyed-only dedup state would grow forever on a continuous stream.
+    WithinWatermark evicts a key once the watermark passes its event
+    time — any duplicate that late would be watermark-dropped anyway.
+    This is the streaming form of the content-hash idempotency the
+    reference gets from `:put` upserts (pkg/memory/ids.go:16-20 — same
+    content ⇒ same ID ⇒ no duplicate).
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def sessionized_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
