@@ -360,3 +360,51 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
         )
     )
+
+
+@query(
+    "ev_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           day_offset,
+           count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY 1, 2
+    """,
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later day they return (offsets 0-7). Two aggregations share
+    the user_id partitioning — the cohort table rides the same exchange
+    as the activity join under AQE, and the dedup-to-(user, day) step
+    bounds the matrix input at |users| × |days|, not |events|."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+        .filter(F.col("day_offset") <= 7)
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active"))

@@ -377,3 +377,64 @@ def text_repeat_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rep_ratio"),
     )
+
+
+@query(
+    "pipe_training_manifest",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents WHERE lang = 'en'
+    ), quality AS (
+      SELECT doc_id, source, len(toks) AS n_tokens, fp
+      FROM t
+      WHERE len(toks) BETWEEN 30 AND 1000
+        AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.25
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'c0'
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens
+    FROM deduped
+    GROUP BY 1, 2
+    """,
+)
+def pipe_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-build composition in ONE lazy plan: language
+    filter → rule quality gate → exact dedup on normalized fingerprint
+    → deterministic 75/25 hash split → per-(source, split) manifest.
+    Each stage is an operator exposed elsewhere (text_quality_filter,
+    dedup via fingerprint window, samp_hash_split); chained, Catalyst
+    fuses the row-local stages into the scan and the plan still has
+    only the dedup window + final aggregate shuffles."""
+    from mie_spark.operators.sampling import hash_split
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    text = F.col("text")
+    n_tok = token_count(text)
+    ttr = type_token_ratio(text)
+    quality = docs.filter(
+        (n_tok >= 30) & (n_tok <= 1000) & (ttr > 0.25)
+    ).select(
+        "doc_id", "source", n_tok.alias("n_tokens"), fingerprint(text).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    split = hash_split(deduped, "doc_id", train_frac=0.75)
+    return split.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
