@@ -157,8 +157,13 @@ def st_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view")
     purchases = ev.filter(F.col("event_type") == "purchase")
+    # state stores = partitions × stateful ops; the join key space
+    # (users) is small relative to the batch shuffle default, so size
+    # the stateful shuffle down for this query
     pairs = run_to_memory_sink(
-        attribution_join(views, purchases), output_mode="append"
+        attribution_join(views, purchases),
+        output_mode="append",
+        state_partitions=8,
     )
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),

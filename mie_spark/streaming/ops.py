@@ -201,6 +201,7 @@ def run_to_memory_sink(
     stream_df: DataFrame,
     output_mode: str = "append",
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a bounded stream with ``trigger(availableNow=True)`` into an
     in-memory sink and return the sink table.
@@ -209,17 +210,32 @@ def run_to_memory_sink(
     micro-batches, then stops — the standard incremental-backfill
     pattern. In production the sink is a Delta/parquet table or a
     ``foreachBatch`` MERGE; memory sink keeps tests/oracles hermetic.
+
+    state_partitions sizes the stateful shuffle for THIS query (state
+    store instances = shuffle partitions × stateful operators, and the
+    count is frozen into the checkpoint at first start — streaming jobs
+    size it to key cardinality up front rather than inheriting the
+    batch default). The session conf is restored after start; batch
+    queries are unaffected.
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
     spark = stream_df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination(timeout_s)
     return spark.table(name)
 
 
