@@ -48,7 +48,9 @@ def st_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     in append/update mode and the watermark bounds state.
     """
     stream = windowed_counts(read_events_stream(spark, sf_dir))
-    return run_to_memory_sink(stream, output_mode="complete")
+    return run_to_memory_sink(
+        stream, output_mode="complete", state_partitions=8
+    )
 
 
 @query(
@@ -81,7 +83,9 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations, one hash. Session state scales with open sessions,
     not events."""
     stream = sessionized_stream(read_events_stream(spark, sf_dir))
-    return run_to_memory_sink(stream, output_mode="complete")
+    return run_to_memory_sink(
+        stream, output_mode="complete", state_partitions=8
+    )
 
 
 @query(
@@ -98,7 +102,9 @@ def st_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference pkg/memory/ids.go:16-20), then a bounded aggregate over
     the drained sink."""
     deduped = run_to_memory_sink(
-        stream_dedup(read_events_stream(spark, sf_dir)), output_mode="append"
+        stream_dedup(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+        state_partitions=8,
     )
     return deduped.groupBy("event_type").agg(
         F.count_distinct("event_id").alias("n_unique")
@@ -124,6 +130,7 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = run_to_memory_sink(
         stateful_user_totals(read_events_stream(spark, sf_dir)),
         output_mode="update",
+        state_partitions=8,
     )
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
