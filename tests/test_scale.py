@@ -193,3 +193,19 @@ def test_write_clustered_files_cover_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
     assert _sorted_rows(spark.read.parquet(path)) == _sorted_rows(src)
+
+
+def test_ensure_parallelism_conditional(spark):
+    """Repartitions a single-partition input up to default parallelism;
+    leaves an already-wide input untouched (no gratuitous shuffle)."""
+    from mie_spark.operators import ensure_parallelism
+
+    narrow = load_table(spark, SF, "documents")
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = ensure_parallelism(narrow)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert ensure_parallelism(wide) is wide
