@@ -408,3 +408,42 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         "day_offset",
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@query(
+    "ev_anomalies",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 6) AS value,
+           round((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE (e.value - s.mu) / s.sigma > 3
+    """,
+)
+def ev_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: per-type moments via one aggregate,
+    broadcast back against the event stream (the monitoring-rule
+    shape). The stats table is |event types| rows — always broadcast —
+    so flagging is a map-side pass over the events scan; both engines
+    compute mean/stddev with numerically stable one-pass updates and
+    the z-score is rounded after the comparison on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == stats.et)
+        .filter(z > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )

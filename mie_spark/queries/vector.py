@@ -197,3 +197,40 @@ def v_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id", F.round("sim", 6).alias("sim"))
     )
+
+
+@query("v_embed_corpus")
+def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch embedding generation over the documents corpus (reference
+    V5 at pipeline scale, embedding.go:572-613): the provider runs
+    inside an Arrow-batched pandas UDF, one batch per call — swap the
+    deterministic mock for an HTTP/ONNX provider and the plan is the
+    production embed job. Rows-only (the djb2-based mock is engine-
+    side); determinism and unit-norm are pinned in tests. Returns the
+    vector dimension and norm per doc, not the raw vectors, to keep the
+    driver's hash small and schema stable."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from mie_spark.embedding import MockEmbeddingProvider
+
+    # no type hints on purpose: `from __future__ import annotations`
+    # stringifies them, and the locally-imported `pd` alias is not
+    # resolvable at infer time — the explicit SCALAR eval type says it
+    @pandas_udf("array<double>", F.PandasUDFType.SCALAR)
+    def embed(texts):
+        provider = MockEmbeddingProvider(dimension=8)
+        return pd.Series(provider.embed(texts.tolist()))
+
+    from mie_spark.operators import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    emb = docs.select("doc_id", embed(F.col("text")).alias("emb"))
+    norm = F.sqrt(
+        F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return emb.select(
+        "doc_id",
+        F.size("emb").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+    )
