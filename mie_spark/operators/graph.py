@@ -211,3 +211,33 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def chain_motif(
+    edges: DataFrame,
+    hops: int,
+    distinct_nodes: bool = True,
+) -> DataFrame:
+    """Fixed-length path motif (n0)->(n1)->...->(n_hops): the generic
+    form of the reference's six hand-written 1-hop traversal modes
+    (pkg/tools/query.go:153-165). Each extension is an equi-join of the
+    edge table on the chain's tail — hops-1 shuffle joins, each keyed
+    on a node id, so AQE broadcast-demotes when the partial-path side
+    is small. distinct_nodes excludes cyclic repeats (the usual motif
+    semantics), applied as a final filter so Catalyst can push parts of
+    it into the joins.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    cur = edges.select(F.col("src").alias("n0"), F.col("dst").alias("n1"))
+    for i in range(1, hops):
+        step = edges.select(
+            F.col("src").alias(f"n{i}"), F.col("dst").alias(f"n{i + 1}")
+        )
+        cur = cur.join(step, f"n{i}")
+    if distinct_nodes:
+        cols = [f"n{i}" for i in range(hops + 1)]
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                cur = cur.filter(F.col(cols[i]) != F.col(cols[j]))
+    return cur.select(*[f"n{i}" for i in range(hops + 1)])

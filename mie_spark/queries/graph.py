@@ -391,3 +391,39 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_id = s.agg(F.min("s_suppkey")).first()[0]
     sources = spark.createDataFrame([(src_id,)], ["node"])
     return bfs(edges, sources, max_hops=12)
+
+
+@query(
+    "g_chain_motif",
+    oracle="""
+    WITH base AS (
+      SELECT s_suppkey AS u,
+             lead(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS nxt,
+             min(s_suppkey) OVER (PARTITION BY s_nationkey) AS mn
+      FROM supplier
+    ),
+    e AS (SELECT u AS src, coalesce(nxt, mn) AS dst FROM base)
+    SELECT a.src AS n0, a.dst AS n1, b.dst AS n2
+    FROM e a JOIN e b ON a.dst = b.src
+    WHERE a.src <> a.dst AND a.src <> b.dst AND a.dst <> b.dst
+    """,
+)
+def g_chain_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop path motif (a)->(b)->(c) with distinct nodes over the
+    supplier ring — the generic join-chain traversal the reference's
+    fixed graph modes special-case. The oracle is the same motif as
+    explicit SQL self-joins."""
+    s = load_table(spark, sf_dir, "supplier")
+    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    wp = Window.partitionBy("s_nationkey")
+    base = s.select(
+        F.col("s_suppkey").alias("u"),
+        F.lead("s_suppkey").over(wo).alias("nxt"),
+        F.min("s_suppkey").over(wp).alias("mn"),
+    )
+    edges = base.select(
+        F.col("u").alias("src"), F.coalesce("nxt", "mn").alias("dst")
+    )
+    from mie_spark.operators.graph import chain_motif
+
+    return chain_motif(edges, hops=2, distinct_nodes=True)
