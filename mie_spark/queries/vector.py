@@ -9,6 +9,7 @@ and carries no SQL oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -209,16 +210,14 @@ def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     side); determinism and unit-norm are pinned in tests. Returns the
     vector dimension and norm per doc, not the raw vectors, to keep the
     driver's hash small and schema stable."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from mie_spark.embedding import MockEmbeddingProvider
 
-    # no type hints on purpose: `from __future__ import annotations`
-    # stringifies them, and the locally-imported `pd` alias is not
-    # resolvable at infer time — the explicit SCALAR eval type says it
-    @pandas_udf("array<double>", F.PandasUDFType.SCALAR)
-    def embed(texts):
+    # pd is imported at module level so the stringified type hints
+    # (from __future__ annotations) resolve at eval-type inference
+    @pandas_udf("array<double>")
+    def embed(texts: pd.Series) -> pd.Series:
         provider = MockEmbeddingProvider(dimension=8)
         return pd.Series(provider.embed(texts.tolist()))
 
