@@ -447,3 +447,54 @@ def ev_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+@query(
+    "ev_unpivot",
+    oracle="""
+    WITH piv AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) FILTER (event_type = 'view') AS n_view,
+             count(*) FILTER (event_type = 'click') AS n_click,
+             count(*) FILTER (event_type = 'purchase') AS n_purchase,
+             count(*) FILTER (event_type NOT IN ('view','click','purchase'))
+               AS n_other
+      FROM events GROUP BY 1
+    )
+    SELECT day, kind, n FROM piv
+    UNPIVOT (n FOR kind IN (n_view, n_click, n_purchase, n_other))
+    """,
+)
+def ev_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse reshape of ev_pivot: the wide day ×
+    type matrix back to long (day, kind, n) rows. Spark's unpivot is a
+    zero-shuffle Expand over the already-aggregated matrix (4× the
+    matrix rows, never the raw events), matching DuckDB's UNPIVOT
+    clause. Wide-to-long is how reporting matrices re-enter relational
+    pipelines without a rescan of the source."""
+    ev = load_table(spark, sf_dir, "events")
+    known = ["view", "click", "purchase"]
+    piv = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.when(F.col("event_type").isin(known), F.col("event_type"))
+            .otherwise("other")
+            .alias("et"),
+        )
+        .groupBy("day")
+        .pivot("et", known + ["other"])
+        .count()
+    )
+    wide = piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
+            for c in known + ["other"]
+        ],
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=[f"n_{c}" for c in known + ["other"]],
+        variableColumnName="kind",
+        valueColumnName="n",
+    )
