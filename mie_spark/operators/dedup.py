@@ -144,14 +144,17 @@ def _signatures_from_shingles(
 ) -> DataFrame:
     """(doc, signature) from a (doc, shingles, n_sh) table.
 
-    Computed in a single Arrow-batched mapInPandas pass: shingles hash
-    to 31 bits (blake2b — deterministic across processes), then the
-    whole permutation family is one numpy broadcast
-    (num_hashes × total_shingles) with per-doc minimum.reduceat. Array
-    higher-order functions would express this JVM-side but run
-    *interpreted* (HOFs are outside whole-stage codegen) — measured ~10×
-    slower than the vectorized batch. No shuffle either way; signature
-    values are internal (candidates are exact-verified downstream).
+    Shingles are hashed JVM-side first — ``xxhash64`` over the string's
+    UTF-8 bytes (length-aware, so embedded NUL bytes and any unicode
+    hash consistently), folded into [0, M31). That makes the signature
+    a *pure function of the shingle set*: same shingles ⇒ same
+    signature, in any array context, in any process. The permutation
+    family is then one numpy broadcast (num_hashes × total_shingles)
+    with per-doc minimum over int64 — no string ever crosses into
+    Python. (Expressing the whole family as JVM array HOFs was measured
+    ~10× slower: HOFs run interpreted, outside whole-stage codegen.)
+    No shuffle either way; signature values are internal (candidates
+    are exact-verified downstream).
     """
     import random
     from collections.abc import Iterator
@@ -171,25 +174,27 @@ def _signatures_from_shingles(
         ]
     )
 
+    hashed = sh_df.select(
+        "doc",
+        F.transform(
+            "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+        ).alias("hs"),
+    )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         A = np.array(a_vec, dtype=np.int64)[:, None]
         B = np.array(b_vec, dtype=np.int64)[:, None]
 
         for pdf in it:
             docs_out, sigs_out = [], []
-            flat: list[str] = []
-            bounds = [0]
-            for shingles in pdf["shingles"]:
-                flat.extend(shingles)
-                bounds.append(len(flat))
-            if flat:
-                # vectorized 64-bit SipHash with pandas' fixed default
-                # key — deterministic across processes, ~100× faster
-                # than per-shingle hashlib calls in a Python loop.
-                # Signature hash choice is internal: candidates are
-                # exact-Jaccard-verified downstream either way.
-                h64 = pd.util.hash_array(np.asarray(flat, dtype=object))
-                hs = (h64 % _MERSENNE31).astype(np.int64)[None, :]
+            chunks = [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
+            bounds = np.zeros(len(chunks) + 1, dtype=np.int64)
+            if chunks:
+                np.cumsum([len(c) for c in chunks], out=bounds[1:])
+            if bounds[-1]:
+                hs = np.concatenate(chunks)[None, :]
+                # a,h < 2^31 ⇒ a*h + b < 2^62: no int64 overflow (the
+                # driver session runs ANSI mode, overflow is an error)
                 perms = (A * hs + B) % _MERSENNE31  # (num_hashes, total)
             for i, doc in enumerate(pdf["doc"]):
                 lo, hi = bounds[i], bounds[i + 1]
@@ -201,7 +206,7 @@ def _signatures_from_shingles(
                 sigs_out.append(sig.tolist())
             yield pd.DataFrame({"doc": docs_out, "signature": sigs_out})
 
-    return sh_df.select("doc", "shingles").mapInPandas(batches, schema=out_schema)
+    return hashed.mapInPandas(batches, schema=out_schema)
 
 
 def minhash_signatures(

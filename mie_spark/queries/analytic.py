@@ -356,11 +356,11 @@ def j8_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
       FROM orders GROUP BY 1
     )
     SELECT month, total_cents,
-           total_cents - lag(total_cents) OVER (ORDER BY month) AS delta_cents
+           (total_cents - lag(total_cents) OVER (ORDER BY month))::BIGINT AS delta_cents
     FROM m
     """,
 )
@@ -393,7 +393,7 @@ def w_lag_monthly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), ())

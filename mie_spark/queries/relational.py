@@ -235,10 +235,10 @@ def f6_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_stats_single_pass",
     oracle="""
     SELECT count(*)                                          AS total_orders,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_orders,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_orders,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_orders,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS open_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS finished_orders,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS pending_orders,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS urgent_orders,
            count(DISTINCT o_custkey)                         AS distinct_customers
     FROM orders
     """,

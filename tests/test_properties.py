@@ -108,10 +108,17 @@ def test_hex_prefix_comparison_is_numeric(bucket):
 # --- minhash: signature kernel invariants ------------------------------------
 
 def _mh_sig(shingles, num_hashes=16, seed=42):
+    """Model of operators/dedup._signatures_from_shingles: each shingle
+    hashes independently over its explicit UTF-8 bytes (length-aware —
+    embedded NULs are just bytes), folds to [0, M31), then the affine
+    permutation family takes per-component minima. The production
+    kernel uses JVM xxhash64 for the byte hash; the invariants under
+    test (purity, range, superset monotonicity) only need *a*
+    per-element length-aware hash, so the model uses blake2b."""
+    import hashlib
     import random
 
     import numpy as np
-    import pandas as pd
 
     M31 = (1 << 31) - 1
     rng = random.Random(seed)
@@ -123,7 +130,16 @@ def _mh_sig(shingles, num_hashes=16, seed=42):
     )[:, None]
     if not shingles:
         return np.full(num_hashes, M31, dtype=np.int64)
-    h64 = pd.util.hash_array(np.asarray(list(shingles), dtype=object))
+    h64 = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            for s in shingles
+        ],
+        dtype=np.uint64,
+    )
     hs = (h64 % M31).astype(np.int64)[None, :]
     return ((A * hs + B) % M31).min(axis=1)
 
