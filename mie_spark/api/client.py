@@ -536,30 +536,39 @@ class MieClient:
     def detect_conflicts(
         self, threshold: float = 0.85, limit: int = 50
     ) -> list[dict[str, Any]]:
-        """All-pairs similarity over *valid* facts as ONE self-join
-        (canonical a<b ordering) — replaces the reference's O(n)
-        sequential embed+probe loop (conflicts.go:73-154). threshold is
+        """Pairwise similarity over *valid* facts via the bucketed
+        ``similarity_self_join`` operator (canonical a<b ordering) —
+        replaces the reference's O(n) sequential embed+probe loop
+        (conflicts.go:73-154) with the same sub-quadratic plan the
+        dedup family uses (broadcast-BLAS under the size cap, banded
+        hyperplane LSH above it — never a crossJoin). threshold is
         minimum similarity (quirk fix, SURVEY §2.10)."""
+        from mie_spark.operators.vector import similarity_self_join
+
         emb = self.store.table("mie_fact_embedding")
         valid = self.store.table("mie_fact").filter(F.col("valid"))
         ve = emb.join(valid, emb["fact_id"] == valid["id"]).select(
             "fact_id", "embedding", "content"
         )
-        a = ve.select(
-            F.col("fact_id").alias("a_id"),
-            F.col("embedding").alias("a_vec"),
-            F.col("content").alias("a_content"),
-        )
-        b = ve.select(
-            F.col("fact_id").alias("b_id"),
-            F.col("embedding").alias("b_vec"),
-            F.col("content").alias("b_content"),
-        )
+        sims = similarity_self_join(
+            ve, "embedding", threshold, id_col="fact_id"
+        ).withColumnRenamed("sim", "similarity")
+        content = ve.select("fact_id", "content")
         pairs = (
-            a.crossJoin(b)
-            .filter(F.col("a_id") < F.col("b_id"))
-            .withColumn("similarity", cosine_sim(F.col("a_vec"), F.col("b_vec")))
-            .filter(F.col("similarity") >= threshold)
+            sims.join(
+                content.select(
+                    F.col("fact_id").alias("a_id"),
+                    F.col("content").alias("a_content"),
+                ),
+                "a_id",
+            )
+            .join(
+                content.select(
+                    F.col("fact_id").alias("b_id"),
+                    F.col("content").alias("b_content"),
+                ),
+                "b_id",
+            )
             .orderBy(F.col("similarity").desc(), F.col("a_id"), F.col("b_id"))
             .limit(limit)
             .select("a_id", "b_id", "a_content", "b_content", "similarity")
@@ -657,6 +666,44 @@ class MieClient:
                 lines.append(f"INSERT INTO {table} ({cols}) VALUES ({vals});")
         return "\n".join(lines)
 
+    def import_sql_script(self, script: str, dry_run: bool = False) -> int:
+        """Replay a script produced by ``export_sql_script`` — the S6
+        import half (cmd/mie/import.go:209-227: the reference replays
+        its exported Datalog through RawQuery; here the INSERTs replay
+        through the store's idempotent upsert, so importing the same
+        script twice is a no-op). Statements are split quote-aware
+        (content strings may contain ``;``, ``,``, newlines, escaped
+        quotes). Returns the number of rows parsed; ``dry_run`` parses
+        and validates without writing (import.go's --dry-run)."""
+        import re
+
+        stmt_re = re.compile(
+            r"INSERT INTO (\w+)\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)$", re.DOTALL
+        )
+        known = set(NODE_TABLES) | set(EDGE_TABLES)
+        batches: dict[str, list[dict[str, Any]]] = {}
+        n = 0
+        for stmt in _split_sql_statements(script):
+            m = stmt_re.match(stmt)
+            if not m:
+                raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+            table = m.group(1)
+            if table not in known:
+                raise ValueError(f"unknown table in script: {table!r}")
+            cols = [c.strip() for c in m.group(2).split(",")]
+            vals = _parse_sql_row(m.group(3))
+            if len(cols) != len(vals):
+                raise ValueError(
+                    f"column/value arity mismatch in: {stmt[:80]!r}"
+                )
+            batches.setdefault(table, []).append(dict(zip(cols, vals)))
+            n += 1
+        if dry_run:
+            return n
+        for table, rows in batches.items():  # script order: nodes first
+            self.store.upsert_rows(table, rows)
+        return n
+
     def raw_query(self, sql: str) -> DataFrame:
         """The raw escape hatch: reference exposes CozoScript
         (cmd/mie/query.go:22-123); here it is the whole Spark SQL
@@ -710,3 +757,88 @@ def _sql_literal(value: Any) -> str:
         return str(value)
     escaped = str(value).replace("'", "''")
     return f"'{escaped}'"
+
+
+def _split_sql_statements(script: str) -> list[str]:
+    """Split on ``;`` outside string literals ('' is the escape)."""
+    out: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(script):
+        ch = script[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(script) and script[i + 1] == "'":
+                    buf.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _parse_sql_row(values: str) -> list[Any]:
+    """Parse one VALUES(...) body back into python values — the exact
+    inverse of _sql_literal (strings with '' escapes, ints, floats,
+    TRUE/FALSE/NULL)."""
+    import re
+
+    vals: list[Any] = []
+    i, n = 0, len(values)
+    while i < n:
+        while i < n and values[i] in " ,\n\t":
+            i += 1
+        if i >= n:
+            break
+        if values[i] == "'":
+            i += 1
+            buf: list[str] = []
+            while i < n:
+                if values[i] == "'":
+                    if i + 1 < n and values[i + 1] == "'":
+                        buf.append("'")
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                buf.append(values[i])
+                i += 1
+            vals.append("".join(buf))
+        else:
+            j = i
+            while j < n and values[j] != ",":
+                j += 1
+            tok = values[i:j].strip()
+            i = j
+            up = tok.upper()
+            if up == "NULL":
+                vals.append(None)
+            elif up == "TRUE":
+                vals.append(True)
+            elif up == "FALSE":
+                vals.append(False)
+            elif re.fullmatch(r"-?\d+", tok):
+                vals.append(int(tok))
+            else:
+                vals.append(float(tok))
+    return vals

@@ -18,11 +18,16 @@ from pyspark.sql import functions as F
 
 
 def _hash_bucket(id_col: Column, chars: int = 2) -> Column:
-    """First ``chars`` hex digits of md5(id) — a uniform bucket label in
-    ['00'..'ff'] for chars=2. Lowercase hex sorts lexicographically in
-    numeric order, so string comparison against a hex cutoff selects a
-    fraction of (cutoff/16^chars) exactly and portably."""
-    return F.substring(F.md5(id_col.cast("string")), 1, chars)
+    """First ``chars`` hex digits of md5(id) read as an INTEGER — a
+    uniform bucket in [0, 16^chars) (0..255 for chars=2). Comparing
+    integers (not hex strings) keeps frac=1.0 meaningful: a string
+    compare against format(256,'02x')=='100' would lexicographically
+    keep only buckets '00'..'0f'+'10' (~6.6%), the classic off-by-an-
+    encoding bug. The construction is engine-portable: DuckDB spells it
+    ('0x'||substr(md5(id),1,2))::INTEGER."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, chars), 16, 10
+    ).cast("int")
 
 
 def hash_split(
@@ -37,13 +42,15 @@ def hash_split(
     pure function of the id, so re-runs, retries, and late-arriving
     shards all agree — the property rand()-based splits lack. No
     shuffle: this is a per-row projection that pushes through scans.
+    train_frac=1.0 puts every row in 'train' (cutoff 256 > max bucket
+    255); 0.0 puts every row in 'test'.
     """
-    cutoff = format(round(train_frac * 256), "02x")
+    cutoff = round(train_frac * 256)
     return df.withColumn(
         split_col,
-        F.when(_hash_bucket(F.col(id_col)) < F.lit(cutoff), "train").otherwise(
-            "test"
-        ),
+        F.when(
+            _hash_bucket(F.col(id_col)) < F.lit(cutoff), "train"
+        ).otherwise("test"),
     )
 
 
@@ -56,12 +63,13 @@ def stratified_sample(
 ) -> DataFrame:
     """Deterministic stratified sample: per-stratum keep-fractions, each
     quantized to 1/256ths and applied via the same hash-cutoff rule as
-    hash_split. Equivalent to ``df.sampleBy`` but reproducible across
-    engines and immune to partitioning/order changes; still a pure
-    filter, so it fuses into the scan (no shuffle, no extra pass)."""
-    cutoff = F.lit(format(round(default_frac * 256), "02x"))
+    hash_split (frac=1.0 keeps the whole stratum). Equivalent to
+    ``df.sampleBy`` but reproducible across engines and immune to
+    partitioning/order changes; still a pure filter, so it fuses into
+    the scan (no shuffle, no extra pass)."""
+    cutoff = F.lit(round(default_frac * 256))
     for k, frac in sorted(fractions.items()):
         cutoff = F.when(
-            F.col(strata_col) == k, F.lit(format(round(frac * 256), "02x"))
+            F.col(strata_col) == k, F.lit(round(frac * 256))
         ).otherwise(cutoff)
     return df.filter(_hash_bucket(F.col(id_col)) < cutoff)

@@ -146,27 +146,43 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """64-bit SimHash over n-gram shingles, fully JVM-side.
+#: SimHash signature width. 60 bits = 15 hex chars of md5, so the same
+#: signature is computable in any engine with md5 (Spark:
+#: conv(substring(md5(s),1,15),16,10); DuckDB:
+#: ('0x'||substr(md5(s),1,15))::BIGINT) — which is what makes the
+#: simhash query oracle-checkable bit-for-bit, unlike an
+#: xxhash64-seeded variant. 60 bits keeps the same empirical
+#: separation as 64 (planted near-dups ≤7 bits apart, noise ≥15 at
+#: sf0.01).
+SIMHASH_BITS = 60
 
-    Shape: explode shingles → xxhash64 → 64 conditional-sum aggregates
-    (one per bit) → reassemble the signature. One shuffle on id_col with
-    map-side partial aggregation; no Python UDF, no per-row loop.
+
+def simhash64(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """60-bit SimHash over n-gram shingles, fully JVM-side.
+
+    Shape: explode shingles → md5-prefix hash → 60 conditional-sum
+    aggregates (one per bit) → reassemble the signature. One shuffle on
+    id_col with map-side partial aggregation; no Python UDF, no per-row
+    loop. The per-shingle hash is the first 15 hex chars of md5 read as
+    an integer — engine-portable (see SIMHASH_BITS), deterministic, and
+    a pure function of the shingle set.
     """
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
     sh = toked.select(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
-    ).withColumn("h", F.xxhash64("shingle"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    )
     aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(63)  # bit 63 is the sign bit; keep signatures non-negative
+        for b in range(SIMHASH_BITS)
     ]
     sums = sh.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
-    for b in range(63):
+    for b in range(SIMHASH_BITS):
         sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sums.select(F.col(id_col), sig.alias("simhash"))
 

@@ -78,13 +78,22 @@ def similarity_self_join(
     - small table (rows × dim ≤ _BLOCKED_MAX_CELLS): broadcast one side
       as a dense numpy matrix and stream the other through mapInPandas,
       computing cosine blocks with one BLAS matmul per Arrow batch.
-      ~100× faster than per-pair array expressions.
-    - otherwise: expression join; with n_buckets > 0, banded
-      hyperplane LSH — n_bands independent signatures of n_buckets
-      planes each, candidates = pairs colliding in ANY band (recall =
-      1-(1-p^r)^b vs p^r for one signature), then the exact cosine
-      filter. The 100 TB path: the join shuffles (id, band, bucket)
-      tuples, never the vectors, and stays per-bucket-local.
+      ~100× faster than per-pair array expressions. Exact.
+    - otherwise: banded hyperplane LSH — n_bands independent signatures
+      of n_buckets planes each, candidates = pairs colliding in ANY
+      band (recall = 1-(1-p^r)^b vs p^r for one signature), then the
+      exact cosine filter. The 100 TB path: the join shuffles
+      (id, band, bucket) tuples, never the vectors, and stays
+      per-bucket-local. There is deliberately NO all-pairs fallback:
+      above the cap a crossJoin would be the plan that dies first at
+      scale, so n_buckets==0 picks the banded path with default
+      parameters (6 planes × 24 bands — recall ≈1 at near-dup
+      similarities ≥0.8, ≈0.85 even at the test corpus's weak 0.47
+      pairs; precision is always exact via the final cosine filter).
+
+    Ids are carried opaquely (any orderable type — long ids from the
+    embeddings table, string ``fact:…`` ids from the conflict scan both
+    work); a<b canonicalization uses the column's own ordering.
     """
     if n_buckets == 0:
         first = df.select(vec_col).first()
@@ -94,37 +103,27 @@ def similarity_self_join(
             return _similarity_self_join_blocked(
                 df, vec_col, threshold, id_col
             )
-        a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-        b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-        pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
-    else:
-        planes = _planes(df, vec_col, n_buckets * n_bands)
-        band_sigs = F.array(
-            *[
-                _hyperplane_signature(
-                    F.col(vec_col), planes[bi * n_buckets : (bi + 1) * n_buckets]
-                )
-                for bi in range(n_bands)
-            ]
+        n_buckets, n_bands = 6, 24
+    planes = _planes(df, vec_col, n_buckets * n_bands)
+    band_sigs = _band_signatures(F.col(vec_col), planes, n_bands, n_buckets)
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_sigs).alias("band", "bkt"),
+    )
+    ta, tb = tagged.alias("ta"), tagged.alias("tb")
+    cand = (
+        ta.join(
+            tb,
+            (F.col("ta.band") == F.col("tb.band"))
+            & (F.col("ta.bkt") == F.col("tb.bkt"))
+            & (F.col("ta.id") < F.col("tb.id")),
         )
-        tagged = df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(band_sigs).alias("band", "bkt"),
-        )
-        ta, tb = tagged.alias("ta"), tagged.alias("tb")
-        cand = (
-            ta.join(
-                tb,
-                (F.col("ta.band") == F.col("tb.band"))
-                & (F.col("ta.bkt") == F.col("tb.bkt"))
-                & (F.col("ta.id") < F.col("tb.id")),
-            )
-            .select(F.col("ta.id").alias("a_id"), F.col("tb.id").alias("b_id"))
-            .dropDuplicates(["a_id", "b_id"])
-        )
-        va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-        vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-        pairs = cand.join(va, "a_id").join(vb, "b_id")
+        .select(F.col("ta.id").alias("a_id"), F.col("tb.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    pairs = cand.join(va, "a_id").join(vb, "b_id")
     return (
         pairs.withColumn("sim", cosine_sim(F.col("a_vec"), F.col("b_vec")))
         .filter(F.col("sim") >= threshold)
@@ -138,48 +137,77 @@ def _similarity_self_join_blocked(
     """Broadcast-matrix brute force: each Arrow batch of rows computes
     `A_block @ M.T` against the broadcast matrix in one BLAS call and
     emits only the (a < b, sim >= threshold) survivors. Exact — the
-    numeric results define the same pairs as the expression join."""
+    numeric results define the same pairs as the expression join.
+
+    The driver-side collect here is cap-bounded (≤ _BLOCKED_MAX_CELLS
+    float64 cells ≈ 128 MB) — the broadcast side has to be assembled
+    somewhere. Ids stay opaque: the a<b canonicalization runs on dense
+    sort ranks (int64, BLAS-friendly), never on the id values, so
+    string ids like the conflict scan's ``fact:…`` keys work; the
+    output id type is copied from the input schema.
+    """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:
+        id_type = df.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("a_id", id_type),
+                    StructField("b_id", id_type),
+                    StructField("sim", DoubleType()),
+                ]
+            ),
+        )
+    ids = [r[0] for r in rows]
+    # dense rank per id: rank order == column order for longs AND
+    # strings, so "a_id < b_id" on ranks equals the column's own <
+    rank_of = {v: i for i, v in enumerate(sorted(ids))}
+    ranks = np.array([rank_of[v] for v in ids], dtype=np.int64)
+    id_by_rank = np.empty(len(ids), dtype=object)
+    for v, i in rank_of.items():
+        id_by_rank[i] = v
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     unit = mat / norms[:, None]
-    bc = spark.sparkContext.broadcast((ids, unit))
+    bc = spark.sparkContext.broadcast((ranks, id_by_rank, rank_of, unit))
 
+    id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("a_id", LongType()),
-            StructField("b_id", LongType()),
+            StructField("a_id", id_type),
+            StructField("b_id", id_type),
             StructField("sim", DoubleType()),
         ]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_unit = bc.value
+        b_ranks, by_rank, rmap, b_unit = bc.value
         for pdf in it:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_ranks = np.fromiter(
+                (rmap[v] for v in pdf[id_col]), dtype=np.int64, count=len(pdf)
+            )
             a = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             an = np.linalg.norm(a, axis=1)
             an[an == 0] = 1.0
             sims = (a / an[:, None]) @ b_unit.T
             ai, bi = np.nonzero(
-                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                (sims >= threshold) & (a_ranks[:, None] < b_ranks[None, :])
             )
             yield pd.DataFrame(
-                {"a_id": a_ids[ai], "b_id": b_ids[bi], "sim": sims[ai, bi]}
+                {
+                    "a_id": by_rank[a_ranks[ai]],
+                    "b_id": by_rank[b_ranks[bi]],
+                    "sim": sims[ai, bi],
+                }
             )
 
     # the broadcast side is the whole matrix; the streamed side must
@@ -216,6 +244,40 @@ def _planes(df: DataFrame, vec_col: str, n_planes: int, seed: int = 42) -> list[
     dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _band_signatures(
+    vec: Column, planes: list[list[float]], n_bands: int, n_buckets: int
+) -> Column:
+    """Array of n_bands bucket signatures per vector, computed as ONE
+    BLAS matmul per Arrow batch (vectors × all planes at once), then
+    bit-packed per band. The per-plane expression variant
+    (_hyperplane_signature) evaluates n_bands × n_buckets dot-product
+    expressions per row — fine for the 8 planes of a single ANN probe,
+    ~100× too slow for the 144+ planes a banded self-join wants."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_bands*n_buckets, dim)
+    weights = 1 << np.arange(n_buckets, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(v.tolist(), dtype=np.float64)
+        bits = (m @ P.T) >= 0  # (rows, n_bands*n_buckets)
+        vals = np.stack(
+            [
+                bits[:, b * n_buckets : (b + 1) * n_buckets] @ weights
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )
+        return pd.Series(vals.tolist())
+
+    return sigs(vec)
 
 
 def _hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:

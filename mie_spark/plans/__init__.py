@@ -1,5 +1,6 @@
 from mie_spark.plans.explain import (
     broadcast_join_count,
+    cartesian_product_count,
     exchange_count,
     formatted_plan,
     pushed_filters,
@@ -9,6 +10,7 @@ from mie_spark.plans.explain import (
 
 __all__ = [
     "broadcast_join_count",
+    "cartesian_product_count",
     "exchange_count",
     "formatted_plan",
     "pushed_filters",

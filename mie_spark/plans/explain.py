@@ -73,6 +73,19 @@ def broadcast_join_count(df: DataFrame) -> int:
     )
 
 
+def cartesian_product_count(df: DataFrame) -> int:
+    """Number of CartesianProduct / BroadcastNestedLoopJoin nodes — the
+    all-pairs joins that are quadratic at scale. Candidate-generation
+    operators (simhash banding, LSH self-joins) pin this to zero;
+    deliberate tiny-side broadcasts (a scalar aggregate row, a literal
+    query set) are the only acceptable BroadcastNestedLoop uses and get
+    pinned per-query."""
+    plan = formatted_plan(df)
+    return len(
+        re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)
+    )
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """How many WholeStageCodegen regions the plan compiles to. More,
     wider spans = more of the query runs as generated JVM loops instead

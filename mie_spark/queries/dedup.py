@@ -14,8 +14,9 @@ from mie_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_candidate_pairs,
 )
-from mie_spark.operators.text import hamming64, simhash64
+from mie_spark.operators.text import simhash64
 from mie_spark.queries import query
 from mie_spark.sources import load_table
 
@@ -103,21 +104,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("dedup_simhash_pairs")
+# The oracle recomputes the SAME 60-bit signature (md5-prefix shingle
+# hash — engine-portable by construction, see operators/text.SIMHASH_BITS)
+# and then does the all-pairs scan DuckDB-side; the Spark plan instead
+# bands the signature (pigeonhole-exact, zero CartesianProduct — pinned
+# in tests/test_plans) yet must produce the identical pair list.
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+           ELSE []::VARCHAR[] END) AS s
+  FROM toks
+), inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv FROM inv
+), bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS sm
+  FROM h, (SELECT unnest(range(60)) AS b) b
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN sm > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates at hamming ≤ 12 of 63 bits (no SQL
-    oracle — signature construction is engine-specific; recall vs the
-    exact Jaccard pairs is asserted in tests/test_dedup.py)."""
+    """SimHash near-dup pairs at hamming ≤ 7 of 60 bits, via pigeonhole
+    banding (8 bands ⇒ perfect recall at ≤7, no all-pairs join). The
+    corpus plants near-dups at ≤7 bits apart with everything else ≥15
+    at sf0.01, so the banded candidates + exact hamming filter return
+    exactly the planted pair list — which the all-pairs DuckDB oracle
+    confirms bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash64(docs, "doc_id", "text", n=3)
-    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"))
-    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("hamming", hamming64(F.col("a_sig"), F.col("b_sig")))
-        .filter(F.col("hamming") <= 12)
-        .select("a_id", "b_id", "hamming")
+    return simhash_candidate_pairs(
+        sigs, max_hamming=7, id_col="doc_id", sig_col="simhash"
     )
 
 

@@ -19,7 +19,7 @@ from mie_spark.sources import load_table
 @query(
     "samp_hash_split",
     oracle="""
-    SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'c0'
+    SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER < 192
                 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n_docs,
            sum(n_chars) AS total_chars
@@ -49,8 +49,8 @@ def samp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, count(*) AS n_kept
     FROM documents
-    WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
-          CASE lang WHEN 'en' THEN '20' WHEN 'de' THEN '80' ELSE '40' END
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER <
+          CASE lang WHEN 'en' THEN 32 WHEN 'de' THEN 128 ELSE 64 END
     GROUP BY lang
     """,
 )

@@ -212,14 +212,33 @@ def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash small and schema stable."""
     from pyspark.sql.functions import pandas_udf
 
-    from mie_spark.embedding import MockEmbeddingProvider
-
+    # The provider mock is INLINED rather than imported from
+    # mie_spark.embedding: cloudpickle ships closure-local defs by
+    # value, but a module-level class only by reference — and the
+    # grading driver's workers don't have mie_spark on PYTHONPATH
+    # (same djb2 + L2-normalize as embedding.py:40-65, pinned equal in
+    # tests/test_vector.py::test_embed_corpus_matches_provider).
     # pd is imported at module level so the stringified type hints
     # (from __future__ annotations) resolve at eval-type inference
     @pandas_udf("array<double>")
     def embed(texts: pd.Series) -> pd.Series:
-        provider = MockEmbeddingProvider(dimension=8)
-        return pd.Series(provider.embed(texts.tolist()))
+        import math
+
+        u64 = (1 << 64) - 1
+        dim = 8
+
+        def one(text: str) -> list[float]:
+            h = 5381
+            for ch in text:
+                h = (((h << 5) & u64) + h + ord(ch)) & u64
+            vec = [
+                float((h + i * 7919) % 10000) / 10000.0 * 2.0 - 1.0
+                for i in range(dim)
+            ]
+            n = math.sqrt(sum(x * x for x in vec)) or 1.0
+            return [x / n for x in vec]
+
+        return pd.Series([one(t) for t in texts])
 
     from mie_spark.operators import ensure_parallelism
 
@@ -228,8 +247,11 @@ def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(
         F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # c0 exposes actual vector content so the inline mock can't drift
+    # from mie_spark.embedding unnoticed (dim/norm alone wouldn't)
     return emb.select(
         "doc_id",
         F.size("emb").alias("dim"),
         F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at("emb", 1), 6).alias("c0"),
     )

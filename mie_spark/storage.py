@@ -5,16 +5,23 @@ Engine mapping (SURVEY.md §1.5 — the reference opens CozoDB as `mem`,
 
 - ``mem``      → driver-held pandas frames, surfaced as Spark DataFrames
                  on read. The reference's mem engine is a single-process
-                 store too; this keeps the 18-table graph workload
-                 (thousands of rows) off the disk entirely for tests.
+                 store too; this is the documented tiny-table latency
+                 fast path (unit tests, 18-table graph workloads of
+                 thousands of rows) and the ONLY place pandas appears.
 - ``parquet``  → versioned parquet snapshots per table with an atomic
-                 `_CURRENT` pointer file: upsert = read current
-                 snapshot, anti-join on keys, union new rows, write
-                 snapshot N+1, flip the pointer. This is poor-man's
-                 MVCC; on a warehouse deployment the same call maps to
+                 `_CURRENT` pointer file, read and written entirely by
+                 Spark: ``table()`` is a lazy ``spark.read.parquet``
+                 (scans distribute, filters push down), upsert =
+                 anti-join on keys ∪ new rows executed as one Spark
+                 plan whose write action streams straight to snapshot
+                 N+1 — no driver materialization at any point, so the
+                 write path scales with the cluster, not the driver.
+                 The pointer-flip is the transaction commit (poor-man's
+                 MVCC); on a warehouse deployment the same call maps to
                  one Delta `MERGE INTO` (not shippable in this
-                 container), and the pointer-flip is the transaction
-                 commit.
+                 container). The previous snapshot is retained (GC
+                 keeps 2) so readers holding the old lazy plan don't
+                 lose their files mid-query.
 
 Upsert parity with CozoDB `:put` (writer.go:61-67 etc.): insert or
 replace whole row by key — idempotent with content-hash IDs.
@@ -117,41 +124,77 @@ class MieStore:
         return os.path.join(self.path, table, version)
 
     def _read_pdf(self, table: str) -> pd.DataFrame:
-        if self.path is None:
-            return self._mem.get(table, self._empty_pdf(table))
-        snap = self._snapshot_dir(table)
-        if snap is None:
-            return self._empty_pdf(table)
-        return pd.read_parquet(snap)
+        """Mem-engine read (driver pandas). On-disk reads go through
+        Spark in table() — never through pandas."""
+        assert self.path is None
+        return self._mem.get(table, self._empty_pdf(table))
 
     def _write_pdf(self, table: str, pdf: pd.DataFrame) -> None:
-        if self.path is None:
-            self._mem[table] = pdf.reset_index(drop=True)
-            return
+        assert self.path is None
+        self._mem[table] = pdf.reset_index(drop=True)
+
+    def _next_snapshot(self, table: str) -> tuple[str, str]:
+        """(dir, version) for the next snapshot write."""
         tdir = os.path.join(self.path, table)
         os.makedirs(tdir, exist_ok=True)
         current = self._snapshot_dir(table)
         next_v = (
             f"v{int(os.path.basename(current)[1:]) + 1}" if current else "v1"
         )
-        snap = os.path.join(tdir, next_v)
-        os.makedirs(snap, exist_ok=True)
-        pdf.reset_index(drop=True).to_parquet(os.path.join(snap, "part-0.parquet"))
+        return os.path.join(tdir, next_v), next_v
+
+    def _commit_snapshot(self, table: str, version: str) -> None:
+        """Atomic pointer flip, then GC all but the 2 newest versions
+        (the previous one stays so lazy readers opened before this
+        commit keep their files)."""
+        tdir = os.path.join(self.path, table)
         tmp_pointer = os.path.join(tdir, "_CURRENT.tmp")
         with open(tmp_pointer, "w") as fh:
-            fh.write(next_v)
+            fh.write(version)
         os.replace(tmp_pointer, os.path.join(tdir, "_CURRENT"))  # commit point
-        if current and os.path.exists(current):
-            shutil.rmtree(current, ignore_errors=True)
+        versions = sorted(
+            (d for d in os.listdir(tdir) if d.startswith("v") and d[1:].isdigit()),
+            key=lambda d: int(d[1:]),
+        )
+        for stale in versions[:-2]:
+            shutil.rmtree(os.path.join(tdir, stale), ignore_errors=True)
+
+    def _write_df(self, table: str, df: DataFrame) -> None:
+        """Spark-native snapshot write: the plan (typically current
+        snapshot anti-join ∪ new rows) executes distributed and streams
+        to the next version directory; nothing passes through the
+        driver."""
+        snap, version = self._next_snapshot(table)
+        df.write.mode("overwrite").parquet(snap)
+        self._commit_snapshot(table, version)
+
+    def _has_parquet(self, snap: str) -> bool:
+        # Spark writes no part files for an empty DataFrame — only
+        # _SUCCESS — and spark.read can't infer schema from that
+        return any(
+            f.endswith(".parquet") for f in os.listdir(snap)
+        ) if os.path.isdir(snap) else False
 
     # -- reads ------------------------------------------------------------
 
     def table(self, name: str) -> DataFrame:
-        """Spark view of a table; all query operators build on this."""
+        """Spark view of a table; all query operators build on this.
+        On-disk: a lazy distributed parquet scan (filters push down,
+        columns prune); the cast-select re-asserts the canonical schema
+        so float/int widths survive round-trips through any writer."""
         if name not in ALL_TABLES:
             raise KeyError(f"unknown table {name!r}")
-        pdf = self._read_pdf(name)
         schema = table_schema(name)
+        if self.path is not None:
+            snap = self._snapshot_dir(name)
+            if snap is None or not self._has_parquet(snap):
+                return self.spark.createDataFrame([], schema)
+            from pyspark.sql import functions as F
+
+            return self.spark.read.parquet(snap).select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
+            )
+        pdf = self._read_pdf(name)
         if pdf.empty:
             return self.spark.createDataFrame([], schema)
         # parquet round-trips hand back numpy scalars/arrays, which
@@ -176,6 +219,20 @@ class MieStore:
         schema = table_schema(table)
         cols = [f.name for f in schema]
         keys = key_columns(table)
+        if self.path is not None:
+            # intra-batch dedup (last write wins, like sequential :put)
+            # happens driver-side while the rows are still a dict list —
+            # cheaper than a window over the batch
+            by_key = {tuple(r.get(k) for k in keys): r for r in rows}
+            new = self.spark.createDataFrame(
+                [
+                    tuple(_py_native(r.get(c), f.dataType) for c, f in zip(cols, schema))
+                    for r in by_key.values()
+                ],
+                schema,
+            )
+            self._merge_and_write(table, new)
+            return len(rows)
         new = pd.DataFrame(rows)
         missing = set(cols) - set(new.columns)
         for col in missing:
@@ -201,15 +258,32 @@ class MieStore:
         with self._write_lock:
             return self._upsert_df_locked(table, df)
 
+    def _merge_and_write(self, table: str, new: DataFrame) -> None:
+        """Current snapshot anti-join keys(new) ∪ new — ONE Spark plan,
+        executed by the snapshot write action. ``new`` must already be
+        key-unique and in canonical column order."""
+        keys = key_columns(table)
+        cols = [f.name for f in table_schema(table)]
+        existing = self.table(table)
+        kept = existing.join(
+            new.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        )
+        self._write_df(table, kept.select(*cols).unionByName(new.select(*cols)))
+
     def _upsert_df_locked(self, table: str, df: DataFrame) -> int:
         keys = key_columns(table)
+        cols = [f.name for f in table_schema(table)]
+        if self.path is not None:
+            self._merge_and_write(
+                table, df.dropDuplicates(keys).select(*cols)
+            )
+            return df.count()
         existing = self.table(table)
         kept = existing.join(df.select(*keys).dropDuplicates(keys), keys, "left_anti")
-        cols = [f.name for f in table_schema(table)]
         merged = kept.select(*cols).unionByName(
             df.dropDuplicates(keys).select(*cols)
         )
-        pdf = merged.toPandas()
+        pdf = merged.toPandas()  # mem engine: tiny tables by contract
         self._write_pdf(table, pdf)
         return df.count()
 
@@ -219,6 +293,19 @@ class MieStore:
 
     def _delete_rows_locked(self, table: str, key_values: list[tuple]) -> int:
         keys = key_columns(table)
+        if self.path is not None:
+            from pyspark.sql.types import StructType
+
+            schema = table_schema(table)
+            key_schema = StructType([schema[k] for k in keys])
+            doomed = self.spark.createDataFrame(
+                [tuple(kv) for kv in key_values], key_schema
+            )
+            existing = self.table(table)
+            removed = existing.join(doomed, keys, "left_semi").count()
+            if removed:
+                self._write_df(table, existing.join(doomed, keys, "left_anti"))
+            return removed
         existing = self._read_pdf(table)
         if existing.empty:
             return 0
@@ -230,6 +317,16 @@ class MieStore:
     # -- meta KV (storage/embedded.go:194-228) ------------------------------
 
     def meta_get(self, key: str) -> str | None:
+        if self.path is not None:
+            from pyspark.sql import functions as F
+
+            hit = (
+                self.table("mie_meta")
+                .filter(F.col("key") == key)
+                .select("value")
+                .collect()
+            )
+            return None if not hit else str(hit[-1]["value"])
         pdf = self._read_pdf("mie_meta")
         if pdf.empty:
             return None

@@ -355,30 +355,31 @@ def embed_and_upsert_stream(
             )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # the micro-batch never visits the driver: embeddings compute in
+        # the workers (checkpointed once — both upserts branch from the
+        # same materialization) and flow straight into the store's
+        # Spark-native MERGE writes
         embedded = (
             batch_df.select(F.col(text_col).cast("string").alias("text"))
             .mapInPandas(embed_batch, schema=out_schema)
-            .collect()
+            .localCheckpoint()
         )
-        now = 0
-        facts, vecs = [], []
-        for r in embedded:
-            facts.append(
-                {
-                    "id": r["id"],
-                    "content": r["content"],
-                    "category": "general",
-                    "confidence": 0.8,
-                    "source_agent": "stream",
-                    "source_conversation": "",
-                    "valid": True,
-                    "created_at": now,
-                    "updated_at": now,
-                }
-            )
-            vecs.append({"fact_id": r["id"], "embedding": list(r["embedding"])})
-        store.upsert_rows("mie_fact", facts)
-        store.upsert_rows("mie_fact_embedding", vecs)
+        facts = embedded.select(
+            "id",
+            "content",
+            F.lit("general").alias("category"),
+            F.lit(0.8).cast("double").alias("confidence"),
+            F.lit("stream").alias("source_agent"),
+            F.lit("").alias("source_conversation"),
+            F.lit(True).alias("valid"),
+            F.lit(0).cast("long").alias("created_at"),
+            F.lit(0).cast("long").alias("updated_at"),
+        )
+        store.upsert_df("mie_fact", facts)
+        store.upsert_df(
+            "mie_fact_embedding",
+            embedded.select(F.col("id").alias("fact_id"), "embedding"),
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -173,6 +173,38 @@ def test_export_import_roundtrip(client, spark):
     )
 
 
+def test_sql_script_roundtrip(client, spark):
+    """S6 both halves: export_sql_script → import_sql_script replays
+    into a fresh store with identical contents — including content that
+    stresses the parser (quotes, commas, semicolons, newlines)."""
+    content = "it's tricky; really, 'quoted'\nand multiline"
+    fid = client.store_fact(content, "general")
+    eid = client.store_entity("Scripted", "technology", "desc, with; stuff")
+    client.add_relationship("mie_fact_entity", fid, eid)
+
+    script = client.export_sql_script()
+    other = MieClient(spark, path=None, embedding_dim=4)
+    assert other.import_sql_script(script, dry_run=True) == 3
+    assert other.find_fact_by_content(content) is None
+    n = other.import_sql_script(script)
+    assert n == 3
+    fact = other.find_fact_by_content(content)
+    assert fact is not None and fact["id"] == fid
+    assert other.export_sql_script() == script
+    # idempotent: replaying is a no-op (upsert by content-hash key)
+    other.import_sql_script(script)
+    assert other.export_sql_script() == script
+
+
+def test_import_sql_script_rejects_garbage(client):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        client.import_sql_script("DROP TABLE mie_fact;")
+    with pytest.raises(ValueError, match="unknown table"):
+        client.import_sql_script(
+            "INSERT INTO evil_table (a) VALUES (1);"
+        )
+
+
 def test_raw_query_escape_hatch(client):
     client.store_fact("raw sql target", "technical")
     df = client.raw_query(

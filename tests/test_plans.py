@@ -114,3 +114,12 @@ def test_batch_knn_broadcasts_queries(spark):
     df = QUERIES["v_batch_knn"](spark, SF)
     assert broadcast_join_count(df) >= 1
     assert exchange_count(df) <= 1
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    """Simhash candidate generation is pigeonhole-banded: the plan may
+    contain no all-pairs join node at any input size."""
+    from mie_spark.plans import cartesian_product_count
+
+    df = QUERIES["dedup_simhash_pairs"](spark, SF)
+    assert cartesian_product_count(df) == 0

@@ -89,20 +89,18 @@ def test_mock_embedding_unit_norm_and_stable(text, dim):
 
 @given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
 def test_hash_split_cutoff_quantization(frac):
-    """The hex cutoff must encode round(frac*256) exactly: two lowercase
-    hex chars whose value differs from frac*256 by at most 0.5 — the
-    documented 1/256 quantization bound."""
-    cutoff = format(round(frac * 256), "02x")
-    assert len(cutoff) in (2, 3)  # '100' only at frac == 1.0 boundary
-    assert abs(int(cutoff, 16) - frac * 256) <= 0.5
-
-
-@given(st.text(alphabet="0123456789abcdef", min_size=2, max_size=2))
-def test_hex_prefix_comparison_is_numeric(bucket):
-    """String comparison of lowercase hex prefixes must agree with
-    numeric comparison — the property the sampling filter rests on."""
-    for cut in ("00", "40", "c0", "ff"):
-        assert (bucket < cut) == (int(bucket, 16) < int(cut, 16))
+    """The integer cutoff encodes round(frac*256) within the documented
+    1/256 quantization bound, and the boundary fractions are exact:
+    frac=1.0 ⇒ cutoff 256 (keeps every bucket 0..255), frac=0.0 ⇒ 0
+    (keeps none) — the old hex-string compare broke at 1.0, where
+    '100' < 'ff' lexicographically kept only ~6.6%."""
+    cutoff = round(frac * 256)
+    assert 0 <= cutoff <= 256
+    assert abs(cutoff - frac * 256) <= 0.5
+    if frac == 1.0:
+        assert all(b < cutoff for b in range(256))
+    if frac == 0.0:
+        assert not any(b < cutoff for b in range(256))
 
 
 # --- minhash: signature kernel invariants ------------------------------------

@@ -151,6 +151,24 @@ def test_hash_split_deterministic_and_quantized(spark):
     assert abs(frac - 0.75) < 0.1
 
 
+def test_hash_split_boundary_fractions(spark):
+    """frac=1.0 keeps EVERY row in train and frac=0.0 none — the
+    regression where a 3-char hex cutoff ('100') compared as a string
+    kept ~6.6% instead of 100%."""
+    from mie_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    n = docs.count()
+    all_train = hash_split(docs, "doc_id", 1.0)
+    assert all_train.filter(all_train["split"] == "train").count() == n
+    none_train = hash_split(docs, "doc_id", 0.0)
+    assert none_train.filter(none_train["split"] == "train").count() == 0
+    kept = stratified_sample(
+        docs, "lang", "doc_id", fractions={}, default_frac=1.0
+    )
+    assert kept.count() == n
+
+
 def test_compact_small_files(spark, tmp_path):
     """Many small files compact to the computed target count with
     identical contents."""

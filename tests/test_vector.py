@@ -71,9 +71,12 @@ def test_ivf_probe_widening_converges_to_exact(spark):
     assert exact == full
 
 
-def test_self_join_expression_path_equals_blocked(spark, monkeypatch):
-    """Past the broadcast-matrix size cap the self-join falls back to an
-    expression join — force that path and require identical pairs."""
+def test_self_join_above_cap_is_banded_not_cartesian(spark, monkeypatch):
+    """Past the broadcast-matrix size cap the self-join must take the
+    banded-LSH path, NOT an all-pairs crossJoin: the plan may contain no
+    CartesianProduct/BroadcastNestedLoopJoin, precision must stay exact
+    (subset of the exact pairs), and recall must stay high even on this
+    corpus's weak (sim≈0.47) planted pairs."""
     import mie_spark.operators.vector as V
 
     emb = load_table(spark, SF, "embeddings")
@@ -82,13 +85,40 @@ def test_self_join_expression_path_equals_blocked(spark, monkeypatch):
         for r in V.similarity_self_join(emb, "embedding", threshold=0.45).collect()
     }
     monkeypatch.setattr(V, "_BLOCKED_MAX_CELLS", 0)
-    expr = {
+    banded_df = V.similarity_self_join(emb, "embedding", threshold=0.45)
+    plan = banded_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    banded = {
         (r["a_id"], r["b_id"]): round(r["sim"], 9)
+        for r in banded_df.collect()
+    }
+    assert set(banded) <= set(blocked)  # exact cosine filter: no false pairs
+    assert len(banded) / len(blocked) >= 0.7
+    for k in banded:
+        assert abs(blocked[k] - banded[k]) < 1e-6
+
+
+def test_self_join_carries_string_ids(spark):
+    """Ids are opaque: the conflict scan feeds string ``fact:…`` keys
+    through the same operator. Pair set must match the long-id run
+    (modulo the id prefix), via the blocked path and the banded path."""
+    import mie_spark.operators.vector as V
+
+    emb = load_table(spark, SF, "embeddings")
+    with_str = emb.select(
+        F.concat(F.lit("fact:"), F.format_string("%04d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    long_pairs = {
+        ("fact:%04d" % r["a_id"], "fact:%04d" % r["b_id"])
         for r in V.similarity_self_join(emb, "embedding", threshold=0.45).collect()
     }
-    assert set(blocked) == set(expr)
-    for k in blocked:
-        assert abs(blocked[k] - expr[k]) < 1e-6
+    str_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in V.similarity_self_join(with_str, "embedding", threshold=0.45).collect()
+    }
+    assert str_pairs == long_pairs
 
 
 def test_self_join_lsh_bucketed_recall(spark):
@@ -111,3 +141,23 @@ def test_self_join_lsh_bucketed_recall(spark):
     assert approx <= exact  # never invents pairs (same exact filter)
     if exact:
         assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_embed_corpus_matches_provider(spark):
+    """The worker-inlined mock in v_embed_corpus must stay bit-equal to
+    MockEmbeddingProvider (the inline exists only because the grading
+    driver's workers can't import mie_spark)."""
+    from mie_spark.embedding import MockEmbeddingProvider
+    from mie_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["doc_id"]: (r["dim"], r["l2_norm"], r["c0"])
+        for r in QUERIES["v_embed_corpus"](spark, sf).collect()
+    }
+    provider = MockEmbeddingProvider(dimension=8)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    for r in docs:
+        vec = provider.embed_query(r["text"])
+        norm = round(sum(x * x for x in vec) ** 0.5, 6)
+        assert out[r["doc_id"]] == (8, norm, round(vec[0], 6))
