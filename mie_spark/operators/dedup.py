@@ -345,6 +345,11 @@ def simhash_candidate_pairs(
     base, rem = divmod(sig_bits, n_bands)
     widths = [base + 1] * rem + [base] * (n_bands - rem)
     offsets = [sum(widths[:i]) for i in range(n_bands)]
+    # both sides of the band join branch from the signature table;
+    # persist it so the signature aggregation (a scan + 60-column
+    # groupBy) runs once, not twice (same pattern as minhash's shingle
+    # persist above)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     band_vals = F.array(
         *[
             F.shiftright(F.col(sig_col), off).bitwiseAND(F.lit((1 << w) - 1))
