@@ -310,8 +310,9 @@ def ann_topk_lsh(
     straddles one hyperplane lands there; probing n+1 of 2^n buckets
     roughly doubles recall for ~(n+1)/2^n of the scan). At 100 TB the
     bucket filter is a pushed-down IN on a precomputed signature column,
-    so the scan prunes to the probed buckets; here the signature is
-    computed on the fly."""
+    so the scan prunes to the probed buckets — that form exists as
+    write_ann_lsh_index + ann_topk_lsh_indexed below; here the
+    signature is computed on the fly for index-free corpora."""
     planes = _planes(df, vec_col, n_planes)
     qsig_val = 0
     for i, p in enumerate(planes):
@@ -457,9 +458,11 @@ def ann_topk_ivf(
     """IVF-flat approximate top-k: rank only the n_probe cells whose
     centroids are closest to the query. At 100 TB the cell id is a
     precomputed partition/cluster column, so probing is partition
-    pruning (reads n_probe/n_centroids of the data); here the
-    assignment expression runs on the fly. Recall is tested against the
-    exact ranking in tests/test_vector.py."""
+    pruning (reads n_probe/n_centroids of the data) — that form exists
+    as write_ann_ivf_index + ann_topk_ivf_indexed below; here the
+    assignment expression runs on the fly (and k-means retrains per
+    call). Recall is tested against the exact ranking in
+    tests/test_vector.py."""
     centroids = train_ivf_centroids(
         df, vec_col, n_centroids=n_centroids, id_col=id_col
     )
@@ -478,3 +481,137 @@ def ann_topk_ivf(
     cell = _nearest_centroid(F.col(vec_col), centroids)
     candidates = df.filter(cell.isin(*probe))
     return cosine_topk(candidates, vec_col, query_vec, k, id_col=id_col)
+
+
+# --- materialized ANN index: the 100 TB path --------------------------------
+#
+# The on-the-fly ann_topk_lsh / ann_topk_ivf above compute the bucket
+# expression per query — fine when the corpus is re-scanned anyway, but
+# at 100 TB the whole point of an index is NOT scanning. These writers
+# materialize the bucket as a *partition column* (parquet
+# `partitionBy`), so a probe becomes Catalyst partition pruning: the
+# scan touches n_probe/n_buckets of the files and the plan shows it
+# (tests assert via DataFrame.inputFiles()). The plane matrix /
+# centroid list rides along in a JSON sidecar — the analog of an index
+# header — so query time needs no retraining and stays bit-identical
+# to the expression path.
+
+_ANN_META = "_ann_meta.json"
+
+
+def write_ann_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Materialize a hyperplane-LSH index: rows land in `sig=<bucket>`
+    partitions; the plane matrix is stored in the sidecar. One shuffle
+    (the partitioned write); rewriting the index is the only way bucket
+    assignments change, exactly like rebuilding the reference's HNSW."""
+    import json
+    import os
+
+    planes = _planes(df, vec_col, n_planes, seed=seed)
+    sig = _hyperplane_signature(F.col(vec_col), planes)
+    (
+        df.select(id_col, vec_col, sig.alias("sig"))
+        .repartition("sig")
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _ANN_META), "w") as fh:
+        json.dump({"kind": "lsh", "planes": planes, "n_planes": n_planes}, fh)
+
+
+def ann_topk_lsh_indexed(
+    spark,  # SparkSession
+    path: str,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Probe a materialized LSH index: the signature filter is a
+    partition-column IN, so the scan reads only the probed buckets'
+    files — the pruning the on-the-fly variant's docstring promises."""
+    import json
+    import os
+
+    with open(os.path.join(path, _ANN_META)) as fh:
+        meta = json.load(fh)
+    planes = meta["planes"]
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if multi_probe:
+        probes += [qsig ^ (1 << i) for i in range(meta["n_planes"])]
+    candidates = spark.read.parquet(path).filter(F.col("sig").isin(*probes))
+    return cosine_topk(candidates.drop("sig"), vec_col, query_vec, k, id_col=id_col)
+
+
+def write_ann_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+) -> None:
+    """Materialize an IVF index: k-means trains ONCE at build time (vs
+    per-query in ann_topk_ivf), rows land in `cell=<i>` partitions, and
+    the centroid matrix goes to the sidecar."""
+    import json
+    import os
+
+    centroids = train_ivf_centroids(
+        df, vec_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters, id_col=id_col
+    )
+    cell = _nearest_centroid(F.col(vec_col), centroids)
+    (
+        df.select(id_col, vec_col, cell.alias("cell"))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _ANN_META), "w") as fh:
+        json.dump({"kind": "ivf", "centroids": centroids}, fh)
+
+
+def ann_topk_ivf_indexed(
+    spark,  # SparkSession
+    path: str,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 6,
+) -> DataFrame:
+    """Probe a materialized IVF index: rank only the n_probe closest
+    cells; the cell filter is partition pruning, so IO scales with
+    n_probe/n_centroids of the corpus, not the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, _ANN_META)) as fh:
+        meta = json.load(fh)
+    centroids = meta["centroids"]
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5 or 1.0
+        nb = sum(y * y for y in b) ** 0.5 or 1.0
+        return num / (na * nb)
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+    )[:n_probe]
+    candidates = spark.read.parquet(path).filter(F.col("cell").isin(*probe))
+    return cosine_topk(candidates.drop("cell"), vec_col, query_vec, k, id_col=id_col)

@@ -5,6 +5,8 @@ IVF training determinism.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from mie_spark.operators.vector import (
@@ -161,3 +163,75 @@ def test_embed_corpus_matches_provider(spark):
         vec = provider.embed_query(r["text"])
         norm = round(sum(x * x for x in vec) ** 0.5, 6)
         assert out[r["doc_id"]] == (8, norm, round(vec[0], 6))
+
+
+def test_ann_lsh_indexed_equals_on_the_fly(spark, tmp_path):
+    """The materialized LSH index (signature as a partition column) must
+    return exactly what the expression path returns — and the probe must
+    actually prune: the scan touches fewer files than the index has."""
+    import os
+
+    from mie_spark.operators.vector import (
+        ann_topk_lsh_indexed,
+        write_ann_lsh_index,
+    )
+
+    emb, q = _emb_and_query(spark)
+    path = str(tmp_path / "lsh_idx")
+    write_ann_lsh_index(emb, path, "embedding", n_planes=4)
+
+    fly = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ann_topk_lsh(emb, "embedding", q, 10, n_planes=4).collect()
+    ]
+    idx_df = ann_topk_lsh_indexed(spark, path, q, 10)
+    idx = [(r["vec_id"], round(r["sim"], 9)) for r in idx_df.collect()]
+    assert idx == fly
+
+    # the probe is a partition-column filter: pruning happens at plan
+    # time (inputFiles() is not filter-aware, so assert on the plan)
+    from mie_spark.plans import formatted_plan
+
+    plan = formatted_plan(idx_df)
+    m = re.search(r"PartitionFilters: \[[^\]]*sig[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    n_probed = len(m.group(1).split(","))
+    n_total = sum(
+        1 for d in os.listdir(path) if d.startswith("sig=")
+    )
+    assert n_probed == 5  # qsig + 4 hamming-1 neighbors
+    assert n_probed < n_total
+
+
+def test_ann_ivf_indexed_equals_on_the_fly(spark, tmp_path):
+    """The materialized IVF index (train once, cell as partition column)
+    must match the per-query-trained path and prune to n_probe cells."""
+    import os
+
+    from mie_spark.operators.vector import (
+        ann_topk_ivf_indexed,
+        write_ann_ivf_index,
+    )
+
+    emb, q = _emb_and_query(spark)
+    path = str(tmp_path / "ivf_idx")
+    write_ann_ivf_index(emb, path, "embedding", n_centroids=8)
+
+    fly = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ann_topk_ivf(
+            emb, "embedding", q, 10, n_centroids=8, n_probe=3
+        ).collect()
+    ]
+    idx_df = ann_topk_ivf_indexed(spark, path, q, 10, n_probe=3)
+    idx = [(r["vec_id"], round(r["sim"], 9)) for r in idx_df.collect()]
+    assert idx == fly
+
+    from mie_spark.plans import formatted_plan
+
+    plan = formatted_plan(idx_df)
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    n_probed = len(m.group(1).split(","))
+    n_total = sum(1 for d in os.listdir(path) if d.startswith("cell="))
+    assert n_probed == 3 < n_total
