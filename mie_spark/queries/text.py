@@ -291,22 +291,27 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the tf product on both engines so the rank-order comparison
     never hinges on sub-ulp ln() differences.
 
-    Scale: the tf table shuffles on (doc_id, tok) with map-side partial
-    aggregation; df is |vocab|-sized and joins on tok — a natural
-    shuffle join at 100 TB (vocab too big to broadcast), and Catalyst
-    reuses the exploded tok exchange for both aggregates."""
+    Scale: three shuffles total — the tf aggregate on (doc_id, tok)
+    with map-side partial aggregation, then document frequency as a
+    COUNT window over tf partitioned by tok (one shuffle of the
+    already-aggregated |tf| rows, replacing the groupBy(tok) + shuffle
+    join pair that would cost two), then the per-doc ranking window."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = float(docs.count())
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    # document frequency from the AGGREGATED tf table: tf already holds
-    # one row per (doc, tok), so count(*) per tok == countDistinct(doc)
-    # over raw tokens — same value, but this shuffles |tf| rows instead
-    # of re-exploding and re-shuffling every token occurrence
-    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfx, "tok").select(
+    # tf holds one row per (doc, tok), so count(*) per tok partition ==
+    # countDistinct(doc) over raw tokens — df lands as a column without
+    # any join, and the window shuffles |tf| rows, never raw tokens
+    wdf = Window.partitionBy("tok")
+    scored = tf.select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.count(F.lit(1)).over(wdf).alias("df"),
+    ).select(
         "doc_id",
         "tok",
         "tf",
