@@ -41,6 +41,15 @@ _EMBED_SOURCE = {
     "mie_event": ("mie_event_embedding", "event_id"),
 }
 
+# embedding input text per node table — must stay in lockstep with the
+# store_* methods' _store_embedding calls below
+_EMBED_TEXT = {
+    "mie_fact": lambda r: r.get("content") or "",
+    "mie_decision": lambda r: f"{r.get('title') or ''} {r.get('rationale') or ''}",
+    "mie_entity": lambda r: f"{r.get('name') or ''} {r.get('description') or ''}",
+    "mie_event": lambda r: f"{r.get('title') or ''} {r.get('description') or ''}",
+}
+
 # exact-search columns per node type (reader.go:138-162: content for
 # facts; two-column OR for the rest)
 _SEARCH_COLS = {
@@ -547,33 +556,41 @@ class MieClient:
 
         emb = self.store.table("mie_fact_embedding")
         valid = self.store.table("mie_fact").filter(F.col("valid"))
-        ve = emb.join(valid, emb["fact_id"] == valid["id"]).select(
-            "fact_id", "embedding", "content"
+        # the self-join probes this view several times (dim probe, size
+        # check, matrix collect) and the content joins read it twice
+        # more — persist so the embedding⋈fact join executes once
+        ve = (
+            emb.join(valid, emb["fact_id"] == valid["id"])
+            .select("fact_id", "embedding", "content")
+            .persist()
         )
-        sims = similarity_self_join(
-            ve, "embedding", threshold, id_col="fact_id"
-        ).withColumnRenamed("sim", "similarity")
-        content = ve.select("fact_id", "content")
-        pairs = (
-            sims.join(
-                content.select(
-                    F.col("fact_id").alias("a_id"),
-                    F.col("content").alias("a_content"),
-                ),
-                "a_id",
+        try:
+            sims = similarity_self_join(
+                ve, "embedding", threshold, id_col="fact_id"
+            ).withColumnRenamed("sim", "similarity")
+            content = ve.select("fact_id", "content")
+            pairs = (
+                sims.join(
+                    content.select(
+                        F.col("fact_id").alias("a_id"),
+                        F.col("content").alias("a_content"),
+                    ),
+                    "a_id",
+                )
+                .join(
+                    content.select(
+                        F.col("fact_id").alias("b_id"),
+                        F.col("content").alias("b_content"),
+                    ),
+                    "b_id",
+                )
+                .orderBy(F.col("similarity").desc(), F.col("a_id"), F.col("b_id"))
+                .limit(limit)
+                .select("a_id", "b_id", "a_content", "b_content", "similarity")
             )
-            .join(
-                content.select(
-                    F.col("fact_id").alias("b_id"),
-                    F.col("content").alias("b_content"),
-                ),
-                "b_id",
-            )
-            .orderBy(F.col("similarity").desc(), F.col("a_id"), F.col("b_id"))
-            .limit(limit)
-            .select("a_id", "b_id", "a_content", "b_content", "similarity")
-        )
-        return [r.asDict() for r in pairs.collect()]
+            return [r.asDict() for r in pairs.collect()]
+        finally:
+            ve.unpersist()
 
     def check_conflicts_for_content(
         self,
@@ -666,7 +683,12 @@ class MieClient:
                 lines.append(f"INSERT INTO {table} ({cols}) VALUES ({vals});")
         return "\n".join(lines)
 
-    def import_sql_script(self, script: str, dry_run: bool = False) -> int:
+    def import_sql_script(
+        self,
+        script: str,
+        dry_run: bool = False,
+        regenerate_embeddings: bool = True,
+    ) -> int:
         """Replay a script produced by ``export_sql_script`` — the S6
         import half (cmd/mie/import.go:209-227: the reference replays
         its exported Datalog through RawQuery; here the INSERTs replay
@@ -674,7 +696,13 @@ class MieClient:
         script twice is a no-op). Statements are split quote-aware
         (content strings may contain ``;``, ``,``, newlines, escaped
         quotes). Returns the number of rows parsed; ``dry_run`` parses
-        and validates without writing (import.go's --dry-run)."""
+        and validates without writing (import.go's --dry-run).
+
+        ``regenerate_embeddings`` (default on) re-embeds imported nodes
+        so semantic search and conflict detection see them immediately —
+        scripts carry no vectors. The reference's raw replay skips this
+        (imported facts stay invisible to vector search until its async
+        embedder is poked); pass False for byte-faithful parity."""
         import re
 
         stmt_re = re.compile(
@@ -702,6 +730,17 @@ class MieClient:
             return n
         for table, rows in batches.items():  # script order: nodes first
             self.store.upsert_rows(table, rows)
+            if regenerate_embeddings and table in _EMBED_SOURCE:
+                emb_table, id_col = _EMBED_SOURCE[table]
+                texts = [_EMBED_TEXT[table](r) for r in rows]
+                vecs = self.embedder.embed(texts)
+                self.store.upsert_rows(
+                    emb_table,
+                    [
+                        {id_col: r["id"], "embedding": v}
+                        for r, v in zip(rows, vecs)
+                    ],
+                )
         return n
 
     def raw_query(self, sql: str) -> DataFrame:
@@ -714,12 +753,10 @@ class MieClient:
         return self.spark.sql(sql)
 
     def record_query(self) -> None:
-        self.store.meta_increment("total_queries")
-        self.store.meta_set("last_query_at", str(now_s()))
+        self.store.meta_touch("total_queries", "last_query_at", str(now_s()))
 
     def record_store(self) -> None:
-        self.store.meta_increment("total_stores")
-        self.store.meta_set("last_store_at", str(now_s()))
+        self.store.meta_touch("total_stores", "last_store_at", str(now_s()))
 
     def get_usage(self) -> dict[str, Any]:
         g = self.store.meta_get

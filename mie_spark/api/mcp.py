@@ -138,8 +138,12 @@ class McpStdioServer:
             elif method.startswith("notifications/"):
                 return None
             else:
+                if rid is None:
+                    return None  # unknown notification: still no response
                 return self._error(rid, -32601, f"method not found: {method}")
         except Exception as exc:  # noqa: BLE001 — tool errors become MCP isError
+            if rid is None:
+                return None  # notifications never get a response, even on error
             return {
                 "jsonrpc": "2.0",
                 "id": rid,

@@ -347,8 +347,11 @@ def simhash_candidate_pairs(
     offsets = [sum(widths[:i]) for i in range(n_bands)]
     # both sides of the band join branch from the signature table;
     # persist it so the signature aggregation (a scan + 60-column
-    # groupBy) runs once, not twice (same pattern as minhash's shingle
-    # persist above)
+    # groupBy) runs once, not twice. Like minhash's shingle persist
+    # above, the cache is session-scoped (the returned DataFrame is
+    # lazy, so there is no safe point to unpersist here); Spark evicts
+    # LRU under memory pressure, and callers wanting deterministic
+    # release can unpersist after materializing.
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     band_vals = F.array(
         *[

@@ -404,7 +404,7 @@ def text_repeat_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     )
     SELECT source,
-           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'c0'
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER < 192
                 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n_docs,
            sum(n_tokens) AS total_tokens

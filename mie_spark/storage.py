@@ -19,9 +19,11 @@ Engine mapping (SURVEY.md §1.5 — the reference opens CozoDB as `mem`,
                  The pointer-flip is the transaction commit (poor-man's
                  MVCC); on a warehouse deployment the same call maps to
                  one Delta `MERGE INTO` (not shippable in this
-                 container). The previous snapshot is retained (GC
-                 keeps 2) so readers holding the old lazy plan don't
-                 lose their files mid-query.
+                 container). GC keeps the 2 newest snapshots, so a lazy
+                 reader survives exactly ONE commit after it was opened;
+                 a handle held across two or more commits loses its
+                 files — re-open via table() for fresh reads (the same
+                 contract as Delta's VACUUM horizon, just shorter).
 
 Upsert parity with CozoDB `:put` (writer.go:61-67 etc.): insert or
 replace whole row by key — idempotent with content-hash IDs.
@@ -274,6 +276,10 @@ class MieStore:
         keys = key_columns(table)
         cols = [f.name for f in table_schema(table)]
         if self.path is not None:
+            # checkpoint first: the merge write AND the returned count
+            # both consume df — without this an expensive input lineage
+            # (e.g. a mapInPandas embedding stage) would execute twice
+            df = df.localCheckpoint()
             self._merge_and_write(
                 table, df.dropDuplicates(keys).select(*cols)
             )
@@ -343,6 +349,23 @@ class MieStore:
             current = self.meta_get(key)
             value = (int(current) if current and current.isdigit() else 0) + 1
             self.meta_set(key, str(value))
+            return value
+
+    def meta_touch(self, counter_key: str, ts_key: str, ts_value: str) -> int:
+        """Counter increment + timestamp set as ONE snapshot write —
+        usage recording runs on every tool call, and on a disk store
+        each write is a Spark merge job, so batching the pair halves
+        the per-call write cost."""
+        with self._write_lock:
+            current = self.meta_get(counter_key)
+            value = (int(current) if current and current.isdigit() else 0) + 1
+            self.upsert_rows(
+                "mie_meta",
+                [
+                    {"key": counter_key, "value": str(value)},
+                    {"key": ts_key, "value": str(ts_value)},
+                ],
+            )
             return value
 
     # -- lifecycle ----------------------------------------------------------

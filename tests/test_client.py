@@ -194,6 +194,14 @@ def test_sql_script_roundtrip(client, spark):
     # idempotent: replaying is a no-op (upsert by content-hash key)
     other.import_sql_script(script)
     assert other.export_sql_script() == script
+    # imported nodes are re-embedded (scripts carry no vectors), so
+    # semantic search and conflict detection see them immediately
+    hits = other.semantic_search("tricky multiline", limit=5)
+    assert fid in {h["id"] for h in hits}
+    assert (
+        other.semantic_search("tricky", limit=5)[0]["id"]
+        == client.semantic_search("tricky", limit=5)[0]["id"]
+    )
 
 
 def test_import_sql_script_rejects_garbage(client):

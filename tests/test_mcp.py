@@ -87,6 +87,18 @@ def test_notifications_get_no_response(server):
         server.handle({"jsonrpc": "2.0", "method": "notifications/initialized"})
         is None
     )
+    # even failing or unknown requests stay silent when they carry no id
+    assert (
+        server.handle(
+            {
+                "jsonrpc": "2.0",
+                "method": "tools/call",
+                "params": {"name": "mie_nonsense"},
+            }
+        )
+        is None
+    )
+    assert server.handle({"jsonrpc": "2.0", "method": "no/such"}) is None
 
 
 def test_serve_loop_framing(server):
