@@ -204,3 +204,33 @@ def bpe_tokens(text: Column) -> Column:
     merges: counts are within a few percent of a real tokenizer and the
     expression stays JVM-side."""
     return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)
+
+
+# PII redaction patterns, restricted to syntax Java regex (Spark) and
+# RE2 (DuckDB) evaluate identically — no lookaround, no backrefs.
+# Order matters: emails contain dots and digits, so they redact first.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4 addresses / phone-shaped numbers — the
+    minimum hygiene pass a training-data pipeline runs before text
+    leaves the quarantine zone. Pure JVM regexp_replace chain: fuses
+    into the scan, no UDF, and the pattern subset is engine-portable so
+    the result is oracle-checkable byte-for-byte."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """How many PII spans redact_pii would replace."""
+    out = F.lit(0)
+    for pattern, _ in PII_PATTERNS:
+        out = out + F.regexp_count(text, F.lit(pattern))
+    return out

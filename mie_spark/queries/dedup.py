@@ -239,3 +239,51 @@ def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "pipe_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 8
+               THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                     t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+                     FOR i IN range(1, len(t) - 6)]
+               ELSE []::VARCHAR[] END) AS s
+      FROM toks
+    ), inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id < 100)
+    SELECT i.doc_id, count(DISTINCT i.shingle) AS n_shared
+    FROM inv i JOIN bench b ON i.shingle = b.shingle
+    WHERE i.doc_id >= 100
+    GROUP BY 1
+    """,
+)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pipeline step that keeps eval
+    data out of training corpora: flag any corpus document sharing an
+    8-token shingle with the benchmark set (docs 0-99 stand in for the
+    held-out suite; the corpus's planted near-dup pairs straddle the
+    boundary, so hits exist). Plan: inverted-index join of corpus
+    shingles against the DISTINCT benchmark shingles, broadcast —
+    real benchmark suites are tiny next to a 100 TB corpus, so the
+    corpus never shuffles; contamination is a map-side hash probe."""
+    from mie_spark.operators.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), 8)).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") < 100).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= 100)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("long").alias("n_shared"))
+    )

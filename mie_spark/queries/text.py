@@ -443,3 +443,60 @@ def pipe_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "text_redact_pii",
+    oracle=r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR
+                  || '@mail.example.com at 10.0.' || (doc_id % 200)::VARCHAR
+                  || '.7 or 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))
+             AS n_pii,
+           sha256(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')
+           ) AS redacted_sha
+    FROM dirty
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the hygiene pass before corpus text leaves
+    quarantine. The corpus is synthetic, so deterministic PII (an
+    email, an IP, a phone number derived from doc_id) is injected
+    on BOTH engines first; the oracle then hash-compares the redacted
+    bytes (sha256) and the span counts, proving the Java-regex and
+    RE2 evaluations of the shared pattern subset agree exactly. Pure
+    scan-fused regexp_replace chain — no shuffle, no UDF."""
+    from mie_spark.operators.text import pii_count, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 or 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id",
+        pii_count(F.col("text")).cast("long").alias("n_pii"),
+        F.sha2(redact_pii(F.col("text")), 256).alias("redacted_sha"),
+    )

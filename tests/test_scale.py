@@ -227,3 +227,26 @@ def test_ensure_parallelism_conditional(spark):
     )
     wide = narrow.repartition(spark.sparkContext.defaultParallelism + 4)
     assert ensure_parallelism(wide) is wide
+
+
+def test_redact_pii_crafted_strings(spark):
+    """The portable pattern subset must catch the common PII shapes and
+    leave ordinary text untouched (the corpus query only proves engine
+    agreement; this pins the semantics)."""
+    from mie_spark.operators.text import pii_count, redact_pii
+
+    cases = [
+        ("mail me at jane.doe+spam@sub.example.co.uk today", "mail me at <EMAIL> today", 1),
+        ("server 192.168.1.254 and 10.0.0.1 are up", "server <IP> and <IP> are up", 2),
+        ("call 555-123-4567 or 555.867.5309", "call <PHONE> or <PHONE>", 2),
+        ("version 1.2.3 stays; pi is 3.14", "version 1.2.3 stays; pi is 3.14", 0),
+        ("x@y.io at 8.8.8.8 tel 555-010-0042", "<EMAIL> at <IP> tel <PHONE>", 3),
+    ]
+    df = spark.createDataFrame([(s,) for s, _, _ in cases], ["text"])
+    out = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        pii_count(F.col("text")).alias("n"),
+    ).collect()
+    for (src, want_red, want_n), row in zip(cases, out):
+        assert row["red"] == want_red, f"{src!r} -> {row['red']!r}"
+        assert row["n"] == want_n, f"{src!r} count {row['n']} != {want_n}"
