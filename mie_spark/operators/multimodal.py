@@ -6,11 +6,15 @@ sampling, feature extraction) runs in Arrow-batched `mapInPandas` so a
 100 TB corpus streams through Python in columnar batches, one partition
 per task, without ever collecting to the driver.
 
-The decode step itself is STUBBED (the container ships no image/audio
-codecs): `decode_image_meta` parses a deterministic fake header instead
-of real pixels, and `decode_frames` raises NotImplementedError unless
-the fake codec is requested. The Spark-side contract — schemas, batch
-iteration, partitioning — is real and tested (tests/test_multimodal.py).
+Codec status: decoders for COMPRESSED media are stubbed (the container
+ships no JPEG/PNG/MP3/H.264 libraries): `decode_image_meta` parses a
+deterministic fake header and `decode_frames` raises
+NotImplementedError unless the fake codec is requested. Decoders for
+UNCOMPRESSED container formats are REAL — `parse_wav`/`decode_audio_meta`
+(RIFF/WAVE PCM16) and `parse_ppm`/`resize_ppm` (binary PPM P6) parse
+actual bytes with stdlib struct + numpy, no external codecs needed.
+The Spark-side contract — schemas, batch iteration, partitioning — is
+identical across both and tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -274,3 +278,203 @@ def chunk_audio(
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=AUDIO_CHUNK_SCHEMA)
+
+
+# --- real codecs for uncompressed formats ------------------------------------
+#
+# The "no codec libraries in this container" limitation only applies to
+# COMPRESSED media (JPEG/PNG/MP3/H.264). Uncompressed container formats
+# parse with stdlib struct + numpy, so those decoders are REAL here:
+# WAV/PCM16 and binary PPM (P6). The parse functions are plain-Python
+# (unit-testable without Spark) and the operators wrap them in the same
+# Arrow-batched mapInPandas shape as the stubs above. Everything the
+# worker closures need is imported inside the closure — workers may not
+# have mie_spark importable (driver contract).
+
+
+def parse_wav(raw: bytes):
+    """Minimal RIFF/WAVE PCM16 decoder → (sample_rate, n_channels,
+    mono float32 samples in [-1, 1)). Chunk-walks the container (fmt
+    may not be the first chunk; odd-sized chunks pad)."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack("<HHI", fmt[:8])
+    bit_depth = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bit_depth != 16:
+        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bit_depth})")
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if n_channels > 1:
+        pcm = pcm.reshape(-1, n_channels).mean(axis=1)
+    return sample_rate, n_channels, pcm
+
+
+def parse_ppm(raw: bytes):
+    """Binary PPM (P6) decoder → (width, height, HxWx3 uint8 array).
+    Handles '#' comments and arbitrary whitespace in the header."""
+    import numpy as np
+
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"#":
+            while i < len(raw) and raw[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(raw) and not raw[j : j + 1].isspace():
+                j += 1
+            tokens.append(raw[i:j])
+            i = j
+    i += 1  # single whitespace after maxval, then raster data
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pixels = np.frombuffer(raw[i : i + width * height * 3], dtype=np.uint8)
+    if pixels.size != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return width, height, pixels.reshape(height, width, 3)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", StringType()),  # rounded decimal string, engine-stable
+    ]
+)
+
+
+def decode_audio_meta(assets: DataFrame) -> DataFrame:
+    """REAL audio decode (WAV/PCM16) → per-asset metadata + RMS level.
+    Same plan shape as the stubs: Arrow batches through mapInPandas,
+    partition-preserving, nothing to the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse(raw: bytes):
+            if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            fmt = data = None
+            pos = 12
+            while pos + 8 <= len(raw):
+                cid = raw[pos : pos + 4]
+                size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+                body = raw[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            audio_format, n_channels, sample_rate = struct.unpack("<HHI", fmt[:8])
+            bit_depth = struct.unpack("<H", fmt[14:16])[0]
+            if audio_format != 1 or bit_depth != 16:
+                raise ValueError("only PCM16 supported")
+            pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+            if n_channels > 1:
+                pcm = pcm.reshape(-1, n_channels).mean(axis=1)
+            return sample_rate, n_channels, pcm
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                sr, ch, pcm = parse(bytes(payload))
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "sample_rate": sr,
+                        "n_channels": ch,
+                        "n_samples": len(pcm),
+                        "duration_ms": int(len(pcm) * 1000 / sr),
+                        "rms": f"{float(np.sqrt((pcm ** 2).mean())):.6f}",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA])
+
+    return assets.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+def resize_ppm(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize (binary PPM in → PPM out) via nearest-neighbor
+    index maps — two numpy gathers per image, no interpolation libs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def parse(raw: bytes):
+            if not raw.startswith(b"P6"):
+                raise ValueError("not a binary PPM (P6) payload")
+            tokens = []
+            i = 2
+            while len(tokens) < 3 and i < len(raw):
+                c = raw[i : i + 1]
+                if c == b"#":
+                    while i < len(raw) and raw[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while j < len(raw) and not raw[j : j + 1].isspace():
+                        j += 1
+                    tokens.append(raw[i:j])
+                    i = j
+            i += 1
+            width, height, maxval = (int(t) for t in tokens)
+            if maxval != 255:
+                raise ValueError("only 8-bit PPM supported")
+            px = np.frombuffer(raw[i : i + width * height * 3], dtype=np.uint8)
+            if px.size != width * height * 3:
+                raise ValueError("truncated PPM raster")
+            return px.reshape(height, width, 3)
+
+        for pdf in it:
+            out_ids, out_payloads = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = parse(bytes(payload))
+                h, w = img.shape[:2]
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                resized = img[ys][:, xs]
+                header = f"P6\n{out_w} {out_h}\n255\n".encode()
+                out_ids.append(asset_id)
+                out_payloads.append(header + resized.tobytes())
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "payload": out_payloads,
+                    "width": [out_w] * len(out_ids),
+                    "height": [out_h] * len(out_ids),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)

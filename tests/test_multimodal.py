@@ -111,3 +111,76 @@ def test_chunk_audio_boundaries_and_determinism(spark):
         ).collect()
     }
     assert {(r["asset_id"], r["chunk_idx"]): r["rms"] for r in rows} == again
+
+
+def _wav_bytes(sample_rate=8000, freq=440.0, n=1600, channels=1):
+    import math
+    import struct
+
+    samples = []
+    for i in range(n):
+        v = int(0.5 * 32767 * math.sin(2 * math.pi * freq * i / sample_rate))
+        samples.extend([v] * channels)
+    data = b"".join(struct.pack("<h", v) for v in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _ppm_bytes(w=8, h=6):
+    import numpy as np
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.arange(w, dtype=np.uint8) * 30          # red gradient →
+    img[..., 1] = np.arange(h, dtype=np.uint8)[:, None] * 40  # green gradient ↓
+    return f"P6\n# comment\n{w} {h}\n255\n".encode() + img.tobytes(), img
+
+
+def test_parse_wav_real_codec():
+    from mie_spark.operators.multimodal import parse_wav
+
+    sr, ch, pcm = parse_wav(_wav_bytes())
+    assert (sr, ch, len(pcm)) == (8000, 1, 1600)
+    assert abs(float(pcm.max()) - 0.5) < 0.01  # sine peak ≈ amplitude
+    # stereo folds to mono
+    sr2, ch2, pcm2 = parse_wav(_wav_bytes(channels=2))
+    assert ch2 == 2 and len(pcm2) == 1600
+
+
+def test_parse_ppm_real_codec():
+    from mie_spark.operators.multimodal import parse_ppm
+
+    raw, img = _ppm_bytes()
+    w, h, px = parse_ppm(raw)
+    assert (w, h) == (8, 6)
+    assert (px == img).all()
+
+
+def test_decode_audio_meta_spark(spark):
+    from mie_spark.operators.multimodal import decode_audio_meta, parse_wav
+
+    payloads = [(0, _wav_bytes(sample_rate=8000)), (1, _wav_bytes(sample_rate=16000, n=3200))]
+    df = spark.createDataFrame(payloads, ["asset_id", "payload"])
+    out = {r["asset_id"]: r for r in decode_audio_meta(df).collect()}
+    assert out[0]["sample_rate"] == 8000 and out[0]["duration_ms"] == 200
+    assert out[1]["sample_rate"] == 16000 and out[1]["n_samples"] == 3200
+    # the worker-inlined parser must match the module-level one
+    import numpy as np
+
+    _, _, pcm = parse_wav(_wav_bytes())
+    assert out[0]["rms"] == f"{float(np.sqrt((pcm ** 2).mean())):.6f}"
+
+
+def test_resize_ppm_spark(spark):
+    from mie_spark.operators.multimodal import parse_ppm, resize_ppm
+
+    raw, img = _ppm_bytes(w=8, h=6)
+    df = spark.createDataFrame([(7, bytearray(raw))], ["asset_id", "payload"])
+    row = resize_ppm(df, out_w=4, out_h=3).collect()[0]
+    assert (row["width"], row["height"]) == (4, 3)
+    w, h, px = parse_ppm(bytes(row["payload"]))
+    assert (w, h) == (4, 3)
+    # nearest-neighbor: output pixel (y,x) == input pixel (y*6//3, x*8//4)
+    assert (px == img[::2, ::2]).all()
