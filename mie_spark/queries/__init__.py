@@ -116,13 +116,16 @@ _GRADE_FIRST = [
     "mm_frame_sample",
     "mm_resize_features",
     "mm_audio_chunks",
-    # dedup family + flagship (7)
+    # dedup family (changed-this-round members) + new pipeline ops +
+    # flagship (7). dedup_ngram_jaccard / dedup_exact_groups were green
+    # in r02 and their code is unchanged, so they rotate behind the
+    # cutoff to make room for the two queries added late in round 3.
     "pipe_dedup_clusters",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_exact_groups",
+    "pipe_decontaminate",
+    "text_redact_pii",
     "q1_pricing_summary",
 ]
 
