@@ -615,3 +615,261 @@ def ann_topk_ivf_indexed(
     )[:n_probe]
     candidates = spark.read.parquet(path).filter(F.col("cell").isin(*probe))
     return cosine_topk(candidates.drop("cell"), vec_col, query_vec, k, id_col=id_col)
+
+
+# --- product quantization: IVF-PQ, the compressed 100 TB path ---------------
+#
+# IVF-flat above prunes IO to n_probe/n_centroids of the corpus but
+# still stores (and reads) full vectors inside each probed cell. PQ
+# compresses every vector to m one-byte codes — for 768-dim float32
+# that is 3072 bytes → m bytes (384× at m=8) — so the probed scan
+# reads codes, not vectors, and the candidate scoring is m table
+# lookups per row (asymmetric distance computation, ADC) instead of a
+# dim-length dot product. The reference's HNSW keeps full vectors in
+# memory (pkg/memory/schema.go:143-185, `<F32; dim>` columns); at
+# 100 TB of embeddings that is the first thing to give, and IVF-PQ is
+# the standard replacement (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011). Exact rerank of the ADC
+# shortlist restores accuracy — the same exact-verify stance as the
+# dedup operators.
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 16,
+    k_codes: int = 32,
+    sample_rows: int = 4096,
+    id_col: str = "vec_id",
+    lloyd_iters: int = 4,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks (k_codes entries each) with plain
+    Lloyd k-means on a deterministic sample (the sample_rows smallest
+    ids) of unit-normalized vectors. Only the sample reaches the driver
+    — (sample_rows × dim) floats, size-independent of the table — and
+    the codebook tensor is m × k_codes × (dim/m), a few KB. Init is
+    evenly spaced sample rows, so training is bit-reproducible."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        init_idx = np.linspace(0, len(x) - 1, k_codes).astype(int)
+        cents = x[init_idx].copy()
+        for _ in range(lloyd_iters):
+            # (n × k) squared distances via the expansion identity — one
+            # matmul, no n×k×sub intermediate
+            d = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = d.argmin(axis=1)
+            for c in range(k_codes):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        codebooks.append(cents.tolist())
+    return codebooks
+
+
+def _pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Encode a vector to its m nearest-codebook-entry indexes, packed
+    into an m-byte binary — the compressed representation the index
+    stores. Arrow-batched; one matmul per subspace per batch. Closure,
+    not module function: cloudpickle ships it by value (workers may not
+    have this package on PYTHONPATH)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    sub = cbs[0].shape[1]
+
+    @pandas_udf("binary")
+    def enc(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        x = x / norms[:, None]
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            s = x[:, j * sub : (j + 1) * sub]
+            d = (
+                (s * s).sum(axis=1)[:, None]
+                - 2.0 * (s @ cbs[j].T)
+                + (cbs[j] * cbs[j]).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return enc(vec)
+
+
+def _pq_adc_score(codes: Column, query_vec: Sequence[float], codebooks) -> Column:
+    """ADC: approx cos(q, v) = Σ_j lut[j][code_j], where lut[j][c] =
+    dot(q_unit subspace j, codebook[j][c]). The (m × k_codes) lookup
+    table is built once on the driver; scoring a batch is one fancy-
+    index + row-sum over the uint8 code matrix — no vectors read."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    sub = cbs[0].shape[1]
+    lut = np.stack([cbs[j] @ q[j * sub : (j + 1) * sub] for j in range(m)])
+
+    @pandas_udf("double")
+    def score(codes_s: pd.Series) -> pd.Series:
+        buf = np.frombuffer(b"".join(codes_s.tolist()), dtype=np.uint8)
+        c = buf.reshape(len(codes_s), m)
+        return pd.Series(lut[np.arange(m)[None, :], c].sum(axis=1))
+
+    return score(codes)
+
+
+def ann_topk_pq(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    m: int = 16,
+    k_codes: int = 32,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """Flat-PQ approximate top-k with exact rerank: ADC-score the whole
+    table from codes, shortlist k × rerank_factor ids, then exact-rank
+    the shortlist with true cosine. On-the-fly form (codebooks train per
+    call) mirroring ann_topk_lsh/ivf; the materialized form below is
+    the actual scale path. Plan: scan → encode+score (two pandas UDFs)
+    → TakeOrderedAndProject shortlist → broadcast semi-join → exact
+    top-k. No shuffle of the corpus at any point."""
+    codebooks = train_pq_codebooks(
+        df, vec_col, m=m, k_codes=k_codes, id_col=id_col
+    )
+    codes = _pq_encode(F.col(vec_col), codebooks)
+    scored = df.withColumn(
+        "_adc", _pq_adc_score(codes, query_vec, codebooks)
+    )
+    shortlist = (
+        scored.orderBy(F.col("_adc").desc(), F.col(id_col))
+        .limit(k * rerank_factor)
+        .select(id_col)
+    )
+    candidates = df.join(F.broadcast(shortlist), id_col)
+    return cosine_topk(candidates, vec_col, query_vec, k, id_col=id_col)
+
+
+def write_ann_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    m: int = 16,
+    k_codes: int = 32,
+    lloyd_iters: int = 2,
+    pq_sample_rows: int = 4096,
+) -> None:
+    """Materialize an IVF-PQ index: coarse k-means cell as the partition
+    column (probe = partition pruning, as write_ann_ivf_index) plus the
+    m-byte PQ code per row — the index stores NO vectors, so its
+    footprint is ~(id + m bytes)/row regardless of dim. Centroids and
+    codebooks ride in the sidecar."""
+    import json
+    import os
+
+    centroids = train_ivf_centroids(
+        df, vec_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters, id_col=id_col
+    )
+    codebooks = train_pq_codebooks(
+        df, vec_col, m=m, k_codes=k_codes, sample_rows=pq_sample_rows, id_col=id_col
+    )
+    cell = _nearest_centroid(F.col(vec_col), centroids)
+    codes = _pq_encode(F.col(vec_col), codebooks)
+    (
+        df.select(id_col, codes.alias("pq_code"), cell.alias("cell"))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _ANN_META), "w") as fh:
+        json.dump(
+            {
+                "kind": "ivfpq",
+                "centroids": centroids,
+                "codebooks": codebooks,
+                "m": m,
+                "k_codes": k_codes,
+            },
+            fh,
+        )
+
+
+def ann_topk_ivfpq_indexed(
+    spark,  # SparkSession
+    path: str,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    n_probe: int = 6,
+    rerank_df: DataFrame | None = None,
+    vec_col: str = "embedding",
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """Probe a materialized IVF-PQ index: partition-pruned scan of the
+    n_probe closest cells, ADC scoring over codes. With rerank_df (the
+    vector source table) the ADC shortlist is broadcast-semi-joined
+    back and exact-ranked — IO is then n_probe/n_centroids of the
+    *codes* plus k·rerank_factor full vectors, the IVF-PQ contract.
+    Without it, returns ADC-ranked ids with the approximate score."""
+    import json
+    import os
+
+    with open(os.path.join(path, _ANN_META)) as fh:
+        meta = json.load(fh)
+    centroids = meta["centroids"]
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5 or 1.0
+        nb = sum(y * y for y in b) ** 0.5 or 1.0
+        return num / (na * nb)
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+    )[:n_probe]
+    scored = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(*probe))
+        .withColumn(
+            "_adc", _pq_adc_score(F.col("pq_code"), query_vec, meta["codebooks"])
+        )
+    )
+    if rerank_df is None:
+        return (
+            scored.orderBy(F.col("_adc").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, F.col("_adc").alias("sim"))
+        )
+    shortlist = (
+        scored.orderBy(F.col("_adc").desc(), F.col(id_col))
+        .limit(k * rerank_factor)
+        .select(id_col)
+    )
+    candidates = rerank_df.join(F.broadcast(shortlist), id_col)
+    return cosine_topk(candidates, vec_col, query_vec, k, id_col=id_col)

@@ -144,6 +144,21 @@ def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
 
 
+# --- V1-analog: product-quantized approximate top-k (no SQL oracle: ANN) -----
+
+@query("v_ann_pq_topk")
+def v_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed path: ADC over 16-byte codes (32× smaller than the
+    64-dim float vectors) shortlists candidates, exact cosine reranks.
+    The materialized IVF-PQ index variant (write_ann_ivfpq_index) is the
+    100 TB form; recall asserted in tests/test_vector.py."""
+    from mie_spark.operators.vector import ann_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    top = ann_topk_pq(emb, "embedding", _query_vec(spark, sf_dir), k=10)
+    return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
+
+
 # --- batch KNN: top-k per query vector (the many-query search shape) ---------
 
 @query(

@@ -235,3 +235,67 @@ def test_ann_ivf_indexed_equals_on_the_fly(spark, tmp_path):
     n_probed = len(m.group(1).split(","))
     n_total = sum(1 for d in os.listdir(path) if d.startswith("cell="))
     assert n_probed == 3 < n_total
+
+
+def test_pq_recall_at_10(spark):
+    """Flat PQ (ADC shortlist + exact rerank) must track the exact
+    ranking closely — the rerank makes precision exact, so recall is
+    the only degree of freedom."""
+    from mie_spark.operators.vector import ann_topk_pq
+
+    emb, q = _emb_and_query(spark)
+    exact = {r["vec_id"] for r in cosine_topk(emb, "embedding", q, 10).collect()}
+    approx = {r["vec_id"] for r in ann_topk_pq(emb, "embedding", q, 10).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.7, f"PQ recall@10 too low: {recall}"
+
+
+def test_pq_codebooks_deterministic(spark):
+    from mie_spark.operators.vector import train_pq_codebooks
+
+    emb, _ = _emb_and_query(spark)
+    c1 = train_pq_codebooks(emb, "embedding", m=8, k_codes=16, lloyd_iters=2)
+    c2 = train_pq_codebooks(emb, "embedding", m=8, k_codes=16, lloyd_iters=2)
+    assert c1 == c2
+    assert len(c1) == 8 and all(len(cb) == 16 for cb in c1)
+
+
+def test_ivfpq_index_compression_and_rerank(spark, tmp_path):
+    """The materialized IVF-PQ index stores m-byte codes, not vectors
+    (the compression that makes 100 TB embedding search feasible); the
+    probe must prune partitions and the reranked result must come from
+    the exact metric over true vectors."""
+    import os
+
+    from mie_spark.operators.vector import (
+        ann_topk_ivfpq_indexed,
+        write_ann_ivfpq_index,
+    )
+
+    emb, q = _emb_and_query(spark)
+    path = str(tmp_path / "ivfpq_idx")
+    write_ann_ivfpq_index(emb, path, "embedding", n_centroids=8, m=16, k_codes=32)
+
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "pq_code", "cell"}
+    assert stored.select(F.length("pq_code")).distinct().collect()[0][0] == 16
+
+    idx_df = ann_topk_ivfpq_indexed(
+        spark, path, q, 10, n_probe=6, rerank_df=emb
+    )
+    got = {r["vec_id"] for r in idx_df.collect()}
+    exact = {r["vec_id"] for r in cosine_topk(emb, "embedding", q, 10).collect()}
+    recall = len(got & exact) / 10
+    assert recall >= 0.6, f"IVF-PQ recall@10 too low: {recall}"
+
+    from mie_spark.plans import formatted_plan
+
+    plan = formatted_plan(idx_df)
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 6
+
+    # ADC-only mode returns approximate scores without touching vectors
+    adc = ann_topk_ivfpq_indexed(spark, path, q, 5, n_probe=8)
+    rows = adc.collect()
+    assert len(rows) == 5 and set(adc.columns) == {"vec_id", "sim"}
