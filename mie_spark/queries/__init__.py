@@ -123,7 +123,7 @@ _GRADE_FIRST = [
     "pipe_dedup_clusters",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
+    "text_unigram_logprob",
     "pipe_decontaminate",
     "text_redact_pii",
     "q1_pricing_summary",

@@ -327,6 +327,78 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    total AS (SELECT sum(tf)::DOUBLE AS total FROM tf),
+    scored AS (
+      SELECT doc_id, tf,
+             CAST(round(-ln((sum(tf) OVER (PARTITION BY tok)) / total.total)
+                        * 1000000.0, 0) AS BIGINT) AS nllu
+      FROM tf CROSS JOIN total
+    )
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           round(sum(tf * nllu)::BIGINT / sum(tf)::BIGINT / 1000000.0, 6)
+             AS avg_nll,
+           round(exp(round(sum(tf * nllu)::BIGINT / sum(tf)::BIGINT
+                           / 1000000.0, 6)), 2) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring — the classic perplexity-style
+    quality signal for training-data filtering: train p(tok) =
+    corpus_count/total on the corpus itself, score each document by the
+    mean negative log-likelihood of its tokens (and report exp(·) as
+    perplexity). High ppl ⇒ rare-token-heavy (boilerplate/garbage),
+    low ⇒ repetitive.
+
+    Numeric stance: the per-token -ln p is rounded to micro-nats and
+    carried as an exact BIGINT, so the per-doc sum is integer
+    arithmetic — identical across engines regardless of summation
+    order — and only the final division/round touches floats (on
+    identical operands). DuckDB sums of BIGINT widen to HUGEINT, hence
+    the ::BIGINT casts in the oracle.
+
+    Scale: same shape as text_tfidf — tf aggregate on (doc_id, tok)
+    with map-side combine, corpus counts as a SUM window over tf
+    partitioned by tok (|tf| rows shuffled, never raw tokens), one
+    final per-doc aggregate. The LM "model" is never materialized on
+    the driver; total token count is the only scalar collected."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    total = float(tok.count())
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("tok")
+    nllu = F.round(
+        -F.log(F.sum("tf").over(w) / F.lit(total)) * F.lit(1e6), 0
+    ).cast("bigint")
+    scored = tf.select("doc_id", "tf", nllu.alias("nllu"))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("nllu")).alias("s"),
+    )
+    avg = F.round(F.col("s") / F.col("n_tokens") / F.lit(1e6), 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 2).alias("ppl"),
+    )
+
+
+@query(
     "text_repeat_ngrams",
     oracle=r"""
     WITH t AS (
