@@ -50,6 +50,7 @@ def _load_all() -> None:
         graph,
         multimodal,
         relational,
+        retrieval,
         sampling,
         streaming,
         text,
@@ -117,16 +118,18 @@ _GRADE_FIRST = [
     "mm_resize_features",
     "mm_audio_chunks",
     # dedup family (changed-this-round members) + new pipeline ops +
-    # flagship (7). dedup_ngram_jaccard / dedup_exact_groups were green
-    # in r02 and their code is unchanged, so they rotate behind the
-    # cutoff to make room for the two queries added late in round 3.
+    # retrieval (7). dedup_ngram_jaccard / dedup_exact_groups /
+    # dedup_embedding_cosine / q1_pricing_summary were green in r02 and
+    # their code is unchanged, so they rotate behind the cutoff to make
+    # room for queries that have never been graded (q1 additionally
+    # stays smoke-checked every round via entry()).
     "pipe_dedup_clusters",
     "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
     "text_unigram_logprob",
     "pipe_decontaminate",
     "text_redact_pii",
-    "q1_pricing_summary",
+    "text_bm25_topk",
+    "text_hybrid_rrf",
 ]
 
 

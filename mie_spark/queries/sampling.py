@@ -68,3 +68,64 @@ def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_frac=0.25,
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "samp_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*)::DOUBLE AS n_s FROM documents GROUP BY source
+    ),
+    stats AS (
+      SELECT sum(n_s) AS n_total, sum(sqrt(n_s)) AS s FROM counts
+    ),
+    cut AS (
+      SELECT source,
+             CAST(floor(least(1.0, 0.5 * n_total * sqrt(n_s) / s / n_s)
+                        * 1048576.0) AS BIGINT) AS cutoff
+      FROM counts, stats
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN cut USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 5))::BIGINT < cut.cutoff
+    """,
+)
+def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (T=2, i.e. alpha=1/2) — the
+    multilingual-corpus rebalancing rule: each source's share of a
+    half-size corpus is proportional to sqrt(its count), boosting small
+    sources and damping giants. Per-source keep-rates derive from a
+    3-row aggregate chain (groupBy source → scalar stats → cutoffs)
+    that broadcast-joins back to the scan, and membership is the same
+    engine-portable md5-prefix rule as hash_split — 20 hash bits here,
+    so even 1e-5 keep-rates quantize faithfully — making the *exact
+    membership* of the mixed corpus oracle-checkable. The filter is a
+    pure per-row predicate: re-runs and late shards agree, and the
+    only shuffle anywhere is the tiny counts aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    stats = counts.agg(
+        F.sum("n_s").alias("n_total"), F.sum(F.sqrt("n_s")).alias("s")
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(0.5)
+        * F.col("n_total")
+        * F.sqrt(F.col("n_s"))
+        / F.col("s")
+        / F.col("n_s"),
+    )
+    cut = counts.crossJoin(F.broadcast(stats)).select(
+        "source",
+        F.floor(p * F.lit(1048576.0)).cast("bigint").alias("cutoff"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(cut), "source")
+        .filter(bucket < F.col("cutoff"))
+        .select("doc_id", "source")
+    )

@@ -572,3 +572,65 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count(F.col("text")).cast("long").alias("n_pii"),
         F.sha2(redact_pii(F.col("text")), 256).alias("redacted_sha"),
     )
+
+
+@query(
+    "pipe_pack_sequences",
+    oracle=r"""
+    WITH dl AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dl WHERE n_tokens > 0
+    )
+    SELECT source, doc_id, n_tokens,
+           cum - n_tokens AS tok_offset,
+           (cum - n_tokens) // 256 AS first_seq,
+           (cum - 1) // 256 AS last_seq
+    FROM c
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    batch-prep step: documents are laid end-to-end in a deterministic
+    order and cut into fixed 256-token training sequences; each doc
+    reports its token offset and the first/last sequence it lands in.
+
+    Packing is inherently sequential, so the scale trick is WHERE the
+    sequence is: packing runs independently per source shard (PARTITION
+    BY source), which is exactly how production pipelines shard packing
+    — one global pack would serialize the corpus through one partition.
+    All integer window math (cumulative sum + shift-right bin split),
+    so the oracle match is exact by construction. The reference has no
+    batch-prep surface at all (SURVEY §2.11); this is a north-star
+    training-pipeline addition."""
+    from pyspark.sql.window import Window
+
+    from mie_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.lower(F.col("text"))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = dl.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("tok_offset"),
+        F.shiftright(F.col("cum") - F.col("n_tokens"), 8).alias("first_seq"),
+        F.shiftright(F.col("cum") - F.lit(1), 8).alias("last_seq"),
+    )
