@@ -47,6 +47,8 @@ HEADLINE = [
     "ev_multi_rollup",           # GROUPING SETS multi-resolution rollup
     "st_hourly_agg",             # real streaming job (availableNow drain)
     "st_attribution_join",       # watermarked stream-stream interval join
+    "text_bm25_topk",            # ranked keyword search, broadcast df side
+    "text_hybrid_rrf",           # BM25 + cosine top-50s fused by RRF
 ]
 
 

@@ -334,6 +334,36 @@ class MieClient:
         TakeOrderedAndProject — no per-type over-fetch (the reference
         needs k·5 because it post-filters `valid` after ANN; we filter
         before ranking)."""
+        merged = self._semantic_ranking(query, node_types, valid_only)
+        if merged is None:
+            return []
+        top = (
+            merged.orderBy(F.col("similarity").desc(), F.col("node_id"))
+            .limit(limit)
+            .collect()
+        )
+        results = []
+        for r in top:
+            node = self.get_node_by_id(r["node_id"]) or {}
+            results.append(
+                {
+                    **node,
+                    "node_type": r["node_type"],
+                    "similarity": float(r["similarity"]),
+                    "distance": 1.0 - float(r["similarity"]),
+                }
+            )
+        return results
+
+    def _semantic_ranking(
+        self,
+        query: str,
+        node_types: list[str] | None,
+        valid_only: bool,
+    ) -> DataFrame | None:
+        """(node_id, node_type, similarity) across the requested types'
+        embeddings as ONE unioned lazy plan — the shared ranking core of
+        semantic_search and hybrid_search."""
         qvec = self.embedder.embed_query(query)
         q = F.array(*[F.lit(float(x)) for x in qvec])
         per_type: list[DataFrame] = []
@@ -352,24 +382,83 @@ class MieClient:
             )
             per_type.append(joined)
         if not per_type:
-            return []
+            return None
         merged = per_type[0]
         for df in per_type[1:]:
             merged = merged.unionByName(df)
-        top = (
-            merged.orderBy(F.col("similarity").desc(), F.col("node_id"))
-            .limit(limit)
-            .collect()
+        return merged
+
+    def hybrid_search(
+        self,
+        query: str,
+        node_types: list[str] | None = None,
+        limit: int = 10,
+        valid_only: bool = True,
+        k_each: int = 50,
+        rrf_k: int = 60,
+    ) -> list[dict[str, Any]]:
+        """Hybrid retrieval: BM25 keyword ranking over each type's text
+        columns fused with the cosine semantic ranking by reciprocal
+        rank (score = Σ 1/(rrf_k + rank) over the lists containing the
+        node). This is the fourth query mode the reference lacks — its
+        exact and semantic modes (pkg/tools/query.go:32-41) run as
+        separate probes with a client-side merge (reader.go:110-118);
+        here both rankings and the fusion are one declarative plan per
+        side, truncated to ``k_each`` before ranks are assigned (so no
+        global-rank shuffle, see operators/retrieval.py).
+
+        Returns nodes sorted by fused score; each carries ``rrf`` plus
+        its keyword/semantic ranks (None where absent from that list).
+        """
+        from mie_spark.operators.retrieval import (
+            bm25_scores,
+            rank_topk,
+            rrf_fuse,
         )
+
+        terms = [t for t in query.lower().split() if t]
+        if not terms:
+            return []
+        per_type: list[DataFrame] = []
+        for table in self._tables_for(node_types):
+            nodes = self.store.table(table)
+            if table == "mie_fact" and valid_only:
+                nodes = nodes.filter(F.col("valid"))
+            cols = _SEARCH_COLS[table]
+            per_type.append(
+                nodes.select(
+                    F.col("id").alias("node_id"),
+                    F.concat_ws(" ", *[F.col(c) for c in cols]).alias(
+                        "text"
+                    ),
+                )
+            )
+        if not per_type:
+            return []
+        corpus = per_type[0]
+        for df in per_type[1:]:
+            corpus = corpus.unionByName(df)
+        kw_scores = bm25_scores(corpus, terms, id_col="node_id")
+        kw = rank_topk(kw_scores, "score_u", "node_id", k_each)
+
+        sem_ranking = self._semantic_ranking(query, node_types, valid_only)
+        fused_rankings = [kw]
+        rank_cols = ["rank_kw"]
+        if sem_ranking is not None:
+            sem = rank_topk(sem_ranking, "similarity", "node_id", k_each)
+            fused_rankings.append(sem)
+            rank_cols.append("rank_sem")
+        fused = rrf_fuse(fused_rankings, "node_id", rank_cols, k=rrf_k)
         results = []
-        for r in top:
+        for r in fused.limit(limit).collect():
             node = self.get_node_by_id(r["node_id"]) or {}
             results.append(
                 {
                     **node,
-                    "node_type": r["node_type"],
-                    "similarity": float(r["similarity"]),
-                    "distance": 1.0 - float(r["similarity"]),
+                    "node_type": ids.node_type_of(r["node_id"]),
+                    "rrf": float(r["rrf"]),
+                    "rank_kw": r["rank_kw"],
+                    "rank_sem": r["rank_sem"] if sem_ranking is not None else None,
                 }
             )
         return results

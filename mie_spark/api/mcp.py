@@ -63,7 +63,7 @@ TOOL_REGISTRY: dict[str, tuple[Callable[[MieClient, dict], dict], str, dict]] = 
             a.get("graph_traversal"),
             a.get("node_id"),
         ),
-        "Query memory: semantic | exact | graph traversal",
+        "Query memory: semantic | exact | hybrid | graph traversal",
         _schema(["query"], query=_STR, mode=_STR, limit=_NUM,
                 graph_traversal=_STR, node_id=_STR),
     ),

@@ -157,13 +157,17 @@ def query(
     graph_traversal: str | None = None,
     node_id: str | None = None,
 ) -> dict:
-    """Mode dispatch semantic/exact/graph (pkg/tools/query.go:32-41);
-    graph mode exposes the six traversals (query.go:153-165)."""
+    """Mode dispatch semantic/exact/hybrid/graph — the reference's three
+    modes (pkg/tools/query.go:32-41; graph mode exposes the six
+    traversals, query.go:153-165) plus the hybrid BM25+vector RRF mode
+    the reference lacks (client.hybrid_search)."""
     limit = max(1, min(limit, MAX_QUERY_LIMIT))
     if mode == "semantic":
         results = client.semantic_search(q, node_types, limit)
     elif mode == "exact":
         results = client.exact_search(q, node_types, limit)
+    elif mode == "hybrid":
+        results = client.hybrid_search(q, node_types, limit)
     elif mode == "graph":
         if not node_id or not graph_traversal:
             raise ValueError("graph mode requires node_id and graph_traversal")

@@ -57,21 +57,32 @@ def bm25_scores(
 
     Uses the Lucene-style non-negative idf ``ln(1 + (N-df+0.5)/(df+0.5))``
     so high-df terms degrade to ~0 instead of negative weights.
-    """
-    lower_text = F.lower(F.col(text_col))
-    dl = docs.select(
-        F.col(id_col), token_count(lower_text).alias("dl")
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
-    ).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["total"]) / float(stats["n"])
 
-    tok = docs.select(
+    One LAZY plan, no eager driver actions: the query-term filter runs
+    on the token *array* BEFORE explode (only matching tokens ever
+    become rows), the doc length rides along with tf (no join back to a
+    length table), and the corpus constants (N, avgdl) and per-term
+    document frequencies are 1-row / |terms|-row aggregates folded in
+    as broadcasts. The document scan appears in three subtree copies
+    (tf, df, stats) pipelined within the one job; a production corpus
+    run persists ``base`` first to make it one physical pass.
+    """
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    base = docs.withColumn("_toks", tokens(F.lower(F.col(text_col)))).select(
         F.col(id_col),
-        F.explode(tokens(lower_text)).alias("tok"),
-    ).filter(F.col("tok").isin(list(terms)))
-    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+        F.size("_toks").alias("dl"),
+        F.filter(
+            "_toks", lambda x: F.array_contains(term_arr, x)
+        ).alias("_matched"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("_matched").alias("tok"))
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     # tf has exactly one row per (doc, term), so df is a |terms|-row
     # aggregate — broadcast it back instead of a window partitioned by
     # term (which would funnel each term's rows through one partition).
@@ -79,17 +90,22 @@ def bm25_scores(
     idf_u = F.round(
         F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+            + (F.col("n") - F.col("df_t") + F.lit(0.5))
             / (F.col("df_t") + F.lit(0.5))
         )
         * F.lit(float(MICRO)),
         0,
     ).cast("bigint")
-    scored = tf.join(F.broadcast(dfreq), "tok").join(dl, id_col).select(
-        F.col(id_col),
-        _tf_saturation(F.col("tf"), F.col("dl"), k1, b, avgdl, idf_u).alias(
-            "score_u"
-        ),
+    avgdl = F.col("total") / F.col("n")
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            _tf_saturation(F.col("tf"), F.col("dl"), k1, b, avgdl, idf_u).alias(
+                "score_u"
+            ),
+        )
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms"),
@@ -98,13 +114,14 @@ def bm25_scores(
 
 
 def _tf_saturation(
-    tf: Column, dl: Column, k1: float, b: float, avgdl: float, idf_u: Column
+    tf: Column, dl: Column, k1: float, b: float, avgdl: Column, idf_u: Column
 ) -> Column:
     """idf_u × the BM25 tf-saturation factor, rounded to one exact
     BIGINT per (doc, term). The factor's operands are integers and
-    shared constants, so the double is bit-identical across engines."""
+    shared exact-derivation doubles, so it is bit-identical across
+    engines."""
     factor = (tf * F.lit(k1 + 1.0)) / (
-        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
     )
     return F.round(idf_u * factor, 0).cast("bigint")
 

@@ -374,3 +374,38 @@ def test_concurrent_writers_lose_nothing(client):
     rows, _total = client.list_nodes("fact", limit=100)
     got = {r["content"] for r in rows if r["content"].startswith("concurrent fact")}
     assert got == {f"concurrent fact {i}-{j}" for i in range(10) for j in range(5)}
+
+
+def test_hybrid_search_fuses_keyword_and_semantic(client):
+    """The hybrid mode must surface both keyword-only and semantically
+    similar nodes, ranked by fused reciprocal rank."""
+    fid1 = client.store_fact("User prefers PostgreSQL for analytics", "preference")
+    fid2 = client.store_fact("PostgreSQL PostgreSQL tuning guide notes", "technical")
+    fid3 = client.store_fact("Completely unrelated gardening tips", "general")
+
+    hits = client.hybrid_search("PostgreSQL analytics", limit=5)
+    got = [h["id"] for h in hits]
+    assert fid1 in got and fid2 in got
+    top = hits[0]
+    # every hit carries the fusion diagnostics
+    assert set(("rrf", "rank_kw", "rank_sem")) <= set(top)
+    assert top["rrf"] >= hits[-1]["rrf"]
+    # keyword-matching docs must rank above the unrelated one if present
+    if fid3 in got:
+        assert got.index(fid1) < got.index(fid3)
+
+
+def test_hybrid_search_via_query_tool(client):
+    from mie_spark.api import tools
+
+    client.store_fact("Kafka consumer lag monitoring", "technical")
+    out = tools.query(client, "Kafka lag", mode="hybrid")
+    assert out["mode"] == "hybrid"
+    assert out["count"] >= 1
+    assert any("Kafka" in (r.get("content") or "") for r in out["results"])
+
+
+def test_hybrid_search_empty_query_and_empty_store(spark):
+    c = MieClient(spark, path=None, embedding_dim=4)
+    assert c.hybrid_search("   ") == []
+    assert c.hybrid_search("anything") == []

@@ -123,3 +123,30 @@ def test_simhash_pairs_no_cartesian(spark):
 
     df = QUERIES["dedup_simhash_pairs"](spark, SF)
     assert cartesian_product_count(df) == 0
+
+
+def test_bm25_broadcasts_df_no_cartesian(spark):
+    """BM25's document-frequency side is a |terms|-row aggregate that
+    must broadcast back (never shuffle-join), and nothing in the
+    retrieval stack may plan an all-pairs join."""
+    from mie_spark.plans import cartesian_product_count
+
+    df = QUERIES["text_bm25_topk"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert cartesian_product_count(df) == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Per-source packing is ONE exchange (the window repartition by
+    source); the bin split is scan-fused integer math."""
+    df = QUERIES["pipe_pack_sequences"](spark, SF)
+    assert exchange_count(df) == 1
+
+
+def test_temperature_mix_broadcasts_cutoffs(spark):
+    """Per-source cutoffs broadcast to the scan; the only shuffles are
+    the tiny counts/stats aggregates, and the membership filter itself
+    adds none."""
+    df = QUERIES["samp_temperature_mix"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) <= 3
