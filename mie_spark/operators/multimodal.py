@@ -478,3 +478,111 @@ def resize_ppm(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def image_phash(assets: DataFrame, bits: int = 60) -> DataFrame:
+    """REAL perceptual hash over binary PPM payloads → (asset_id,
+    ``bits``-bit signature long), the image analog of simhash: decode →
+    grayscale → 32×32 nearest-neighbor resample → 2D DCT-II (a pair of
+    numpy float64 matmuls against a cosine basis — no scipy needed) →
+    keep the low-frequency 8×8 block minus the DC term → threshold each
+    coefficient at the median. Near-duplicate images (re-encodes, small
+    edits, resizes) land within a few bits of hamming distance, so the
+    SAME pigeonhole banding as text simhash
+    (operators/dedup.py:simhash_candidate_pairs) finds pairs with no
+    all-pairs join. Everything is deterministic float64, so signatures
+    are reproducible across machines and runs.
+
+    Default 60 bits to match the banding operator's default split
+    (8 bands × 7-8 bits); the hash stays positive in a signed long, so
+    arithmetic shiftright band extraction is safe.
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62]")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = 32
+        # DCT-II basis, orthonormal-ish scaling irrelevant for median
+        # thresholding: B[u, x] = cos(pi*(2x+1)*u/(2n))
+        x = np.arange(n, dtype=np.float64)
+        u = np.arange(n, dtype=np.float64)[:, None]
+        basis = np.cos(np.pi * (2.0 * x + 1.0) * u / (2.0 * n))
+
+        for pdf in it:
+            out_ids, out_hashes = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = parse_ppm(bytes(payload))
+                gray = px.astype(np.float64).mean(axis=2)
+                ys = (np.arange(n) * h // n).clip(0, h - 1)
+                xs = (np.arange(n) * w // n).clip(0, w - 1)
+                small = gray[ys][:, xs]
+                coef = basis @ small @ basis.T
+                flat = coef[:8, :8].ravel()[1:][:bits]  # drop DC, keep `bits`
+                med = np.median(flat)
+                sig = 0
+                for i, v in enumerate(flat):
+                    if v > med:
+                        sig |= 1 << i
+                out_ids.append(asset_id)
+                out_hashes.append(sig)
+            yield pd.DataFrame({"asset_id": out_ids, "phash": out_hashes})
+
+    return assets.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def synthetic_ppm_corpus(
+    docs: DataFrame, id_col: str = "doc_id", group_size: int = 25
+) -> DataFrame:
+    """Deterministic image corpus for exercising the pHash pipeline
+    without codec libraries: every document gets a binary PPM whose
+    pixel pattern derives from its group (``id // group_size``), with a
+    small per-document brightness perturbation — so documents in the
+    same group are near-duplicate images (few-bit pHash hamming) and
+    documents in different groups are far apart. Pure numpy per Arrow
+    batch; the payload column is a real P6 file parse_ppm accepts."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w = h = 48
+        yy, xx = np.mgrid[0:h, 0:w]
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                g = int(doc_id) // group_size
+                rng = np.random.default_rng(g)  # group-deterministic
+                fx, fy = rng.uniform(0.5, 3.0, 2)
+                phase = rng.uniform(0.0, 2 * np.pi)
+                base = (
+                    np.sin(2 * np.pi * fx * xx / w + phase)
+                    + np.cos(2 * np.pi * fy * yy / h)
+                )
+                img = ((base + 2.0) / 4.0 * 255.0).astype(np.uint8)
+                # per-doc perturbation: tiny brightness offset
+                img = np.clip(
+                    img.astype(np.int16) + (int(doc_id) % group_size) % 3, 0, 255
+                ).astype(np.uint8)
+                rgb = np.repeat(img[:, :, None], 3, axis=2)
+                header = f"P6\n{w} {h}\n255\n".encode()
+                ids.append(int(doc_id))
+                payloads.append(header + rgb.tobytes())
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col)).mapInPandas(batches, schema=schema)

@@ -96,3 +96,28 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = attach_binary_payload(docs)
     return chunk_audio(assets, codec="fake")
+
+
+@query("mm_phash_pairs")
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection, end to end and REAL: a
+    deterministic synthetic PPM corpus (near-dup structure by
+    construction) → perceptual hash (decode → grayscale → 32×32 → DCT
+    low-frequency block → median threshold, operators/multimodal.py
+    image_phash) → the same pigeonhole banding as text simhash
+    (operators/dedup.py simhash_candidate_pairs) → exact hamming
+    filter. No all-pairs join anywhere: the shuffle carries (id, sig,
+    band, value) longs, never pixels, which is what makes image dedup
+    run at corpus scale. Rows-only check (DCT isn't SQL-expressible);
+    grouping correctness and hamming separation are pinned in
+    tests/test_multimodal.py."""
+    from mie_spark.operators.dedup import simhash_candidate_pairs
+    from mie_spark.operators.multimodal import image_phash, synthetic_ppm_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthetic_ppm_corpus(docs, group_size=25)
+    sigs = image_phash(assets)
+    pairs = simhash_candidate_pairs(
+        sigs, max_hamming=6, id_col="asset_id", sig_col="phash"
+    )
+    return pairs.orderBy("a_id", "b_id")
