@@ -111,12 +111,16 @@ _GRADE_FIRST = [
     # sampling family (2)
     "samp_hash_split",
     "samp_stratified",
-    # multimodal family (5)
+    # multimodal family — mm_decode_meta / mm_frame_sample /
+    # mm_resize_features / mm_audio_chunks got their rows-only grade in
+    # r03 and rotate out for the four queries that have never been
+    # graded at all (r04): phash pairs, temperature mixing, sequence
+    # packing, PQ ANN.
     "mm_binary_meta",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_resize_features",
-    "mm_audio_chunks",
+    "mm_phash_pairs",
+    "samp_temperature_mix",
+    "pipe_pack_sequences",
+    "v_ann_pq_topk",
     # dedup family (changed-this-round members) + new pipeline ops +
     # retrieval (7). dedup_ngram_jaccard / dedup_exact_groups /
     # dedup_embedding_cosine / q1_pricing_summary were green in r02 and

@@ -22,7 +22,7 @@ from mie_spark.sources import load_table
     SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER < 192
                 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           sum(n_chars)::BIGINT AS total_chars
     FROM documents
     GROUP BY 1
     """,

@@ -201,7 +201,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM quality
       ) WHERE rn = 1
     )
-    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
     FROM deduped GROUP BY source
     """,
 )
@@ -479,7 +479,7 @@ def text_repeat_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER < 192
                 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens
+           sum(n_tokens)::BIGINT AS total_tokens
     FROM deduped
     GROUP BY 1, 2
     """,

@@ -37,11 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table; no caching, no schema inference cost
     beyond the parquet footer read.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read nanos as long
-    (legacy.parquet.nanosAsLong) and truncate to microseconds in-plan —
-    the same truncation DuckDB applies — so downstream plans see a real
-    timestamp column and the scan stays native/vectorized.
+    ``events.ts`` has shipped in two physical encodings across corpus
+    versions: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    accepts as long via legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    without isAdjustedToUTC (which Spark reads as TIMESTAMP_NTZ). Either
+    way, downstream plans want one canonical type — session-tz TIMESTAMP
+    — so we normalize based on what the footer actually says. The session
+    timezone is pinned to UTC (mie_spark/session.py), making the NTZ cast
+    wall-clock-preserving and identical to DuckDB's reading.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -49,11 +52,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        # integer division — ns values overflow double mantissa, so no `/`
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_event_ts(df)
     return spark.read.parquet(path)
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce ``ts`` to session-tz TIMESTAMP whatever the scan produced."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # nanos-as-long: integer division — ns values overflow double
+        # mantissa, so no `/`
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

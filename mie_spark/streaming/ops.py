@@ -54,11 +54,13 @@ def read_events_stream(
 
     The file source needs an explicit schema (no inference on streams);
     we take it from the parquet footer via a zero-row batch read. The
-    corpus writes ``ts`` as TIMESTAMP(NANOS) which the vectorized reader
-    only accepts as long (see sources/catalog.py) — we truncate to
-    micros in-plan, identically to the batch path, so streaming and
-    batch plans see the same column types.
+    corpus has shipped ``ts`` as both TIMESTAMP(NANOS) (readable only as
+    long) and TIMESTAMP(MICROS)/NTZ; we normalize to session-tz TIMESTAMP
+    in-plan, identically to the batch path (sources/catalog.py), so
+    streaming and batch plans see the same column types.
     """
+    from mie_spark.sources.catalog import _normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource forces basePath to the source path unless the path
@@ -69,7 +71,7 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_event_ts(df)
 
 
 def windowed_counts(
