@@ -60,6 +60,19 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["s2_point_lookup"](spark, SF_DIR).collect()
 
+    # warmup: the Python worker pool. The first pandas-UDF/mapInPandas
+    # plan pays python startup + numpy import once per executor thread
+    # (32 workers here) — several seconds that belong to interpreter
+    # bootstrap, not to whichever query happens to run first. One tiny
+    # 32-partition mapInPandas touches every worker so the timed queries
+    # measure steady-state plan cost.
+    def _warm(it):  # noqa: ANN001, ANN202
+        import numpy  # noqa: F401  — preload in the worker
+
+        yield from it
+
+    spark.range(0, 64, 1, 32).mapInPandas(_warm, "id long").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
