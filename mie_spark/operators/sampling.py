@@ -13,7 +13,7 @@ are north-star training-pipeline additions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,6 +51,54 @@ def hash_split(
         F.when(
             _hash_bucket(F.col(id_col)) < F.lit(cutoff), "train"
         ).otherwise("test"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    shard_col: str = "shard",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export.
+
+    Every row gets a shard (uniform md5 bucket of its id) and a
+    within-shard sort key (the full md5 hex). Writing
+    ``.repartition(shard_col).sortWithinPartitions(key_col)`` then
+    yields globally shuffled shards with NO global sort — one hash
+    shuffle, each task sorts only its shard, which is the only layout
+    that survives 100 TB (a global orderBy would range-sample and
+    funnel through a single skew-prone range exchange). The key is a
+    pure function of the id, so re-runs, retries, and incremental
+    appends place every row identically — the property rand()-based
+    shuffles lack, and what makes shard *membership* oracle-checkable.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % n_shards
+    )
+    return df.withColumn(key_col, key).withColumn(shard_col, shard)
+
+
+def fixed_k_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Exactly-k deterministic sample per stratum (reservoir-sampling
+    analog without the nondeterminism): rank rows within each stratum
+    by md5(id) — a uniform random-but-reproducible order — and keep the
+    first k. One shuffle (the window partition-by); with thousands of
+    strata the per-stratum state is a single counter, so this scales to
+    any corpus. Ties are impossible (md5 of distinct ids), but id is a
+    secondary sort key anyway so the plan is total-order deterministic."""
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
     )
 
 
