@@ -55,8 +55,8 @@ def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM ordered
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -248,7 +248,7 @@ def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT day, hour, count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM e GROUP BY GROUPING SETS ((day, hour), (day))
     """,
 )
@@ -323,7 +323,7 @@ def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     daily AS (
       SELECT date_trunc('day', ts) AS day, count(*) AS n,
-             sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events GROUP BY 1
     )
     SELECT strftime(s.day, '%Y-%m-%d') AS day,

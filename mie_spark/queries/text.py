@@ -585,8 +585,8 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT source, doc_id, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM dl WHERE n_tokens > 0
     )
     SELECT source, doc_id, n_tokens,
@@ -618,7 +618,7 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = docs.select(
         "source",
         "doc_id",
-        token_count(F.lower(F.col("text"))).alias("n_tokens"),
+        token_count(F.lower(F.col("text"))).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     w = (
         Window.partitionBy("source")

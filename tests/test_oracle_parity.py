@@ -77,3 +77,21 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_no_hugeint_columns(name):
+    """The driver hashes values after a pandas conversion, and DuckDB
+    HUGEINT/DECIMAL degrade to float64/object there — so an oracle whose
+    SUM is uncast hash-mismatches even when every value agrees (the r04
+    failure class). DESCRIBE is enough to catch it without running Spark:
+    every integer SUM (including window sums) must be CAST(... AS BIGINT).
+    """
+    con = _duck(SF_DIR)
+    rows = con.execute(f"DESCRIBE ({ORACLES[name]})").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in rows
+        if typ in ("HUGEINT", "UHUGEINT") or typ.startswith("DECIMAL")
+    ]
+    assert not bad, f"{name}: oracle emits hash-unstable types {bad}"
