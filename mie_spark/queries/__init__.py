@@ -68,72 +68,75 @@ def _load_all() -> None:
 # analytic / graph families proved stable in r01 AND r02 and move
 # behind the cutoff; they remain fully pytest-covered.
 _GRADE_FIRST = [
-    # vector family (8)
-    "v2_cosine_topk",
-    "v3_similarity_self_join",
-    "v_knn_join_nodes",
-    "v5_norms",
-    "v_batch_knn",
-    "v_ann_lsh_topk",
-    "v_ann_ivf_topk",
-    "v_embed_corpus",
-    # text family (10)
-    "text_token_stats",
-    "text_quality_filter",
-    "text_fingerprint",
-    "text_token_histogram",
-    "text_lang_id",
-    "pipe_clean_corpus",
-    "text_bpe_tokens",
-    "text_tfidf",
-    "text_repeat_ngrams",
-    "pipe_training_manifest",
-    # events family (13)
-    "ev_hourly_agg",
+    # Round 5 rotation. Head: the four oracles whose HUGEINT casts were
+    # fixed this round — their hash rows must flip to green. Then every
+    # family last graded in r02 (relational / analytic / graph / window
+    # / dedup): the corpus encoding and the shared catalog helpers
+    # changed since, so their green rows are stale. ev_asof_join also
+    # rotated out in r04 and returns here. Left outside the 50-slot
+    # window: the four rows-only multimodal queries (graded r03, no
+    # oracle — pytest-covered with real-bytes fixtures) and three
+    # trivial filter/order queries whose siblings stay graded
+    # (f4≈f2/f3, o5≈o1/o3, u1≈u2/u3/u4); the r04-graded families
+    # (vector/text/events/streaming) rotate behind the cutoff.
     "ev_sessionize",
-    "ev_json_props",
-    "ev_top_spenders",
-    "ev_funnel",
-    "ev_value_percentiles",
-    "ev_approx_distinct",
     "ev_multi_rollup",
-    "ev_pivot",
     "ev_gap_fill",
-    "ev_retention",
-    "ev_anomalies",
-    "ev_unpivot",
-    # streaming family (5)
-    "st_hourly_agg",
-    "st_sessionize",
-    "st_dedup_totals",
-    "st_stateful_totals",
-    "st_attribution_join",
-    # sampling family (2)
-    "samp_hash_split",
-    "samp_stratified",
-    # multimodal family — mm_decode_meta / mm_frame_sample /
-    # mm_resize_features / mm_audio_chunks got their rows-only grade in
-    # r03 and rotate out for the four queries that have never been
-    # graded at all (r04): phash pairs, temperature mixing, sequence
-    # packing, PQ ANN.
-    "mm_binary_meta",
-    "mm_phash_pairs",
-    "samp_temperature_mix",
     "pipe_pack_sequences",
-    "v_ann_pq_topk",
-    # dedup family (changed-this-round members) + new pipeline ops +
-    # retrieval (7). dedup_ngram_jaccard / dedup_exact_groups /
-    # dedup_embedding_cosine / q1_pricing_summary were green in r02 and
-    # their code is unchanged, so they rotate behind the cutoff to make
-    # room for queries that have never been graded (q1 additionally
-    # stays smoke-checked every round via entry()).
-    "pipe_dedup_clusters",
-    "dedup_simhash_pairs",
-    "text_unigram_logprob",
-    "pipe_decontaminate",
-    "text_redact_pii",
-    "text_bm25_topk",
-    "text_hybrid_rrf",
+    # events (stale member)
+    "ev_asof_join",
+    # flagship + TPC-H-ish relational (stale since r02)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    # scans / filters / raw SQL
+    "s1_scan_projection",
+    "s2_point_lookup",
+    "s7_raw_sql",
+    "f2_substring_match",
+    "f3_disjunction",
+    "f6_range_revenue",
+    # aggregates
+    "a1_stats_single_pass",
+    "a3_multi_table_counts",
+    "a4_groupby_metrics",
+    "a_rollup_suppliers",
+    "a_cube_orders",
+    "a_grouping_sets",
+    "a_stats_moments",
+    # ordering / sets
+    "o1_order_limit_offset",
+    "o3_topk",
+    "u2_pair_dedup",
+    "u3_except_customers",
+    "u4_intersect_customers",
+    # graph traversals + analytics
+    "j1_two_hop_traversal",
+    "j3_edge_attr_traversal",
+    "j4_reverse_traversal",
+    "j6_union_join_single_pass",
+    "j8_anti_join_inactive",
+    "g_triangle_count",
+    "g_connected_components",
+    "g_pagerank",
+    "g_bfs_hops",
+    "g_chain_motif",
+    # window functions
+    "w_rank_per_group",
+    "w_running_total",
+    "w_lag_monthly_delta",
+    # dedup family (stale since r02)
+    "dedup_exact_groups",
+    "dedup_keep_one",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
 ]
 
 
