@@ -137,12 +137,71 @@ class OpenAIEmbeddingProvider:
         return self.embed([text])[0]
 
 
+@dataclass
+class NomicEmbeddingProvider:
+    """Nomic Atlas `/embedding/text` endpoint (embedding.go:372-476).
+
+    Wire shape: POST {base_url}/embedding/text with
+    ``{"texts": [...], "model": ..., "task_type": ...}`` under Bearer
+    auth; response ``{"embeddings": [[...], ...]}``; errors carry a
+    ``detail`` field. The reference distinguishes documents from
+    queries via ``task_type`` ("search_document" / "search_query",
+    embedding.go:411-419) rather than the prompt prefixes the Ollama
+    path uses. Unlike the reference (one text per request), ``embed``
+    ships the whole batch in a single call — the API field is a list,
+    and per-text round-trips would dominate at corpus scale.
+    """
+
+    api_key: str = ""
+    model: str = "nomic-embed-text-v1.5"
+    base_url: str = "https://api-atlas.nomic.ai/v1"
+
+    def __post_init__(self) -> None:
+        if not self.api_key:
+            self.api_key = os.environ.get("NOMIC_API_KEY", "")
+        if not self.api_key:
+            # parity with CreateEmbeddingProvider: key is mandatory
+            raise ValueError("api_key is required for nomic provider")
+
+    def _call(self, texts: list[str], task_type: str) -> list[list[float]]:
+        out = _retry(
+            lambda: _http_json(
+                f"{self.base_url}/embedding/text",
+                {"texts": texts, "model": self.model, "task_type": task_type},
+                {"Authorization": f"Bearer {self.api_key}"},
+            )
+        )
+        embeddings = out.get("embeddings") or []
+        if len(embeddings) != len(texts):
+            raise ValueError(
+                f"nomic returned {len(embeddings)} embeddings for {len(texts)} texts"
+            )
+        return [_normalize([float(x) for x in e]) for e in embeddings]
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        return self._call(texts, "search_document")
+
+    def embed_query(self, text: str) -> list[float]:
+        return self._call([text], "search_query")[0]
+
+
 def provider_from_env(dimension: int = 4):
     """Factory mirroring the reference's provider selection
-    (embedding.go:572-613): explicit env opt-in, mock otherwise."""
-    name = os.environ.get("MIE_EMBEDDING_PROVIDER", "mock").lower()
+    (embedding.go:572-613): explicit env opt-in, mock otherwise.
+    Matching cmd/mie/config.go:238-244, a set NOMIC_API_KEY implies
+    the nomic provider when no explicit provider was chosen."""
+    name = os.environ.get("MIE_EMBEDDING_PROVIDER", "").lower()
+    if not name:
+        name = "nomic" if os.environ.get("NOMIC_API_KEY") else "mock"
     if name == "ollama":
         return OllamaEmbeddingProvider()
     if name == "openai":
         return OpenAIEmbeddingProvider()
+    if name == "nomic":
+        return NomicEmbeddingProvider(
+            model=os.environ.get("NOMIC_EMBED_MODEL", "nomic-embed-text-v1.5"),
+            base_url=os.environ.get(
+                "NOMIC_BASE_URL", "https://api-atlas.nomic.ai/v1"
+            ),
+        )
     return MockEmbeddingProvider(dimension)
