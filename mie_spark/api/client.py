@@ -860,6 +860,15 @@ class MieClient:
     def reset(self) -> None:
         self.store.reset()
 
+    def backup(self, dest: str) -> dict[str, str]:
+        """Point-in-time copy of every table (cozodb.go:174-201 Backup),
+        written as plain parquet under ``dest``."""
+        return self.store.backup(dest)
+
+    def restore(self, src: str) -> dict[str, str]:
+        """Replace store state with a backup's (cozodb.go:203-232)."""
+        return self.store.restore(src)
+
     # ------------------------------------------------------------------
 
     def _resolve_type(self, node_type: str) -> str:

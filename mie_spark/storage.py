@@ -148,18 +148,22 @@ class MieStore:
     def _commit_snapshot(self, table: str, version: str) -> None:
         """Atomic pointer flip, then GC all but the 2 newest versions
         (the previous one stays so lazy readers opened before this
-        commit keep their files)."""
+        commit keep their files). Pinned versions (see pin_current)
+        are exempt from GC — they back named backups and long-lived
+        readers, the same contract as Delta's VACUUM retention."""
         tdir = os.path.join(self.path, table)
         tmp_pointer = os.path.join(tdir, "_CURRENT.tmp")
         with open(tmp_pointer, "w") as fh:
             fh.write(version)
         os.replace(tmp_pointer, os.path.join(tdir, "_CURRENT"))  # commit point
+        pinned = set(self.pinned_versions(table))
         versions = sorted(
             (d for d in os.listdir(tdir) if d.startswith("v") and d[1:].isdigit()),
             key=lambda d: int(d[1:]),
         )
         for stale in versions[:-2]:
-            shutil.rmtree(os.path.join(tdir, stale), ignore_errors=True)
+            if stale not in pinned:
+                shutil.rmtree(os.path.join(tdir, stale), ignore_errors=True)
 
     def _write_df(self, table: str, df: DataFrame) -> None:
         """Spark-native snapshot write: the plan (typically current
@@ -367,6 +371,127 @@ class MieStore:
                 ],
             )
             return value
+
+    # -- snapshot pinning ---------------------------------------------------
+
+    def _pin_file(self, table: str) -> str:
+        assert self.path is not None
+        return os.path.join(self.path, table, "_PINNED")
+
+    def pinned_versions(self, table: str) -> list[str]:
+        """Versions exempt from snapshot GC, oldest first."""
+        if self.path is None:
+            return []
+        pf = self._pin_file(table)
+        if not os.path.exists(pf):
+            return []
+        with open(pf) as fh:
+            return [v for v in fh.read().split() if v]
+
+    def pin_current(self, table: str) -> str | None:
+        """Pin the table's current snapshot version so GC never deletes
+        it (cozodb.go:174-201 Backup keeps a full point-in-time copy;
+        pinning is the zero-copy equivalent on the versioned layout).
+        Returns the pinned version, or None if the table has no data."""
+        if self.path is None:
+            return None  # mem engine: no snapshot files to pin
+        with self._write_lock:
+            snap = self._snapshot_dir(table)
+            if snap is None:
+                return None
+            version = os.path.basename(snap)
+            pins = self.pinned_versions(table)
+            if version not in pins:
+                pins.append(version)
+                with open(self._pin_file(table), "w") as fh:
+                    fh.write("\n".join(pins))
+            return version
+
+    def unpin(self, table: str, version: str) -> None:
+        """Release a pin; the version becomes GC-eligible at the next
+        commit (it is NOT deleted eagerly — a reader may hold it)."""
+        if self.path is None:
+            return
+        with self._write_lock:
+            pins = [v for v in self.pinned_versions(table) if v != version]
+            pf = self._pin_file(table)
+            if pins:
+                with open(pf, "w") as fh:
+                    fh.write("\n".join(pins))
+            elif os.path.exists(pf):
+                os.remove(pf)
+
+    # -- backup / restore (cozodb.go:174-232 Backup/Restore) ----------------
+
+    def backup(self, dest: str) -> dict[str, str]:
+        """Copy every table's current snapshot to ``dest`` as a named,
+        self-contained backup (cozodb.go:174-201). Snapshot dirs are
+        immutable once committed, so the copy is consistent; the write
+        lock only fences the version *choice* (and GC) during the copy.
+        Returns {table: version} for what was captured.
+
+        The backup is plain parquet per table — readable by any engine,
+        not just this store (the reference's backup is an opaque Cozo
+        file; plain parquet is the lake-native improvement)."""
+        with self._write_lock:
+            os.makedirs(dest, exist_ok=True)
+            manifest: dict[str, str] = {}
+            for t in ALL_TABLES:
+                tdest = os.path.join(dest, t)
+                if self.path is not None:
+                    snap = self._snapshot_dir(t)
+                    if snap is None or not self._has_parquet(snap):
+                        continue
+                    shutil.copytree(snap, tdest, dirs_exist_ok=True)
+                    manifest[t] = os.path.basename(snap)
+                else:
+                    pdf = self._read_pdf(t)
+                    if pdf.empty:
+                        continue
+                    # route through Spark so array columns serialize with
+                    # the canonical schema, not pandas object guessing
+                    self.table(t).write.mode("overwrite").parquet(tdest)
+                    manifest[t] = "mem"
+            import json as _json
+
+            with open(os.path.join(dest, "_MANIFEST.json"), "w") as fh:
+                _json.dump({"tables": manifest}, fh)
+            return manifest
+
+    def restore(self, src: str) -> dict[str, str]:
+        """Replace the store's state with a backup's (cozodb.go:203-232).
+        Tables present in the backup are committed as a NEW snapshot
+        version (the versioned-write path — lazy readers opened before
+        the restore keep their files); tables absent from the backup are
+        cleared. Returns the {table: version} manifest restored."""
+        import json as _json
+
+        manifest_path = os.path.join(src, "_MANIFEST.json")
+        if not os.path.exists(manifest_path):
+            raise FileNotFoundError(f"not a mie backup (no _MANIFEST.json): {src}")
+        with open(manifest_path) as fh:
+            manifest = _json.load(fh)["tables"]
+        with self._write_lock:
+            for t in ALL_TABLES:
+                tsrc = os.path.join(src, t)
+                has_data = t in manifest and os.path.isdir(tsrc)
+                if self.path is not None:
+                    if has_data:
+                        snap, version = self._next_snapshot(t)
+                        shutil.copytree(tsrc, snap, dirs_exist_ok=True)
+                        self._commit_snapshot(t, version)
+                    elif self._snapshot_dir(t) is not None:
+                        snap, version = self._next_snapshot(t)
+                        os.makedirs(snap, exist_ok=True)  # empty snapshot
+                        self._commit_snapshot(t, version)
+                else:
+                    if has_data:
+                        pdf = self.spark.read.parquet(tsrc).toPandas()
+                        self._write_pdf(t, pdf)
+                    else:
+                        self._mem.pop(t, None)
+            self.ensure_schema()
+            return manifest
 
     # -- lifecycle ----------------------------------------------------------
 

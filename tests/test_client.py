@@ -409,3 +409,73 @@ def test_hybrid_search_empty_query_and_empty_store(spark):
     c = MieClient(spark, path=None, embedding_dim=4)
     assert c.hybrid_search("   ") == []
     assert c.hybrid_search("anything") == []
+
+
+def test_backup_restore_roundtrip_disk(spark, tmp_path):
+    """store → backup → mutate → restore → state equals backup
+    (cozodb.go:174-232 Backup/Restore parity on the parquet engine)."""
+    path = str(tmp_path / "store")
+    bdir = str(tmp_path / "bak")
+    c = MieClient(spark, path=path, embedding_dim=4)
+    fid = c.store_fact("survives the backup", "general")
+    manifest = c.backup(bdir)
+    assert "mie_fact" in manifest
+
+    doomed = c.store_fact("added after the backup", "general")
+    c.invalidate_fact(doomed, fid, reason="supersedes for test")
+    restored = c.restore(bdir)
+    assert restored == manifest
+    restored_fact = c.get_node_by_id(fid)
+    assert restored_fact["content"] == "survives the backup"
+    assert restored_fact["valid"] is True
+    assert c.get_node_by_id(doomed) is None
+
+    # a fresh client over the same path sees the restored state too
+    c2 = MieClient(spark, path=path, embedding_dim=4)
+    assert c2.get_node_by_id(fid)["content"] == "survives the backup"
+
+
+def test_backup_restore_roundtrip_mem(spark, tmp_path):
+    bdir = str(tmp_path / "bak")
+    c = MieClient(spark, path=None, embedding_dim=4)
+    fid = c.store_fact("mem engine fact", "general")
+    c.backup(bdir)
+    extra = c.store_fact("post-backup fact", "general")
+    c.restore(bdir)
+    assert c.get_node_by_id(fid)["content"] == "mem engine fact"
+    assert c.get_node_by_id(extra) is None
+
+
+def test_restore_clears_tables_absent_from_backup(spark, tmp_path):
+    c = MieClient(spark, path=str(tmp_path / "s"), embedding_dim=4)
+    c.store_fact("only fact", "general")
+    bdir = str(tmp_path / "bak")
+    c.backup(bdir)
+    eid = c.store_entity("NewEntity", "technology", "added later")
+    c.restore(bdir)
+    assert c.get_node_by_id(eid) is None
+
+
+def test_restore_rejects_non_backup_dir(spark, tmp_path):
+    c = MieClient(spark, path=None, embedding_dim=4)
+    with pytest.raises(FileNotFoundError, match="_MANIFEST"):
+        c.restore(str(tmp_path))
+
+
+def test_pinned_snapshot_survives_gc(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "s")
+    c = MieClient(spark, path=path, embedding_dim=4)
+    c.store_fact("pin me", "general")
+    pinned = c.store.pin_current("mie_fact")
+    assert pinned is not None
+    # three more commits would normally GC the pinned version (GC keeps 2)
+    for i in range(3):
+        c.store_fact(f"churn {i}", "general")
+    assert os.path.isdir(os.path.join(path, "mie_fact", pinned))
+    assert c.store.pinned_versions("mie_fact") == [pinned]
+    # unpin → next commit GCs it
+    c.store.unpin("mie_fact", pinned)
+    c.store_fact("one more", "general")
+    assert not os.path.isdir(os.path.join(path, "mie_fact", pinned))
