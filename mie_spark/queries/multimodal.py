@@ -109,8 +109,8 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter. No all-pairs join anywhere: the shuffle carries (id, sig,
     band, value) longs, never pixels, which is what makes image dedup
     run at corpus scale. Rows-only check (DCT isn't SQL-expressible);
-    grouping correctness and hamming separation are pinned in
-    tests/test_multimodal.py."""
+    grouping correctness, the hamming bound, and a full-output digest
+    are pinned in tests/test_rows_only_digests.py."""
     from mie_spark.operators.dedup import simhash_candidate_pairs
     from mie_spark.operators.multimodal import image_phash, synthetic_ppm_corpus
 

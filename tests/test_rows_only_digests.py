@@ -1,0 +1,77 @@
+"""Value pins for rows-only registry queries.
+
+These queries have no DuckDB oracle (ANN probing, DCT hashing, fake
+codecs aren't SQL-expressible), so the driver only checks row counts.
+Locally we pin a sha256 digest of the full sorted output at sf0.001:
+every value in every row participates, so silent drift (a changed
+hash seed, a reordered band, a float regression) fails here even
+though the driver's rows-only gate would wave it through. The ANN
+top-k queries are excluded — their guarantee is recall, asserted
+against the exact ranking in test_vector.py — and ev_approx_distinct
+carries a 5%-of-exact bound in test_scale.py.
+
+If a digest changes INTENTIONALLY (algorithm change), re-pin it and
+say why in the commit message.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from mie_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PINNED = {
+    "v_embed_corpus": "3c1a0aae85b22133",
+    "mm_phash_pairs": "ec7d203088fd9723",
+    "mm_binary_meta": "05b816ebb71a096a",
+    "mm_decode_meta": "1e2dea2c5853f7a7",
+    "mm_frame_sample": "ba36dbce31b1d664",
+    "mm_resize_features": "caa2002e249d8e80",
+    "mm_audio_chunks": "0e9db5e96c1f8a17",
+}
+
+
+def _digest(df) -> str:
+    cols = sorted(df.columns)
+    rows = sorted(repr(tuple(r[c] for c in cols)) for r in df.collect())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_rows_only_output_digest(spark, name):
+    got = _digest(QUERIES[name](spark, SF_DIR))
+    assert got == PINNED[name], (
+        f"{name}: output drifted (digest {got} != pinned {PINNED[name]}). "
+        "If intentional, re-pin and explain in the commit."
+    )
+
+
+def test_phash_pairs_are_within_groups_and_hamming_bound(spark):
+    """mm_phash_pairs end-to-end semantics: the synthetic PPM corpus has
+    near-dup structure by construction (group_size=25 variants of one
+    base image), so candidate pairs must (a) connect assets of the same
+    group only and (b) honor the max_hamming=6 bound when hamming is
+    recomputed from the signatures."""
+    from mie_spark.operators.multimodal import image_phash, synthetic_ppm_corpus
+    from mie_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assets = synthetic_ppm_corpus(docs, group_size=25)
+    sigs = {
+        r["asset_id"]: r["phash"]
+        for r in image_phash(assets).select("asset_id", "phash").collect()
+    }
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["mm_phash_pairs"](spark, SF_DIR).collect()
+    ]
+    assert pairs, "synthetic near-dup corpus must produce candidate pairs"
+    for a, b in pairs:
+        assert a < b, "pair dedup invariant (a<b) violated"
+        assert a // 25 == b // 25, f"pair ({a},{b}) crosses synthetic groups"
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        assert ham <= 6, f"pair ({a},{b}) exceeds hamming bound: {ham}"
