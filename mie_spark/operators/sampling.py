@@ -63,7 +63,9 @@ def shuffle_shards(
 ) -> DataFrame:
     """Deterministic global shuffle for training-data export.
 
-    Every row gets a shard (uniform md5 bucket of its id) and a
+    Every row gets a shard (16-bit md5 prefix mod n_shards — exactly
+    uniform when n_shards divides 65536, else within a relative bias
+    of n_shards/65536, negligible for any sane shard count) and a
     within-shard sort key (the full md5 hex). Writing
     ``.repartition(shard_col).sortWithinPartitions(key_col)`` then
     yields globally shuffled shards with NO global sort — one hash

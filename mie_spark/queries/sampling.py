@@ -129,3 +129,61 @@ def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("cutoff"))
         .select("doc_id", "source")
     )
+
+
+@query(
+    "samp_shuffle_shards",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             md5(doc_id::VARCHAR) AS shuffle_key,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 8 AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           min(shuffle_key) AS first_key, max(shuffle_key) AS last_key
+    FROM s GROUP BY shard
+    """,
+)
+def samp_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 export shards: shard
+    membership and within-shard order are pure functions of doc_id
+    (operators/sampling.py shuffle_shards), so the oracle checks the
+    exact per-shard membership boundaries (min/max sort key), not just
+    sizes. The production write is repartition(shard) +
+    sortWithinPartitions(key) — one hash shuffle, no global sort."""
+    from mie_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shuffle_shards(docs, "doc_id", n_shards=8)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("shuffle_key").alias("first_key"),
+        F.max("shuffle_key").alias("last_key"),
+    )
+
+
+@query(
+    "samp_fixed_k",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def samp_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5 deterministic docs per source (reservoir-sampling
+    analog, operators/sampling.py fixed_k_per_stratum): rows rank by
+    md5(id) within their stratum — a reproducible uniform order — so
+    the oracle checks the exact membership of every per-source sample,
+    row for row."""
+    from mie_spark.operators.sampling import fixed_k_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fixed_k_per_stratum(docs, "source", "doc_id", k=5)
+    return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))

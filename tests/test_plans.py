@@ -158,3 +158,17 @@ def test_temperature_mix_broadcasts_cutoffs(spark):
     df = QUERIES["samp_temperature_mix"](spark, SF)
     assert broadcast_join_count(df) >= 1
     assert exchange_count(df) <= 3
+
+
+def test_shuffle_shards_assignment_is_scan_fused(spark):
+    """Shard + key assignment is a pure projection — the aggregate that
+    proves membership costs one exchange; the assignment itself none."""
+    df = QUERIES["samp_shuffle_shards"](spark, SF)
+    assert exchange_count(df) == 1
+
+
+def test_fixed_k_single_shuffle(spark):
+    """fixed_k_per_stratum is one window shuffle on the stratum column;
+    the rank filter must not introduce a second exchange."""
+    df = QUERIES["samp_fixed_k"](spark, SF)
+    assert exchange_count(df) == 1
