@@ -16,6 +16,7 @@ bound (tools/conflicts.go:20-22 vs memory/conflicts.go:95).
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +81,30 @@ class MieClient:
         self.spark = spark
         self.embedder = embedder or MockEmbeddingProvider(embedding_dim)
         self.store = MieStore(spark, path, embedding_dim=embedding_dim)
+
+    @classmethod
+    def from_config(cls, spark: SparkSession, cfg=None) -> "MieClient":
+        """Build a client from a discovered .mie/config.yaml (walk-up +
+        env overrides, mie_spark/config.py; reference: cmd/mie uses
+        LoadConfig on every command, config.go:74-107). The embedding
+        provider honors the config when embedding is enabled, else the
+        deterministic mock."""
+        from mie_spark.config import load_config, resolve_storage_path
+        from mie_spark.embedding import provider_from_env
+
+        if cfg is None:
+            cfg = load_config()
+        embedder = None
+        dim = cfg.embedding.dimensions
+        if cfg.embedding.enabled and cfg.embedding.provider != "mock":
+            os.environ.setdefault("MIE_EMBEDDING_PROVIDER", cfg.embedding.provider)
+            embedder = provider_from_env(dim)
+        return cls(
+            spark,
+            path=resolve_storage_path(cfg),
+            embedder=embedder,
+            embedding_dim=dim,
+        )
 
     # ------------------------------------------------------------------
     # write path (writer.go)
