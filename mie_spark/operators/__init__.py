@@ -20,9 +20,22 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     At real scale inputs arrive with ≥cores partitions and this is a
     no-op — the conditional is what keeps it safe to leave in the
     operator rather than at call sites.
+
+    The ``auto`` probe reads ``df.rdd.getNumPartitions()``, which costs
+    a driver-side plan analysis + RDD conversion per call — fine on the
+    small inputs it exists for, but wasted work on a production cluster
+    where inputs are already wide. ``spark.mie.ensureParallelism`` makes
+    the policy explicit per deployment: ``auto`` (default, probe),
+    ``never`` (trust the input layout — the 1000-executor setting; zero
+    driver work), ``always`` (unconditional repartition — debugging).
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.mie.ensureParallelism", "auto")
+    if mode == "never":
+        return df
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if mode == "always":
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -250,3 +250,31 @@ def test_redact_pii_crafted_strings(spark):
     for (src, want_red, want_n), row in zip(cases, out):
         assert row["red"] == want_red, f"{src!r} -> {row['red']!r}"
         assert row["n"] == want_n, f"{src!r} count {row['n']} != {want_n}"
+
+
+def test_ensure_parallelism_policy_modes(spark):
+    """spark.mie.ensureParallelism: never = zero driver probing and no
+    repartition; always = unconditional repartition to target; auto =
+    widen only under-partitioned inputs."""
+    from mie_spark.operators import ensure_parallelism
+
+    narrow = spark.range(0, 100, 1, 1).toDF("id")
+    try:
+        spark.conf.set("spark.mie.ensureParallelism", "never")
+        assert ensure_parallelism(narrow).rdd.getNumPartitions() == 1
+        spark.conf.set("spark.mie.ensureParallelism", "always")
+        wide = ensure_parallelism(narrow, min_partitions=8)
+        assert wide.rdd.getNumPartitions() == 8
+        spark.conf.set("spark.mie.ensureParallelism", "auto")
+        assert (
+            ensure_parallelism(narrow, min_partitions=8).rdd.getNumPartitions()
+            == 8
+        )
+        already_wide = spark.range(0, 100, 1, 8).toDF("id")
+        assert (
+            ensure_parallelism(already_wide, min_partitions=4)
+            .rdd.getNumPartitions()
+            == 8
+        )
+    finally:
+        spark.conf.unset("spark.mie.ensureParallelism")
