@@ -16,7 +16,6 @@ bound (tools/conflicts.go:20-22 vs memory/conflicts.go:95).
 from __future__ import annotations
 
 import json
-import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,16 +88,35 @@ class MieClient:
         LoadConfig on every command, config.go:74-107). The embedding
         provider honors the config when embedding is enabled, else the
         deterministic mock."""
+        from mie_spark import embedding as emb
         from mie_spark.config import load_config, resolve_storage_path
-        from mie_spark.embedding import provider_from_env
 
         if cfg is None:
             cfg = load_config()
         embedder = None
         dim = cfg.embedding.dimensions
         if cfg.embedding.enabled and cfg.embedding.provider != "mock":
-            os.environ.setdefault("MIE_EMBEDDING_PROVIDER", cfg.embedding.provider)
-            embedder = provider_from_env(dim)
+            name = cfg.embedding.provider
+            if name == "ollama":
+                embedder = emb.OllamaEmbeddingProvider(
+                    model=cfg.embedding.model or "nomic-embed-text",
+                    base_url=cfg.embedding.base_url or "http://localhost:11434",
+                )
+            elif name == "openai":
+                embedder = emb.OpenAIEmbeddingProvider(
+                    model=cfg.embedding.model or "text-embedding-3-small",
+                    base_url=cfg.embedding.base_url or "https://api.openai.com/v1",
+                    api_key=cfg.embedding.api_key,
+                )
+            elif name == "nomic":
+                embedder = emb.NomicEmbeddingProvider(
+                    api_key=cfg.embedding.api_key,
+                    model=cfg.embedding.model or "nomic-embed-text-v1.5",
+                    base_url=cfg.embedding.base_url
+                    or "https://api-atlas.nomic.ai/v1",
+                )
+            else:
+                raise ValueError(f"unknown embedding provider {name!r}")
         return cls(
             spark,
             path=resolve_storage_path(cfg),

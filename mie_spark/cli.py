@@ -1,0 +1,251 @@
+"""`mie`-compatible command-line surface over the Spark engine.
+
+Command-for-command parity with the reference CLI dispatch
+(cmd/mie/main.go:140-170: init / status / reset / export / import /
+query), plus `backup` / `restore` riding the round-5 store surface.
+Run as ``python -m mie_spark.cli <command> [options]``.
+
+Each command resolves its store the same way the reference does:
+`--config` (or MIE_CONFIG_PATH) → `.mie/config.yaml` walk-up → built-in
+defaults with env overrides (status falls back to defaults rather than
+erroring, status.go:65-69; the data-touching commands require a
+config or run on the default data dir).
+
+The Spark session starts lazily, only for commands that touch data —
+`init` works without a JVM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from mie_spark.config import (
+    Config,
+    _apply_env_overrides,
+    config_path,
+    default_config,
+    load_config,
+    resolve_storage_path,
+    save_config,
+    validate_config,
+)
+
+EXIT_OK = 0
+EXIT_ERROR = 1
+EXIT_CONFIG = 2
+
+
+def _load_cfg(path: str | None) -> Config:
+    try:
+        return load_config(path or None)
+    except (FileNotFoundError, ValueError):
+        cfg = default_config()
+        _apply_env_overrides(cfg)
+        validate_config(cfg)
+        return cfg
+
+
+def _client(cfg: Config):
+    from mie_spark.api import MieClient
+    from mie_spark.session import get_spark
+
+    spark = get_spark("mie_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return MieClient.from_config(spark, cfg)
+
+
+def cmd_init(args: argparse.Namespace) -> int:
+    """init.go:22-80: write .mie/config.yaml with defaults."""
+    path = config_path(os.getcwd())
+    if os.path.exists(path) and not args.force:
+        print(f"Error: {path} already exists (use --force to overwrite)", file=sys.stderr)
+        return EXIT_ERROR
+    save_config(default_config(), path)
+    print(f"Created {path}")
+    return EXIT_OK
+
+
+def cmd_status(args: argparse.Namespace) -> int:
+    """status.go:40-120: engine, data dir, connectivity, node census."""
+    cfg = _load_cfg(args.config)
+    data_dir = resolve_storage_path(cfg)
+    result: dict = {
+        "storage_engine": cfg.storage.engine,
+        "data_dir": data_dir,
+        "embeddings_enabled": cfg.embedding.enabled,
+        "connected": False,
+    }
+    if data_dir is not None and not os.path.isdir(data_dir):
+        result["error"] = "No data found. Store something first."
+    else:
+        c = _client(cfg)
+        result["connected"] = True
+        result["stats"] = c.get_stats()
+        result["usage"] = c.get_usage()
+    if args.json:
+        print(json.dumps(result, default=str))
+    else:
+        print("MIE Memory Status\n")
+        print(f"  Engine:     {result['storage_engine']}")
+        print(f"  Data dir:   {result['data_dir']}")
+        print(f"  Embeddings: {'enabled' if result['embeddings_enabled'] else 'disabled'}")
+        if result["connected"]:
+            for k, v in result["stats"].items():
+                print(f"  {k}: {v}")
+        else:
+            print(f"  {result.get('error', 'not connected')}")
+    return EXIT_OK
+
+
+def cmd_reset(args: argparse.Namespace) -> int:
+    """reset.go:17-60: delete everything; --yes is mandatory."""
+    if not args.yes:
+        print("Error: reset requires --yes to confirm", file=sys.stderr)
+        return EXIT_ERROR
+    cfg = _load_cfg(args.config)
+    _client(cfg).reset()
+    print("Reset complete.")
+    return EXIT_OK
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    """export.go:20-100: full-graph export, json or script form."""
+    cfg = _load_cfg(args.config)
+    c = _client(cfg)
+    if args.format == "json":
+        data = c.export_json()
+        if args.include_embeddings:
+            from mie_spark.schemas import EMBEDDING_TABLES
+
+            for t in EMBEDDING_TABLES:
+                data[t] = [r.asDict() for r in c.store.table(t).collect()]
+        payload = json.dumps(data, default=str, indent=2)
+    elif args.format in ("sql", "datalog"):
+        # the reference's datalog script maps to this engine's SQL script
+        payload = c.export_sql_script()
+    else:
+        print(f"Error: unknown format {args.format!r}", file=sys.stderr)
+        return EXIT_ERROR
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(payload)
+        print(f"Exported to {args.output}")
+    else:
+        print(payload)
+    return EXIT_OK
+
+
+def cmd_import(args: argparse.Namespace) -> int:
+    """import.go:22-110: json or script import, --dry-run previews."""
+    cfg = _load_cfg(args.config)
+    if args.input:
+        with open(args.input) as fh:
+            payload = fh.read()
+    else:
+        payload = sys.stdin.read()
+    c = _client(cfg)
+    if args.format == "json":
+        data = json.loads(payload)
+        if args.dry_run:
+            n = sum(len(v) for v in data.values())
+        else:
+            n = c.import_json(data)
+    elif args.format in ("sql", "datalog"):
+        n = c.import_sql_script(payload, dry_run=args.dry_run)
+    else:
+        print(f"Error: unknown format {args.format!r}", file=sys.stderr)
+        return EXIT_ERROR
+    verb = "Would import" if args.dry_run else "Imported"
+    print(f"{verb} {n} rows")
+    return EXIT_OK
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """query.go:22-123: raw query escape hatch — full Spark SQL over
+    the registered graph tables, rows out as JSON lines."""
+    cfg = _load_cfg(args.config)
+    c = _client(cfg)
+    df = c.raw_query(args.sql)
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(f"-- {len(rows)} row(s)", file=sys.stderr)
+    return EXIT_OK
+
+
+def cmd_backup(args: argparse.Namespace) -> int:
+    cfg = _load_cfg(args.config)
+    manifest = _client(cfg).backup(args.dest)
+    print(f"Backed up {len(manifest)} table(s) to {args.dest}")
+    return EXIT_OK
+
+
+def cmd_restore(args: argparse.Namespace) -> int:
+    cfg = _load_cfg(args.config)
+    manifest = _client(cfg).restore(args.src)
+    print(f"Restored {len(manifest)} table(s) from {args.src}")
+    return EXIT_OK
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mie_spark.cli",
+        description="MIE memory graph CLI (Spark engine)",
+    )
+    p.add_argument("--config", default="", help="path to config.yaml (default: discovery)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("init", help="create .mie/config.yaml")
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("status", help="show graph status")
+    sp.add_argument("--json", action="store_true")
+    sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("reset", help="delete all data")
+    sp.add_argument("--yes", action="store_true", help="confirm (required)")
+    sp.set_defaults(fn=cmd_reset)
+
+    sp = sub.add_parser("export", help="export the graph")
+    sp.add_argument("--format", default="json", choices=["json", "sql", "datalog"])
+    sp.add_argument("-o", "--output", default="")
+    sp.add_argument("--include-embeddings", action="store_true")
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("import", help="import a previous export")
+    sp.add_argument("--format", default="json", choices=["json", "sql", "datalog"])
+    sp.add_argument("-i", "--input", default="")
+    sp.add_argument("--dry-run", action="store_true")
+    sp.set_defaults(fn=cmd_import)
+
+    sp = sub.add_parser("query", help="raw SQL over the graph tables")
+    sp.add_argument("sql")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("backup", help="point-in-time parquet backup")
+    sp.add_argument("dest")
+    sp.set_defaults(fn=cmd_backup)
+
+    sp = sub.add_parser("restore", help="restore from a backup")
+    sp.add_argument("src")
+    sp.set_defaults(fn=cmd_restore)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error: {exc}", file=sys.stderr)
+        return EXIT_ERROR
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""CLI dispatch tests (cmd/mie/main.go:140-170 command parity),
+executed in-process against a parquet-engine store in tmp_path so state
+persists across invocations the way it does for the real binary."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mie_spark.cli import main
+from mie_spark.config import config_path, default_config, save_config
+
+
+@pytest.fixture()
+def cfg_file(tmp_path, monkeypatch):
+    cfg = default_config()
+    cfg.storage.engine = "parquet"
+    cfg.storage.path = str(tmp_path / "data")
+    cfg.embedding.dimensions = 4
+    p = str(tmp_path / "config.yaml")
+    save_config(cfg, p)
+    # ensure ambient env can't redirect the CLI under test
+    for k in ("MIE_CONFIG_PATH", "MIE_STORAGE_ENGINE", "MIE_STORAGE_PATH",
+              "MIE_EMBEDDING_PROVIDER", "NOMIC_API_KEY", "OPENAI_API_KEY"):
+        monkeypatch.delenv(k, raising=False)
+    return p
+
+
+def _run(capsys, *argv) -> tuple[int, str]:
+    rc = main(list(argv))
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_init_creates_and_respects_force(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    rc, out = _run(capsys, "init")
+    assert rc == 0 and os.path.exists(config_path(str(tmp_path)))
+    rc, _ = _run(capsys, "init")
+    assert rc == 1  # already exists
+    rc, _ = _run(capsys, "init", "--force")
+    assert rc == 0
+
+
+def test_reset_requires_yes(cfg_file, capsys):
+    rc, _ = _run(capsys, "--config", cfg_file, "reset")
+    assert rc == 1
+
+
+def test_status_json_on_fresh_store(spark, cfg_file, capsys):
+    rc, out = _run(capsys, "--config", cfg_file, "status", "--json")
+    assert rc == 0
+    payload = json.loads(out)
+    assert payload["storage_engine"] == "parquet"
+
+
+def test_import_query_export_roundtrip(spark, cfg_file, tmp_path, capsys):
+    data = {
+        "mie_fact": [
+            {"content": "cli imported fact", "category": "general"},
+        ]
+    }
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps(data))
+
+    rc, out = _run(capsys, "--config", cfg_file, "import", "-i", str(src))
+    assert rc == 0 and "Imported 1 rows" in out
+
+    rc, out = _run(
+        capsys, "--config", cfg_file, "query",
+        "SELECT content FROM mie_fact WHERE valid",
+    )
+    assert rc == 0
+    assert json.loads(out.splitlines()[0])["content"] == "cli imported fact"
+
+    dest = tmp_path / "out.json"
+    rc, _ = _run(capsys, "--config", cfg_file, "export", "-o", str(dest))
+    assert rc == 0
+    exported = json.loads(dest.read_text())
+    assert exported["mie_fact"][0]["content"] == "cli imported fact"
+
+
+def test_import_dry_run_writes_nothing(spark, cfg_file, tmp_path, capsys):
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps({"mie_fact": [{"content": "phantom"}]}))
+    rc, out = _run(
+        capsys, "--config", cfg_file, "import", "-i", str(src), "--dry-run"
+    )
+    assert rc == 0 and "Would import 1 rows" in out
+    rc, out = _run(
+        capsys, "--config", cfg_file, "query", "SELECT count(*) AS n FROM mie_fact"
+    )
+    assert json.loads(out.splitlines()[0])["n"] == 0
+
+
+def test_backup_restore_cli(spark, cfg_file, tmp_path, capsys):
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps({"mie_fact": [{"content": "keep me"}]}))
+    _run(capsys, "--config", cfg_file, "import", "-i", str(src))
+
+    bdir = str(tmp_path / "bak")
+    rc, out = _run(capsys, "--config", cfg_file, "backup", bdir)
+    assert rc == 0 and "Backed up" in out
+
+    _run(capsys, "--config", cfg_file, "reset", "--yes")
+    rc, out = _run(
+        capsys, "--config", cfg_file, "query", "SELECT count(*) AS n FROM mie_fact"
+    )
+    assert json.loads(out.splitlines()[0])["n"] == 0
+
+    rc, out = _run(capsys, "--config", cfg_file, "restore", bdir)
+    assert rc == 0
+    rc, out = _run(
+        capsys, "--config", cfg_file, "query",
+        "SELECT content FROM mie_fact",
+    )
+    assert json.loads(out.splitlines()[0])["content"] == "keep me"
+
+
+def test_sql_script_export_import(spark, cfg_file, tmp_path, capsys):
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps({"mie_fact": [{"content": "scripted"}]}))
+    _run(capsys, "--config", cfg_file, "import", "-i", str(src))
+
+    script = tmp_path / "dump.sql"
+    rc, _ = _run(
+        capsys, "--config", cfg_file, "export", "--format", "sql", "-o", str(script)
+    )
+    assert rc == 0 and "INSERT INTO mie_fact" in script.read_text()
+    # datalog is accepted as the reference-compatible alias
+    rc, out = _run(
+        capsys, "--config", cfg_file, "import", "--format", "datalog",
+        "-i", str(script), "--dry-run",
+    )
+    assert rc == 0 and "Would import" in out
