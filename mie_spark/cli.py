@@ -38,14 +38,31 @@ EXIT_ERROR = 1
 EXIT_CONFIG = 2
 
 
-def _load_cfg(path: str | None) -> Config:
+def _default_cfg() -> Config:
+    cfg = default_config()
+    _apply_env_overrides(cfg)
+    validate_config(cfg)
+    return cfg
+
+
+def _load_cfg(path: str | None, fallback: bool = False) -> Config:
+    """Config resolution. A MISSING config degrades to defaults+env
+    (same data dir `mie init` would write, so the zero-config path
+    works). An INVALID config — bad version, bad engine, unparseable —
+    only degrades for ``fallback=True`` (status, status.go:65-69);
+    every data-touching command propagates the error: silently running
+    `reset` or `import` against default paths because the user's config
+    failed to parse is exactly the surprise the reference avoids."""
     try:
         return load_config(path or None)
-    except (FileNotFoundError, ValueError):
-        cfg = default_config()
-        _apply_env_overrides(cfg)
-        validate_config(cfg)
-        return cfg
+    except FileNotFoundError:
+        if fallback or not path:
+            return _default_cfg()
+        raise
+    except ValueError:
+        if fallback:
+            return _default_cfg()
+        raise
 
 
 def _client(cfg: Config):
@@ -70,7 +87,7 @@ def cmd_init(args: argparse.Namespace) -> int:
 
 def cmd_status(args: argparse.Namespace) -> int:
     """status.go:40-120: engine, data dir, connectivity, node census."""
-    cfg = _load_cfg(args.config)
+    cfg = _load_cfg(args.config, fallback=True)
     data_dir = resolve_storage_path(cfg)
     result: dict = {
         "storage_engine": cfg.storage.engine,

@@ -135,3 +135,18 @@ def test_sql_script_export_import(spark, cfg_file, tmp_path, capsys):
         "-i", str(script), "--dry-run",
     )
     assert rc == 0 and "Would import" in out
+
+
+def test_invalid_config_errors_for_data_commands_but_not_status(
+    tmp_path, capsys
+):
+    """A malformed config must stop reset/import/export/query; status
+    degrades to defaults (status.go:65-69)."""
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("version: '999'\n")
+    rc, _ = _run(capsys, "--config", str(bad), "reset", "--yes")
+    assert rc == 1
+    err = capsys.readouterr()
+    rc, out = _run(capsys, "--config", str(bad), "status", "--json")
+    assert rc == 0
+    assert json.loads(out)["storage_engine"] in ("parquet", "mem")
