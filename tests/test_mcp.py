@@ -118,3 +118,102 @@ def test_serve_loop_framing(server):
     assert lines[0]["id"] == 1 and "result" in lines[0]
     assert lines[1]["error"]["code"] == -32700
     assert lines[2]["id"] == 2 and lines[2]["result"] == {}
+
+
+def _store(server, rid, **arguments):
+    return _tool_payload(
+        _call(server, "tools/call", {"name": "mie_store", "arguments": arguments},
+              rid=rid)
+    )
+
+
+def test_store_update_invalidate_flow(server):
+    """e2e_test.go TestMCPStoreAndUpdate: store old + replacement facts,
+    invalidate the old via mie_update with the replacement id, then a
+    valid_only list shows only the replacement."""
+    old = _store(server, 2, type="fact",
+                 content="Water freezes at 10 degrees Celsius",
+                 category="general")
+    new = _store(server, 3, type="fact",
+                 content="Water freezes at 0 degrees Celsius",
+                 category="general")
+    upd = _tool_payload(
+        _call(server, "tools/call", {
+            "name": "mie_update",
+            "arguments": {
+                "operation": "invalidate",
+                "node_id": old["id"],
+                "new_fact_id": new["id"],
+                "reason": "Incorrect temperature",
+            },
+        }, rid=4)
+    )
+    assert upd["ok"] is True
+    listed = _tool_payload(
+        _call(server, "tools/call", {
+            "name": "mie_list",
+            "arguments": {"node_type": "fact", "valid_only": True},
+        }, rid=5)
+    )
+    assert listed["total"] == 1
+    assert listed["results"][0]["id"] == new["id"]
+
+
+def test_store_multiple_types_and_exact_query(server):
+    """e2e_test.go TestMCPStoreMultipleTypes / TestMCPStoreAndQuery."""
+    _store(server, 2, type="fact", content="Acme Corp ships anvils",
+           category="general")
+    ent = _store(server, 3, type="entity", name="Acme Corp", kind="company",
+                 description="A fictional company")
+    _store(server, 4, type="topic", name="logistics",
+           description="shipping things")
+    assert ent["id"].startswith("ent:")
+    q = _tool_payload(
+        _call(server, "tools/call", {
+            "name": "mie_query",
+            "arguments": {"query": "Acme Corp", "mode": "exact",
+                          "node_types": ["entity"]},
+        }, rid=5)
+    )
+    assert q["count"] == 1
+    assert q["results"][0]["id"] == ent["id"]
+
+
+def test_export_over_mcp(server):
+    """e2e_test.go TestMCPExport: stored content appears in the export
+    payload; truncation flag present."""
+    _store(server, 2, type="fact", content="exportable fact",
+           category="general")
+    exp = _tool_payload(
+        _call(server, "tools/call",
+              {"name": "mie_export", "arguments": {"format": "json"}}, rid=3)
+    )
+    assert exp["truncated"] is False
+    assert "exportable fact" in exp["data"]
+
+
+def test_analyze_and_conflicts_over_mcp(server):
+    """e2e_test.go TestMCPAnalyze / TestMCPConflicts: identical content
+    stored twice is surfaced by both the pre-store analysis and the
+    conflict scan with a supersession recommendation."""
+    first = _store(server, 2, type="fact", content="The sky is blue",
+                   category="general")
+    ana = _tool_payload(
+        _call(server, "tools/call", {
+            "name": "mie_analyze",
+            "arguments": {"content": "The sky is blue"},
+        }, rid=3)
+    )
+    assert any(s["id"] == first["id"] for s in ana.get("similar", []))
+    # identical text in a second category: distinct id, identical mock
+    # embedding -> similarity 1.0 (the e2e conflict fixture's shape)
+    _store(server, 4, type="fact", content="The sky is blue",
+           category="technical")
+    conf = _tool_payload(
+        _call(server, "tools/call",
+              {"name": "mie_conflicts", "arguments": {"threshold": 0.99}},
+              rid=5)
+    )
+    assert conf["recommendations"], "near-identical facts must be flagged"
+    rec = conf["recommendations"][0]
+    assert {"keep", "supersede", "similarity"} <= set(rec)
