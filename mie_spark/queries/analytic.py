@@ -50,7 +50,7 @@ def w_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c_acctbal", 2).alias("bal"),
             F.col("c_acctbal"),
         )
-        .withColumn("rnk", F.rank().over(w))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("nation", "c_custkey", "bal", "rnk")
     )

@@ -397,9 +397,9 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "cohort_day",
-            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
-                "day_offset"
-            ),
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
         )
         .distinct()
         .filter(F.col("day_offset") <= 7)

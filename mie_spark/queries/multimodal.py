@@ -36,7 +36,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(F.col("text"), 256).alias("content_sha"),
     )
 

@@ -44,8 +44,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.col("text")
     return docs.select(
         "doc_id",
-        token_count(text).alias("n_tokens"),
-        F.size(F.array_distinct(tokens(text))).alias("n_uniq"),
+        token_count(text).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens(text))).cast("long").alias("n_uniq"),
         F.round(type_token_ratio(text), 6).alias("ttr"),
         F.round(avg_token_len(text), 6).alias("avg_token_len"),
     )
@@ -78,7 +78,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            n_tok.alias("n_tokens"),
+            n_tok.cast("long").alias("n_tokens"),
             F.round(ttr, 6).alias("ttr"),
         )
     )
@@ -255,8 +255,8 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bpe_tokens(F.col("text"))
     return docs.select(
         "doc_id",
-        F.size(t).alias("n_bpe"),
-        F.size(F.array_distinct(t)).alias("n_uniq_bpe"),
+        F.size(t).cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_uniq_bpe"),
     )
 
 
@@ -446,8 +446,8 @@ def text_repeat_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = toked.select("doc_id", tri.alias("tri")).filter(F.size("tri") > 0)
     return g.select(
         "doc_id",
-        F.size("tri").alias("n_tri"),
-        F.size(F.array_distinct("tri")).alias("n_uniq_tri"),
+        F.size("tri").cast("long").alias("n_tri"),
+        F.size(F.array_distinct("tri")).cast("long").alias("n_uniq_tri"),
         F.round(
             F.lit(1.0)
             - F.size(F.array_distinct("tri")).cast("double") / F.size("tri"),

@@ -115,7 +115,7 @@ def v5_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.round(l2_norm(F.col("embedding")), 6).alias("l2"),
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
     )
 
 
