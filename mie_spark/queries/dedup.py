@@ -287,3 +287,77 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").cast("long").alias("n_shared"))
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=r"""
+    WITH tagged AS (
+      SELECT doc_id, source, text,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER AS bucket,
+             sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT fp FROM tagged WHERE bucket < 192),
+    new_batch AS (
+      SELECT * FROM tagged WHERE bucket >= 192
+      UNION ALL
+      SELECT * FROM tagged WHERE bucket < 16   -- re-crawl overlap: dups
+    )
+    SELECT n.source,
+           count(*) AS n_new,
+           CAST(sum(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_already_seen,
+           CAST(sum(CASE WHEN e.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+    FROM new_batch n LEFT JOIN existing e ON n.fp = e.fp
+    GROUP BY n.source
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the shape of every production corpus
+    build after day one — a NEW batch arrives and must be deduped
+    against the EXISTING corpus, not against itself. The corpus splits
+    deterministically (md5 bucket of doc_id): buckets <192 are the
+    existing corpus, >=192 the fresh batch, and buckets <16 are
+    re-ingested as a simulated re-crawl overlap, so the already-seen
+    path carries real nonzero counts. The new batch left-joins the
+    existing fingerprint set and reports a per-source novelty census.
+
+    At 100 TB the existing side is a fingerprint-only table (32-byte
+    sha256 + nothing else — the index, not the corpus), so the join
+    shuffles tiny keys; with the fingerprint table bucketed by fp the
+    probe becomes co-partitioned and shuffle-free on the index side.
+    The same plan upgrades from exact to near-dup by swapping the
+    fingerprint for MinHash band keys (dedup_minhash_lsh's generator) —
+    the join topology is identical. The reference's analog is the
+    per-item new-content probe (client.check_conflicts_for_content,
+    conflicts.go:73-154); this is its corpus-scale batch form."""
+    from mie_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    tagged = docs.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp"),
+        bucket.alias("bucket"),
+    )
+    existing = tagged.filter(F.col("bucket") < 192).select("fp").distinct()
+    new_batch = tagged.filter(F.col("bucket") >= 192).unionByName(
+        tagged.filter(F.col("bucket") < 16)
+    )
+    seen = F.when(F.col("e_fp").isNotNull(), 1).otherwise(0)
+    return (
+        new_batch.join(
+            existing.select(F.col("fp").alias("e_fp")),
+            new_batch["fp"] == F.col("e_fp"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(seen).alias("n_already_seen"),
+            F.sum(1 - seen).alias("n_novel"),
+        )
+    )
