@@ -212,6 +212,30 @@ class MieStore:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    def table_at(self, name: str, version: str) -> DataFrame:
+        """Time-travel read of a specific snapshot version (pair with
+        pin_current, which guarantees the version survives GC) — the
+        Delta `VERSION AS OF` analog on the versioned layout. Raises if
+        the version was never written or has been GC'd."""
+        if name not in ALL_TABLES:
+            raise KeyError(f"unknown table {name!r}")
+        if self.path is None:
+            raise ValueError("table_at requires the parquet engine (mem has no versions)")
+        snap = os.path.join(self.path, name, version)
+        if not os.path.isdir(snap):
+            raise FileNotFoundError(
+                f"{name}@{version} does not exist (GC'd or never written); "
+                f"pin versions you need to keep (pin_current)"
+            )
+        schema = table_schema(name)
+        if not self._has_parquet(snap):
+            return self.spark.createDataFrame([], schema)
+        from pyspark.sql import functions as F
+
+        return self.spark.read.parquet(snap).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
+        )
+
     # -- writes -----------------------------------------------------------
 
     def upsert_rows(self, table: str, rows: list[dict[str, Any]]) -> int:

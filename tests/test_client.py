@@ -479,3 +479,19 @@ def test_pinned_snapshot_survives_gc(spark, tmp_path):
     c.store.unpin("mie_fact", pinned)
     c.store_fact("one more", "general")
     assert not os.path.isdir(os.path.join(path, "mie_fact", pinned))
+
+
+def test_table_at_time_travel_with_pin(spark, tmp_path):
+    """pin_current + table_at = zero-copy point-in-time read that
+    survives later commits (the Delta VERSION AS OF analog)."""
+    c = MieClient(spark, path=str(tmp_path / "s"), embedding_dim=4)
+    fid = c.store_fact("version one", "general")
+    pinned = c.store.pin_current("mie_fact")
+    for i in range(3):
+        c.store_fact(f"later fact {i}", "general")
+    old = c.store.table_at("mie_fact", pinned)
+    assert old.count() == 1
+    assert old.collect()[0]["id"] == fid
+    assert c.store.table("mie_fact").count() == 4
+    with pytest.raises(FileNotFoundError, match="GC'd or never written"):
+        c.store.table_at("mie_fact", "v999")
