@@ -634,3 +634,64 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("cum") - F.col("n_tokens"), 8).alias("first_seq"),
         F.shiftright(F.col("cum") - F.lit(1), 8).alias("last_seq"),
     )
+
+
+@query(
+    "text_bpe_train",
+    oracle=r"""
+    WITH vocab AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2)))
+               AS pair,
+             freq
+      FROM vocab WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge step of BPE tokenizer training: the most frequent
+    adjacent symbol pairs across the corpus (each subsequent merge round
+    is this same query over the re-segmented vocab).
+
+    The scale move is aggregating the corpus to a (word, freq) VOCAB
+    FIRST and counting pairs over the vocab weighted by frequency —
+    pair extraction then touches |vocab| short strings instead of the
+    full token stream, which is how real tokenizer trainers survive a
+    100 TB corpus (vocab is millions of rows; the corpus is trillions
+    of tokens). Two aggregations, both with map-side partials; the
+    pair explode fans out over the small side only. Top-k via
+    TakeOrderedAndProject with a deterministic (n desc, pair) tie
+    order so the oracle match is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )

@@ -172,3 +172,10 @@ def test_fixed_k_single_shuffle(spark):
     the rank filter must not introduce a second exchange."""
     df = QUERIES["samp_fixed_k"](spark, SF)
     assert exchange_count(df) == 1
+
+
+def test_bpe_train_two_shuffles_topk_fused(spark):
+    """Vocab agg + pair agg = exactly two exchanges; the top-20 must ride
+    TakeOrderedAndProject on the second agg, not a third sort exchange."""
+    df = QUERIES["text_bpe_train"](spark, SF)
+    assert exchange_count(df) == 2
