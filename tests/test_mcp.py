@@ -132,10 +132,10 @@ def test_store_update_invalidate_flow(server):
     invalidate the old via mie_update with the replacement id, then a
     valid_only list shows only the replacement."""
     old = _store(server, 2, type="fact",
-                 content="Water freezes at 10 degrees Celsius",
+                 content="Seawater freezes at exactly -5 Celsius",
                  category="general")
     new = _store(server, 3, type="fact",
-                 content="Water freezes at 0 degrees Celsius",
+                 content="Seawater freezes at about -2 Celsius",
                  category="general")
     upd = _tool_payload(
         _call(server, "tools/call", {
