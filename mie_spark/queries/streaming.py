@@ -176,3 +176,32 @@ def st_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.count_distinct("purchase_id").alias("n_purchases"),
     )
+
+
+@query(
+    "st_enrich_join",
+    oracle="""
+    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+           c.c_mktsegment,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS spend_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def st_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (purchase stream × customer dimension)
+    rolled up to spend per segment per day — the third streaming join
+    mode, completing the coverage next to stream-stream
+    (st_attribution_join) and self-contained stateful ops. Complete
+    mode for oracle exactness on the bounded run; integer-cent sums
+    keep the hash float-free."""
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import enriched_segment_spend
+
+    events = read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer")
+    stream = enriched_segment_spend(events, customers)
+    return run_to_memory_sink(stream, output_mode="complete", state_partitions=8)

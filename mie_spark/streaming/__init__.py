@@ -1,5 +1,6 @@
 from mie_spark.streaming.ops import (
     attribution_join,
+    enriched_segment_spend,
     foreach_batch_upsert,
     read_events_stream,
     run_to_memory_sink,
@@ -11,6 +12,7 @@ from mie_spark.streaming.ops import (
 
 __all__ = [
     "attribution_join",
+    "enriched_segment_spend",
     "foreach_batch_upsert",
     "read_events_stream",
     "run_to_memory_sink",

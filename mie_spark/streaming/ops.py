@@ -436,3 +436,45 @@ def attribution_join(
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
         ),
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+def enriched_segment_spend(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: the purchase
+    stream joins the (bounded, slowly-changing) customer dimension and
+    aggregates spend per market segment per day.
+
+    Stream-static is the third Structured Streaming join mode (next to
+    stream-stream interval joins, attribution_join above): the static
+    side needs NO watermark and holds NO state — each micro-batch plans
+    a fresh join against the current dimension snapshot, which is how
+    dimension updates between batches are picked up for free. With a
+    small dimension Catalyst broadcasts it into every micro-batch, so
+    the only stateful operator is the window aggregate (bounded by the
+    watermark). This is the canonical enrich-then-rollup topology of a
+    production event pipeline."""
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = purchases.join(
+        F.broadcast(customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )),
+        "user_id",
+    )
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("win"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "c_mktsegment",
+            "n_purchases",
+            "spend_cents",
+        )
+    )
