@@ -256,6 +256,28 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # `mie --mcp` parity (main.go:53,137-139): the MCP mode is a global
+    # flag, not a subcommand, so an AI-client launch config can pass it
+    # with nothing else. Serves JSON-RPC over stdio until EOF.
+    if "--mcp" in argv:
+        argv.remove("--mcp")
+        cfg_path = None
+        if "--config" in argv:
+            i = argv.index("--config")
+            cfg_path = argv[i + 1]
+        from mie_spark.api.mcp import McpStdioServer
+        from mie_spark.api import MieClient
+
+        cfg = _load_cfg(cfg_path)
+        from mie_spark.session import get_spark
+
+        spark = get_spark("mie_mcp")
+        spark.sparkContext.setLogLevel("ERROR")
+        McpStdioServer(MieClient.from_config(spark, cfg)).serve(
+            sys.stdin, sys.stdout
+        )
+        return EXIT_OK
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)

@@ -150,3 +150,22 @@ def test_invalid_config_errors_for_data_commands_but_not_status(
     rc, out = _run(capsys, "--config", str(bad), "status", "--json")
     assert rc == 0
     assert json.loads(out)["storage_engine"] in ("parquet", "mem")
+
+
+def test_mcp_mode_serves_stdio(spark, cfg_file, capsys, monkeypatch):
+    """`--mcp` global-flag parity (main.go:53): a JSON-RPC initialize
+    over stdin gets a framed response on stdout, using the configured
+    store."""
+    import io
+    import sys as _sys
+
+    req = json.dumps(
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}
+    )
+    monkeypatch.setattr(_sys, "stdin", io.StringIO(req + "\n"))
+    rc = main(["--config", cfg_file, "--mcp"])
+    assert rc == 0
+    line = capsys.readouterr().out.splitlines()[0]
+    resp = json.loads(line)
+    assert resp["id"] == 1
+    assert resp["result"]["serverInfo"]["name"] == "mie-spark"
