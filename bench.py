@@ -80,7 +80,7 @@ def main() -> None:
 
     spark.range(0, 64, 1, 32).mapInPandas(_warm, "id long").count()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
@@ -92,7 +92,13 @@ def main() -> None:
             df.count()
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        mid = len(samples) // 2
+        median = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        timings[name] = round(median, 3)
         spread[name] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)

@@ -56,7 +56,13 @@ def _load_cfg(path: str | None, fallback: bool = False) -> Config:
     try:
         return load_config(path or None)
     except FileNotFoundError:
-        if fallback or not path:
+        if fallback:
+            return _default_cfg()
+        # "no config anywhere" may degrade to defaults; an EXPLICIT
+        # pointer at a missing file (--config or MIE_CONFIG_PATH) must
+        # not — resetting/importing into the default data dir because
+        # of a typo'd path is the silent-wrong-store failure mode
+        if not path and not os.environ.get("MIE_CONFIG_PATH"):
             return _default_cfg()
         raise
     except ValueError:
@@ -165,9 +171,15 @@ def cmd_import(args: argparse.Namespace) -> int:
         payload = sys.stdin.read()
     c = _client(cfg)
     if args.format == "json":
+        from mie_spark.schemas import EDGE_TABLES, NODE_TABLES
+
         data = json.loads(payload)
         if args.dry_run:
-            n = sum(len(v) for v in data.values())
+            # count only what import_json actually writes — embedding
+            # tables in an --include-embeddings export are regenerated,
+            # not imported, so they must not inflate the preview
+            importable = set(NODE_TABLES) | set(EDGE_TABLES)
+            n = sum(len(v) for t, v in data.items() if t in importable)
         else:
             n = c.import_json(data)
     elif args.format in ("sql", "datalog"):
@@ -263,9 +275,16 @@ def main(argv: list[str] | None = None) -> int:
     if "--mcp" in argv:
         argv.remove("--mcp")
         cfg_path = None
-        if "--config" in argv:
-            i = argv.index("--config")
-            cfg_path = argv[i + 1]
+        for i, a in enumerate(argv):
+            if a.startswith("--config="):
+                cfg_path = a.split("=", 1)[1]
+                break
+            if a == "--config":
+                if i + 1 >= len(argv):
+                    print("Error: --config requires a path", file=sys.stderr)
+                    return EXIT_ERROR
+                cfg_path = argv[i + 1]
+                break
         from mie_spark.api.mcp import McpStdioServer
         from mie_spark.api import MieClient
 

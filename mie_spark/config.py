@@ -113,13 +113,21 @@ def _apply_env_overrides(cfg: Config) -> None:
         cfg.embedding.base_url = v
     if v := env.get("OLLAMA_EMBED_MODEL"):
         cfg.embedding.model = v
+    # API keys imply their provider unless one was explicitly chosen
+    # via MIE_EMBEDDING_PROVIDER. The reference only flips from its
+    # "ollama" default (config.go:232-244); this engine's default is
+    # "mock", so both defaults flip — otherwise setting NOMIC_API_KEY
+    # against an `init`-written config would silently keep writing mock
+    # embeddings, diverging from provider_from_env's semantics for the
+    # same env var.
+    explicit = bool(env.get("MIE_EMBEDDING_PROVIDER"))
     if v := env.get("OPENAI_API_KEY"):
         cfg.embedding.api_key = v
-        if cfg.embedding.provider == "ollama":
+        if not explicit and cfg.embedding.provider in ("ollama", "mock"):
             cfg.embedding.provider = "openai"
     if v := env.get("NOMIC_API_KEY"):
         cfg.embedding.api_key = v
-        if cfg.embedding.provider == "ollama":
+        if not explicit and cfg.embedding.provider in ("ollama", "mock"):
             cfg.embedding.provider = "nomic"
 
 

@@ -465,8 +465,15 @@ class MieStore:
                 if self.path is not None:
                     snap = self._snapshot_dir(t)
                     if snap is None or not self._has_parquet(snap):
+                        # re-using a backup dir: drop any stale copy of a
+                        # table that is now empty, or restore would read it
+                        shutil.rmtree(tdest, ignore_errors=True)
                         continue
-                    shutil.copytree(snap, tdest, dirs_exist_ok=True)
+                    # clear first — part-file names never collide across
+                    # snapshots, so dirs_exist_ok would MERGE a previous
+                    # backup's files into this one and corrupt restores
+                    shutil.rmtree(tdest, ignore_errors=True)
+                    shutil.copytree(snap, tdest)
                     manifest[t] = os.path.basename(snap)
                 else:
                     pdf = self._read_pdf(t)
@@ -495,6 +502,17 @@ class MieStore:
             raise FileNotFoundError(f"not a mie backup (no _MANIFEST.json): {src}")
         with open(manifest_path) as fh:
             manifest = _json.load(fh)["tables"]
+        # validate BEFORE touching any state: a manifest-listed table
+        # whose directory is missing means a truncated/partial backup —
+        # restoring it would silently wipe live data to empty
+        broken = [
+            t for t in manifest if not os.path.isdir(os.path.join(src, t))
+        ]
+        if broken:
+            raise FileNotFoundError(
+                f"backup at {src} is incomplete: manifest lists {broken} "
+                "but the directories are missing"
+            )
         with self._write_lock:
             for t in ALL_TABLES:
                 tsrc = os.path.join(src, t)

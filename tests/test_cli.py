@@ -169,3 +169,41 @@ def test_mcp_mode_serves_stdio(spark, cfg_file, capsys, monkeypatch):
     resp = json.loads(line)
     assert resp["id"] == 1
     assert resp["result"]["serverInfo"]["name"] == "mie-spark"
+
+
+def test_typoed_mie_config_path_stops_data_commands(tmp_path, monkeypatch, capsys):
+    """An explicit MIE_CONFIG_PATH pointing at a missing file must error,
+    not silently reset the default data dir."""
+    monkeypatch.setenv("MIE_CONFIG_PATH", str(tmp_path / "nope.yaml"))
+    rc = main(["reset", "--yes"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "cannot read config file" in err
+
+
+def test_mcp_mode_accepts_config_equals_form(spark, cfg_file, capsys, monkeypatch):
+    import io
+    import sys as _sys
+
+    req = json.dumps(
+        {"jsonrpc": "2.0", "id": 7, "method": "initialize", "params": {}}
+    )
+    monkeypatch.setattr(_sys, "stdin", io.StringIO(req + "\n"))
+    rc = main([f"--config={cfg_file}", "--mcp"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.splitlines()[0])["id"] == 7
+    # trailing --config without a value is a usage error, not a crash
+    rc = main(["--mcp", "--config"])
+    assert rc == 1
+
+
+def test_dry_run_count_excludes_embedding_tables(spark, cfg_file, tmp_path, capsys):
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps({
+        "mie_fact": [{"content": "real row"}],
+        "mie_fact_embedding": [{"fact_id": "x", "embedding": [0.1]}],
+    }))
+    rc, out = _run(
+        capsys, "--config", cfg_file, "import", "-i", str(src), "--dry-run"
+    )
+    assert rc == 0 and "Would import 1 rows" in out

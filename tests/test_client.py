@@ -495,3 +495,34 @@ def test_table_at_time_travel_with_pin(spark, tmp_path):
     assert c.store.table("mie_fact").count() == 4
     with pytest.raises(FileNotFoundError, match="GC'd or never written"):
         c.store.table_at("mie_fact", "v999")
+
+
+def test_backup_dir_reuse_does_not_merge_snapshots(spark, tmp_path):
+    """Re-backup into the same directory must replace, not merge: Spark
+    part-file names never collide across snapshots, so a merged dir
+    would read as the union of both backups."""
+    bdir = str(tmp_path / "bak")
+    c = MieClient(spark, path=str(tmp_path / "s"), embedding_dim=4)
+    c.store_fact("first", "general")
+    c.backup(bdir)
+    c.store_fact("second", "general")
+    c.backup(bdir)  # reuse the same dest
+    c.store_fact("third", "general")
+    c.restore(bdir)
+    rows = [r["content"] for r in c.store.table("mie_fact").collect()]
+    assert sorted(rows) == ["first", "second"]
+
+
+def test_restore_rejects_truncated_backup(spark, tmp_path):
+    """A manifest-listed table whose directory is missing means a
+    partial copy; restore must raise BEFORE touching live data."""
+    import shutil
+
+    bdir = str(tmp_path / "bak")
+    c = MieClient(spark, path=str(tmp_path / "s"), embedding_dim=4)
+    fid = c.store_fact("precious", "general")
+    c.backup(bdir)
+    shutil.rmtree(f"{bdir}/mie_fact")
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        c.restore(bdir)
+    assert c.get_node_by_id(fid)["content"] == "precious"

@@ -161,3 +161,17 @@ def test_client_from_config(spark, tmp_path, monkeypatch):
     c = MieClient.from_config(spark)
     fid = c.store_fact("configured fact", "general")
     assert c.get_node_by_id(fid)["content"] == "configured fact"
+
+
+def test_api_key_flips_mock_default_but_not_explicit_choice(
+    tmp_path, monkeypatch
+):
+    """NOMIC_API_KEY against an init-written (mock-default) config must
+    select nomic — matching provider_from_env — but never override an
+    explicit MIE_EMBEDDING_PROVIDER."""
+    p = config_path(str(tmp_path))
+    save_config(default_config(), p)  # provider: mock
+    monkeypatch.setenv("NOMIC_API_KEY", "nk")
+    assert load_config(p).embedding.provider == "nomic"
+    monkeypatch.setenv("MIE_EMBEDDING_PROVIDER", "mock")
+    assert load_config(p).embedding.provider == "mock"
