@@ -287,6 +287,12 @@ class MieClient:
         invalidation edge (writer.go:230-261). Ordered fact-first so a
         failure between the two leaves a conservative state (fact
         already invalid, edge missing — retry-safe; SURVEY §7 risk)."""
+        # both ids must be fact ids: get_node_by_id dispatches on the
+        # prefix, so an entity/decision id would otherwise fetch a row
+        # of the WRONG table and upsert it into mie_fact as garbage
+        for nid in (new_fact_id, old_fact_id):
+            if ids.node_type_of(nid) != "mie_fact":
+                raise ValueError(f"invalidate_fact requires fact ids, got {nid!r}")
         old = self.get_node_by_id(old_fact_id)
         if old is None:
             raise KeyError(f"fact not found: {old_fact_id}")
@@ -328,6 +334,23 @@ class MieClient:
     # ------------------------------------------------------------------
     # read path (reader.go)
     # ------------------------------------------------------------------
+
+    def _fetch_nodes_by_ids(self, node_ids: list[str]) -> dict[str, dict[str, Any]]:
+        """Batch point-lookup: ONE filtered scan per node type instead
+        of one scan per id (search result assembly is the hot caller —
+        a per-id loop costs limit × full scans on the disk engine)."""
+        by_table: dict[str, list[str]] = {}
+        for nid in node_ids:
+            by_table.setdefault(ids.node_type_of(nid), []).append(nid)
+        out: dict[str, dict[str, Any]] = {}
+        for table, nids in by_table.items():
+            for r in (
+                self.store.table(table)
+                .filter(F.col("id").isin(nids))
+                .collect()
+            ):
+                out[r["id"]] = r.asDict()
+        return out
 
     def get_node_by_id(self, node_id: str) -> dict[str, Any] | None:
         """Point lookup with prefix dispatch (reader.go:308-382)."""
@@ -385,12 +408,12 @@ class MieClient:
             .limit(limit)
             .collect()
         )
+        nodes = self._fetch_nodes_by_ids([r["node_id"] for r in top])
         results = []
         for r in top:
-            node = self.get_node_by_id(r["node_id"]) or {}
             results.append(
                 {
-                    **node,
+                    **nodes.get(r["node_id"], {}),
                     "node_type": r["node_type"],
                     "similarity": float(r["similarity"]),
                     "distance": 1.0 - float(r["similarity"]),
@@ -492,12 +515,13 @@ class MieClient:
             fused_rankings.append(sem)
             rank_cols.append("rank_sem")
         fused = rrf_fuse(fused_rankings, "node_id", rank_cols, k=rrf_k)
+        top = fused.limit(limit).collect()
+        nodes = self._fetch_nodes_by_ids([r["node_id"] for r in top])
         results = []
-        for r in fused.limit(limit).collect():
-            node = self.get_node_by_id(r["node_id"]) or {}
+        for r in top:
             results.append(
                 {
-                    **node,
+                    **nodes.get(r["node_id"], {}),
                     "node_type": ids.node_type_of(r["node_id"]),
                     "rrf": float(r["rrf"]),
                     "rank_kw": r["rank_kw"],
@@ -762,16 +786,23 @@ class MieClient:
     def import_json(self, data: dict[str, list[dict[str, Any]]]) -> int:
         """Re-store imported nodes: IDs re-derive from content and
         embeddings regenerate, exactly like the reference import
-        (cmd/mie/import.go:116-207)."""
+        (cmd/mie/import.go:116-207). Provenance fields (source_agent /
+        source_conversation) survive the round trip, and facts exported
+        with valid=False are re-flagged after the re-store — the
+        mie_invalidates edges import verbatim, so leaving the flag True
+        would desync the graph from its own invalidation edges."""
         n = 0
+        invalid_ids: list[str] = []
         for row in data.get("mie_fact", []):
-            self.store_fact(
+            fid = self.store_fact(
                 row["content"],
                 row.get("category"),
                 row.get("confidence"),
                 row.get("source_agent", ""),
                 row.get("source_conversation", ""),
             )
+            if row.get("valid") is False:
+                invalid_ids.append(fid)
             n += 1
         for row in data.get("mie_decision", []):
             self.store_decision(
@@ -780,21 +811,37 @@ class MieClient:
                 row.get("alternatives", "[]"),
                 row.get("context", ""),
                 row.get("status", "active"),
+                row.get("source_agent", ""),
+                row.get("source_conversation", ""),
             )
             n += 1
         for row in data.get("mie_entity", []):
             self.store_entity(
-                row["name"], row["kind"], row.get("description", "")
+                row["name"],
+                row["kind"],
+                row.get("description", ""),
+                row.get("source_agent", ""),
             )
             n += 1
         for row in data.get("mie_event", []):
             self.store_event(
-                row["title"], row.get("description", ""), row.get("event_date", "")
+                row["title"],
+                row.get("description", ""),
+                row.get("event_date", ""),
+                row.get("source_agent", ""),
+                row.get("source_conversation", ""),
             )
             n += 1
         for row in data.get("mie_topic", []):
             self.store_topic(row["name"], row.get("description", ""))
             n += 1
+        if invalid_ids:
+            rows = [
+                dict(node, valid=False)
+                for fid in invalid_ids
+                if (node := self.get_node_by_id(fid)) is not None
+            ]
+            self.store.upsert_rows("mie_fact", rows)
         for table in EDGE_TABLES:
             rows = data.get(table, [])
             if rows:

@@ -239,7 +239,9 @@ class MieStore:
     # -- writes -----------------------------------------------------------
 
     def upsert_rows(self, table: str, rows: list[dict[str, Any]]) -> int:
-        """Insert-or-replace by key (`:put` parity). Returns rows written."""
+        """Insert-or-replace by key (`:put` parity). Returns rows
+        actually written: intra-batch duplicates of the same key
+        collapse last-write-wins, so the count can be < len(rows)."""
         if not rows:
             return 0
         with self._write_lock:
@@ -262,7 +264,7 @@ class MieStore:
                 schema,
             )
             self._merge_and_write(table, new)
-            return len(rows)
+            return len(by_key)
         new = pd.DataFrame(rows)
         missing = set(cols) - set(new.columns)
         for col in missing:
@@ -279,7 +281,7 @@ class MieStore:
         # intra-batch dedup: last write wins, like sequential :put
         out = out.drop_duplicates(subset=keys, keep="last")
         self._write_pdf(table, out)
-        return len(rows)
+        return len({tuple(r.get(k) for k in keys) for r in rows})
 
     def upsert_df(self, table: str, df: DataFrame) -> int:
         """Distributed upsert: used by bulk ingest paths where the new
@@ -478,6 +480,10 @@ class MieStore:
                 else:
                     pdf = self._read_pdf(t)
                     if pdf.empty:
+                        # same dest-reuse rule as the parquet branch: a
+                        # stale copy of a now-empty table must not linger
+                        # for external parquet readers of the backup
+                        shutil.rmtree(tdest, ignore_errors=True)
                         continue
                     # route through Spark so array columns serialize with
                     # the canonical schema, not pandas object guessing

@@ -37,12 +37,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
-    StringType,
     StructField,
     StructType,
 )
-
-from mie_spark.sources import load_table
 
 SESSION_GAP_SECONDS = 30 * 60
 
@@ -155,7 +152,11 @@ _TOTALS_OUT = StructType(
 )
 
 
-def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def stateful_user_totals(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    timeout_conf: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``.
 
     Arrow-batched per-key state (count + exact integer cents), updated
@@ -173,7 +174,17 @@ def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataF
     def totals_fn(
         key: tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # per-user running totals; integer cents so accumulation is exact
+        # per-user running totals; integer cents so accumulation is exact.
+        # Watermarks do NOT evict applyInPandasWithState state, so a
+        # CONTINUOUS deployment must pass
+        # timeout_conf=GroupStateTimeout.ProcessingTimeTimeout to evict
+        # idle users (the hasTimedOut branch below) or the state store
+        # grows with total distinct users forever. It is NOT the default
+        # because registered processing-time timeouts keep scheduling
+        # micro-batches after the data is drained, so an availableNow
+        # run never terminates — the bounded/oracle path needs NoTimeout
+        # (verified empirically: with ProcessingTimeTimeout the drain
+        # runs timeout-batches indefinitely).
         if state.hasTimedOut:
             state.remove()
             return
@@ -182,6 +193,8 @@ def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataF
             n += len(pdf)
             cents += int(round(float(pdf["value"].sum()) * 100))
         state.update((n, cents))
+        if timeout_conf == GroupStateTimeout.ProcessingTimeTimeout:
+            state.setTimeoutDuration(60 * 60 * 1000)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
         )
@@ -194,9 +207,23 @@ def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataF
             outputStructType=_TOTALS_OUT,
             stateStructType=_TOTALS_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout_conf,
         )
     )
+
+
+def _await_drained(q, timeout_s: int) -> None:
+    """awaitTermination(timeout) returns False on timeout WITHOUT
+    stopping the query — ignoring that would hand back a partially
+    drained sink while the job keeps mutating it in the background.
+    On timeout: stop the query and raise, so no caller ever reads a
+    partial result as complete."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_s}s (query {q.name or q.id}); "
+            "raise timeout_s or shrink the input"
+        )
 
 
 def run_to_memory_sink(
@@ -237,12 +264,11 @@ def run_to_memory_sink(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(timeout_s)
+    _await_drained(q, timeout_s)
     return spark.table(name)
 
 
 def foreach_batch_upsert(
-    spark: SparkSession,
     stream_df: DataFrame,
     apply_batch: Any,
     timeout_s: int = 300,
@@ -256,15 +282,12 @@ def foreach_batch_upsert(
     from idempotent MERGE on content-hash keys + checkpointed offsets.
     """
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch(batch_df, batch_id)
-
     q = (
-        stream_df.writeStream.foreachBatch(_apply)
+        stream_df.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_drained(q, timeout_s)
 
 
 __all__ = [
@@ -283,7 +306,6 @@ def embed_and_upsert_stream(
     stream_df: DataFrame,
     store: Any,
     embed_dim: int = 4,
-    id_col: str = "event_id",
     text_col: str = "props",
     timeout_s: int = 300,
 ) -> None:
@@ -388,7 +410,7 @@ def embed_and_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_drained(q, timeout_s)
 
 
 def attribution_join(

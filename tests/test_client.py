@@ -526,3 +526,42 @@ def test_restore_rejects_truncated_backup(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="incomplete"):
         c.restore(bdir)
     assert c.get_node_by_id(fid)["content"] == "precious"
+
+
+def test_export_import_preserves_valid_flag_and_provenance(client, spark):
+    """Round-trip parity (import.go:116-207): invalidated facts stay
+    invalid after import (their mie_invalidates edges import verbatim,
+    so a valid=True re-store would desync the graph), and provenance
+    fields survive on every node type."""
+    old = client.store_fact("superseded fact", "general",
+                            source_agent="alice", source_conversation="conv1")
+    new = client.store_fact("current fact", "general")
+    client.invalidate_fact(new, old, reason="updated")
+    did = client.store_decision("Use Spark", "it scales", source_agent="bob",
+                                source_conversation="conv2")
+    eid = client.store_entity("Spark", "technology", "engine",
+                              source_agent="carol")
+
+    data = client.export_json()
+    fresh = MieClient(spark, path=None, embedding_dim=4)
+    fresh.import_json(data)
+
+    old_fact = fresh.get_node_by_id(old)
+    assert old_fact["valid"] is False
+    assert old_fact["source_agent"] == "alice"
+    assert old_fact["source_conversation"] == "conv1"
+    assert fresh.get_node_by_id(new)["valid"] is True
+    assert fresh.get_node_by_id(did)["source_agent"] == "bob"
+    assert fresh.get_node_by_id(did)["source_conversation"] == "conv2"
+    assert fresh.get_node_by_id(eid)["source_agent"] == "carol"
+
+
+def test_invalidate_fact_rejects_non_fact_ids(client):
+    eid = client.store_entity("NotAFact", "technology", "x")
+    fid = client.store_fact("a real fact", "general")
+    with pytest.raises(ValueError, match="requires fact ids"):
+        client.invalidate_fact(fid, eid)
+    with pytest.raises(ValueError, match="requires fact ids"):
+        client.invalidate_fact(eid, fid)
+    # no garbage row leaked into mie_fact
+    assert client.get_node_by_id(eid)["name"] == "NotAFact"

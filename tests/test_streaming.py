@@ -57,13 +57,13 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
         store.upsert_df("mie_fact", facts)
 
     ev = read_events_stream(spark, SF)
-    foreach_batch_upsert(spark, ev, apply_batch)
+    foreach_batch_upsert(ev, apply_batch)
     n1 = store.table("mie_fact").count()
     assert n1 > 0
 
     # replay: second full pass over the same source
     ev2 = read_events_stream(spark, SF)
-    foreach_batch_upsert(spark, ev2, apply_batch)
+    foreach_batch_upsert(ev2, apply_batch)
     n2 = store.table("mie_fact").count()
     assert n2 == n1
 
