@@ -45,6 +45,10 @@ def cosine_sim(a: Column, b: Column) -> Column:
 
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize (reference: embedding.go:481-502 normalizes every
-    provider output so dot == cosine)."""
+    provider output so dot == cosine). A zero vector passes through
+    unchanged (matching the providers' _normalize): with ANSI off,
+    x/0.0 is NULL, and one NULL-array row would otherwise poison any
+    numpy consumer downstream (k-means partials → NaN centroids)."""
     n = l2_norm(a)
-    return F.transform(_as_double(a), lambda x: x / n)
+    d = _as_double(a)
+    return F.when(n == 0, d).otherwise(F.transform(d, lambda x: x / n))

@@ -110,13 +110,18 @@ def ngram_jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_shingle_df is not None:
-        keep = (
+        # broadcast the DROP list (shingles hotter than the cap), not
+        # the keep list: the keep side is O(corpus vocabulary) — far
+        # over any broadcast limit at web scale — while hot shingles
+        # are by construction few (df > cap bounds their count by
+        # |postings| / cap)
+        hot = (
             inv.groupBy("h")
             .agg(F.countDistinct("doc").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("h")
         )
-        inv = inv.join(F.broadcast(keep), "h")
+        inv = inv.join(F.broadcast(hot), "h", "left_anti")
     a = inv.select(F.col("doc").alias("a_id"), "h")
     b = inv.select(F.col("doc").alias("b_id"), "h")
     common = (
@@ -125,14 +130,16 @@ def ngram_jaccard_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    # set sizes join back as a broadcast (one row per doc — tiny next
-    # to the pair table)
+    # set sizes join back WITHOUT a forced broadcast: one row per doc
+    # is small next to the pair table but still O(corpus) — at web
+    # scale a forced broadcast of it is the job-killer. AQE promotes
+    # the join to broadcast at runtime whenever the side actually fits.
     sizes = docs.select("doc", "n_sh")
     common = common.join(
-        F.broadcast(sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("a_n"))),
+        sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("a_n")),
         "a_id",
     ).join(
-        F.broadcast(sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("b_n"))),
+        sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("b_n")),
         "b_id",
     )
     jac = F.col("common") / (F.col("a_n") + F.col("b_n") - F.col("common"))
@@ -176,7 +183,9 @@ def _signatures_from_shingles(
 
     out_schema = StructType(
         [
-            StructField("doc", LongType()),
+            # id type copied from the input: string fact ids and long
+            # corpus ids both pass through mapInPandas opaquely
+            StructField("doc", sh_df.schema["doc"].dataType),
             StructField("signature", ArrayType(LongType())),
         ]
     )
@@ -200,10 +209,10 @@ def _signatures_from_shingles(
                 np.cumsum([len(c) for c in chunks], out=bounds[1:])
             if bounds[-1]:
                 hs = np.concatenate(chunks)[None, :]
-                # a,h < 2^31 ⇒ a*h + b < 2^62: numpy int64 would wrap
-                # SILENTLY on overflow (no ANSI guard in the Python
-                # worker), so the 31-bit domain is what guarantees
-                # correctness here
+                # a,h < 2^31 ⇒ a*h + b < 2^62: numpy int64 wraps
+                # SILENTLY on overflow (numpy has no overflow guard
+                # regardless of any SQL-side ANSI setting), so the
+                # 31-bit domain is what guarantees correctness here
                 perms = (A * hs + B) % _MERSENNE31  # (num_hashes, total)
             for i, doc in enumerate(pdf["doc"]):
                 lo, hi = bounds[i], bounds[i + 1]
@@ -255,7 +264,14 @@ def minhash_lsh_pairs(
     # persist shingles once: signature build, banding, and candidate
     # verification all branch from it (see ngram_jaccard_pairs note)
     sh = _doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _signatures_from_shingles(sh, num_hashes, seed)
+    # too-short-to-shingle docs are excluded BEFORE banding: they all
+    # share the sentinel signature, so every band would collide across
+    # all of them — C(n_short, 2) candidate pairs from docs whose
+    # Jaccard can never pass a positive threshold. A web corpus's
+    # millions of near-empty docs would turn the banded join quadratic.
+    sigs = _signatures_from_shingles(
+        sh.filter(F.col("n_sh") > 0), num_hashes, seed
+    )
     band_arr = F.array(
         *[
             F.xxhash64(

@@ -242,6 +242,13 @@ def chunk_audio(
     flow straight into a transcription/embedding UDF without any
     driver-side coordination.
     """
+    if overlap_ms >= chunk_ms:
+        # hop = chunk - overlap: zero raises range(step=0) inside the
+        # executor task (opaque); negative silently yields no chunks —
+        # fail loudly at the driver instead
+        raise ValueError(
+            f"overlap_ms ({overlap_ms}) must be < chunk_ms ({chunk_ms})"
+        )
     if codec != "fake":
         raise NotImplementedError(
             "real audio decoding requires codec libraries not present in "
@@ -511,6 +518,39 @@ def image_phash(assets: DataFrame, bits: int = 60) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # inlined PPM parser (duplicate of module-level parse_ppm): a
+        # nested def ships by value with the closure, while any
+        # reference to a module-level function — even via a closure
+        # cell — pickles by module path and raises ModuleNotFoundError
+        # on workers without mie_spark on their import path (the
+        # ship-by-value contract the other real codecs follow)
+        def _parse_ppm(raw: bytes):
+            if not raw.startswith(b"P6"):
+                raise ValueError("not a binary PPM (P6) payload")
+            toks: list[bytes] = []
+            i = 2
+            while len(toks) < 3 and i < len(raw):
+                c = raw[i : i + 1]
+                if c == b"#":
+                    while i < len(raw) and raw[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while j < len(raw) and not raw[j : j + 1].isspace():
+                        j += 1
+                    toks.append(raw[i:j])
+                    i = j
+            i += 1
+            width, height, maxval = (int(t) for t in toks)
+            if maxval != 255:
+                raise ValueError("only 8-bit PPM supported")
+            pixels = np.frombuffer(raw[i : i + width * height * 3], dtype=np.uint8)
+            if pixels.size != width * height * 3:
+                raise ValueError("truncated PPM raster")
+            return width, height, pixels.reshape(height, width, 3)
+
         n = 32
         # DCT-II basis, orthonormal-ish scaling irrelevant for median
         # thresholding: B[u, x] = cos(pi*(2x+1)*u/(2n))
@@ -521,7 +561,7 @@ def image_phash(assets: DataFrame, bits: int = 60) -> DataFrame:
         for pdf in it:
             out_ids, out_hashes = [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                w, h, px = parse_ppm(bytes(payload))
+                w, h, px = _parse_ppm(bytes(payload))
                 gray = px.astype(np.float64).mean(axis=2)
                 ys = (np.arange(n) * h // n).clip(0, h - 1)
                 xs = (np.arange(n) * w // n).clip(0, w - 1)

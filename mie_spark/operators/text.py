@@ -229,8 +229,15 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_count(text: Column) -> Column:
-    """How many PII spans redact_pii would replace."""
+    """How many PII spans redact_pii would replace — counted on the
+    SAME sequential replacement process (pattern i matches the text
+    with patterns < i already redacted), so the count always reconciles
+    with the redaction. Counting each pattern independently on the raw
+    text double-counts overlaps (an email whose local part looks like a
+    phone number matches both patterns but is replaced once)."""
     out = F.lit(0)
-    for pattern, _ in PII_PATTERNS:
-        out = out + F.regexp_count(text, F.lit(pattern))
+    running = text
+    for pattern, token in PII_PATTERNS:
+        out = out + F.regexp_count(running, F.lit(pattern))
+        running = F.regexp_replace(running, pattern, token)
     return out

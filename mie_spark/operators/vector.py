@@ -95,16 +95,25 @@ def similarity_self_join(
     embeddings table, string ``fact:…`` ids from the conflict scan both
     work); a<b canonicalization uses the column's own ordering.
     """
+    first = df.select(vec_col).first()
+    if first is None:  # empty input: empty pair set, not a crash
+        return df.select(
+            F.col(id_col).alias("a_id"),
+            F.col(id_col).alias("b_id"),
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
+    dim = len(first[0])
     if n_buckets == 0:
-        first = df.select(vec_col).first()
-        dim = len(first[0]) if first else 0
-        n = df.count()
+        # bounded dispatch probe: only "is n over the cap" matters, so
+        # count at most cap+1 rows instead of scanning the full corpus
+        rows_cap = _BLOCKED_MAX_CELLS // max(dim, 1)
+        n = df.limit(rows_cap + 1).count()
         if n * max(dim, 1) <= _BLOCKED_MAX_CELLS:
             return _similarity_self_join_blocked(
                 df, vec_col, threshold, id_col
             )
         n_buckets, n_bands = 6, 24
-    planes = _planes(df, vec_col, n_buckets * n_bands)
+    planes = _planes(df, vec_col, n_buckets * n_bands, dim=dim)
     band_sigs = _band_signatures(F.col(vec_col), planes, n_bands, n_buckets)
     tagged = df.select(
         F.col(id_col).alias("id"),
@@ -235,13 +244,25 @@ def knn_join_to_nodes(
 
 # --- approximate path: random-hyperplane LSH --------------------------------
 
-def _planes(df: DataFrame, vec_col: str, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes sized from the schema's
-    vector width (no data read — the dim comes from one row probe only
-    when schema lacks it). Plain python RNG: tiny, driver-side."""
+def _planes(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int,
+    seed: int = 42,
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes. Pass ``dim`` when the
+    caller already probed it (avoids a second first() job); otherwise
+    one row probe reads it. Empty input → empty planes (callers that
+    reach here with data guaranteed probe first). Plain python RNG:
+    tiny, driver-side."""
     import random
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return []
+        dim = len(first[0])
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
@@ -499,6 +520,38 @@ def ann_topk_ivf(
 _ANN_META = "_ann_meta.json"
 
 
+def _write_ann_meta(spark, path: str, meta: dict) -> None:
+    """Write the index header through the Hadoop FileSystem API so the
+    sidecar lands wherever the parquet did — local disk in tests,
+    s3a://... or hdfs://... in production. A driver-local open() would
+    leave object-store indexes half-built (data without header)."""
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _ANN_META)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_ann_meta(spark, path: str) -> dict:
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _ANN_META)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    try:
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    finally:
+        stream.close()
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+
 def write_ann_lsh_index(
     df: DataFrame,
     path: str,
@@ -523,8 +576,9 @@ def write_ann_lsh_index(
         .partitionBy("sig")
         .parquet(path)
     )
-    with open(os.path.join(path, _ANN_META), "w") as fh:
-        json.dump({"kind": "lsh", "planes": planes, "n_planes": n_planes}, fh)
+    _write_ann_meta(
+        df.sparkSession, path, {"kind": "lsh", "planes": planes, "n_planes": n_planes}
+    )
 
 
 def ann_topk_lsh_indexed(
@@ -542,8 +596,7 @@ def ann_topk_lsh_indexed(
     import json
     import os
 
-    with open(os.path.join(path, _ANN_META)) as fh:
-        meta = json.load(fh)
+    meta = _read_ann_meta(spark, path)
     planes = meta["planes"]
     qsig = 0
     for i, p in enumerate(planes):
@@ -581,8 +634,7 @@ def write_ann_ivf_index(
         .partitionBy("cell")
         .parquet(path)
     )
-    with open(os.path.join(path, _ANN_META), "w") as fh:
-        json.dump({"kind": "ivf", "centroids": centroids}, fh)
+    _write_ann_meta(df.sparkSession, path, {"kind": "ivf", "centroids": centroids})
 
 
 def ann_topk_ivf_indexed(
@@ -600,8 +652,7 @@ def ann_topk_ivf_indexed(
     import json
     import os
 
-    with open(os.path.join(path, _ANN_META)) as fh:
-        meta = json.load(fh)
+    meta = _read_ann_meta(spark, path)
     centroids = meta["centroids"]
 
     def cos(a: Sequence[float], b: Sequence[float]) -> float:
@@ -807,17 +858,17 @@ def write_ann_ivfpq_index(
         .partitionBy("cell")
         .parquet(path)
     )
-    with open(os.path.join(path, _ANN_META), "w") as fh:
-        json.dump(
-            {
-                "kind": "ivfpq",
-                "centroids": centroids,
-                "codebooks": codebooks,
-                "m": m,
-                "k_codes": k_codes,
-            },
-            fh,
-        )
+    _write_ann_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "ivfpq",
+            "centroids": centroids,
+            "codebooks": codebooks,
+            "m": m,
+            "k_codes": k_codes,
+        },
+    )
 
 
 def ann_topk_ivfpq_indexed(
@@ -840,8 +891,7 @@ def ann_topk_ivfpq_indexed(
     import json
     import os
 
-    with open(os.path.join(path, _ANN_META)) as fh:
-        meta = json.load(fh)
+    meta = _read_ann_meta(spark, path)
     centroids = meta["centroids"]
 
     def cos(a: Sequence[float], b: Sequence[float]) -> float:

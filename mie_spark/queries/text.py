@@ -528,20 +528,29 @@ def pipe_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS text
       FROM documents
     )
+    , s1 AS (  -- sequential count: pattern i runs on text with patterns < i redacted
+      SELECT doc_id, text,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM dirty
+    ), s2 AS (
+      SELECT doc_id, c_email,
+             len(regexp_extract_all(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c_ip,
+             regexp_replace(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+      FROM s1
+    )
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-           + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
-           + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))
+           c_email + c_ip
+           + len(regexp_extract_all(t2, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))
              AS n_pii,
            sha256(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')
+             regexp_replace(t2, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')
            ) AS redacted_sha
-    FROM dirty
+    FROM s2
     """,
 )
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

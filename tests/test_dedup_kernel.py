@@ -58,3 +58,31 @@ def test_signature_superset_monotone_and_in_range(spark):
     assert all(0 <= v <= _MERSENNE31 for v in out[1])
     assert all(b <= a for a, b in zip(out[1], out[2]))
     assert out[3] == [_MERSENNE31] * 16
+
+
+def test_minhash_short_docs_do_not_collide(spark):
+    """Docs too short to shingle share a sentinel signature; they must
+    be excluded before banding or every pair of them becomes an LSH
+    candidate (quadratic blowup on near-empty web docs) — and they can
+    never pass a positive Jaccard threshold anyway."""
+    from mie_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "x") for i in range(50)]  # 1 token each: zero 3-shingles
+    rows += [(100, "the quick brown fox jumps over the lazy dog again"),
+             (101, "the quick brown fox jumps over the lazy dog again")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, "doc_id", threshold=0.5).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(100, 101)}
+
+
+def test_minhash_carries_string_ids(spark):
+    """Signature schema must copy the id type from the input — string
+    ids (fact:... keys) pass through mapInPandas opaquely."""
+    from mie_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [("fact:a", "the quick brown fox jumps over the lazy dog"),
+            ("fact:b", "the quick brown fox jumps over the lazy dog"),
+            ("fact:c", "completely different text with no overlap at all here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, "doc_id", threshold=0.9).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {("fact:a", "fact:b")}

@@ -13,6 +13,7 @@ from mie_spark.operators.vector import (
     ann_topk_ivf,
     ann_topk_lsh,
     cosine_topk,
+    similarity_self_join,
     train_ivf_centroids,
 )
 from mie_spark.sources import load_table
@@ -299,3 +300,37 @@ def test_ivfpq_index_compression_and_rerank(spark, tmp_path):
     adc = ann_topk_ivfpq_indexed(spark, path, q, 5, n_probe=8)
     rows = adc.collect()
     assert len(rows) == 5 and set(adc.columns) == {"vec_id", "sim"}
+
+
+def test_similarity_self_join_empty_input(spark):
+    """Empty input → empty pair set, not a first()/None crash — in both
+    the auto-dispatch and explicit-bucket paths."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [],
+        StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]),
+    )
+    assert similarity_self_join(empty, "embedding", 0.5).count() == 0
+    assert similarity_self_join(empty, "embedding", 0.5, n_buckets=4).count() == 0
+
+
+def test_zero_vector_does_not_poison_ivf(spark):
+    """A single all-zero embedding must not NaN-poison k-means: with
+    ANSI off x/0.0 is NULL, so an unguarded normalize turns one row
+    into a NULL array and every centroid into NaN."""
+    import random
+
+    from mie_spark.operators.vector import ann_topk_ivf, train_ivf_centroids
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    rows.append((200, [0.0] * 8))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_ivf_centroids(df, "embedding", n_centroids=4, lloyd_iters=2)
+    assert all(all(c == c for c in cent) for cent in cents), "NaN centroid"
+    out = ann_topk_ivf(df, "embedding", rows[0][1], 5)
+    assert out.count() == 5
