@@ -281,17 +281,21 @@ class MieClient:
         self.store.upsert_rows(edge_table, [row])
 
     def invalidate_fact(
-        self, new_fact_id: str, old_fact_id: str, reason: str = ""
+        self, new_fact_id: str | None, old_fact_id: str, reason: str = ""
     ) -> None:
-        """Two writes: flip valid=false on the old fact, insert the
-        invalidation edge (writer.go:230-261). Ordered fact-first so a
-        failure between the two leaves a conservative state (fact
-        already invalid, edge missing — retry-safe; SURVEY §7 risk)."""
+        """Flip valid=false on the old fact and — when a superseding
+        fact is given — insert the invalidation edge (writer.go:230-261).
+        Ordered fact-first so a failure between the two leaves a
+        conservative state (fact already invalid, edge missing —
+        retry-safe; SURVEY §7 risk). ``new_fact_id=None`` invalidates
+        without a replacement: NO edge is written (a self-loop edge
+        claiming the fact supersedes itself would corrupt the
+        invalidation chain and every export carrying it)."""
         # both ids must be fact ids: get_node_by_id dispatches on the
         # prefix, so an entity/decision id would otherwise fetch a row
         # of the WRONG table and upsert it into mie_fact as garbage
         for nid in (new_fact_id, old_fact_id):
-            if ids.node_type_of(nid) != "mie_fact":
+            if nid is not None and ids.node_type_of(nid) != "mie_fact":
                 raise ValueError(f"invalidate_fact requires fact ids, got {nid!r}")
         old = self.get_node_by_id(old_fact_id)
         if old is None:
@@ -299,16 +303,17 @@ class MieClient:
         old["valid"] = False
         old["updated_at"] = now_s()
         self.store.upsert_rows("mie_fact", [old])
-        self.store.upsert_rows(
-            "mie_invalidates",
-            [
-                {
-                    "new_fact_id": new_fact_id,
-                    "old_fact_id": old_fact_id,
-                    "reason": reason,
-                }
-            ],
-        )
+        if new_fact_id is not None and new_fact_id != old_fact_id:
+            self.store.upsert_rows(
+                "mie_invalidates",
+                [
+                    {
+                        "new_fact_id": new_fact_id,
+                        "old_fact_id": old_fact_id,
+                        "reason": reason,
+                    }
+                ],
+            )
 
     def update_description(self, node_id: str, description: str) -> None:
         """RMW description update for entity/event/topic (writer.go:313-362)."""

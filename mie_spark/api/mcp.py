@@ -45,8 +45,29 @@ TOOL_REGISTRY: dict[str, tuple[Callable[[MieClient, dict], dict], str, dict]] = 
     ),
     "mie_store": (
         lambda c, a: tools.store(c, a),
-        "Store one memory item (fact/decision/entity/event/topic)",
-        _schema(["type", "content"], type=_STR, content=_STR, category=_STR),
+        "Store one memory item. Per-type fields: fact needs content "
+        "(+category/confidence); decision needs title+rationale "
+        "(+alternatives/context/status); entity needs name+kind "
+        "(+description); event needs title (+description/event_date); "
+        "topic needs name (+description)",
+        _schema(
+            ["type"],
+            type=_STR,
+            content=_STR,
+            category=_STR,
+            confidence=_NUM,
+            title=_STR,
+            rationale=_STR,
+            alternatives=_STR,
+            context=_STR,
+            status=_STR,
+            name=_STR,
+            kind=_STR,
+            description=_STR,
+            event_date=_STR,
+            source_agent=_STR,
+            source_conversation=_STR,
+        ),
     ),
     "mie_bulk_store": (
         lambda c, a: tools.bulk_store(c, a["items"]),
@@ -65,6 +86,7 @@ TOOL_REGISTRY: dict[str, tuple[Callable[[MieClient, dict], dict], str, dict]] = 
         ),
         "Query memory: semantic | exact | hybrid | graph traversal",
         _schema(["query"], query=_STR, mode=_STR, limit=_NUM,
+                node_types={"type": "array", "items": {"type": "string"}},
                 graph_traversal=_STR, node_id=_STR),
     ),
     "mie_update": (
@@ -76,7 +98,7 @@ TOOL_REGISTRY: dict[str, tuple[Callable[[MieClient, dict], dict], str, dict]] = 
         ),
         "invalidate / update_description / update_status on a node",
         _schema(["operation", "node_id"], operation=_STR, node_id=_STR,
-                reason=_STR, description=_STR, status=_STR),
+                new_fact_id=_STR, reason=_STR, description=_STR, status=_STR),
     ),
     "mie_list": (
         lambda c, a: tools.list_nodes(
@@ -85,7 +107,9 @@ TOOL_REGISTRY: dict[str, tuple[Callable[[MieClient, dict], dict], str, dict]] = 
             **{k: v for k, v in a.items() if k != "node_type"},
         ),
         "List nodes of a type with filters, sort, pagination",
-        _schema(["node_type"], node_type=_STR, limit=_NUM),
+        _schema(["node_type"], node_type=_STR, limit=_NUM, offset=_NUM,
+                category=_STR, kind=_STR, status=_STR,
+                valid_only={"type": "boolean"}),
     ),
     "mie_conflicts": (
         lambda c, a: tools.conflicts(

@@ -111,7 +111,12 @@ def bulk_store(client: MieClient, items: list[dict[str, Any]]) -> dict:
             errors.append({"index": idx, "error": str(exc)})
 
     def resolve(ref_or_id: Any) -> str:
-        if isinstance(ref_or_id, int):
+        if ref_or_id is None:
+            # silently coercing to str(None)='None' would insert a
+            # bogus edge; surface it through the error accumulator
+            raise KeyError("relationship needs to_ref or to_id")
+        # bool is an int subtype: a JSON `true` must not index stored_ids
+        if isinstance(ref_or_id, int) and not isinstance(ref_or_id, bool):
             if ref_or_id not in stored_ids:
                 raise KeyError(f"target_ref {ref_or_id} did not store successfully")
             return stored_ids[ref_or_id]
@@ -196,9 +201,11 @@ def update(client: MieClient, operation: str, node_id: str, **kwargs: Any) -> di
     node_type_of(node_id)  # raises on malformed ids
     if operation == "invalidate":
         # node_id is the fact being invalidated; new_fact_id (optional)
-        # is the superseding fact recorded on the edge
+        # is the superseding fact recorded on the edge — absent, the
+        # fact is flipped invalid with no edge (a node_id fallback here
+        # would write a self-superseding loop into mie_invalidates)
         client.invalidate_fact(
-            kwargs.get("new_fact_id", node_id), node_id, kwargs.get("reason", "")
+            kwargs.get("new_fact_id"), node_id, kwargs.get("reason", "")
         )
     elif operation == "update_description":
         client.update_description(node_id, kwargs["description"])

@@ -64,12 +64,27 @@ def node_type_of(node_id: str) -> str:
 # --- column-expression variants (bulk/distributed ingest) -------------------
 
 def id_expr(prefix: str, *field_cols: Column) -> Column:
-    joined = F.concat_ws("|", *field_cols)
+    """concat_ws silently SKIPS null fields (and their separator), which
+    would let ('a', NULL, 'b') collide with ('a', 'b') and let a NULL
+    category hash differently from the driver path's coerced value — so
+    nulls are made explicit before joining. The driver-path Python ids
+    never see nulls (coercion happens first); this keeps the column
+    variant on the same footing."""
+    joined = F.concat_ws("|", *[F.coalesce(c.cast("string"), F.lit("\x00")) for c in field_cols])
     return F.concat(F.lit(prefix), F.lit(":"), F.substring(F.sha2(joined, 256), 1, 16))
 
 
 def fact_id_expr(content: Column, category: Column) -> Column:
-    return id_expr("fact", content, category)
+    """Mirrors ids.fact_id + validators.coerce_category: a NULL/unknown
+    category coerces to 'general' BEFORE hashing, so bulk-ingest ids
+    equal driver-path ids for the same logical fact (the dedup
+    invariant: same content => same ID)."""
+    from mie_spark.validators import VALID_FACT_CATEGORIES
+
+    coerced = F.when(
+        category.isin(*sorted(VALID_FACT_CATEGORIES)), category
+    ).otherwise(F.lit("general"))
+    return id_expr("fact", content, coerced)
 
 
 def entity_id_expr(name: Column, kind: Column) -> Column:

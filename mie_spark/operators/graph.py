@@ -186,6 +186,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = all_nodes.count()
+    if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
+        return all_nodes.withColumn("rank", F.lit(0.0))
     ranks = all_nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(iterations):

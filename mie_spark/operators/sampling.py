@@ -95,8 +95,11 @@ def fixed_k_per_stratum(
     by md5(id) — a uniform random-but-reproducible order — and keep the
     first k. One shuffle (the window partition-by); with thousands of
     strata the per-stratum state is a single counter, so this scales to
-    any corpus. Ties are impossible (md5 of distinct ids), but id is a
-    secondary sort key anyway so the plan is total-order deterministic."""
+    any corpus. Ties are impossible for DISTINCT ids (md5 injective in
+    practice) and id is a secondary sort key, so the plan is total-order
+    deterministic — provided ``id_col`` is unique per row. Rows SHARING
+    an id share a sort key, and which of them survives a rank-k cut is
+    partitioning-dependent; dedup or add a tiebreak column first."""
     key = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
     return df.withColumn(rank_col, F.row_number().over(w)).filter(

@@ -34,7 +34,18 @@ def salted_join(
     Cost: |other| × n_salt replication — use for medium `other` sides;
     truly small sides should broadcast instead (no salt needed), truly
     huge ones should pre-bucket (sources/writers.py).
+
+    Only inner and left joins are supported: the replicated side makes
+    right/full outer joins WRONG (an unmatched right row appears once
+    per salt replica, n_salt null-padded duplicates) — refuse rather
+    than silently corrupt.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "replicating the right side duplicates unmatched right rows "
+            "under right/full outer semantics"
+        )
     salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salt)).cast("int")
     left = skewed.withColumn("_salt", salt)
     right = other.select(

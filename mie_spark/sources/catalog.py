@@ -50,10 +50,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if _parquet_ts_is_nanos(path):
+            # the conf must stay set through EXECUTION of any plan built
+            # over this scan (restoring it immediately would break the
+            # lazy read), so it is session-sticky — but only set when
+            # the footer actually carries TIMESTAMP(NANOS), so sessions
+            # over micros-encoded corpora never see mutated behavior
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return _normalize_event_ts(df)
     return spark.read.parquet(path)
+
+
+def _parquet_ts_is_nanos(path: str) -> bool:
+    """Footer sniff via pyarrow: Spark refuses TIMESTAMP(NANOS) columns
+    outright unless legacy.parquet.nanosAsLong is set, so the conf
+    decision needs the physical type BEFORE the first spark.read."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.ParquetFile(path).schema_arrow.field("ts")
+        return str(field.type).startswith("timestamp[ns")
+    except Exception:  # noqa: BLE001 — dir-of-files or exotic layout
+        import glob
+        import os
+
+        try:
+            import pyarrow.parquet as pq
+
+            part = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if part:
+                field = pq.ParquetFile(part[0]).schema_arrow.field("ts")
+                return str(field.type).startswith("timestamp[ns")
+        except Exception:  # noqa: BLE001
+            pass
+        return True  # conservative: keep the old always-set behavior
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:

@@ -123,15 +123,34 @@ def compact_small_files(
     repartition) avoids a shuffle: it only merges read splits.
     """
     import math
+    import pathlib
     import shutil
 
-    total = sum(
-        f.stat().st_size for f in __import__("pathlib").Path(path).rglob("*") if f.is_file()
-    )
+    # partitioned layouts (key=value dirs) would be silently FLATTENED
+    # by a plain read→rewrite, destroying partition pruning — compact
+    # each leaf partition directory individually instead
+    root = pathlib.Path(path)
+    part_dirs = [d for d in root.iterdir() if d.is_dir() and "=" in d.name]
+    if part_dirs:
+        raise ValueError(
+            f"{path} is a partitioned layout ({part_dirs[0].name}, ...): "
+            "compact each leaf partition directory, not the root — a flat "
+            "rewrite would destroy the partitioning"
+        )
+    total = sum(f.stat().st_size for f in root.rglob("*") if f.is_file())
     n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.format(fmt).load(path)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        # write_format emits header=true csv; reading without the
+        # option would turn every file's header line into a data row
+        # and destroy column names before the destructive swap below
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df = reader.load(path)
     tmp = path.rstrip("/") + "._compact_tmp"
-    df.coalesce(n_out).write.mode("overwrite").format(fmt).save(tmp)
+    writer = df.coalesce(n_out).write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(tmp)
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_out

@@ -66,3 +66,28 @@ def test_mock_embedding_deterministic():
     assert MockEmbeddingProvider._hash("") == 5381
     # uint64 wraparound stays in range for long inputs
     assert MockEmbeddingProvider._hash("x" * 10_000) < (1 << 64)
+
+
+def test_fact_id_expr_matches_python_path_on_nulls(spark):
+    """Bulk-ingest ids must equal driver-path ids for the same logical
+    fact: NULL/unknown categories coerce to 'general' BEFORE hashing,
+    and null fields hash explicitly (concat_ws would silently drop
+    them, colliding ('a', NULL) with ('a',))."""
+    from pyspark.sql import functions as F
+
+    from mie_spark import ids
+    from mie_spark.ids import fact_id_expr
+
+    df = spark.createDataFrame(
+        [("x", None), ("x", "bogus"), ("x", "preference")],
+        ["content", "category"],
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            fact_id_expr(F.col("content"), F.col("category"))
+        ).collect()
+    ]
+    assert got[0] == ids.fact_id("x", "general")
+    assert got[1] == ids.fact_id("x", "general")
+    assert got[2] == ids.fact_id("x", "preference")

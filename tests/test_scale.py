@@ -4,6 +4,7 @@ row-for-row, and bucketed tables join without a shuffle.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mie_spark.operators.skew import salted_groupby_agg, salted_join
@@ -278,3 +279,42 @@ def test_ensure_parallelism_policy_modes(spark):
         )
     finally:
         spark.conf.unset("spark.mie.ensureParallelism")
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    from mie_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([(1, "y"), (2, "z")], ["k", "w"])
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(a, b, "k", how="full")
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    from mie_spark.sources.writers import compact_small_files
+
+    path = str(tmp_path / "part")
+    spark.range(10).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="partitioned layout"):
+        compact_small_files(spark, path)
+
+
+def test_compact_csv_keeps_header_schema(spark, tmp_path):
+    from mie_spark.sources.writers import compact_small_files
+
+    path = str(tmp_path / "csv")
+    df = spark.range(100).withColumn("val", F.col("id") * 2)
+    df.repartition(8).write.option("header", "true").csv(path)
+    compact_small_files(spark, path, fmt="csv")
+    back = spark.read.option("header", "true").csv(path)
+    assert set(back.columns) == {"id", "val"}
+    assert back.count() == 100
+
+
+def test_pagerank_empty_edges(spark):
+    from mie_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
