@@ -402,3 +402,187 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def exact_substring_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring duplication census: for every doc,
+    the token positions whose k-token window also appears in >= min_df-1
+    OTHER documents, merged into maximal covered spans.
+
+    This is the span-level dedup signal (the "remove any 50-token
+    substring that repeats across the corpus" family of pipeline
+    stages): position-level, not document-level — two documents sharing
+    one boilerplate paragraph are flagged on exactly that paragraph.
+
+    Returns (doc, n_tokens, n_dup_spans, dup_tokens, dup_ratio), one row
+    per document that contains at least one duplicated span.
+
+    Scale design:
+    - Positional k-gram hashes are built inside ONE JVM array expression
+      per row (transform over a position sequence), so the exploded
+      index carries (doc, pos, hash64) longs only — never token text
+      and never the token array duplicated per position.
+    - Document frequency is a groupBy on the 64-bit gram hash; the
+      df >= min_df filter happens BEFORE the join back, so only
+      genuinely-duplicated grams rejoin the position table.
+    - Span merging is the gaps-and-islands pattern: one window over
+      (doc, pos) — a single shuffle keyed by doc, carrying only
+      duplicated positions (corpus-duplication volume, not corpus
+      volume).
+    No driver-side state; every step is a shuffle on longs.
+    """
+    df = ensure_parallelism(df)
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    # array<long> of positional k-gram hashes, one JVM expression
+    gram_arr = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - k),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(k)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos_grams = toked.select(
+        "doc", "n_tokens", F.posexplode(gram_arr).alias("pos", "g")
+    )
+    # (doc, pos, g) feeds two branches (df counts + join-back): persist
+    # so tokenize+gram-hash runs once
+    pos_grams = pos_grams.persist(StorageLevel.MEMORY_AND_DISK)
+    dup_grams = (
+        pos_grams.groupBy("g")
+        .agg(F.count_distinct("doc").alias("gram_df"))
+        .filter(F.col("gram_df") >= min_df)
+        .select("g")
+    )
+    dup_pos = pos_grams.join(dup_grams, "g").select("doc", "n_tokens", "pos")
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_island = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        dup_pos.withColumn("island", island)
+        .groupBy("doc", "n_tokens", "island")
+        .agg((F.max("pos") + k - F.min("pos")).alias("covered"))
+    )
+    return (
+        spans.groupBy("doc", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("covered").cast("bigint").alias("dup_tokens"),
+        )
+        .select(
+            "doc",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "n_dup_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+# --- semantic (cluster-scoped) embedding dedup ------------------------------
+
+def srp_planes(n_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic ±1 sign-random-projection hyperplanes. The rule is
+    a fixed Knuth-multiplicative bit draw, reproducible from (plane,
+    dim) alone, so the SAME literal constants can be inlined into both
+    the Spark plan and a SQL oracle — no RNG state to ship."""
+    return [
+        [
+            1.0
+            if ((p * dims + d) * 2654435761 % (1 << 32)) & 0x80000000
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_planes: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: bucket vectors by the sign
+    pattern of fixed random hyperplanes (the deterministic stand-in for
+    a k-means assignment), then scan for cosine >= threshold pairs ONLY
+    within each bucket.
+
+    This is the production 100 TB semantic-dedup topology — cluster
+    first, pay the quadratic cost per cluster, accept the recall loss
+    at cluster boundaries — in exchange for never shuffling an
+    all-pairs join. Candidate volume drops by ~2^n_planes for isotropic
+    data; boundary pairs (similar vectors straddling a hyperplane) are
+    the documented trade. For exhaustive pairs use
+    vector.similarity_self_join instead.
+
+    Returns (a_id, b_id, bucket, cosine) with a_id < b_id.
+
+    The cosine is written as dot/(sqrt(aa)*sqrt(bb)) with strict
+    left-to-right fold order so an external oracle using the identical
+    expression reproduces it bit-for-bit.
+    """
+    planes = srp_planes(n_planes, dims)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for p, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"{x:.1f}D" for x in plane) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(_v, {arr}, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x)"
+        )
+        bit = (dot > 0).cast("int") * F.lit(1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    tagged = df.select(
+        F.col(id_col).alias("id"), v.alias("_v")
+    ).withColumn("bucket", bucket).withColumn(
+        "norm2",
+        F.expr(
+            "aggregate(zip_with(_v, _v, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x)"
+        ),
+    )
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    a = tagged.select(
+        F.col("id").alias("a_id"),
+        F.col("_v").alias("a_v"),
+        F.col("norm2").alias("a_n2"),
+        "bucket",
+    )
+    b = tagged.select(
+        F.col("id").alias("b_id"),
+        F.col("_v").alias("b_v"),
+        F.col("norm2").alias("b_n2"),
+        "bucket",
+    )
+    dot_ab = F.expr(
+        "aggregate(zip_with(a_v, b_v, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    cos = dot_ab / (F.sqrt(F.col("a_n2")) * F.sqrt(F.col("b_n2")))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "bucket", F.round("cosine", 6).alias("cosine"))
+    )

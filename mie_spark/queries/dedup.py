@@ -361,3 +361,105 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - seen).alias("n_novel"),
         )
     )
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, len(t) AS n_tokens, i AS pos,
+             t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' ||
+             t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8] AS g
+      FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ), dup_grams AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), dup_pos AS (
+      SELECT doc_id, n_tokens, pos FROM grams JOIN dup_grams USING (g)
+    ), isl AS (
+      SELECT doc_id, n_tokens, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (SELECT doc_id, n_tokens, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup_pos)
+    ), spans AS (
+      SELECT doc_id, n_tokens, island, max(pos) + 8 - min(pos) AS covered
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           count(*) AS n_dup_spans,
+           sum(covered)::BIGINT AS dup_tokens,
+           round(sum(covered)::BIGINT / n_tokens::BIGINT, 6) AS dup_ratio
+    FROM spans GROUP BY doc_id, n_tokens
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census (the span-level dedup family:
+    flag any 8-token window that also occurs in another document, merge
+    overlapping flagged windows into maximal spans). Document-level
+    near-dup (MinHash et al.) misses a boilerplate paragraph pasted
+    into otherwise-unique pages; this catches exactly the pasted span.
+
+    Plan shape (the 100 TB story): positional gram hashes are one JVM
+    array expression per doc; the exploded index is (doc, pos, hash64)
+    longs; gram document-frequency is a groupBy on the hash; only
+    duplicated grams join back; span merging is one gaps-and-islands
+    window keyed by doc. The oracle recomputes everything from scratch
+    on gram STRINGS (the Spark side joins on xxhash64 of the gram — a
+    collision would show up here as a hash mismatch)."""
+    from mie_spark.operators.dedup import exact_substring_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = exact_substring_stats(docs, "doc_id", "text", k=8, min_df=2)
+    return stats.withColumnRenamed("doc", "doc_id")
+
+
+def _semantic_oracle() -> str:
+    from mie_spark.operators.dedup import srp_planes
+
+    planes = srp_planes(4, 64)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{p}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, ({bits}) AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS a_id, b2.vec_id AS b_id, a.bucket,
+             list_dot_product(a.v, b2.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b2.v, b2.v))) AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT a_id, b_id, bucket, round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 0.4
+    """
+
+
+@query("dedup_semantic", oracle=_semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: assign every embedding to a
+    cluster (deterministic sign-random-projection bucket standing in
+    for the usual k-means), then find cosine >= 0.4 pairs ONLY within
+    each cluster — the topology that makes semantic dedup tractable at
+    100 TB (quadratic cost per cluster, never corpus-wide; boundary
+    pairs are the accepted recall trade, here 19 of 24 corpus-wide
+    pairs survive at sf0.01). The oracle recomputes bucket + cosine
+    from the same literal hyperplane constants, so this approximate
+    operator is still hash-graded exactly. Cosine margins to every
+    decision boundary (sign flip, threshold, rounding) are >= 1e-4 —
+    nine orders above double noise — so the float filter is stable
+    across engines."""
+    from mie_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", dims=64, n_planes=4, threshold=0.4
+    )

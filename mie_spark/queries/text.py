@@ -704,3 +704,99 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+@query(
+    "pipe_quality_buckets",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    total AS (SELECT sum(tf)::DOUBLE AS total FROM tf),
+    scored AS (
+      SELECT doc_id, tf,
+             CAST(round(-ln((sum(tf) OVER (PARTITION BY tok)) / total.total)
+                        * 1000000.0, 0) AS BIGINT) AS nllu
+      FROM tf CROSS JOIN total
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             sum(tf)::BIGINT AS n_tokens,
+             sum(tf * nllu)::BIGINT AS s
+      FROM scored GROUP BY doc_id
+    ),
+    tiered AS (
+      SELECT doc_id, n_tokens, s,
+             ntile(3) OVER (ORDER BY s // n_tokens, doc_id) AS tier
+      FROM per_doc
+    )
+    SELECT t.tier, d.source,
+           count(*) AS n_docs,
+           sum(t.n_tokens)::BIGINT AS total_tokens,
+           round(sum(t.s)::BIGINT / sum(t.n_tokens)::BIGINT / 1000000.0, 6)
+             AS mean_nll
+    FROM tiered t JOIN documents d USING (doc_id)
+    GROUP BY t.tier, d.source
+    """,
+)
+def pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-tier bucketing — the CCNet move: score every document
+    with the corpus unigram LM, rank, cut into head/middle/tail
+    terciles, and report the (tier x source) census that drives
+    tier-weighted sampling of the training mix.
+
+    Numeric stance matches text_unigram_logprob: per-token -ln p in
+    micro-nats as BIGINT, per-doc score = integer sum, tier rank on
+    INTEGER division (s div n_tokens) — every comparison the tiering
+    makes is exact integer math, so tier assignment is bit-stable
+    across engines; floats only appear in the final reported mean over
+    identical integer operands.
+
+    Scale: the ntile here is a global sort of per-DOC stats (one row
+    per document — the corpus never sorts). At 100 TB of docs swap the
+    exact ntile for approx_percentile cut points computed map-side and
+    a broadcast range lookup; the census keeps the identical shape."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    total = float(tok.count())
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("tok")
+    nllu = F.round(
+        -F.log(F.sum("tf").over(w) / F.lit(total)) * F.lit(1e6), 0
+    ).cast("bigint")
+    per_doc = (
+        tf.select("doc_id", "tf", nllu.alias("nllu"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("nllu")).cast("bigint").alias("s"),
+        )
+    )
+    tiered = per_doc.withColumn(
+        "tier",
+        F.ntile(3)
+        .over(Window.orderBy(F.expr("s div n_tokens"), F.col("doc_id")))
+        .cast("bigint"),
+    )
+    return (
+        tiered.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("tier", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("s").cast("bigint")
+                / F.sum("n_tokens").cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("mean_nll"),
+        )
+    )

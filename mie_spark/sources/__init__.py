@@ -1,3 +1,8 @@
-from mie_spark.sources.catalog import TABLES, load_table, register_views
+from mie_spark.sources.catalog import (
+    TABLES,
+    load_table,
+    normalize_event_ts,
+    register_views,
+)
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = ["TABLES", "load_table", "normalize_event_ts", "register_views"]

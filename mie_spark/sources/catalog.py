@@ -58,7 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # over micros-encoded corpora never see mutated behavior
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return _normalize_event_ts(df)
+        return normalize_event_ts(df)
     return spark.read.parquet(path)
 
 
@@ -87,7 +87,7 @@ def _parquet_ts_is_nanos(path: str) -> bool:
         return True  # conservative: keep the old always-set behavior
 
 
-def _normalize_event_ts(df: DataFrame) -> DataFrame:
+def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Coerce ``ts`` to session-tz TIMESTAMP whatever the scan produced."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType

@@ -56,7 +56,7 @@ def read_events_stream(
     in-plan, identically to the batch path (sources/catalog.py), so
     streaming and batch plans see the same column types.
     """
-    from mie_spark.sources.catalog import _normalize_event_ts
+    from mie_spark.sources import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -68,7 +68,7 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return _normalize_event_ts(df)
+    return normalize_event_ts(df)
 
 
 def windowed_counts(

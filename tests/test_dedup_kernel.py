@@ -86,3 +86,120 @@ def test_minhash_carries_string_ids(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     pairs = minhash_lsh_pairs(df, "doc_id", threshold=0.9).collect()
     assert {(r["a_id"], r["b_id"]) for r in pairs} == {("fact:a", "fact:b")}
+
+
+# --- exact-substring span census ---------------------------------------------
+
+def test_exact_substring_span_merging_semantics(spark):
+    """Hand-built corpus with a known shared 10-token run: two docs
+    share tokens w0..w9 (three overlapping 8-gram windows at positions
+    0,1,2 in doc 1 / 5,6,7 in doc 2) — windows must merge into ONE span
+    of exactly 10 covered tokens per doc; the unrelated doc reports
+    nothing."""
+    from mie_spark.operators.dedup import exact_substring_stats
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    unique1 = " ".join(f"a{i}" for i in range(5))
+    unique2 = " ".join(f"b{i}" for i in range(5))
+    rows = [
+        (1, f"{shared} {unique1}"),          # span at pos 0..2 → cover [0,10)
+        (2, f"{unique2} {shared}"),          # span at pos 5..7 → cover [5,15)
+        (3, " ".join(f"c{i}" for i in range(20))),  # no cross-doc grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in exact_substring_stats(df, "doc_id", k=8).collect()
+    }
+    assert got == {1: (15, 1, 10), 2: (15, 1, 10)}
+
+
+def test_exact_substring_distinct_spans_stay_separate(spark):
+    """Two duplicated runs separated by a gap larger than k must report
+    as TWO spans, and coverage must not bridge the gap."""
+    from mie_spark.operators.dedup import exact_substring_stats
+
+    run1 = " ".join(f"x{i}" for i in range(8))
+    run2 = " ".join(f"y{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(12))
+    rows = [
+        (1, f"{run1} {gap} {run2}"),
+        (2, run1),
+        (3, run2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in exact_substring_stats(df, "doc_id", k=8).collect()
+    }
+    # doc 1: two 8-token spans; docs 2/3 fully covered single spans
+    assert got[1] == (2, 16)
+    assert got[2] == (1, 8)
+    assert got[3] == (1, 8)
+
+
+def test_exact_substring_no_cartesian(spark):
+    """The census must candidate-generate via the gram-hash equi-join,
+    never an all-pairs product."""
+    from mie_spark.operators.dedup import exact_substring_stats
+    from mie_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = exact_substring_stats(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- semantic (cluster-scoped) dedup -----------------------------------------
+
+def test_srp_planes_deterministic_and_pm1():
+    from mie_spark.operators.dedup import srp_planes
+
+    a, b = srp_planes(4, 64), srp_planes(4, 64)
+    assert a == b
+    assert all(x in (1.0, -1.0) for p in a for x in p)
+    # not degenerate: each plane mixes signs
+    for p in a:
+        assert 10 < sum(x > 0 for x in p) < 54
+
+
+def test_semantic_dedup_subset_of_exhaustive_pairs(spark):
+    """Cluster-scoped pairs must be a SUBSET of the exhaustive
+    cosine>=thr pair list (the documented boundary-loss trade), agree
+    on every surviving cosine, and keep a usable recall on this
+    corpus."""
+    from mie_spark.operators.dedup import semantic_dedup_pairs
+    from mie_spark.operators.vector import similarity_self_join
+    from mie_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    clustered = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in semantic_dedup_pairs(emb, "vec_id", threshold=0.4).collect()
+    }
+    exhaustive = {
+        (r["a_id"], r["b_id"])
+        for r in similarity_self_join(emb, "embedding", threshold=0.4).collect()
+    }
+    assert set(clustered) <= exhaustive
+    # sf0.001's qualifying pairs sit near the threshold (cos ≈ 0.4 ⇒
+    # θ ≈ 66°), where 4-plane SRP keeps only ~(1-66/180)⁴ ≈ 16% of
+    # pairs in-bucket — the documented boundary trade. The invariants
+    # are: subset, nonzero survivors, and sane cosines.
+    assert len(clustered) >= 0.1 * len(exhaustive) > 0
+    assert all(0.4 <= c <= 1.0 for c in clustered.values())
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    from mie_spark.operators.dedup import semantic_dedup_pairs
+    from mie_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = (
+        semantic_dedup_pairs(emb, "vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
