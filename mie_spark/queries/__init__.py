@@ -90,6 +90,7 @@ _GRADE_FIRST = [
     "dedup_semantic",
     "pipe_quality_buckets",
     "st_enrich_join",
+    "ev_range_join",
     # events (stale member)
     "ev_asof_join",
     # flagship + TPC-H-ish relational (stale since r02)
@@ -101,7 +102,8 @@ _GRADE_FIRST = [
     "q5_local_supplier_volume",
     "q12_priority_classes",
     "q13_customer_distribution",
-    "q14_promo_revenue_share",
+    # q14 rotates out (twice-green ratio-of-sums; q12/q13/q18 keep the
+    # conditional-agg family graded) to fund ev_range_join at the head
     "q18_large_volume_orders",
     # scans / filters / raw SQL (f2/f3 rotate out: green in r01 AND
     # r02, trivial lineitem/customer filters independent of the changed

@@ -498,3 +498,85 @@ def ev_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="kind",
         valueColumnName="n",
     )
+
+
+@query(
+    "ev_range_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             epoch_us(min(ts)) AS start_us,
+             epoch_us(max(ts)) AS end_us
+      FROM numbered GROUP BY user_id, session_id
+    ), windows AS (
+      SELECT * FROM sessions
+      ORDER BY n_events DESC, user_id, session_id LIMIT 20
+    )
+    SELECT w.user_id, w.session_id, w.start_us, w.end_us,
+           count(*) AS n_contained,
+           count(DISTINCT e.user_id) AS n_users
+    FROM windows w
+    JOIN events e ON epoch_us(e.ts) BETWEEN w.start_us AND w.end_us
+    GROUP BY w.user_id, w.session_id, w.start_us, w.end_us
+    """,
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi-key): take the 20 busiest sessions as
+    time windows and count how much of the WHOLE event stream — every
+    user — falls inside each window. The naive formulation
+    (`JOIN ON ts BETWEEN start AND end`) compiles to a
+    BroadcastNestedLoopJoin, the temporal-enrichment scale-killer;
+    operators/rangejoin.py instead manufactures an equi-key by
+    quantizing the timeline into 1-hour buckets, exploding each window
+    across the buckets it spans, equi-joining on the bucket id, and
+    re-checking exact containment — each matching pair meets in
+    exactly one bucket, so no dedup pass is needed. The oracle runs
+    the naive BETWEEN join; same answer, nested-loop-free plan
+    (pinned in tests/test_plans.py)."""
+    from mie_spark.operators.rangejoin import interval_containment_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+    windows = sessions.orderBy(
+        F.desc("n_events"), "user_id", "session_id"
+    ).limit(20).select(
+        F.col("user_id").alias("w_user_id"), "session_id", "start_us", "end_us"
+    )
+    points = ev.select(
+        F.unix_micros(F.col("ts")).alias("ts_us"), F.col("user_id").alias("e_user")
+    )
+    joined = interval_containment_join(
+        points, windows, "ts_us", "start_us", "end_us",
+        bucket_width=3600 * 1_000_000,
+    )
+    return joined.groupBy(
+        F.col("w_user_id").alias("user_id"), "session_id", "start_us", "end_us"
+    ).agg(
+        F.count(F.lit(1)).alias("n_contained"),
+        F.count_distinct("e_user").cast("bigint").alias("n_users"),
+    )

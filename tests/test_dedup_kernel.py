@@ -203,3 +203,55 @@ def test_semantic_dedup_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_substring_matches_brute_force_model(spark):
+    """Randomized cross-check against a pure-Python reference model:
+    30 docs from a tiny vocabulary (seeded, reproducible) so cross-doc
+    k-gram collisions are dense, spans overlap, and island merging is
+    exercised far beyond the hand-built cases."""
+    import random
+
+    from mie_spark.operators.dedup import exact_substring_stats
+
+    rng = random.Random(20260814)
+    vocab = [f"t{i}" for i in range(12)]
+    k = 4
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40))))
+        for d in range(30)
+    ]
+
+    # reference model: literal k-gram strings, set-of-docs df, interval
+    # union by sweeping sorted positions
+    grams: dict[str, set[int]] = {}
+    doc_positions: dict[int, list[tuple[int, str]]] = {}
+    for d, text in rows:
+        toks = text.split()
+        pos = [(i, " ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+        doc_positions[d] = pos
+        for _, g in pos:
+            grams.setdefault(g, set()).add(d)
+    expected = {}
+    for d, text in rows:
+        dup = sorted(i for i, g in doc_positions[d] if len(grams[g]) >= 2)
+        if not dup:
+            continue
+        spans = 1
+        covered_end = dup[0] + k
+        covered = k
+        for p in dup[1:]:
+            if p > covered_end:
+                spans += 1
+                covered += k
+            else:
+                covered += p + k - covered_end
+            covered_end = p + k
+        expected[d] = (len(text.split()), spans, covered)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in exact_substring_stats(df, "doc_id", k=k).collect()
+    }
+    assert got == expected
