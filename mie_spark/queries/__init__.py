@@ -91,6 +91,8 @@ _GRADE_FIRST = [
     "pipe_quality_buckets",
     "st_enrich_join",
     "ev_range_join",
+    "g_sssp",
+    "pipe_keep_best",
     # events (stale member)
     "ev_asof_join",
     # flagship + TPC-H-ish relational (stale since r02)
@@ -109,7 +111,8 @@ _GRADE_FIRST = [
     # r02, trivial lineitem/customer filters independent of the changed
     # helpers, and their family stays graded via s1/f6)
     "s1_scan_projection",
-    "s2_point_lookup",
+    # s2 rotates out (twice-green point filter, also client-tested;
+    # s1/s7/f6 keep the scan family graded)
     "s7_raw_sql",
     "f6_range_revenue",
     # aggregates
@@ -125,7 +128,7 @@ _GRADE_FIRST = [
     # helper-independent grounds; o3/u3/u4 keep the family graded)
     "o3_topk",
     "u3_except_customers",
-    "u4_intersect_customers",
+    # u4 rotates out (mirror of u3, twice-green)
     # graph traversals + analytics
     "j1_two_hop_traversal",
     "j3_edge_attr_traversal",

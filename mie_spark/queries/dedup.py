@@ -463,3 +463,83 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         emb, "vec_id", "embedding", dims=64, n_planes=4, threshold=0.4
     )
+
+
+# keep-best survivor selection: same pair+closure recomputation as
+# _CLUSTER_ORACLE, then one window picks the best doc per cluster
+_KEEP_BEST_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+           ELSE []::VARCHAR[] END) AS s
+  FROM toks
+), inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pr AS (
+  SELECT a_id, b_id FROM pairs
+  WHERE common::DOUBLE / (a_n + b_n - common) >= 0.5
+), e AS (
+  SELECT u, v FROM (
+    SELECT a_id AS u, b_id AS v FROM pr
+    UNION ALL
+    SELECT b_id AS u, a_id AS v FROM pr
+  ) t
+), reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.v, r.r FROM reach r JOIN e ON e.u = r.node
+), clusters AS (
+  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT c.doc_id, c.cluster_id,
+       first_value(c.doc_id) OVER (
+         PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+       ) AS survivor_id,
+       c.doc_id = first_value(c.doc_id) OVER (
+         PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+       ) AS keep
+FROM clusters c JOIN documents d USING (doc_id)
+"""
+
+
+@query("pipe_keep_best", oracle=_KEEP_BEST_ORACLE)
+def pipe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step AFTER near-dup clustering that a
+    production pipeline actually ships: within each near-dup cluster
+    keep the highest-quality member (here: longest by n_chars,
+    deterministic doc_id tiebreak) and mark the rest for drop. Cluster
+    assignment reuses the MinHash-LSH → connected-components path;
+    survivor choice is one window over the (tiny) clustered subset.
+    The keep/drop list is what downstream filtering joins against —
+    at 100 TB it is broadcast back against the corpus as an anti-join,
+    the same topology as pipe_decontaminate."""
+    from mie_spark.operators.graph import connected_components
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    cc = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    enriched = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    survivor = F.first("doc_id").over(w)
+    return enriched.select(
+        "doc_id",
+        "cluster_id",
+        survivor.alias("survivor_id"),
+        (F.col("doc_id") == survivor).alias("keep"),
+    )

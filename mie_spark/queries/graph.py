@@ -427,3 +427,60 @@ def g_chain_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mie_spark.operators.graph import chain_motif
 
     return chain_motif(edges, hops=2, distinct_nodes=True)
+
+
+@query(
+    "g_sssp",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT s_suppkey AS u, s_acctbal,
+             lead(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS nxt,
+             min(s_suppkey) OVER (PARTITION BY s_nationkey) AS mn
+      FROM supplier
+    ),
+    e AS (
+      SELECT u AS src, coalesce(nxt, mn) AS dst,
+             abs(CAST(round(s_acctbal * 100) AS BIGINT)) % 997 + 1 AS w
+      FROM base
+    ),
+    walk(node, dist, hops) AS (
+      SELECT (SELECT min(s_suppkey) FROM supplier), 0::BIGINT, 0
+      UNION
+      SELECT e.dst, w.dist + e.w, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hops < 12
+    )
+    SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node
+    """,
+)
+def g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (bounded Bellman-Ford, 12 relaxation
+    rounds) over the per-nation supplier ring, edge weight derived
+    from the source supplier's account balance in integer cents
+    (order-independent integer arithmetic — engine-exact). Completes
+    the iterative-graph family: CC (convergence loop), PageRank
+    (fixed-point numeric), BFS (unweighted frontier), SSSP (weighted
+    relaxation with early exit). The oracle enumerates every walk of
+    at most 12 edges as a recursive CTE and takes per-node minima —
+    exactly the set Bellman-Ford with 12 rounds minimizes over."""
+    from mie_spark.operators.graph import sssp
+    from mie_spark.queries.relational import cents
+
+    s = load_table(spark, sf_dir, "supplier")
+    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    wp = Window.partitionBy("s_nationkey")
+    base = s.select(
+        F.col("s_suppkey").alias("u"),
+        "s_acctbal",
+        F.lead("s_suppkey").over(wo).alias("nxt"),
+        F.min("s_suppkey").over(wp).alias("mn"),
+    )
+    edges = base.select(
+        F.col("u").alias("src"),
+        F.coalesce("nxt", "mn").alias("dst"),
+        (F.abs(cents("s_acctbal")) % 997 + 1).alias("w"),
+    )
+    src_id = s.agg(F.min("s_suppkey")).first()[0]
+    sources = spark.createDataFrame([(src_id,)], ["node"])
+    return sssp(edges, sources, max_hops=12)

@@ -318,3 +318,52 @@ def test_pagerank_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).count() == 0
+
+
+def test_sssp_matches_dijkstra_model(spark):
+    """Bounded Bellman-Ford vs a pure-Python Dijkstra on a seeded
+    random sparse digraph (hop bound chosen > any shortest-path hop
+    count so both compute the same unbounded answer)."""
+    import heapq
+    import random
+
+    from mie_spark.operators.graph import sssp
+
+    rng = random.Random(99)
+    n = 40
+    edges = []
+    for _ in range(140):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.append((u, v, rng.randint(1, 20)))
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist = {0: 0}
+    heap = [(0, 0)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            if d + w < dist.get(v, 1 << 60):
+                dist[v] = d + w
+                heapq.heappush(heap, (d + w, v))
+
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    s = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in sssp(e, s, max_hops=n).collect()}
+    assert got == dist
+
+
+def test_sssp_hop_bound_truncates(spark):
+    """A 5-edge path with max_hops=3 must only reach 3 edges out."""
+    from mie_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [(i, i + 1, 10) for i in range(5)], ["src", "dst", "w"]
+    )
+    s = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in sssp(e, s, max_hops=3).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30}
