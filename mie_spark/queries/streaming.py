@@ -138,6 +138,66 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas talks to the JVM state server through
+    protobuf-generated messages (pyspark.sql.streaming.proto). The
+    pinned container ships no ``google.protobuf``, so the query below
+    registers only where the runtime dependency actually exists —
+    otherwise the operator stays import-clean but ungraded (same policy
+    as the compressed multimodal codecs)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _st_transform_state_oracle() -> str:
+    return """
+    SELECT user_id, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY user_id, event_type
+    """
+
+
+def st_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type running profile via the Spark 4.x
+    ``transformWithStateInPandas`` StatefulProcessor API (MapState keyed
+    by event_type, exact integer cents, RocksDB state store). Update
+    mode emits a row per touched (user, type) per micro-batch; totals
+    are monotone, so max() per pair recovers the final state. Cents are
+    rounded per event before summing, making the result independent of
+    micro-batch boundaries — that property is what the oracle hash
+    verifies across the two engines."""
+    from mie_spark.streaming import transform_state_profile
+
+    sink = run_to_memory_sink(
+        transform_state_profile(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+        state_partitions=8,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider"
+            )
+        },
+    )
+    return sink.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").alias("total_cents"),
+    )
+
+
+if _has_protobuf():  # pragma: no cover - absent in the pinned container
+    query("st_transform_state", oracle=_st_transform_state_oracle())(
+        st_transform_state
+    )
+
+
 @query(
     "st_attribution_join",
     oracle="""

@@ -7,6 +7,7 @@ from mie_spark.streaming.ops import (
     sessionized_stream,
     stateful_user_totals,
     stream_dedup,
+    transform_state_profile,
     windowed_counts,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "sessionized_stream",
     "stateful_user_totals",
     "stream_dedup",
+    "transform_state_profile",
     "windowed_counts",
 ]

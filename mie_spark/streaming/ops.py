@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -212,6 +213,97 @@ def stateful_user_totals(
     )
 
 
+_PROFILE_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def transform_state_profile(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user per-event-type running profile via the Spark 4.x
+    ``transformWithStateInPandas`` StatefulProcessor API — the successor
+    surface to ``applyInPandasWithState`` (stateful_user_totals above)
+    with typed composite state primitives instead of one state tuple.
+
+    State here is a ``MapState`` keyed by event_type holding exact
+    integer (n, cents) — one state object per user, one map entry per
+    event type the user has produced, living in the RocksDB state store
+    (transformWithState requires the RocksDB provider; the query wrapper
+    sets it for the run). Cents are rounded PER EVENT before summing so
+    the running total is independent of how the source splits into
+    micro-batches — the property that makes the bounded drain
+    oracle-exact.
+
+    timeMode="None" for the bounded/oracle path, same reasoning as
+    stateful_user_totals' NoTimeout: timers keep scheduling micro-batches
+    after the source drains, so an availableNow run would never
+    terminate. A continuous deployment instead passes a TTL on the state
+    (``getMapState(..., ttlDurationMs=...)``) to evict idle users —
+    TTL-based eviction is the transformWithState replacement for the
+    processing-time-timeout dance the older API needed.
+
+    The processor class is defined inside this function so cloudpickle
+    ships it by value to Python workers that don't have this package on
+    their import path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._by_type = handle.getMapState(
+                "by_type", "event_type STRING", "n LONG, cents LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            user_id = key[0]
+            # accumulate this batch's delta per event_type in plain
+            # Python, then do ONE state read-modify-write per touched
+            # type — state round-trips, not rows, are the cost
+            delta: dict[str, tuple[int, int]] = {}
+            for pdf in rows:
+                cents = (pdf["value"].astype("float64") * 100).round().astype("int64")
+                g = cents.groupby(pdf["event_type"])
+                for etype, (n, c) in g.agg(["size", "sum"]).iterrows():
+                    dn, dc = delta.get(etype, (0, 0))
+                    delta[etype] = (dn + int(n), dc + int(c))
+            out: dict[str, list] = {
+                "user_id": [],
+                "event_type": [],
+                "n_events": [],
+                "total_cents": [],
+            }
+            for etype, (dn, dc) in delta.items():
+                prev = self._by_type.getValue((etype,))
+                n, c = (prev[0] + dn, prev[1] + dc) if prev else (dn, dc)
+                self._by_type.updateValue((etype,), (n, c))
+                out["user_id"].append(user_id)
+                out["event_type"].append(etype)
+                out["n_events"].append(n)
+                out["total_cents"].append(c)
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=ProfileProcessor(),
+            outputStructType=_PROFILE_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def _await_drained(q, timeout_s: int) -> None:
     """awaitTermination(timeout) returns False on timeout WITHOUT
     stopping the query — ignoring that would hand back a partially
@@ -231,6 +323,7 @@ def run_to_memory_sink(
     output_mode: str = "append",
     timeout_s: int = 300,
     state_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drain a bounded stream with ``trigger(availableNow=True)`` into an
     in-memory sink and return the sink table.
@@ -244,15 +337,20 @@ def run_to_memory_sink(
     store instances = shuffle partitions × stateful operators, and the
     count is frozen into the checkpoint at first start — streaming jobs
     size it to key cardinality up front rather than inheriting the
-    batch default). The session conf is restored after start; batch
-    queries are unaffected.
+    batch default). extra_confs are start-time session confs the plan
+    needs (e.g. the RocksDB state store provider for transformWithState).
+    The session confs are restored after start; batch queries are
+    unaffected.
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
-    prev = None
+    overrides: dict[str, str] = dict(extra_confs or {})
     if state_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    prev: dict[str, str | None] = {}
+    for k, v in overrides.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -262,8 +360,11 @@ def run_to_memory_sink(
             .start()
         )
     finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     _await_drained(q, timeout_s)
     return spark.table(name)
 
@@ -296,6 +397,7 @@ __all__ = [
     "stream_dedup",
     "sessionized_stream",
     "stateful_user_totals",
+    "transform_state_profile",
     "run_to_memory_sink",
     "foreach_batch_upsert",
     "SESSION_GAP_SECONDS",

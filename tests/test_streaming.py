@@ -114,6 +114,34 @@ def test_stateful_totals_across_multiple_microbatches(spark, tmp_path):
         assert got[uid][0] == n
 
 
+def test_transform_state_profile_matches_batch(spark):
+    """Spark 4.x transformWithStateInPandas path (MapState per-user
+    profile) equals the batch groupBy — runnable only where
+    google.protobuf exists (the API's state-server client imports it);
+    the pinned container ships without it, so this documents the gate
+    rather than silently losing the operator."""
+    pytest.importorskip("google.protobuf")
+    from mie_spark.queries.streaming import st_transform_state
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["total_cents"])
+        for r in st_transform_state(spark, SF).collect()
+    }
+    ev = __import__("mie_spark.sources", fromlist=["load_table"]).load_table(
+        spark, SF, "events"
+    )
+    want = {
+        (r["user_id"], r["event_type"]): (r["n"], r["cents"])
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_embedding_pipeline_feeds_semantic_search(spark):
     """V6 at scale: stream events through the embedding foreachBatch
     sink, then semantic_search over the store must rank the exact stored
