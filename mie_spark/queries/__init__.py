@@ -95,6 +95,13 @@ _GRADE_FIRST = [
     "pipe_keep_best",
     # events (stale member)
     "ev_asof_join",
+    # new this session, never graded: sweep-line concurrency census and
+    # dyadic-weight EWMA smoothing (funded by rotating out
+    # a4_groupby_metrics — twice-green, a1/a3/a_rollup keep the
+    # aggregate family graded — and g_chain_motif, twice-green sibling
+    # of the staying g_bfs_hops)
+    "ev_concurrency",
+    "ev_ewma",
     # flagship + TPC-H-ish relational (stale since r02)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -118,7 +125,6 @@ _GRADE_FIRST = [
     # aggregates
     "a1_stats_single_pass",
     "a3_multi_table_counts",
-    "a4_groupby_metrics",
     "a_rollup_suppliers",
     # a_cube_orders rotates out (same GROUPING SETS machinery as
     # a_rollup_suppliers/a_grouping_sets, both staying)
@@ -140,7 +146,6 @@ _GRADE_FIRST = [
     "g_connected_components",
     "g_pagerank",
     "g_bfs_hops",
-    "g_chain_motif",
     # window functions
     "w_rank_per_group",
     "w_running_total",

@@ -580,3 +580,202 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_contained"),
         F.count_distinct("e_user").cast("bigint").alias("n_users"),
     )
+
+
+_SESSIONS_CTE = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, session_id,
+             epoch_us(min(ts)) AS start_us,
+             epoch_us(max(ts)) AS end_us
+      FROM numbered
+      GROUP BY user_id, session_id
+    )
+"""
+
+
+@query(
+    "ev_concurrency",
+    oracle=_SESSIONS_CTE
+    + """
+    , deltas AS (
+      SELECT start_us AS us, 1 AS d FROM sessions
+      UNION ALL
+      SELECT end_us + 1 AS us, -1 AS d FROM sessions
+    ), pts AS (
+      SELECT us, sum(d)::BIGINT AS d FROM deltas GROUP BY us
+    ), run AS (
+      SELECT us,
+             CAST(sum(d) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS conc
+      FROM pts
+    )
+    SELECT strftime(DATE '1970-01-01' + to_days((us // 86400000000)::INT),
+                    '%Y-%m-%d') AS day,
+           max(conc)::BIGINT AS peak_concurrent,
+           count(*) AS n_change_points
+    FROM run
+    GROUP BY 1
+    """,
+)
+def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via a DISTRIBUTED sweep line —
+    the scale-correct alternative to an interval self-join (which is
+    O(sessions x avg_overlap) and explodes on popular hours).
+
+    Sessionize (30-min gap), emit +1/-1 boundary deltas, collapse
+    deltas per instant, then compute the global running concurrency as
+    a two-level prefix sum: a running sum WITHIN each day partition
+    plus a carry-in of whole-day totals prefix-summed across days. The
+    carry table has one row per calendar day — thousands of rows at
+    any corpus size — so its unpartitioned ordered window is a
+    deliberate, bounded exception to the no-global-window rule, and
+    the per-instant heavy window stays partitioned by day. Peak per
+    day is the max running level at in-day change points (day-start
+    carry levels between change points are not re-sampled; both
+    engines use the identical definition).
+
+    Day rendering is pure integer arithmetic on epoch-days (no
+    timestamp/timezone dependence), so the hash is tz-proof.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+    # both boundary deltas from ONE pass over sessions (explode, not a
+    # self-union — a union would scan and sessionize events twice)
+    deltas = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("start_us").alias("us"), F.lit(1).alias("d")),
+                F.struct((F.col("end_us") + 1).alias("us"), F.lit(-1).alias("d")),
+            )
+        ).alias("x")
+    ).select("x.us", "x.d")
+    pts = (
+        deltas.groupBy("us")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("day_idx", (F.col("us") / F.lit(86_400_000_000)).cast("long"))
+    )
+    # pts (2x|sessions| collapsed change points) feeds both the in-day
+    # running sum and the per-day carry totals; a lazy localCheckpoint
+    # materializes it once so the carry branch doesn't re-run the
+    # sessionize lineage from the scan
+    pts = pts.localCheckpoint(eager=False)
+    in_day = Window.partitionBy("day_idx").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pts = pts.withColumn("run_in_day", F.sum("d").over(in_day))
+    day_totals = pts.groupBy("day_idx").agg(F.sum("d").alias("day_total"))
+    across_days = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_totals.withColumn(
+        "carry", F.coalesce(F.sum("day_total").over(across_days), F.lit(0))
+    ).select("day_idx", "carry")
+    run = pts.join(F.broadcast(carry), "day_idx").withColumn(
+        "conc", F.col("run_in_day") + F.col("carry")
+    )
+    return run.groupBy("day_idx").agg(
+        F.max("conc").alias("peak_concurrent"),
+        F.count(F.lit(1)).alias("n_change_points"),
+    ).select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "peak_concurrent",
+        "n_change_points",
+    )
+
+
+@query(
+    "ev_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT strftime(t.day, '%Y-%m-%d') AS day,
+           t.event_type,
+           max(t.cents)::BIGINT AS cents,
+           round(
+             sum(s.cents * CAST(pow(2, 13 - date_diff('day', s.day, t.day)) AS BIGINT))::BIGINT::DOUBLE
+             / sum(CAST(pow(2, 13 - date_diff('day', s.day, t.day)) AS BIGINT))::BIGINT
+             / 100.0, 6) AS ewma_value
+    FROM daily t
+    JOIN daily s
+      ON s.event_type = t.event_type
+     AND s.day BETWEEN t.day - INTERVAL 13 DAY AND t.day
+    GROUP BY t.day, t.event_type
+    """,
+)
+def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily spend per event
+    type (alpha = 1/2, 14-day support) — the smoothing pass behind
+    anomaly baselines and trend dashboards.
+
+    Engine-portable by construction: weights are dyadic (2^(13-lag)),
+    daily totals are exact integer cents, so numerator and denominator
+    are exact BIGINTs on both engines and the only float op is one
+    correctly-rounded IEEE division at the end. No pow-of-0.7 libm
+    drift, no float accumulation order dependence.
+
+    Scale shape: the heavy work is the one groupBy to daily totals
+    (|days| x |types| rows out); the banded self-join runs on that tiny
+    aggregate with the right side broadcast — never on raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    # the tiny daily aggregate feeds both sides of the banded self-join;
+    # materialize it once so the corpus isn't scanned per side
+    daily = daily.localCheckpoint(eager=False)
+    t = daily.alias("t")
+    s = daily.alias("s")
+    lag = F.datediff(F.col("t.day"), F.col("s.day"))
+    weight = F.pow(F.lit(2.0), (F.lit(13) - lag).cast("double")).cast("long")
+    joined = t.join(
+        F.broadcast(s),
+        (F.col("s.event_type") == F.col("t.event_type"))
+        & (F.col("s.day") >= F.date_sub(F.col("t.day"), 13))
+        & (F.col("s.day") <= F.col("t.day")),
+    )
+    return joined.groupBy(F.col("t.day"), F.col("t.event_type")).agg(
+        F.max(F.col("t.cents")).alias("cents"),
+        F.round(
+            F.sum(F.col("s.cents") * weight).cast("double")
+            / F.sum(weight)
+            / F.lit(100.0),
+            6,
+        ).alias("ewma_value"),
+    ).select(
+        F.date_format(F.col("t.day"), "yyyy-MM-dd").alias("day"),
+        F.col("t.event_type").alias("event_type"),
+        "cents",
+        "ewma_value",
+    )
