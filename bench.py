@@ -56,6 +56,8 @@ HEADLINE = [
     "st_attribution_join",       # watermarked stream-stream interval join
     "text_bm25_topk",            # ranked keyword search, broadcast df side
     "text_hybrid_rrf",           # BM25 + cosine top-50s fused by RRF
+    "ev_concurrency",            # sweep-line peak-concurrency census
+    "ev_ewma",                   # banded self-join EWMA over daily aggs
 ]
 
 

@@ -923,3 +923,84 @@ def ann_topk_ivfpq_indexed(
     )
     candidates = rerank_df.join(F.broadcast(shortlist), id_col)
     return cosine_topk(candidates, vec_col, query_vec, k, id_col=id_col)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: diversified top-k for
+    retrieval surfaces where the plain cosine top-k returns k
+    near-duplicates of each other (the standard RAG result-set
+    diversification pass; Carbonell & Goldstein 1998).
+
+    Two-phase by construction, mirroring how every MMR deployment works
+    at scale:
+
+    1. DISTRIBUTED: exact candidate pool — scan → cosine expression →
+       per-partition size-``pool`` heaps → driver merge (the
+       ``cosine_topk`` plan, no shuffle). 100 TB of embeddings reduce
+       to ``pool`` rows here.
+    2. BOUNDED: greedy MMR selection needs the argmax over remaining
+       candidates of ``lam*rel - (1-lam)*max_sim_to_selected`` after
+       EVERY pick — an inherently sequential k-step recurrence over the
+       pool×pool cosine matrix. pool is capped (≤1024), so this is a
+       driver-side numpy computation on ≤ a few MB, the same
+       cap-bounded escape hatch as the blocked similarity join — it
+       does NOT grow with corpus size.
+
+    Deterministic: float ties broken by ascending id. Returns
+    (id, label, rank, rel, mmr) with rank 1..k in selection order.
+    """
+    if pool > 1024:
+        raise ValueError(f"pool={pool} exceeds the bounded-driver cap (1024)")
+    import numpy as np
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        df.withColumn("sim", cosine_sim(F.col(vec_col), q))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(pool)
+        .select(id_col, "label", "sim", vec_col)
+        .collect()
+    )
+    if not cand:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} long, label string, rank long, rel double, mmr double"
+        )
+    ids = [r[id_col] for r in cand]
+    labels = [r["label"] for r in cand]
+    rel = np.array([r["sim"] for r in cand], dtype=np.float64)
+    V = np.array([list(r[vec_col]) for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    V = V / norms[:, None]
+    S = V @ V.T
+    n = len(ids)
+    selected: list[tuple[int, float]] = []  # (candidate index, mmr score)
+    max_sim = np.full(n, -np.inf)
+    remaining = np.ones(n, dtype=bool)
+    for step in range(min(k, n)):
+        score = rel.copy() if step == 0 else lam * rel - (1.0 - lam) * max_sim
+        score[~remaining] = -np.inf
+        # argmax with ascending-id tie-break: numpy argmax takes the
+        # first (lowest index) maximum, and candidates are stored in
+        # (sim desc, id asc) order, so equal scores resolve to lower id
+        best = int(np.argmax(score))
+        selected.append((best, float(score[best])))
+        remaining[best] = False
+        max_sim = np.maximum(max_sim, S[:, best])
+    rows = [
+        (ids[i], labels[i], rank + 1, round(float(rel[i]), 6), round(mmr, 6))
+        for rank, (i, mmr) in enumerate(selected)
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, f"{id_col} long, label string, rank long, rel double, mmr double"
+    )

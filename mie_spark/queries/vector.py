@@ -270,3 +270,21 @@ def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("l2_norm"),
         F.round(F.element_at("emb", 1), 6).alias("c0"),
     )
+
+
+@query("v_mmr_topk")
+def v_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: exact top-50 cosine candidate pool
+    (distributed, no shuffle) re-ranked by greedy Maximal Marginal
+    Relevance (lam=0.7) down to 10 — the result-set diversification
+    pass RAG stacks run after ANN. Greedy MMR is an inherently
+    sequential k-step recurrence (each pick changes every remaining
+    score), so it is not SQL-expressible: rows-only here, with an
+    independent numpy recomputation and a full-output digest pinned in
+    pytest (tests/test_vector.py, tests/test_rows_only_digests.py)."""
+    from mie_spark.operators.vector import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return mmr_rerank(
+        emb, "embedding", _query_vec(spark, sf_dir), k=10, pool=50, lam=0.7
+    )

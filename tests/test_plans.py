@@ -179,3 +179,22 @@ def test_bpe_train_two_shuffles_topk_fused(spark):
     TakeOrderedAndProject on the second agg, not a third sort exchange."""
     df = QUERIES["text_bpe_train"](spark, SF)
     assert exchange_count(df) == 2
+
+
+def test_concurrency_sweep_line_bounded_shuffles(spark):
+    """ev_concurrency's distributed prefix sum: one user_id window
+    shuffle, one change-point shuffle, one day-partition window shuffle
+    — and the day-level carry must arrive by broadcast, never a global
+    ordered window over all change points."""
+    df = QUERIES["ev_concurrency"](spark, SF)
+    assert exchange_count(df) <= 3
+    assert broadcast_join_count(df) >= 1
+
+
+def test_ewma_joins_on_daily_agg_not_events(spark):
+    """ev_ewma's banded self-join runs on the checkpointed daily
+    aggregate (broadcast side) — a single shuffle for the daily groupBy
+    and no second scan of the corpus."""
+    df = QUERIES["ev_ewma"](spark, SF)
+    assert exchange_count(df) <= 1
+    assert broadcast_join_count(df) == 1

@@ -334,3 +334,56 @@ def test_zero_vector_does_not_poison_ivf(spark):
     assert all(all(c == c for c in cent) for cent in cents), "NaN centroid"
     out = ann_topk_ivf(df, "embedding", rows[0][1], 5)
     assert out.count() == 5
+
+
+def test_mmr_matches_independent_recomputation(spark):
+    """Greedy MMR recomputed with plain Python loops (no numpy, no
+    shared code path beyond the candidate pool) must select the same
+    ids in the same order with the same scores — pins both the
+    recurrence and the tie-break."""
+    from mie_spark.operators.vector import mmr_rerank
+    from mie_spark.queries.vector import _query_vec
+    from mie_spark.sources import load_table
+
+    SF = "/root/testdata/sf0.001"
+    qv = _query_vec(spark, SF)
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") != 0)
+    got = [
+        (r["vec_id"], r["rank"], r["mmr"])
+        for r in mmr_rerank(emb, "embedding", qv, k=10, pool=50, lam=0.7)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    scored = sorted(
+        ((cos(list(r["embedding"]), qv), r["vec_id"], list(r["embedding"])) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    lam = 0.7
+    sel, max_sim = [], {}
+    cand = [(vid, rel, vec) for rel, vid, vec in scored]
+    while len(sel) < 10 and len(sel) < len(cand):
+        best = None
+        for vid, rel, vec in cand:
+            if vid in {v for v, _ in sel}:
+                continue
+            s = rel if not sel else lam * rel - (1 - lam) * max_sim[vid]
+            if best is None or s > best[1]:
+                best = (vid, s, vec)
+        sel.append((best[0], round(best[1], 6)))
+        for vid, rel, vec in cand:
+            c = cos(vec, best[2])
+            max_sim[vid] = max(max_sim.get(vid, -1e18), c)
+    want = [(vid, i + 1, s) for i, (vid, s) in enumerate(sel)]
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) <= 1e-6
