@@ -126,3 +126,37 @@ def stratified_sample(
             F.col(strata_col) == k, F.lit(round(frac * 256))
         ).otherwise(cutoff)
     return df.filter(_hash_bucket(F.col(id_col)) < cutoff)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Deterministic budget fill per stratum: order rows by md5(id) (a
+    uniform reproducible shuffle), accumulate ``weight_col`` (token
+    counts in the corpus-mixing use), and keep every row that STARTS
+    within the budget — the first row to overshoot is still kept, so
+    each non-empty stratum yields at least one row and the kept total
+    is within one document of the budget.
+
+    This is the mixture-building primitive: "take ~N tokens from each
+    source" with exact, re-run-stable membership (no rand()), so two
+    engines — or two runs months apart — assemble byte-identical
+    mixtures. One shuffle (the stratum window); per-stratum state is a
+    single running sum, so thousands of strata cost nothing extra.
+
+    Adds ``cum`` = inclusive running weight within the stratum (handy
+    for packing downstream); same uniqueness caveat on ``id_col`` as
+    fixed_k_per_stratum.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn("cum", F.sum(F.col(weight_col).cast("long")).over(w))
+    return out.filter(F.col("cum") - F.col(weight_col) < F.lit(budget))

@@ -102,6 +102,13 @@ _GRADE_FIRST = [
     # of the staying g_bfs_hops)
     "ev_concurrency",
     "ev_ewma",
+    # also new this session: event-type Markov transition matrix and
+    # the per-source dataset-card report (funded by rotating out
+    # q18_large_volume_orders — twice-green, q12/q13 keep the
+    # conditional-agg family — and j6_union_join_single_pass —
+    # twice-green, j1/j3/j8 keep the traversal family graded)
+    "ev_markov_transitions",
+    "pipe_dataset_card",
     # flagship + TPC-H-ish relational (stale since r02)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -113,7 +120,6 @@ _GRADE_FIRST = [
     "q13_customer_distribution",
     # q14 rotates out (twice-green ratio-of-sums; q12/q13/q18 keep the
     # conditional-agg family graded) to fund ev_range_join at the head
-    "q18_large_volume_orders",
     # scans / filters / raw SQL (f2/f3 rotate out: green in r01 AND
     # r02, trivial lineitem/customer filters independent of the changed
     # helpers, and their family stays graded via s1/f6)
@@ -126,9 +132,9 @@ _GRADE_FIRST = [
     "a1_stats_single_pass",
     "a3_multi_table_counts",
     "a_rollup_suppliers",
-    # a_cube_orders rotates out (same GROUPING SETS machinery as
-    # a_rollup_suppliers/a_grouping_sets, both staying)
-    "a_grouping_sets",
+    # a_cube_orders and a_grouping_sets rotate out (same GROUPING SETS
+    # machinery as the staying a_rollup_suppliers) to fund the
+    # never-graded samp_token_budget below
     "a_stats_moments",
     # ordering / sets (o1/u2 rotate out on the same twice-green,
     # helper-independent grounds; o3/u3/u4 keep the family graded)
@@ -140,7 +146,6 @@ _GRADE_FIRST = [
     "j3_edge_attr_traversal",
     # j4 rotates out (reverse of j1's join, twice-green; j1/j3/j6/j8
     # keep the traversal family graded)
-    "j6_union_join_single_pass",
     "j8_anti_join_inactive",
     "g_triangle_count",
     "g_connected_components",
@@ -163,6 +168,9 @@ _GRADE_FIRST = [
     "text_bpe_train",
     "samp_shuffle_shards",
     "samp_fixed_k",
+    # new this session: deterministic per-source token-budget fill
+    # (membership itself oracle-checked)
+    "samp_token_budget",
 ]
 
 

@@ -779,3 +779,51 @@ def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         "ewma_value",
     )
+
+
+@query(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    session stream: lag window over (user, time) → bigram counts →
+    row-normalized probabilities. The user_id shuffle serves the lag
+    window; the transition aggregate then collapses to |types|^2 rows,
+    and the row-normalizing window runs on that tiny aggregate — the
+    heavy data is touched exactly once.
+
+    The probability is one IEEE division of two exact counts, rounded
+    identically on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(row_total), 6).alias(
+            "p"
+        ),
+    )

@@ -187,3 +187,40 @@ def samp_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = fixed_k_per_stratum(docs, "source", "doc_id", k=5)
     return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+
+
+@query(
+    "samp_token_budget",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               ::BIGINT AS n_toks,
+             md5(doc_id::VARCHAR) AS key
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_toks,
+             CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY key, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_toks, cum
+    FROM c
+    WHERE cum - n_toks < 300
+    """,
+)
+def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Take ~300 tokens per source": deterministic budget fill
+    (operators/sampling.py token_budget_sample). Docs are ordered by
+    md5(doc_id) — a reproducible uniform shuffle — and kept while their
+    cumulative token count starts under the budget, so the sampled
+    MEMBERSHIP itself is oracle-checked, not just the totals. The one
+    shuffle is the per-source window; everything else fuses into the
+    scan."""
+    from mie_spark.operators.sampling import token_budget_sample
+    from mie_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    return token_budget_sample(docs, "source", "doc_id", "n_toks", budget=300)

@@ -800,3 +800,71 @@ def pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+@query(
+    "pipe_dataset_card",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(toks))::BIGINT AS total_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT fp) AS n_unique,
+           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
+           round(sum(len(toks))::BIGINT::DOUBLE / count(*), 6) AS mean_tokens,
+           round(sum(CASE WHEN len(toks) BETWEEN 30 AND 1000
+                          AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.25
+                     THEN 1 ELSE 0 END)::BIGINT::DOUBLE / count(*), 6)
+             AS quality_pass_rate
+    FROM t
+    GROUP BY source
+    """,
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source "dataset card" a corpus release ships with — doc
+    and token counts, language spread, exact-dup rate, mean length, and
+    rule-gate pass rate — computed in ONE grouped pass over the corpus
+    (every metric is an aggregate over per-row expressions, so the scan
+    happens once and the shuffle carries |sources| rows of partial
+    aggregates). Ratios are single IEEE divisions of exact integers,
+    rounded identically on both engines."""
+    from mie_spark.operators.text import (
+        fingerprint,
+        token_count,
+        type_token_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = token_count(text)
+    enriched = docs.select(
+        "source",
+        "lang",
+        n_tok.cast("long").alias("n_toks"),
+        fingerprint(text).alias("fp"),
+        (
+            (n_tok >= 30) & (n_tok <= 1000) & (type_token_ratio(text) > 0.25)
+        ).cast("long").alias("passes"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("fp").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_tokens"
+        ),
+        F.round(F.sum("passes").cast("double") / F.count(F.lit(1)), 6).alias(
+            "quality_pass_rate"
+        ),
+    )
