@@ -300,3 +300,52 @@ def sssp(
             "node", F.least("dist", "nd").alias("dist")
         ).localCheckpoint()
     return dist
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+    """Bounded-round k-core peel: repeatedly drop nodes of degree < k
+    (and their incident edges) for at most ``rounds`` iterations, with
+    early exit once a pass removes nothing. If the peel converges
+    within the budget the result IS the true k-core; the fixed budget
+    is what makes the operator oracle-checkable (the oracle unrolls
+    exactly ``rounds`` passes) and what bounds the job chain on a
+    100 TB graph — k-core peeling's worst case is O(|V|) sequential
+    rounds on pathological chains, which no engine should sign up for
+    unbounded.
+
+    Per round: one degree aggregate (shuffle on node) and two
+    left-semi joins filtering the edge list (shuffle on src / dst);
+    ``localCheckpoint`` truncates lineage so round N's plan does not
+    replay rounds 1..N-1. The early-exit probe compares edge counts —
+    one cheap count action per round, the same hygiene as the other
+    iterative operators above.
+
+    Returns the surviving nodes with their core degrees.
+    """
+    e = edges.select("src", "dst").localCheckpoint()
+    n_edges = e.count()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

@@ -150,7 +150,10 @@ _GRADE_FIRST = [
     "g_triangle_count",
     "g_connected_components",
     "g_pagerank",
-    "g_bfs_hops",
+    # g_bfs_hops rotates out (twice-green; triangle/cc/pagerank plus
+    # the head's g_sssp keep the family graded) to fund the
+    # never-graded bounded-round k-core peel
+    "g_kcore",
     # window functions
     "w_rank_per_group",
     "w_running_total",

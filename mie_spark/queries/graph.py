@@ -484,3 +484,83 @@ def g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_id = s.agg(F.min("s_suppkey")).first()[0]
     sources = spark.createDataFrame([(src_id,)], ["node"])
     return sssp(edges, sources, max_hops=12)
+
+
+def _kcore_oracle(k: int = 10, rounds: int = 8) -> str:
+    """Unrolled peel oracle. Each round MUST be MATERIALIZED: the peel
+    references the previous round three times (degree count + two IN
+    filters), so naive CTE inlining is 3^rounds copies of the base —
+    DuckDB actually exhausts file handles on the inlined form."""
+    s = """
+    WITH ids AS MATERIALIZED (SELECT doc_id, doc_id // 50 AS blk FROM documents),
+    e0 AS MATERIALIZED (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM ids a JOIN ids b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE ('0x' || substr(md5(a.doc_id::VARCHAR || '_' || b.doc_id::VARCHAR), 1, 2))::INTEGER
+            < 16 + 24 * (a.blk % 8)
+    )"""
+    cur = "e0"
+    for i in range(rounds):
+        s += f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS c FROM (
+        SELECT src AS node FROM {cur} UNION ALL SELECT dst FROM {cur}
+      ) GROUP BY node),
+    keep{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT src, dst FROM {cur}
+      WHERE src IN (SELECT node FROM keep{i})
+        AND dst IN (SELECT node FROM keep{i}))"""
+        cur = f"e{i + 1}"
+    return s + f"""
+    SELECT node, count(*) AS deg FROM (
+      SELECT src AS node FROM {cur} UNION ALL SELECT dst FROM {cur}
+    ) GROUP BY node
+    """
+
+
+@query("g_kcore", oracle=_kcore_oracle())
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=10, peel budget 8 rounds) — the
+    community-pruning / spam-filtering primitive — over a planted-
+    density graph derived deterministically from doc ids: nodes pair
+    within 50-doc blocks, an md5 rule keeps each candidate edge with a
+    per-block density from ~6% to ~72%, so sparse blocks peel away
+    entirely while marginal blocks cascade over several rounds (the
+    sf0.01 graph takes 4 peels to converge: 4105→3546→3397→3283→3239
+    edges). The Spark side runs the generic bounded-round peel
+    (operators/graph.py kcore: degree agg + two semi-joins per round,
+    checkpoint-truncated lineage, early exit); the oracle replays
+    exactly the same rounds as unrolled MATERIALIZED CTEs, so the hash
+    proves the iterative loop converged to the identical core."""
+    from mie_spark.operators.graph import kcore
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id", F.expr("doc_id div 50").alias("blk"))
+    a = ids.alias("a")
+    b = ids.alias("b")
+    pair_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a.doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("b.doc_id").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(pair_hash < 16 + 24 * (F.col("a.blk") % 8))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return kcore(edges, k=10, rounds=8)
