@@ -172,3 +172,45 @@ def test_minhash_identical_sets_collide(a, b):
         # 16 components, each collides w.p. ~1/|a∪b| for random hashes;
         # require they don't ALL collide (astronomically unlikely)
         assert not (sig_a == sig_b).all() or a == b
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    budget=st.integers(min_value=1, max_value=5000),
+)
+def test_token_budget_fill_is_prefix_of_md5_order(spark, budget):
+    """token_budget_sample invariants for ANY budget: (a) the kept set
+    per stratum is exactly a PREFIX of the md5-ordered doc list — never
+    a subset with holes; (b) every kept doc starts under the budget and
+    the first overshooter is included; (c) cum is the inclusive running
+    sum."""
+    import hashlib
+
+    from mie_spark.operators.sampling import token_budget_sample
+    from mie_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    from pyspark.sql import functions as F
+
+    base = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    kept = token_budget_sample(base, "source", "doc_id", "w", budget=budget)
+    got = {
+        r["doc_id"]: (r["source"], r["w"], r["cum"]) for r in kept.collect()
+    }
+    # reference: pure-python fill in md5 order
+    rows = base.collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    want = {}
+    for src, items in by_src.items():
+        items.sort(key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]))
+        cum = 0
+        for r in items:
+            if cum >= budget:
+                break
+            cum += r["w"]
+            want[r["doc_id"]] = (src, r["w"], cum)
+    assert got == want
