@@ -1004,3 +1004,35 @@ def mmr_rerank(
     return spark.createDataFrame(
         rows, f"{id_col} long, label string, rank long, rel double, mmr double"
     )
+
+
+def append_ann_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally extend a materialized IVF index: new vectors are
+    assigned to cells using the INDEX'S OWN stored centroids (sidecar)
+    and appended into the matching `cell=<i>` partitions — no retrain,
+    no rewrite of existing partitions, and probes over the grown index
+    keep their partition-pruning plan unchanged.
+
+    Keeping the original centroids is the point (cell assignment must
+    stay consistent with what probes prune on), and also the documented
+    liability: as the appended distribution drifts from the training
+    sample, cells unbalance and recall degrades — production schedules
+    a periodic write_ann_ivf_index rebuild, exactly like OPTIMIZE /
+    reindex cycles on any write-heavy index.
+    """
+    meta = _read_ann_meta(df.sparkSession, path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"index at {path} is {meta.get('kind')!r}, not ivf")
+    cell = _nearest_centroid(F.col(vec_col), meta["centroids"])
+    (
+        df.select(id_col, vec_col, cell.alias("cell"))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )

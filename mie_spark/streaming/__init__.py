@@ -6,6 +6,7 @@ from mie_spark.streaming.ops import (
     run_to_memory_sink,
     sessionized_stream,
     stateful_user_totals,
+    stream_append_ivf_index,
     stream_dedup,
     transform_state_profile,
     windowed_counts,
@@ -19,6 +20,7 @@ __all__ = [
     "run_to_memory_sink",
     "sessionized_stream",
     "stateful_user_totals",
+    "stream_append_ivf_index",
     "stream_dedup",
     "transform_state_profile",
     "windowed_counts",

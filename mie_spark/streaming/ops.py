@@ -391,6 +391,37 @@ def foreach_batch_upsert(
     _await_drained(q, timeout_s)
 
 
+def stream_append_ivf_index(
+    stream_df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    timeout_s: int = 300,
+) -> None:
+    """Incremental ANN index maintenance: each micro-batch of new
+    vectors is cell-assigned with the index's stored centroids and
+    appended into the matching partitions (operators/vector.py
+    append_ann_ivf_index) — probes keep their partition-pruning plan
+    while the index grows with the stream.
+
+    Exactly-once caveat, stated rather than hidden: a bare parquet
+    append is NOT idempotent under micro-batch retry. A production
+    deployment keys writes by batchId (overwrite a
+    ``batch=<id>`` subdirectory per micro-batch, which this layout
+    permits) or routes through the storage layer's content-hash MERGE
+    (storage.py) when duplicate vectors must collapse. The bounded
+    availableNow path used in tests drains each batch exactly once.
+    """
+    from mie_spark.operators.vector import append_ann_ivf_index
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ann_ivf_index(batch_df, path, vec_col=vec_col, id_col=id_col)
+
+    foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
+
+
 __all__ = [
     "read_events_stream",
     "windowed_counts",
@@ -398,6 +429,7 @@ __all__ = [
     "sessionized_stream",
     "stateful_user_totals",
     "transform_state_profile",
+    "stream_append_ivf_index",
     "run_to_memory_sink",
     "foreach_batch_upsert",
     "SESSION_GAP_SECONDS",

@@ -163,3 +163,78 @@ def test_streaming_embedding_pipeline_feeds_semantic_search(spark):
     hits = client.semantic_search(sample, limit=3, node_types=["fact"])
     assert hits and hits[0]["content"] == sample
     assert hits[0]["similarity"] > 0.999
+
+
+def test_stream_append_ivf_index_grows_index_with_consistent_cells(spark, tmp_path):
+    """Incremental ANN index maintenance end-to-end: build an IVF index
+    on half the embeddings, stream the other half in over 4 micro-
+    batches (foreachBatch append), then verify (a) the grown index
+    holds every vector exactly once, (b) every appended row sits in the
+    partition of its nearest ORIGINAL centroid — assignment never
+    drifts from what probes prune on — and (c) a probe over the grown
+    index equals the logical definition (filter full corpus to probed
+    cells, exact cosine top-k)."""
+    from mie_spark.operators.vector import (
+        _nearest_centroid,
+        _read_ann_meta,
+        ann_topk_ivf_indexed,
+        cosine_topk,
+        write_ann_ivf_index,
+    )
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import stream_append_ivf_index
+
+    SFD = "/root/testdata/sf0.001"
+    emb = load_table(spark, SFD, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx_path = str(tmp_path / "ivf_idx")
+    write_ann_ivf_index(base, idx_path, n_centroids=8)
+
+    src = str(tmp_path / "new_vectors")
+    rest.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_append_ivf_index(stream, idx_path)
+
+    idx = spark.read.parquet(idx_path)
+    assert idx.count() == emb.count()
+    assert idx.select("vec_id").distinct().count() == emb.count()
+
+    meta = _read_ann_meta(spark, idx_path)
+    expected_cell = _nearest_centroid(F.col("embedding"), meta["centroids"])
+    mismatches = (
+        idx.withColumn("want", expected_cell)
+        .filter(F.col("cell") != F.col("want"))
+        .count()
+    )
+    assert mismatches == 0
+
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    got = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ann_topk_ivf_indexed(spark, idx_path, qv, k=10).collect()
+    ]
+    # logical definition: assign every corpus vector with the SAME
+    # centroids, keep the same probed cells, exact top-k
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(y * y for y in b)) or 1.0
+        return num / (na * nb)
+
+    cents = meta["centroids"]
+    probe = sorted(range(len(cents)), key=lambda i: (-cos(qv, cents[i]), i))[:6]
+    logical = emb.withColumn("cell", expected_cell).filter(
+        F.col("cell").isin(*probe)
+    )
+    want = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in cosine_topk(logical.drop("cell"), "embedding", qv, k=10).collect()
+    ]
+    assert got == want
