@@ -136,6 +136,10 @@ _GRADE_FIRST = [
     # machinery as the staying a_rollup_suppliers) to fund the
     # never-graded samp_token_budget below
     "a_stats_moments",
+    # new this session: the skew toolkit's salted two-stage aggregation
+    # under the oracle, and funnel time-to-convert percentiles
+    "a_salted_agg",
+    "ev_funnel_time",
     # ordering / sets (o1/u2 rotate out on the same twice-green,
     # helper-independent grounds; o3/u3/u4 keep the family graded)
     "o3_topk",
@@ -143,7 +147,8 @@ _GRADE_FIRST = [
     # u4 rotates out (mirror of u3, twice-green)
     # graph traversals + analytics
     "j1_two_hop_traversal",
-    "j3_edge_attr_traversal",
+    # j3 rotates out (twice-green, plan-pinned broadcast join; j1/j8
+    # keep the traversal family graded) to fund ev_funnel_time
     # j4 rotates out (reverse of j1's join, twice-green; j1/j3/j6/j8
     # keep the traversal family graded)
     "j8_anti_join_inactive",
@@ -154,8 +159,8 @@ _GRADE_FIRST = [
     # the head's g_sssp keep the family graded) to fund the
     # never-graded bounded-round k-core peel
     "g_kcore",
-    # window functions
-    "w_rank_per_group",
+    # window functions (w_rank_per_group rotates out — twice-green,
+    # w_running_total keeps the family graded — to fund a_salted_agg)
     "w_running_total",
     # w_lag_monthly_delta rotates out (lag-over-window sibling of the
     # two staying window queries, twice-green)

@@ -490,3 +490,49 @@ def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_qty_price"
         ),
     )
+
+
+@query(
+    "a_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           min(l_orderkey) AS min_ok,
+           max(l_orderkey) AS max_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew toolkit under the oracle: a two-stage SALTED aggregation
+    (operators/skew.py salted_groupby_agg — hot keys spread over 8
+    partial groups, then combined) on the 3-key l_returnflag column,
+    hash-compared against a plain one-stage GROUP BY. 3 groups over
+    millions of rows is exactly the shape where every partial for a key
+    funnels into one reducer; the salt stage caps any reducer's share
+    at 1/8. The oracle proves the decomposed combiners (count-of-counts,
+    sum-of-sums, min-of-mins) reconstruct the exact answer."""
+    from mie_spark.operators.skew import salted_groupby_agg
+    from mie_spark.queries.relational import cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        cents("l_extendedprice").alias("price_cents"),
+        "l_orderkey",
+    )
+    return salted_groupby_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": ("count", "qty"),
+            "sum_qty": ("sum", "qty"),
+            "sum_price_cents": ("sum", "price_cents"),
+            "min_ok": ("min", "l_orderkey"),
+            "max_ok": ("max", "l_orderkey"),
+        },
+        n_salt=8,
+    )

@@ -827,3 +827,61 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+@query(
+    "ev_funnel_time",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), d AS (
+      SELECT (epoch_us(p.tp) - epoch_us(v.t1)) // 1000000 AS delta_s
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+           round(quantile_cont(delta_s, 0.9), 6) AS p90_s,
+           min(delta_s) AS min_s,
+           max(delta_s) AS max_s
+    FROM d
+    """,
+)
+def ev_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (first view → first subsequent
+    purchase): the latency companion to ev_funnel's conversion counts.
+    Both stage tables hash-partition on user_id, so the join is
+    co-partitioned; deltas are exact integer seconds (epoch-us integer
+    division), making the interpolated percentiles bit-comparable
+    across engines (Spark percentile == DuckDB quantile_cont)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    d = (
+        p.join(v, "user_id")
+        .select((F.unix_micros("tp") - F.unix_micros("t1")).alias("delta_us"))
+        # integer div, not /1e6-then-cast: exact floor like the oracle's //
+        .select(F.expr("delta_us div 1000000").alias("delta_s"))
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("delta_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("delta_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.min("delta_s").alias("min_s"),
+        F.max("delta_s").alias("max_s"),
+    )
