@@ -933,6 +933,7 @@ def mmr_rerank(
     pool: int = 50,
     lam: float = 0.7,
     id_col: str = "vec_id",
+    label_col: str | None = "label",
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: diversified top-k for
     retrieval surfaces where the plain cosine top-k returns k
@@ -966,16 +967,19 @@ def mmr_rerank(
         df.withColumn("sim", cosine_sim(F.col(vec_col), q))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(pool)
-        .select(id_col, "label", "sim", vec_col)
+        .select(id_col, *([label_col] if label_col else []), "sim", vec_col)
         .collect()
+    )
+    out_schema = (
+        f"{id_col} long, "
+        + (f"{label_col} string, " if label_col else "")
+        + "rank long, rel double, mmr double"
     )
     if not cand:
         spark = df.sparkSession
-        return spark.createDataFrame(
-            [], f"{id_col} long, label string, rank long, rel double, mmr double"
-        )
+        return spark.createDataFrame([], out_schema)
     ids = [r[id_col] for r in cand]
-    labels = [r["label"] for r in cand]
+    labels = [r[label_col] if label_col else None for r in cand]
     rel = np.array([r["sim"] for r in cand], dtype=np.float64)
     V = np.array([list(r[vec_col]) for r in cand], dtype=np.float64)
     norms = np.linalg.norm(V, axis=1)
@@ -997,13 +1001,13 @@ def mmr_rerank(
         remaining[best] = False
         max_sim = np.maximum(max_sim, S[:, best])
     rows = [
-        (ids[i], labels[i], rank + 1, round(float(rel[i]), 6), round(mmr, 6))
+        (ids[i],)
+        + ((labels[i],) if label_col else ())
+        + (rank + 1, round(float(rel[i]), 6), round(mmr, 6))
         for rank, (i, mmr) in enumerate(selected)
     ]
     spark = df.sparkSession
-    return spark.createDataFrame(
-        rows, f"{id_col} long, label string, rank long, rel double, mmr double"
-    )
+    return spark.createDataFrame(rows, out_schema)
 
 
 def append_ann_ivf_index(

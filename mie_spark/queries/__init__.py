@@ -106,7 +106,7 @@ _GRADE_FIRST = [
     # the per-source dataset-card report (funded by rotating out
     # q18_large_volume_orders — twice-green, q12/q13 keep the
     # conditional-agg family — and j6_union_join_single_pass —
-    # twice-green, j1/j3/j8 keep the traversal family graded)
+    # twice-green, j1/j8 keep the traversal family graded)
     "ev_markov_transitions",
     "pipe_dataset_card",
     # flagship + TPC-H-ish relational (stale since r02)
@@ -118,8 +118,8 @@ _GRADE_FIRST = [
     "q5_local_supplier_volume",
     "q12_priority_classes",
     "q13_customer_distribution",
-    # q14 rotates out (twice-green ratio-of-sums; q12/q13/q18 keep the
-    # conditional-agg family graded) to fund ev_range_join at the head
+    # q14 and q18 rotate out (twice-green; q12/q13 keep the
+    # conditional-agg family graded) to fund the never-graded head
     # scans / filters / raw SQL (f2/f3 rotate out: green in r01 AND
     # r02, trivial lineitem/customer filters independent of the changed
     # helpers, and their family stays graded via s1/f6)
@@ -147,10 +147,9 @@ _GRADE_FIRST = [
     # u4 rotates out (mirror of u3, twice-green)
     # graph traversals + analytics
     "j1_two_hop_traversal",
-    # j3 rotates out (twice-green, plan-pinned broadcast join; j1/j8
-    # keep the traversal family graded) to fund ev_funnel_time
-    # j4 rotates out (reverse of j1's join, twice-green; j1/j3/j6/j8
-    # keep the traversal family graded)
+    # j3/j4/j6 rotate out (twice-green; j3 also plan-pinned; j1/j8
+    # keep the traversal family graded) to fund the session's new
+    # queries
     "j8_anti_join_inactive",
     "g_triangle_count",
     "g_connected_components",

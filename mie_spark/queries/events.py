@@ -13,6 +13,53 @@ from pyspark.sql.window import Window
 from mie_spark.queries import query
 from mie_spark.sources import load_table
 
+# THE sessionization definition (30-min inactivity gap, ties broken by
+# (ts, event_id)) — single source of truth for every query that builds
+# on sessions: ev_sessionize, ev_range_join, ev_concurrency. The oracle
+# fragment and the Spark helper below MUST stay in lockstep; that is
+# the point of there being exactly one of each.
+_SESSIONS_CTE = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             epoch_us(min(ts)) AS start_us,
+             epoch_us(max(ts)) AS end_us
+      FROM numbered
+      GROUP BY user_id, session_id
+    )
+"""
+
+
+def _sessions(ev: DataFrame) -> DataFrame:
+    """Spark twin of ``_SESSIONS_CTE``: lag → gap flag → running-sum
+    session_id → per-session aggregate. One shuffle on user_id serves
+    both window passes and the aggregate. Returns
+    (user_id, session_id, n_events, start_us, end_us)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+
 
 @query(
     "ev_hourly_agg",
@@ -46,47 +93,28 @@ def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_sessionize",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
-                  THEN 0 ELSE 1 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-      SELECT user_id, ts, event_id,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM ordered
-    )
-    SELECT user_id, session_id, count(*) AS n_events,
-           epoch_us(min(ts)) AS session_start_us,
-           epoch_us(max(ts)) AS session_end_us
-    FROM numbered
-    GROUP BY user_id, session_id
+    oracle=_SESSIONS_CTE
+    + """
+    SELECT user_id, session_id, n_events,
+           start_us AS session_start_us,
+           end_us AS session_end_us
+    FROM sessions
     """,
 )
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag → flag → running
-    sum, the canonical window-function formulation. One shuffle on
-    user_id serves both window passes and the final aggregate (same
-    partitioning reused across stages). Timestamps are emitted as epoch
-    microseconds so the oracle comparison is exact."""
+    sum, the canonical window-function formulation (shared helper
+    ``_sessions`` above). One shuffle on user_id serves both window
+    passes and the final aggregate (same partitioning reused across
+    stages). Timestamps are emitted as epoch microseconds so the oracle
+    comparison is exact."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
-    )
-    numbered = flagged.withColumn(
+    return _sessions(ev).select(
+        "user_id",
         "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return numbered.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.unix_micros(F.min("ts")).alias("session_start_us"),
-        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        "n_events",
+        F.col("start_us").alias("session_start_us"),
+        F.col("end_us").alias("session_end_us"),
     )
 
 
@@ -502,24 +530,9 @@ def ev_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_range_join",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
-                  THEN 0 ELSE 1 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-      SELECT user_id, ts, event_id,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM ordered
-    ), sessions AS (
-      SELECT user_id, session_id, count(*) AS n_events,
-             epoch_us(min(ts)) AS start_us,
-             epoch_us(max(ts)) AS end_us
-      FROM numbered GROUP BY user_id, session_id
-    ), windows AS (
+    oracle=_SESSIONS_CTE
+    + """
+    , windows AS (
       SELECT * FROM sessions
       ORDER BY n_events DESC, user_id, session_id LIMIT 20
     )
@@ -547,21 +560,7 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mie_spark.operators.rangejoin import interval_containment_join
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
-    )
-    numbered = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    sessions = numbered.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.unix_micros(F.min("ts")).alias("start_us"),
-        F.unix_micros(F.max("ts")).alias("end_us"),
-    )
+    sessions = _sessions(ev)
     windows = sessions.orderBy(
         F.desc("n_events"), "user_id", "session_id"
     ).limit(20).select(
@@ -580,28 +579,6 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_contained"),
         F.count_distinct("e_user").cast("bigint").alias("n_users"),
     )
-
-
-_SESSIONS_CTE = """
-    WITH ordered AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
-                  THEN 0 ELSE 1 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-      SELECT user_id, ts, event_id,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM ordered
-    ), sessions AS (
-      SELECT user_id, session_id,
-             epoch_us(min(ts)) AS start_us,
-             epoch_us(max(ts)) AS end_us
-      FROM numbered
-      GROUP BY user_id, session_id
-    )
-"""
 
 
 @query(
@@ -649,19 +626,7 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp/timezone dependence), so the hash is tz-proof.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    numbered = ev.withColumn(
-        "new_session",
-        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
-    ).withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    sessions = numbered.groupBy("user_id", "session_id").agg(
-        F.unix_micros(F.min("ts")).alias("start_us"),
-        F.unix_micros(F.max("ts")).alias("end_us"),
-    )
+    sessions = _sessions(ev)
     # both boundary deltas from ONE pass over sessions (explode, not a
     # self-union — a union would scan and sessionize events twice)
     deltas = sessions.select(
@@ -675,7 +640,17 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         deltas.groupBy("us")
         .agg(F.sum("d").alias("d"))
-        .withColumn("day_idx", (F.col("us") / F.lit(86_400_000_000)).cast("long"))
+        # FLOOR division in exact integer arithmetic (pmod is always
+        # non-negative, so subtracting it then `div` floors like the
+        # oracle's `//`); a double divide-then-cast truncates toward
+        # zero — wrong for pre-1970 sentinels — and loses exactness
+        # past 2^53
+        .withColumn(
+            "day_idx",
+            F.expr(
+                "(us - pmod(us, 86400000000)) div 86400000000"
+            ),
+        )
     )
     # pts (2x|sessions| collapsed change points) feeds both the in-day
     # running sum and the per-day carry totals; a lazy localCheckpoint

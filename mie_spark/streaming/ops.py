@@ -213,6 +213,20 @@ def stateful_user_totals(
     )
 
 
+def exact_cents(values: "pd.Series") -> "pd.Series":
+    """value → integer cents with HALF-AWAY-FROM-ZERO rounding,
+    matching Spark ``F.round`` and DuckDB ``round`` — pandas
+    ``Series.round()`` is half-to-even and diverges on exact
+    half-cents (0.125 * 100 = 12.5 → 13 here, 12 under pandas)."""
+    import numpy as np
+
+    v = values.to_numpy(dtype="float64") * 100
+    return pd.Series(
+        (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64"),
+        index=values.index,
+    )
+
+
 _PROFILE_OUT = StructType(
     [
         StructField("user_id", LongType()),
@@ -268,7 +282,7 @@ def transform_state_profile(events: DataFrame, watermark: str = "2 hours") -> Da
             # type — state round-trips, not rows, are the cost
             delta: dict[str, tuple[int, int]] = {}
             for pdf in rows:
-                cents = (pdf["value"].astype("float64") * 100).round().astype("int64")
+                cents = exact_cents(pdf["value"])
                 g = cents.groupby(pdf["event_type"])
                 for etype, (n, c) in g.agg(["size", "sum"]).iterrows():
                     dn, dc = delta.get(etype, (0, 0))
@@ -348,10 +362,12 @@ def run_to_memory_sink(
     if state_partitions is not None:
         overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
     prev: dict[str, str | None] = {}
-    for k, v in overrides.items():
-        prev[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
     try:
+        # set INSIDE the try: if the Nth set raises, the finally below
+        # still restores the N-1 already applied
+        for k, v in overrides.items():
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)

@@ -238,3 +238,15 @@ def test_stream_append_ivf_index_grows_index_with_consistent_cells(spark, tmp_pa
         for r in cosine_topk(logical.drop("cell"), "embedding", qv, k=10).collect()
     ]
     assert got == want
+
+
+def test_exact_cents_rounds_half_away_from_zero():
+    """The transformWithState profile's cents rule must match Spark
+    F.round / DuckDB round on exact half-cents — pandas .round() is
+    half-to-even and would silently break the oracle hash."""
+    import pandas as pd
+
+    from mie_spark.streaming.ops import exact_cents
+
+    got = list(exact_cents(pd.Series([0.125, 0.135, -0.125, 1.0, 0.0])))
+    assert got == [13, 14, -13, 100, 0]
