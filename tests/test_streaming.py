@@ -250,3 +250,76 @@ def test_exact_cents_rounds_half_away_from_zero():
 
     got = list(exact_cents(pd.Series([0.125, 0.135, -0.125, 1.0, 0.0])))
     assert got == [13, 14, -13, 100, 0]
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Real watermark semantics, not just plan shape: feed two
+    micro-batches where the second contains an event older than
+    (max event time - delay). In append mode a window is emitted only
+    once the watermark passes it, and a later event for an
+    already-finalized window must be DROPPED — the bounded-state
+    guarantee the 100 TB deployment relies on. (availableNow drains
+    both files in order; watermark advances after batch 1.)"""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(minutes, eid):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(minutes=minutes),
+            user_id=1,
+            event_type="view",
+            value=1.0,
+            props="{}",
+        )
+
+    # batch 0: events up to t0+10h. batch 1: a buffer batch — the
+    # watermark computed from batch 0 (10h - 1h = 9h) only takes
+    # EFFECT in the batch after it is committed, so a late row in the
+    # very next batch is still admitted (verified empirically:
+    # numRowsDroppedByWatermark=0 in a 2-file layout). batch 2 then
+    # carries the late 00:45 event against an in-effect 9h watermark.
+    batches = [
+        [ev(0, 1), ev(30, 2), ev(600, 3)],
+        [ev(605, 4)],
+        [ev(45, 9), ev(610, 5)],
+    ]
+    # one FLAT source dir; modification times force batch order (the
+    # file source processes oldest first; a glob of subdirectories can
+    # surface every part file in one batch, which would never advance
+    # the watermark in between)
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+    schema = None
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows)
+        schema = b.schema
+        staging = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = f"{src}/{i}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("start"), "n")
+    )
+    sink = run_to_memory_sink(agg, output_mode="append")
+    counts = {r["start"].strftime("%H:%M"): r["n"] for r in sink.collect()}
+    # hour-0 window: the 2 on-time events; the late event_id=4 dropped
+    assert counts.get("00:00") == 2
