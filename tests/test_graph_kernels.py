@@ -44,3 +44,8 @@ def test_kcore_keeps_whole_clique(spark):
     pairs = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
     got = {r["node"]: r["deg"] for r in kcore(_edges(spark, pairs), k=4).collect()}
     assert got == {n: 4 for n in range(1, 6)}
+
+
+def test_kcore_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert kcore(e, k=2).count() == 0

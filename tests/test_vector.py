@@ -387,3 +387,24 @@ def test_mmr_matches_independent_recomputation(spark):
     assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
     for g, w in zip(got, want):
         assert abs(g[2] - w[2]) <= 1e-6
+
+
+def test_mmr_empty_pool_and_label_free_input(spark):
+    """Empty candidate pool returns an empty, correctly-typed frame;
+    label_col=None works on vector frames without a label column."""
+    from mie_spark.operators.vector import mmr_rerank
+    from mie_spark.sources import load_table
+
+    SFD = "/root/testdata/sf0.001"
+    emb = load_table(spark, SFD, "embeddings")
+    empty = emb.filter(F.lit(False))
+    out = mmr_rerank(empty, "embedding", [1.0] * 64, k=5)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "label", "rank", "rel", "mmr"]
+
+    unlabeled = emb.drop("label").limit(30)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    out2 = mmr_rerank(unlabeled, "embedding", qv, k=5, pool=20, label_col=None)
+    rows = out2.collect()
+    assert out2.columns == ["vec_id", "rank", "rel", "mmr"]
+    assert len(rows) == 5 and [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
