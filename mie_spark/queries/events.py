@@ -322,8 +322,11 @@ def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         ev.select(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            # second WHEN, not otherwise(): a NULL event_type must fall
+            # into NO bucket, matching the oracle's NOT IN (NULL -> no
+            # FILTER count), not inflate n_other
             F.when(F.col("event_type").isin(known), F.col("event_type"))
-            .otherwise("other")
+            .when(F.col("event_type").isNotNull(), F.lit("other"))
             .alias("et"),
         )
         .groupBy("day")
@@ -505,8 +508,11 @@ def ev_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         ev.select(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            # second WHEN, not otherwise(): a NULL event_type must fall
+            # into NO bucket, matching the oracle's NOT IN (NULL -> no
+            # FILTER count), not inflate n_other
             F.when(F.col("event_type").isin(known), F.col("event_type"))
-            .otherwise("other")
+            .when(F.col("event_type").isNotNull(), F.lit("other"))
             .alias("et"),
         )
         .groupBy("day")
@@ -640,17 +646,12 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         deltas.groupBy("us")
         .agg(F.sum("d").alias("d"))
-        # FLOOR division in exact integer arithmetic (pmod is always
-        # non-negative, so subtracting it then `div` floors like the
-        # oracle's `//`); a double divide-then-cast truncates toward
-        # zero — wrong for pre-1970 sentinels — and loses exactness
-        # past 2^53
-        .withColumn(
-            "day_idx",
-            F.expr(
-                "(us - pmod(us, 86400000000)) div 86400000000"
-            ),
-        )
+        # exact integer division: Spark `div` truncates toward zero,
+        # and so does DuckDB's integer `//` (verified: -7 // 2 = -3 in
+        # BOTH) — so plain div matches the oracle for every input,
+        # including pre-1970 sentinels, and never loses exactness past
+        # 2^53 the way a double divide-then-cast would
+        .withColumn("day_idx", F.expr("us div 86400000000"))
     )
     # pts (2x|sessions| collapsed change points) feeds both the in-day
     # running sum and the per-day carry totals; a lazy localCheckpoint

@@ -116,17 +116,20 @@ def st_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM events
     GROUP BY user_id
     """,
 )
 def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-user
-    running totals in exact integer cents, update mode. The memory sink
-    appends one row per (user, micro-batch); totals are monotone, so
-    max() per user recovers the final state no matter how many
-    micro-batches the source split into."""
+    running totals in exact integer cents, update mode. Cents are
+    rounded PER EVENT (half-away-from-zero on both engines), so the
+    running total — and the oracle — are independent of how the source
+    splits into micro-batches. The memory sink appends one row per
+    (user, micro-batch); totals are monotone, so max() per user
+    recovers the final state."""
     sink = run_to_memory_sink(
         stateful_user_totals(read_events_stream(spark, sf_dir)),
         output_mode="update",

@@ -50,7 +50,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        if _parquet_ts_is_nanos(path):
+        if parquet_ts_is_nanos(path):
             # the conf must stay set through EXECUTION of any plan built
             # over this scan (restoring it immediately would break the
             # lazy read), so it is session-sticky — but only set when
@@ -62,7 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _parquet_ts_is_nanos(path: str) -> bool:
+def parquet_ts_is_nanos(path: str) -> bool:
     """Footer sniff via pyarrow: Spark refuses TIMESTAMP(NANOS) columns
     outright unless legacy.parquet.nanosAsLong is set, so the conf
     decision needs the physical type BEFORE the first spark.read."""

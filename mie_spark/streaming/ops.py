@@ -57,9 +57,14 @@ def read_events_stream(
     in-plan, identically to the batch path (sources/catalog.py), so
     streaming and batch plans see the same column types.
     """
-    from mie_spark.sources import normalize_event_ts
+    from mie_spark.sources import normalize_event_ts, parquet_ts_is_nanos
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same footer-sniffed, set-only-when-needed policy as the batch
+    # catalog: the conf is session-sticky by necessity (it must hold
+    # through execution of the lazy streaming plan), so a micros/NTZ
+    # corpus must never flip legacy nanos handling for later reads
+    if parquet_ts_is_nanos(f"{sf_dir}/events.parquet"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource forces basePath to the source path unless the path
     # is a glob, and basePath must be a directory — so feed it a glob
@@ -192,7 +197,10 @@ def stateful_user_totals(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(float(pdf["value"].sum()) * 100))
+            # round PER EVENT (half-away, both engines' rule): a
+            # round-of-chunk-sum would depend on micro-batch/Arrow
+            # chunk boundaries and use Python's half-even round
+            cents += int(exact_cents(pdf["value"]).sum())
         state.update((n, cents))
         if timeout_conf == GroupStateTimeout.ProcessingTimeTimeout:
             state.setTimeoutDuration(60 * 60 * 1000)
@@ -213,18 +221,40 @@ def stateful_user_totals(
     )
 
 
-def exact_cents(values: "pd.Series") -> "pd.Series":
-    """value → integer cents with HALF-AWAY-FROM-ZERO rounding,
-    matching Spark ``F.round`` and DuckDB ``round`` — pandas
-    ``Series.round()`` is half-to-even and diverges on exact
-    half-cents (0.125 * 100 = 12.5 → 13 here, 12 under pandas)."""
+def _make_exact_cents():
+    """Factory so ``exact_cents`` is a ``<locals>`` closure: cloudpickle
+    then ships it BY VALUE inside the stateful-processor closures below
+    (a plain module-level function would pickle as a reference to
+    ``mie_spark.streaming.ops``, which Python workers cannot import
+    when the driver runs from a plain session)."""
     import numpy as np
 
-    v = values.to_numpy(dtype="float64") * 100
-    return pd.Series(
-        (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64"),
-        index=values.index,
-    )
+    def exact_cents(values: "pd.Series") -> "pd.Series":
+        """value → integer cents with HALF-AWAY-FROM-ZERO rounding of
+        the binary double, matching Spark ``F.round`` and DuckDB
+        ``round`` — pandas ``Series.round()`` is half-to-even and
+        diverges on exact half-cents (0.125 * 100 = 12.5 → 13 here,
+        12 under pandas).
+
+        The naive floor(|v| + 0.5) alone over-rounds doubles an
+        epsilon BELOW a .5 boundary (|v| + 0.5 rounds UP across it in
+        float64: 0.49999999999999994 + 0.5 == 1.0), so candidates
+        whose distance from |v| exceeds 0.5 are pulled back down —
+        after which the only round-up cases are true binary .5 ties
+        and genuine >.5 fractions, exactly both engines' behavior."""
+        v = values.to_numpy(dtype="float64") * 100
+        a = np.abs(v)
+        cand = np.floor(a + 0.5)
+        cand = np.where(cand - a > 0.5, cand - 1.0, cand)
+        return pd.Series(
+            (np.sign(v) * cand).astype("int64"),
+            index=values.index,
+        )
+
+    return exact_cents
+
+
+exact_cents = _make_exact_cents()
 
 
 _PROFILE_OUT = StructType(
@@ -438,20 +468,6 @@ def stream_append_ivf_index(
     foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
 
 
-__all__ = [
-    "read_events_stream",
-    "windowed_counts",
-    "stream_dedup",
-    "sessionized_stream",
-    "stateful_user_totals",
-    "transform_state_profile",
-    "stream_append_ivf_index",
-    "run_to_memory_sink",
-    "foreach_batch_upsert",
-    "SESSION_GAP_SECONDS",
-]
-
-
 def embed_and_upsert_stream(
     stream_df: DataFrame,
     store: Any,
@@ -555,12 +571,7 @@ def embed_and_upsert_stream(
             embedded.select(F.col("id").alias("fact_id"), "embedding"),
         )
 
-    q = (
-        stream_df.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drained(q, timeout_s)
+    foreach_batch_upsert(stream_df, apply_batch, timeout_s=timeout_s)
 
 
 def attribution_join(
@@ -650,3 +661,21 @@ def enriched_segment_spend(
             "spend_cents",
         )
     )
+
+
+__all__ = [
+    "SESSION_GAP_SECONDS",
+    "attribution_join",
+    "embed_and_upsert_stream",
+    "enriched_segment_spend",
+    "exact_cents",
+    "foreach_batch_upsert",
+    "read_events_stream",
+    "run_to_memory_sink",
+    "sessionized_stream",
+    "stateful_user_totals",
+    "stream_append_ivf_index",
+    "stream_dedup",
+    "transform_state_profile",
+    "windowed_counts",
+]

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from mie_spark.sources.catalog import _parquet_ts_is_nanos, load_table
+from mie_spark.sources.catalog import load_table, parquet_ts_is_nanos
 
 _ROWS = {
     "event_id": [1, 2, 3],
@@ -63,7 +63,7 @@ _EXPECTED = [t.strftime("%Y-%m-%d %H:%M:%S.%f") for t in _TIMES]
 )
 def test_ts_encodings_normalize_identically(spark, tmp_path, ts_type, is_nanos):
     sf_dir = _write_events(tmp_path, ts_type)
-    assert _parquet_ts_is_nanos(f"{sf_dir}/events.parquet") is is_nanos
+    assert parquet_ts_is_nanos(f"{sf_dir}/events.parquet") is is_nanos
     df = load_table(spark, sf_dir, "events")
     assert str(df.schema["ts"].dataType) == "TimestampType()"
     got = [

@@ -110,8 +110,11 @@ def test_stateful_totals_across_multiple_microbatches(spark, tmp_path):
         .collect()
     }
     assert set(got) == set(want)
-    for uid, (n, _) in want.items():
+    for uid, (n, cents) in want.items():
         assert got[uid][0] == n
+        # cents are rounded per event, so the total is micro-batch-
+        # boundary-invariant and must equal the batch aggregate exactly
+        assert got[uid][1] == cents
 
 
 def test_transform_state_profile_matches_batch(spark):
