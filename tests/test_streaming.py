@@ -253,6 +253,11 @@ def test_exact_cents_rounds_half_away_from_zero():
 
     got = list(exact_cents(pd.Series([0.125, 0.135, -0.125, 1.0, 0.0])))
     assert got == [13, 14, -13, 100, 0]
+    # epsilon-below-boundary: value*100 = 0.49999999999999994 (largest
+    # double < 0.5). floor(v+0.5) alone yields 1 because the float ADD
+    # rounds up across the boundary; both engines yield 0.
+    eps = 0.0049999999999999994
+    assert list(exact_cents(pd.Series([eps, -eps]))) == [0, 0]
 
 
 def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
