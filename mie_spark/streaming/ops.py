@@ -236,16 +236,17 @@ def _make_exact_cents():
         diverges on exact half-cents (0.125 * 100 = 12.5 → 13 here,
         12 under pandas).
 
-        The naive floor(|v| + 0.5) alone over-rounds doubles an
-        epsilon BELOW a .5 boundary (|v| + 0.5 rounds UP across it in
-        float64: 0.49999999999999994 + 0.5 == 1.0), so candidates
-        whose distance from |v| exceeds 0.5 are pulled back down —
-        after which the only round-up cases are true binary .5 ties
-        and genuine >.5 fractions, exactly both engines' behavior."""
+        floor(|v| + 0.5) is the tempting one-liner but the float ADD
+        rounds UP across the boundary for doubles an epsilon below .5
+        (0.49999999999999994 + 0.5 == 1.0). The exact form compares
+        the fractional part directly: |v| - floor(|v|) is IEEE-exact
+        (Sterbenz — both operands share an exponent window), so
+        `frac >= 0.5` is the true binary half-away decision with no
+        rounding artifacts anywhere."""
         v = values.to_numpy(dtype="float64") * 100
         a = np.abs(v)
-        cand = np.floor(a + 0.5)
-        cand = np.where(cand - a > 0.5, cand - 1.0, cand)
+        fl = np.floor(a)
+        cand = fl + (a - fl >= 0.5)
         return pd.Series(
             (np.sign(v) * cand).astype("int64"),
             index=values.index,

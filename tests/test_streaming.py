@@ -253,11 +253,12 @@ def test_exact_cents_rounds_half_away_from_zero():
 
     got = list(exact_cents(pd.Series([0.125, 0.135, -0.125, 1.0, 0.0])))
     assert got == [13, 14, -13, 100, 0]
-    # epsilon-below-boundary: value*100 = 0.49999999999999994 (largest
-    # double < 0.5). floor(v+0.5) alone yields 1 because the float ADD
-    # rounds up across the boundary; both engines yield 0.
-    eps = 0.0049999999999999994
-    assert list(exact_cents(pd.Series([eps, -eps]))) == [0, 0]
+    # epsilon-below-boundary: 0.004999999999999999 * 100 is EXACTLY the
+    # largest double < 0.5 (0.49999999999999994). floor(v+0.5) alone
+    # yields 1 because the float ADD rounds up across the boundary;
+    # both engines yield 0. (0.005 itself lands on binary 0.5 → 1.)
+    eps = 0.004999999999999999
+    assert list(exact_cents(pd.Series([eps, -eps, 0.005]))) == [0, 0, 1]
 
 
 def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
