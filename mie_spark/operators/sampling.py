@@ -158,5 +158,9 @@ def token_budget_sample(
         .orderBy(key, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = df.withColumn("cum", F.sum(F.col(weight_col).cast("long")).over(w))
-    return out.filter(F.col("cum") - F.col(weight_col) < F.lit(budget))
+    # the SAME casted weight in both the running sum and the keep
+    # filter: mixing cum(cast) with the raw column would let fractional
+    # weights disagree with the accumulated total and bypass the budget
+    w_long = F.col(weight_col).cast("long")
+    out = df.withColumn("cum", F.sum(w_long).over(w))
+    return out.filter(F.col("cum") - w_long < F.lit(budget))

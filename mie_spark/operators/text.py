@@ -166,9 +166,17 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) ->
     loop. The per-shingle hash is the first 15 hex chars of md5 read as
     an integer — engine-portable (see SIMHASH_BITS), deterministic, and
     a pure function of the shingle set.
+
+    Documents with fewer than ``n`` tokens have NO shingles and are
+    deliberately ABSENT from the output (the explicit filter below, not
+    an implicit explode side effect): a signature over zero shingles
+    would be the constant 0, making every short doc a spurious
+    near-duplicate of every other. Same policy as minhash_lsh_pairs'
+    n_sh>0 gate — callers that need short docs deduped route them
+    through exact fingerprinting instead.
     """
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    sh = toked.select(
+    sh = toked.filter(F.size("toks") >= n).select(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
     ).withColumn(

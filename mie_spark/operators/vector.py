@@ -25,6 +25,17 @@ from mie_spark.functions.vectors import cosine_sim, dot, l2_normalize
 from mie_spark.operators import ensure_parallelism
 
 
+
+def _driver_cos(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side cosine for ranking a handful of centroids/planes
+    against the query vector — pure Python on tiny lists (never ships
+    to workers, so no cloudpickle by-value concern)."""
+    num = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5 or 1.0
+    nb = sum(y * y for y in b) ** 0.5 or 1.0
+    return num / (na * nb)
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -335,6 +346,8 @@ def ann_topk_lsh(
     write_ann_lsh_index + ann_topk_lsh_indexed below; here the
     signature is computed on the fly for index-free corpora."""
     planes = _planes(df, vec_col, n_planes)
+    if not planes:  # empty input: no buckets, empty top-k, not a crash
+        return cosine_topk(df, vec_col, query_vec, k, id_col=id_col)
     qsig_val = 0
     for i, p in enumerate(planes):
         s = sum(float(a) * float(b) for a, b in zip(query_vec, p))
@@ -377,6 +390,8 @@ def train_ivf_centroids(
         df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init_rows]
+    if not centroids:  # empty input: no cells to train
+        return []
     # Unit vectors are loop-invariant: materialize once, reuse per
     # iteration (otherwise every Lloyd round re-scans the source) — in
     # parallel (single-row-group scans arrive as one partition).
@@ -487,16 +502,12 @@ def ann_topk_ivf(
     centroids = train_ivf_centroids(
         df, vec_col, n_centroids=n_centroids, id_col=id_col
     )
-
-    def cos(a: Sequence[float], b: Sequence[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5 or 1.0
-        nb = sum(y * y for y in b) ** 0.5 or 1.0
-        return num / (na * nb)
+    if not centroids:  # empty input: nothing to probe, empty top-k
+        return cosine_topk(df, vec_col, query_vec, k, id_col=id_col)
 
     probe = sorted(
         range(len(centroids)),
-        key=lambda i: (-cos(query_vec, centroids[i]), i),
+        key=lambda i: (-_driver_cos(query_vec, centroids[i]), i),
     )[:n_probe]
     # the assignment UDF normalizes internally — pass the raw vector
     cell = _nearest_centroid(F.col(vec_col), centroids)
@@ -564,8 +575,6 @@ def write_ann_lsh_index(
     partitions; the plane matrix is stored in the sidecar. One shuffle
     (the partitioned write); rewriting the index is the only way bucket
     assignments change, exactly like rebuilding the reference's HNSW."""
-    import json
-    import os
 
     planes = _planes(df, vec_col, n_planes, seed=seed)
     sig = _hyperplane_signature(F.col(vec_col), planes)
@@ -593,8 +602,6 @@ def ann_topk_lsh_indexed(
     """Probe a materialized LSH index: the signature filter is a
     partition-column IN, so the scan reads only the probed buckets'
     files — the pruning the on-the-fly variant's docstring promises."""
-    import json
-    import os
 
     meta = _read_ann_meta(spark, path)
     planes = meta["planes"]
@@ -620,8 +627,6 @@ def write_ann_ivf_index(
     """Materialize an IVF index: k-means trains ONCE at build time (vs
     per-query in ann_topk_ivf), rows land in `cell=<i>` partitions, and
     the centroid matrix goes to the sidecar."""
-    import json
-    import os
 
     centroids = train_ivf_centroids(
         df, vec_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters, id_col=id_col
@@ -649,20 +654,12 @@ def ann_topk_ivf_indexed(
     """Probe a materialized IVF index: rank only the n_probe closest
     cells; the cell filter is partition pruning, so IO scales with
     n_probe/n_centroids of the corpus, not the corpus."""
-    import json
-    import os
 
     meta = _read_ann_meta(spark, path)
     centroids = meta["centroids"]
 
-    def cos(a: Sequence[float], b: Sequence[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5 or 1.0
-        nb = sum(y * y for y in b) ** 0.5 or 1.0
-        return num / (na * nb)
-
     probe = sorted(
-        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+        range(len(centroids)), key=lambda i: (-_driver_cos(query_vec, centroids[i]), i)
     )[:n_probe]
     candidates = spark.read.parquet(path).filter(F.col("cell").isin(*probe))
     return cosine_topk(candidates.drop("cell"), vec_col, query_vec, k, id_col=id_col)
@@ -840,8 +837,6 @@ def write_ann_ivfpq_index(
     m-byte PQ code per row — the index stores NO vectors, so its
     footprint is ~(id + m bytes)/row regardless of dim. Centroids and
     codebooks ride in the sidecar."""
-    import json
-    import os
 
     centroids = train_ivf_centroids(
         df, vec_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters, id_col=id_col
@@ -888,20 +883,12 @@ def ann_topk_ivfpq_indexed(
     back and exact-ranked — IO is then n_probe/n_centroids of the
     *codes* plus k·rerank_factor full vectors, the IVF-PQ contract.
     Without it, returns ADC-ranked ids with the approximate score."""
-    import json
-    import os
 
     meta = _read_ann_meta(spark, path)
     centroids = meta["centroids"]
 
-    def cos(a: Sequence[float], b: Sequence[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5 or 1.0
-        nb = sum(y * y for y in b) ** 0.5 or 1.0
-        return num / (na * nb)
-
     probe = sorted(
-        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+        range(len(centroids)), key=lambda i: (-_driver_cos(query_vec, centroids[i]), i)
     )[:n_probe]
     scored = (
         spark.read.parquet(path)
@@ -970,8 +957,11 @@ def mmr_rerank(
         .select(id_col, *([label_col] if label_col else []), "sim", vec_col)
         .collect()
     )
+    # id type copied from the input schema: ids are opaque here like
+    # everywhere else in this module (string "fact:..." keys included)
+    id_ddl = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, "
+        f"{id_col} {id_ddl}, "
         + (f"{label_col} string, " if label_col else "")
         + "rank long, rel double, mmr double"
     )

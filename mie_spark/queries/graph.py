@@ -34,8 +34,38 @@ _REVENUE_SQL = (
 
 
 def _revenue_col() -> "F.Column":
+    from mie_spark.queries.relational import int_div
+
     units = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
-    return F.floor((units + 50) / 100).cast("double") / 100
+    # int_div, not floor((units+50)/100): Spark `/` on longs is double
+    # division, which loses exactness past 2^53 where the oracle's
+    # integer `//` does not
+    return int_div(units + 50, 100).cast("double") / 100
+
+
+
+def _ring_base(s: DataFrame, *extra_cols: str) -> DataFrame:
+    """Shared synthetic-graph construction for the iterative-analytics
+    queries: each supplier points at the next suppkey in its nation
+    (wrapping to the nation minimum), so every nation forms a directed
+    ring. Returns (u, nxt, mn[, extra...]); ``_ring_edges`` folds the
+    wrap. One definition — the four oracles' `base`/`e` CTEs replay it
+    and MUST stay in lockstep with this."""
+    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    wp = Window.partitionBy("s_nationkey")
+    return s.select(
+        F.col("s_suppkey").alias("u"),
+        *extra_cols,
+        F.lead("s_suppkey").over(wo).alias("nxt"),
+        F.min("s_suppkey").over(wp).alias("mn"),
+    )
+
+
+def _ring_edges(s: DataFrame) -> DataFrame:
+    base = _ring_base(s)
+    return base.select(
+        F.col("u").alias("src"), F.coalesce("nxt", "mn").alias("dst")
+    )
 
 
 # --- J1: edge→node 2-hop traversal (reader.go:463-487) --------------------
@@ -120,14 +150,18 @@ def j3_edge_attr_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j4_reverse_traversal",
     oracle="""
     SELECT n.n_name AS nation, count(*) AS n_suppliers,
-           round(sum(s.s_acctbal), 2) AS total_bal
+           sum(CAST(round(s.s_acctbal * 100) AS BIGINT))::DOUBLE / 100
+             AS total_bal
     FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
 )
 def j4_reverse_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity→incoming-edges parity (which suppliers point at this
-    nation), aggregated per target node."""
+    nation), aggregated per target node. Balance totals sum in integer
+    cents (the `cents` convention): a double sum's accumulation order
+    differs across engines, and at enough suppliers per nation a 1-ulp
+    drift near a .xx5 boundary flips round(x, 2)."""
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
     return (
@@ -135,7 +169,7 @@ def j4_reverse_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            (F.sum(cents("s_acctbal")).cast("double") / 100).alias("total_bal"),
         )
     )
 
@@ -326,13 +360,7 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — every union above is wrapped in a derived table to avoid it.
     """
     s = load_table(spark, sf_dir, "supplier")
-    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
-    wp = Window.partitionBy("s_nationkey")
-    base = s.select(
-        F.col("s_suppkey").alias("u"),
-        F.lead("s_suppkey").over(wo).alias("nxt"),
-        F.min("s_suppkey").over(wp).alias("mn"),
-    )
+    base = _ring_base(s)
     ring = base.select("u", F.coalesce("nxt", "mn").alias("v"))
     tomin = base.filter(F.col("u") != F.col("mn")).select("u", F.col("mn").alias("v"))
     edges = ring.unionByName(tomin).select(
@@ -378,16 +406,7 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — the Spark side's visited-set dedup must produce
     exactly those minima."""
     s = load_table(spark, sf_dir, "supplier")
-    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
-    wp = Window.partitionBy("s_nationkey")
-    base = s.select(
-        F.col("s_suppkey").alias("u"),
-        F.lead("s_suppkey").over(wo).alias("nxt"),
-        F.min("s_suppkey").over(wp).alias("mn"),
-    )
-    edges = base.select(
-        F.col("u").alias("src"), F.coalesce("nxt", "mn").alias("dst")
-    )
+    edges = _ring_edges(s)
     src_id = s.agg(F.min("s_suppkey")).first()[0]
     sources = spark.createDataFrame([(src_id,)], ["node"])
     return bfs(edges, sources, max_hops=12)
@@ -414,16 +433,7 @@ def g_chain_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed graph modes special-case. The oracle is the same motif as
     explicit SQL self-joins."""
     s = load_table(spark, sf_dir, "supplier")
-    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
-    wp = Window.partitionBy("s_nationkey")
-    base = s.select(
-        F.col("s_suppkey").alias("u"),
-        F.lead("s_suppkey").over(wo).alias("nxt"),
-        F.min("s_suppkey").over(wp).alias("mn"),
-    )
-    edges = base.select(
-        F.col("u").alias("src"), F.coalesce("nxt", "mn").alias("dst")
-    )
+    edges = _ring_edges(s)
     from mie_spark.operators.graph import chain_motif
 
     return chain_motif(edges, hops=2, distinct_nodes=True)
@@ -468,14 +478,7 @@ def g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mie_spark.queries.relational import cents
 
     s = load_table(spark, sf_dir, "supplier")
-    wo = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
-    wp = Window.partitionBy("s_nationkey")
-    base = s.select(
-        F.col("s_suppkey").alias("u"),
-        "s_acctbal",
-        F.lead("s_suppkey").over(wo).alias("nxt"),
-        F.min("s_suppkey").over(wp).alias("mn"),
-    )
+    base = _ring_base(s, "s_acctbal")
     edges = base.select(
         F.col("u").alias("src"),
         F.coalesce("nxt", "mn").alias("dst"),

@@ -33,6 +33,17 @@ def cents(col: str) -> "F.Column":
     return F.round(F.col(col) * 100).cast("long")
 
 
+def int_div(x: "F.Column", d: int) -> "F.Column":
+    """Exact integer division of a non-negative long Column.
+
+    Spark's `/` on longs is DOUBLE division — floor(x / d) silently
+    loses exactness once x exceeds 2^53, where DuckDB's integer `//`
+    stays exact. Routing through decimal(38,0) keeps the quotient
+    exact for the full long range (the oracle-parity requirement for
+    the fixed-point revenue folds below)."""
+    return F.floor(x.cast("decimal(38,0)") / d).cast("long")
+
+
 # --- flagship: TPC-H-Q1-style pricing summary (F1 + A1/A4 + O1) ----------
 
 @query(
@@ -75,10 +86,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             (F.sum(ep).cast("double") / 100).alias("sum_base_price"),
             (
-                F.floor((F.sum(ep * (100 - disc)) + 50) / 100).cast("double") / 100
+                int_div(F.sum(ep * (100 - disc)) + 50, 100).cast("double") / 100
             ).alias("sum_disc_price"),
             (
-                F.floor((F.sum(ep * (100 - disc) * (100 + tax)) + 5000) / 10_000)
+                int_div(F.sum(ep * (100 - disc) * (100 + tax)) + 5000, 10_000)
                 .cast("double")
                 / 100
             ).alias("sum_charge"),
@@ -219,8 +230,8 @@ def f6_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.floor(
-                    (F.sum(cents("l_extendedprice") * cents("l_discount")) + 50) / 100
+                int_div(
+                    F.sum(cents("l_extendedprice") * cents("l_discount")) + 50, 100
                 ).cast("double")
                 / 100
             ).alias("revenue"),

@@ -121,12 +121,12 @@ def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(p * F.lit(1048576.0)).cast("bigint").alias("cutoff"),
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10
-    ).cast("bigint")
+    from mie_spark.operators.sampling import _hash_bucket
+
+    # 5 hex chars = 20 bits, max 1048575 — fits _hash_bucket's int32
     return (
         docs.join(F.broadcast(cut), "source")
-        .filter(bucket < F.col("cutoff"))
+        .filter(_hash_bucket(F.col("doc_id"), chars=5) < F.col("cutoff"))
         .select("doc_id", "source")
     )
 
