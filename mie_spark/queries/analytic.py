@@ -155,20 +155,58 @@ def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each order, the latest event at-or-before the
-    order date for the same user (plus how many preceded it). Expressed
-    as an equi-join on the user key with the temporal bound as a join
-    filter, then max/count per order — ONE shuffle on the key, no
-    range-join explosion, because the equi-key carries the join. At
-    100 TB both sides bucket by user so even that shuffle co-locates.
-    Emitted as epoch micros; orders with no prior events keep NULL."""
+    order date for the same user (plus how many preceded it).
+
+    Expressed as the union-and-sweep as-of: tag both sides, union them,
+    and run ONE window pass per user ordered by time — a running count
+    of event rows and a carried-forward last event timestamp, read off
+    at each order row. This is O(n log n) per user with a single
+    shuffle on the user key and NO row expansion, unlike the naive
+    equi-join-with-bound + re-aggregate, whose intermediate is
+    |orders| x |matching events| (quadratic in events-per-user: the
+    thing that dies first on a skewed 100 TB user). Event rows sort
+    before order rows at equal timestamps so the `<=` bound includes
+    ties. Orders with no prior events keep NULL/0 (left-join parity)."""
     o = load_table(spark, sf_dir, "orders")
     e = load_table(spark, sf_dir, "events")
-    joined = o.join(
-        e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate), "left"
+    # a NULL ts would sort before every order row and be swept into the
+    # running count; the oracle's `e.ts <= o.o_orderdate` matches no
+    # such row, so drop them before the union
+    ev_tag = e.filter(F.col("ts").isNotNull()).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),  # events first at equal t => inclusive bound
+        F.when(F.col("event_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("cnt"),
+        F.col("ts").alias("ev_ts"),
+        F.lit(None).cast("long").alias("o_orderkey"),
     )
-    return joined.groupBy("o_orderkey", "o_custkey").agg(
-        F.unix_micros(F.max("ts")).alias("last_event_us"),
-        F.count("event_id").alias("n_events_before"),
+    ord_tag = o.select(
+        F.col("o_custkey").alias("u"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(0).alias("cnt"),
+        F.lit(None).cast("timestamp").alias("ev_ts"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = ev_tag.unionByName(ord_tag).select(
+        "u",
+        "side",
+        "o_orderkey",
+        F.sum("cnt").over(w).alias("n_events_before"),
+        F.last("ev_ts", ignorenulls=True).over(w).alias("last_ev"),
+    )
+    return swept.filter(F.col("side") == 1).select(
+        "o_orderkey",
+        F.col("u").alias("o_custkey"),
+        F.unix_micros(F.col("last_ev")).alias("last_event_us"),
+        "n_events_before",
     )
 
 
