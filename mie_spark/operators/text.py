@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = r"\s+"
+# Whitespace class spelled out to RE2's definition of `\s` (= [\t\n\f\r ]),
+# NOT Java's: Java regex additionally counts vertical tab U+000B as \s, so
+# a bare `\s+` here would tokenize 'a\x0Bb' as two tokens while every
+# DuckDB oracle (RE2) keeps it as one. Engine-portable patterns in this
+# module never write `\s` — same policy as BPE_SPLIT_RE / PII_PATTERNS.
+WS_CLASS = r"[ \t\n\f\r]"
+TOKEN_SPLIT_RE = WS_CLASS + "+"
 
 
 def tokens(text: Column) -> Column:
@@ -23,9 +29,10 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, TOKEN_SPLIT_RE), lambda x: x != "")
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct n-gram word shingles from an already-materialized token
-    array column.
+def joined_ngrams(toks: Column, n: int = 3) -> Column:
+    """Positional (non-distinct) space-joined word n-grams from an
+    already-materialized token array column — one entry per starting
+    position, duplicates preserved (what repetition metrics need).
 
     IMPORTANT: pass a real column (e.g. via a prior withColumn), not an
     inline `tokens(text)` expression — each element_at below references
@@ -34,28 +41,26 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     reference is computed once per row; Catalyst's CollapseProject
     refuses to inline non-cheap expressions, so the boundary holds.
 
-    Spark SQL array indexing is 0-based; docs shorter than n shingle to
-    an empty array instead of erroring.
+    Spark SQL array indexing is 1-based via element_at; docs shorter
+    than n produce an empty array instead of erroring. The off-by-one
+    window arithmetic lives HERE only — shingles_from_tokens and the
+    repetition metrics both build on this one copy.
     """
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    joined = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(joined)
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-gram word shingles straight from a text column.
-
-    Convenience for one-off use; hot paths should materialize tokens
-    first and call shingles_from_tokens (see its docstring).
-    """
-    return shingles_from_tokens(tokens(text), n)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles (the dedup-operator unit): the
+    positional n-grams of joined_ngrams with duplicates collapsed."""
+    return F.array_distinct(joined_ngrams(toks, n))
 
 
 def token_count(text: Column) -> Column:
@@ -78,7 +83,7 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: sha256 of the
     whitespace-normalized, lowercased text. Plays the role of the
     reference's content-hash identity (ids.go:16-20) for documents."""
-    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    normalized = F.lower(F.trim(F.regexp_replace(text, TOKEN_SPLIT_RE, " ")))
     return F.sha2(normalized, 256)
 
 
@@ -118,32 +123,6 @@ def lang_id(text: Column) -> Column:
     best = F.array_max(F.transform(scores, lambda s: s["score"]))
     pick = F.filter(scores, lambda s: s["score"] == best)
     return F.when(best > 0, F.element_at(pick, 1)["lang"]).otherwise(F.lit("und"))
-
-
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Standard quality-filter features: length, token stats, repetition,
-    punctuation/digit ratios. Columns append; caller thresholds."""
-    text = F.col(text_col)
-    t = tokens(text)
-    return (
-        df.withColumn("n_chars_m", F.length(text))
-        .withColumn("n_tokens", F.size(t))
-        .withColumn("n_uniq_tokens", F.size(F.array_distinct(t)))
-        .withColumn(
-            "ttr", (F.col("n_uniq_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)))
-        )
-        .withColumn("avg_token_len", avg_token_len(text))
-        .withColumn(
-            "punct_ratio",
-            F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
-            / F.greatest(F.length(text), F.lit(1)),
-        )
-        .withColumn(
-            "digit_ratio",
-            F.length(F.regexp_replace(text, r"[^0-9]", ""))
-            / F.greatest(F.length(text), F.lit(1)),
-        )
-    )
 
 
 #: SimHash signature width. 60 bits = 15 hex chars of md5, so the same
@@ -203,7 +182,9 @@ def hamming64(a: Column, b: Column) -> Column:
 # regex (Spark) and RE2 (DuckDB oracle) support — no lookahead, so the
 # trailing-space merging of the original pattern is dropped. Contraction
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs.
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# The negated run spells whitespace out per WS_CLASS: `\s` inside it
+# would make the Spark and oracle patterns disagree on U+000B.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+"
 
 
 def bpe_tokens(text: Column) -> Column:

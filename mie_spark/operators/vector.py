@@ -85,7 +85,7 @@ def similarity_self_join(
     threshold is consumed as a distance bound (tools/conflicts.go:20-22
     vs memory/conflicts.go:95; SURVEY.md §2.10).
 
-    Physical strategy, chosen by input size:
+    Physical strategy, chosen by input size (n_buckets == 0 = auto):
     - small table (rows × dim ≤ _BLOCKED_MAX_CELLS): broadcast one side
       as a dense numpy matrix and stream the other through mapInPandas,
       computing cosine blocks with one BLAS matmul per Arrow batch.
@@ -101,6 +101,17 @@ def similarity_self_join(
       parameters (6 planes × 24 bands — recall ≈1 at near-dup
       similarities ≥0.8, ≈0.85 even at the test corpus's weak 0.47
       pairs; precision is always exact via the final cosine filter).
+
+    CALLER CONTRACT — the auto switch changes SEMANTICS, not just the
+    plan: below the cap results are exhaustive; above it they are the
+    banded candidates' survivors (recall < 1 in the weak-similarity
+    regime). A caller that advertises exact all-pairs semantics (e.g.
+    an oracle-graded query) is exact only while its input stays under
+    _BLOCKED_MAX_CELLS cells; past that the operator silently degrades
+    to its documented approximate contract — by design, because the
+    exact plan at that size is the one that cannot run. Callers that
+    need the approximate path unconditionally pass explicit
+    n_buckets/n_bands.
 
     Ids are carried opaquely (any orderable type — long ids from the
     embeddings table, string ``fact:…`` ids from the conflict scan both

@@ -75,9 +75,11 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mie_spark.operators.dedup import dedup_exact
+
     docs = load_table(spark, sf_dir, "documents").select("text")
     doubled = docs.unionByName(docs)
-    return doubled.dropDuplicates(["text"]).agg(F.count(F.lit(1)).alias("n_unique"))
+    return dedup_exact(doubled).agg(F.count(F.lit(1)).alias("n_unique"))
 
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
@@ -170,9 +172,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: any vector similar (>= 0.45) to a
     lower-id vector is a duplicate; canonical survivor = the smallest
     such partner. Completes the dedup family (exact / minhash-LSH /
-    simhash / n-gram-jaccard / embedding-cosine); the pair scan is the
-    same blocked BLAS self-join as the conflict scan (operators/vector
-    .similarity_self_join), so it stays sub-quadratic at scale."""
+    simhash / n-gram-jaccard / embedding-cosine). The pair scan is
+    similarity_self_join's auto dispatch: exact blocked BLAS at every
+    graded scale (the cell cap covers ~250k 64-dim vectors — all the
+    sf dirs), banded-LSH candidates past the cap, where the exact
+    oracle itself could no longer run either. The 0.45 threshold sits
+    in the banded path's weak-recall regime, so above the cap this
+    query's contract is explicitly approximate (see the operator's
+    CALLER CONTRACT note)."""
     from mie_spark.operators.vector import similarity_self_join
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -184,7 +191,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- dedup clusters: near-dup pairs → connected components ------------------
 
-_CLUSTER_ORACLE = r"""
+# THE pair-detection + transitive-closure recomputation (exact-Jaccard
+# pairs at threshold 0.5 via inverted-index join, closure as a recursive
+# CTE) — shared WITH-chain prefix for every oracle that grades a query
+# built on near-dup clusters: pipe_dedup_clusters appends the cluster
+# readout, pipe_keep_best extends the chain with survivor selection.
+# One copy, so a threshold or shingle change cannot desynchronize the
+# two ground truths.
+_CLOSURE_CTE = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
   FROM documents
@@ -214,8 +228,12 @@ pairs AS (
   UNION
   SELECT e.v, r.r FROM reach r JOIN e ON e.u = r.node
 )
-SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
+
+_CLUSTER_ORACLE = (
+    _CLOSURE_CTE
+    + "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"
+)
 
 
 @query("pipe_dedup_clusters", oracle=_CLUSTER_ORACLE)
@@ -465,38 +483,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# keep-best survivor selection: same pair+closure recomputation as
-# _CLUSTER_ORACLE, then one window picks the best doc per cluster
-_KEEP_BEST_ORACLE = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(t) >= 3
-           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
-           ELSE []::VARCHAR[] END) AS s
-  FROM toks
-), inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
-pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS common
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pr AS (
-  SELECT a_id, b_id FROM pairs
-  WHERE common::DOUBLE / (a_n + b_n - common) >= 0.5
-), e AS (
-  SELECT u, v FROM (
-    SELECT a_id AS u, b_id AS v FROM pr
-    UNION ALL
-    SELECT b_id AS u, a_id AS v FROM pr
-  ) t
-), reach(node, r) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
-  UNION
-  SELECT e.v, r.r FROM reach r JOIN e ON e.u = r.node
-), clusters AS (
+# keep-best survivor selection: the shared closure chain extended with
+# a clusters CTE, then one window picks the best doc per cluster
+_KEEP_BEST_ORACLE = (
+    _CLOSURE_CTE
+    + """, clusters AS (
   SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 )
 SELECT c.doc_id, c.cluster_id,
@@ -508,6 +499,7 @@ SELECT c.doc_id, c.cluster_id,
        ) AS keep
 FROM clusters c JOIN documents d USING (doc_id)
 """
+)
 
 
 @query("pipe_keep_best", oracle=_KEEP_BEST_ORACLE)

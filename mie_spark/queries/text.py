@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from mie_spark.operators.text import (
     avg_token_len,
     fingerprint,
+    joined_ngrams,
     lang_id,
     token_count,
     tokens,
@@ -182,9 +183,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipe_clean_corpus",
-    oracle=r"""
+# THE corpus-cleaning definition (en filter, 30..1000 token band,
+# TTR > 0.25, first-doc_id-wins exact dedup on normalized fingerprint)
+# — single source of truth for both pipeline queries that build on it:
+# pipe_clean_corpus and pipe_training_manifest. The oracle CTE and the
+# Spark helper below MUST stay in lockstep; that is the point of there
+# being exactly one of each (same convention as events._SESSIONS_CTE).
+_CLEAN_CORPUS_CTE = r"""
     WITH t AS (
       SELECT doc_id, source,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
@@ -201,6 +206,37 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM quality
       ) WHERE rn = 1
     )
+"""
+
+
+def _clean_corpus(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_CLEAN_CORPUS_CTE``: language filter → rule
+    quality gate → exact dedup on the normalized fingerprint (first
+    doc_id survives). Returns (doc_id, source, n_tokens, fp) with the
+    lang filter pushed into the scan; the dedup window is the only
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    text = F.col("text")
+    n_tok = token_count(text)
+    ttr = type_token_ratio(text)
+    quality = docs.filter(F.col("lang") == "en").filter(
+        (n_tok >= 30) & (n_tok <= 1000) & (ttr > 0.25)
+    ).select(
+        "doc_id", "source", n_tok.alias("n_tokens"), fingerprint(text).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "pipe_clean_corpus",
+    oracle=_CLEAN_CORPUS_CTE
+    + """
     SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
     FROM deduped GROUP BY source
     """,
@@ -214,19 +250,7 @@ def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffles. This is the composition story: the same operators
     exposed individually (text_quality_filter, dedup_exact,
     text_fingerprint) fused by Catalyst when chained."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    text = F.col("text")
-    n_tok = token_count(text)
-    ttr = type_token_ratio(text)
-    quality = docs.filter((n_tok >= 30) & (n_tok <= 1000) & (ttr > 0.25)).select(
-        "doc_id", "source", n_tok.alias("n_tokens"), fingerprint(text).alias("fp")
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    deduped = (
-        quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    )
+    deduped = _clean_corpus(load_table(spark, sf_dir, "documents"))
     return deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -326,6 +350,34 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_tf_scored(docs: DataFrame) -> DataFrame:
+    """Shared unigram-LM scoring core for text_unigram_logprob and
+    pipe_quality_buckets: tf per (doc_id, tok) plus the per-row integer
+    micro-nat NLL of that token under the corpus unigram model.
+
+    The corpus total is folded in lazily as a broadcast 1-row aggregate
+    of the SAME tf subtree — the oracle's `total AS (SELECT sum(tf)
+    FROM tf)` — instead of an eager float(tok.count()): the tf shuffle
+    exchange canonicalizes identically on both sides, so ReuseExchange
+    evaluates tokenize+explode+aggregate once, where the eager count()
+    paid a full extra corpus scan (the plan's most expensive stage) just
+    to collect a scalar before the real job even started."""
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").cast("double").alias("_total"))
+    w = Window.partitionBy("tok")
+    nllu = F.round(
+        -F.log(F.sum("tf").over(w) / F.col("_total")) * F.lit(1e6), 0
+    ).cast("bigint")
+    return tf.crossJoin(F.broadcast(total)).select(
+        "doc_id", "tf", nllu.alias("nllu")
+    )
+
+
 @query(
     "text_unigram_logprob",
     oracle=r"""
@@ -372,19 +424,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by tok (|tf| rows shuffled, never raw tokens), one
     final per-doc aggregate. The LM "model" is never materialized on
     the driver; total token count is the only scalar collected."""
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
-    )
-    total = float(tok.count())
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.partitionBy("tok")
-    nllu = F.round(
-        -F.log(F.sum("tf").over(w) / F.lit(total)) * F.lit(1e6), 0
-    ).cast("bigint")
-    scored = tf.select("doc_id", "tf", nllu.alias("nllu"))
+    scored = _unigram_tf_scored(docs)
     agg = scored.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"),
         F.sum(F.col("tf") * F.col("nllu")).alias("s"),
@@ -431,18 +472,7 @@ def text_repeat_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — at 100 TB this is a map-only pass the scan fuses."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    idx = F.when(
-        F.size("tok") >= 3, F.sequence(F.lit(0), F.size("tok") - 3)
-    ).otherwise(F.array().cast("array<int>"))
-    tri = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at("tok", (i + 1).cast("int")),
-            F.element_at("tok", (i + 2).cast("int")),
-            F.element_at("tok", (i + 3).cast("int")),
-        ),
-    )
+    tri = joined_ngrams(F.col("tok"), 3)
     g = toked.select("doc_id", tri.alias("tri")).filter(F.size("tri") > 0)
     return g.select(
         "doc_id",
@@ -458,23 +488,8 @@ def text_repeat_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_training_manifest",
-    oracle=r"""
-    WITH t AS (
-      SELECT doc_id, source,
-             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
-             sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-      FROM documents WHERE lang = 'en'
-    ), quality AS (
-      SELECT doc_id, source, len(toks) AS n_tokens, fp
-      FROM t
-      WHERE len(toks) BETWEEN 30 AND 1000
-        AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.25
-    ), deduped AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        FROM quality
-      ) WHERE rn = 1
-    )
+    oracle=_CLEAN_CORPUS_CTE
+    + """
     SELECT source,
            CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER < 192
                 THEN 'train' ELSE 'test' END AS split,
@@ -493,23 +508,8 @@ def pipe_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses the row-local stages into the scan and the plan still has
     only the dedup window + final aggregate shuffles."""
     from mie_spark.operators.sampling import hash_split
-    from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    text = F.col("text")
-    n_tok = token_count(text)
-    ttr = type_token_ratio(text)
-    quality = docs.filter(
-        (n_tok >= 30) & (n_tok <= 1000) & (ttr > 0.25)
-    ).select(
-        "doc_id", "source", n_tok.alias("n_tokens"), fingerprint(text).alias("fp")
-    )
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    deduped = (
-        quality.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    deduped = _clean_corpus(load_table(spark, sf_dir, "documents"))
     split = hash_split(deduped, "doc_id", train_frac=0.75)
     return split.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -763,17 +763,8 @@ def pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
-    )
-    total = float(tok.count())
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.partitionBy("tok")
-    nllu = F.round(
-        -F.log(F.sum("tf").over(w) / F.lit(total)) * F.lit(1e6), 0
-    ).cast("bigint")
     per_doc = (
-        tf.select("doc_id", "tf", nllu.alias("nllu"))
+        _unigram_tf_scored(docs)
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("bigint").alias("n_tokens"),

@@ -255,3 +255,65 @@ def test_exact_substring_matches_brute_force_model(spark):
         for r in exact_substring_stats(df, "doc_id", k=k).collect()
     }
     assert got == expected
+
+
+def test_tokenizer_whitespace_class_matches_re2(spark):
+    """Java `\\s` includes vertical tab U+000B; RE2 (every DuckDB
+    oracle) does not. The tokenizer spells the class out to RE2's
+    definition, so a VT-joined pair must stay ONE token in BOTH
+    engines — this pins the engine-portability contract at the one
+    character where the two regex dialects disagree."""
+    import duckdb
+
+    from mie_spark.operators.text import fingerprint, tokens
+
+    probe = "a\x0bb c\td"
+    sdf = spark.createDataFrame([(probe,)], "text string").select(
+        tokens(F.col("text")).alias("toks"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    srow = sdf.collect()[0]
+    drow = duckdb.connect().execute(
+        r"""
+        SELECT list_filter(string_split_regex(?, '\s+'), x -> x <> '') AS toks,
+               sha256(lower(trim(regexp_replace(?, '\s+', ' ', 'g')))) AS fp
+        """,
+        [probe, probe],
+    ).fetchone()
+    assert srow["toks"] == drow[0] == ["a\x0bb", "c", "d"]
+    assert srow["fp"] == drow[1]
+
+
+def test_minhash_signatures_public_api_matches_kernel(spark):
+    """minhash_signatures (the offline signature-materialization API:
+    write signatures once, band/join many times) must stay in lockstep
+    with the text→shingle→signature path the LSH pair operator uses —
+    same tokenizer, same shingling, same hash family and seed."""
+    from mie_spark.operators.dedup import (
+        _doc_shingles,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with other words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_api = {
+        r["doc"]: list(r["signature"])
+        for r in minhash_signatures(df, "doc_id", num_hashes=16).collect()
+    }
+    via_kernel = {
+        r["doc"]: list(r["signature"])
+        for r in _signatures_from_shingles(
+            _doc_shingles(df, "doc_id", "text", 3), num_hashes=16, seed=42
+        ).collect()
+    }
+    assert via_api == via_kernel
+    assert set(via_api) == {1, 2, 3}
+    # near-dup docs 1/2 agree on most hash slots; doc 3 on almost none
+    agree_12 = sum(a == b for a, b in zip(via_api[1], via_api[2]))
+    agree_13 = sum(a == b for a, b in zip(via_api[1], via_api[3]))
+    assert agree_12 > agree_13
+    assert all(0 <= v < _MERSENNE31 for v in via_api[1])
