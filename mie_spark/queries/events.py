@@ -861,3 +861,62 @@ def ev_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delta_s").alias("min_s"),
         F.max("delta_s").alias("max_s"),
     )
+
+
+@query(
+    "ev_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(cents)::BIGINT AS s,
+             sum(cents * cents)::BIGINT AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cents,
+           round((st.n * d.cents - st.s) / sqrt(st.n * st.ss - st.s * st.s), 4)
+             AS z
+    FROM daily d JOIN stats st USING (event_type)
+    WHERE st.n >= 2 AND st.n * st.ss - st.s * st.s > 0
+      AND (st.n * d.cents - st.s) * (st.n * d.cents - st.s)
+            >= 4 * (st.n * st.ss - st.s * st.s)
+    """,
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flagging: days whose per-type revenue sits
+    >= 2 population standard deviations from that type's daily mean.
+
+    The |z| >= 2 DECISION is exact integer arithmetic — z^2 >= 4 is
+    cross-multiplied to (n*x - S)^2 >= 4*(n*SS - S^2) over BIGINT daily
+    cents, so the flag can never straddle a cross-engine float boundary;
+    floats appear only in the REPORTED z (identical integer operands →
+    identical IEEE divide/sqrt on both engines). Plan: one shuffle for
+    the daily rollup, per-type (n, S, SS) moments as a tiny aggregate
+    broadcast back — the 100 TB shape, no window over all days. The
+    integer cross-multiplication needs n*SS < 2^63: daily cents up to
+    ~3e7 over ~1e3 days holds; past that, swap the decision to the
+    two-pass double moments (documented trade, SCALE.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    num = F.col("n") * F.col("cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        j.filter((F.col("n") >= 2) & (var_n2 > 0) & (num * num >= 4 * var_n2))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            F.round(num / F.sqrt(var_n2), 4).alias("z"),
+        )
+    )

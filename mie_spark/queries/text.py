@@ -859,3 +859,113 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_pass_rate"
         ),
     )
+
+
+@query(
+    "pipe_chunk_overlap",
+    oracle=r"""
+    WITH dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n, unnest(range(0, ((n - 1) // 96) + 1)) AS i
+      FROM dl WHERE n > 0
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           i * 96 AS start_tok,
+           least(i * 96 + 128, n) AS end_tok,
+           least(i * 96 + 128, n) - i * 96 AS chunk_tokens
+    FROM c
+    """,
+)
+def pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the RAG / long-context prep step that
+    cuts each document into 128-token windows at stride 96 (32-token
+    overlap so no boundary sentence is orphaned). Chunk starts are
+    i*stride for i in [0, floor((n-1)/stride)] — pure integer window
+    math, so the chunk table is exact by construction on both engines.
+
+    Scale: unlike pipe_pack_sequences (whose offsets chain through a
+    cumulative sum), chunk boundaries depend only on the document's OWN
+    length — a map-only pass with a per-row explode, no shuffle at any
+    corpus size; the scan fuses the sequence/posexplode into codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        token_count(F.lower(F.col("text"))).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    c = dl.select(
+        "doc_id",
+        "n",
+        # `div`, not `/`: Spark `/` on longs is double division, which
+        # loses exactness past 2^53 where the oracle's integer // does not
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.expr("(n - 1) div 96"))
+        ).alias("i"),
+    )
+    end = F.least(F.col("i") * 96 + 128, F.col("n"))
+    return c.select(
+        "doc_id",
+        F.col("i").alias("chunk_idx"),
+        (F.col("i") * 96).alias("start_tok"),
+        end.alias("end_tok"),
+        (end - F.col("i") * 96).alias("chunk_tokens"),
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY freq DESC, tok LIMIT 1000)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV census: build the top-1000 corpus
+    vocabulary (freq desc, token asc — a total order, so the cutoff is
+    deterministic on both engines) and report each document's
+    out-of-vocabulary token rate — the signal that sizes a tokenizer's
+    vocab or flags domain-shifted shards before training.
+
+    Scale: the vocab is a bounded top-k (TakeOrdered, no global sort)
+    and is BROADCAST back against the token stream — the corpus-side
+    tokens never shuffle for the membership probe; the only wide
+    exchanges are the two aggregates (corpus term counts, per-doc
+    rollup), both with map-side partial aggregation. `ReuseExchange`
+    shares the tokenize+explode subtree between the vocab build and
+    the probe side at runtime."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "tok", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(n_oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )

@@ -288,3 +288,83 @@ def v_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb, "embedding", _query_vec(spark, sf_dir), k=10, pool=50, lam=0.7
     )
+
+
+@query(
+    "v_quantize_int8",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x,
+             list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS amax
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, x, amax, amax / 127.0 AS scale,
+             CASE WHEN amax > 0
+                  THEN list_transform(x, v -> CAST(round(v / (amax / 127.0))
+                                                   AS BIGINT))
+                  ELSE list_transform(x, v -> CAST(0 AS BIGINT)) END AS qv
+      FROM xs
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           list_sum(qv)::BIGINT AS q_sum,
+           list_sum(list_transform(qv, v -> abs(v)))::BIGINT AS q_l1,
+           round(CASE WHEN amax > 0 THEN sqrt(
+             list_sum(list_transform(range(1, len(x) + 1),
+               i -> (x[i] - qv[i] * scale) * (x[i] - qv[i] * scale)))
+             / len(x)) ELSE 0.0 END, 6) AS rmse
+    FROM q
+    """,
+)
+def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    storage/bandwidth compression every 100 TB vector corpus ships with
+    (scale = max|x|/127 per vector, q = round(x/scale)) — plus the
+    reconstruction-error report (per-vector RMSE) that decides whether
+    the compressed index is servable.
+
+    Exactness: the quantized codes are integers computed by identical
+    IEEE divide+round on both engines, so q_sum / q_l1 are graded as
+    exact BIGINTs; scale and RMSE are element-ordered float folds over
+    identical operands, rounded. Plan: pure per-row array expressions —
+    map-only, no shuffle, fuses into the scan. The dequantized probe
+    side (q*scale) is what an ADC search would use; PQ (v_ann_pq_topk)
+    is the heavier-compression sibling."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    xs = emb.select("vec_id", x.alias("x")).withColumn(
+        "amax", F.array_max(F.transform(F.col("x"), lambda v: F.abs(v)))
+    )
+    scale = F.col("amax") / F.lit(127.0)
+    qv = F.when(
+        F.col("amax") > 0,
+        F.transform(F.col("x"), lambda v: F.round(v / scale).cast("long")),
+    ).otherwise(F.transform(F.col("x"), lambda v: F.lit(0).cast("long")))
+    q = xs.select("vec_id", "x", "amax", scale.alias("scale"), qv.alias("qv"))
+    err_sq = F.zip_with(
+        F.col("x"),
+        F.col("qv"),
+        lambda xv, qv_: (xv - qv_ * F.col("scale"))
+        * (xv - qv_ * F.col("scale")),
+    )
+    rmse = F.when(
+        F.col("amax") > 0,
+        F.sqrt(
+            F.aggregate(err_sq, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size("x")
+        ),
+    ).otherwise(F.lit(0.0))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+            "q_sum"
+        ),
+        F.aggregate(
+            F.transform(F.col("qv"), lambda v: F.abs(v)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("q_l1"),
+        F.round(rmse, 6).alias("rmse"),
+    )
