@@ -49,7 +49,9 @@ TOOL_REGISTRY: dict[str, tuple[Callable[[MieClient, dict], dict], str, dict]] = 
         "(+category/confidence); decision needs title+rationale "
         "(+alternatives/context/status); entity needs name+kind "
         "(+description); event needs title (+description/event_date); "
-        "topic needs name (+description)",
+        "topic needs name (+description). Optional: invalidates (fact "
+        "id this item supersedes, +invalidation_reason) and "
+        "relationships (edges to create: edge_table/from_id/to_id)",
         _schema(
             ["type"],
             type=_STR,
@@ -67,6 +69,9 @@ TOOL_REGISTRY: dict[str, tuple[Callable[[MieClient, dict], dict], str, dict]] = 
             event_date=_STR,
             source_agent=_STR,
             source_conversation=_STR,
+            invalidates=_STR,
+            invalidation_reason=_STR,
+            relationships={"type": "array", "items": {"type": "object"}},
         ),
     ),
     "mie_bulk_store": (
@@ -222,6 +227,8 @@ class McpStdioServer:
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    from mie_spark.config import default_config, load_config
+
     path = sys.argv[1] if len(sys.argv) > 1 else None
     spark = (
         SparkSession.builder.master("local[*]")
@@ -229,7 +236,21 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    McpStdioServer(MieClient(spark, path=path)).serve(sys.stdin, sys.stdout)
+    # Build from the SAME config plane as the CLI (--mcp) path: a bare
+    # MieClient(spark, path=path) would pin embedding_dim to its 4-dim
+    # default, and serving a store written by the 768-dim configured
+    # mock would then mix vector widths — cosine_sim over mismatched
+    # lengths is NULL, silently dropping every pre-existing row from
+    # semantic search. Config discovery failures fall back to defaults
+    # (same tolerance as cli._load_cfg with fallback).
+    try:
+        cfg = load_config()
+    except (FileNotFoundError, ValueError):
+        cfg = default_config()
+    if path:
+        cfg.storage.engine = "parquet"
+        cfg.storage.path = path
+    McpStdioServer(MieClient.from_config(spark, cfg)).serve(sys.stdin, sys.stdout)
 
 
 if __name__ == "__main__":

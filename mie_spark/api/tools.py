@@ -219,7 +219,10 @@ def update(client: MieClient, operation: str, node_id: str, **kwargs: Any) -> di
 def list_nodes(client: MieClient, node_type: str, **filters: Any) -> dict:
     """Filters + sort + pagination + total (pkg/tools/list.go:19-134)."""
     limit = max(1, min(int(filters.pop("limit", MAX_LIST_LIMIT)), MAX_LIST_LIMIT))
-    rows, total = client.list_nodes(node_type, limit=limit, **filters)
+    # JSON "number" arrives as float (10.0); DataFrame.offset needs an
+    # int and Py4J has no double overload — coerce and clamp like limit
+    offset = max(0, int(filters.pop("offset", 0)))
+    rows, total = client.list_nodes(node_type, limit=limit, offset=offset, **filters)
     return {"results": rows, "total": total, "limit": limit}
 
 
@@ -228,10 +231,16 @@ def conflicts(client: MieClient, threshold: float = 0.85, limit: int = 50) -> di
     (pkg/tools/conflicts.go:14-78). threshold = min similarity — the
     reference's similarity/distance quirk is fixed here (SURVEY §2.10)."""
     pairs = client.detect_conflicts(threshold, limit)
+    # ONE batch lookup for every id in every pair: the per-pair
+    # get_node_by_id loop costs 2×|pairs| sequential full scans on the
+    # parquet engine just to read created_at
+    nodes = client._fetch_nodes_by_ids(
+        list({nid for p in pairs for nid in (p["a_id"], p["b_id"])})
+    )
     recommendations = []
     for p in pairs:
-        a = client.get_node_by_id(p["a_id"]) or {}
-        b = client.get_node_by_id(p["b_id"]) or {}
+        a = nodes.get(p["a_id"], {})
+        b = nodes.get(p["b_id"], {})
         newer, older = (
             (p["a_id"], p["b_id"])
             if (a.get("created_at") or 0) >= (b.get("created_at") or 0)

@@ -285,17 +285,24 @@ def main(argv: list[str] | None = None) -> int:
                     return EXIT_ERROR
                 cfg_path = argv[i + 1]
                 break
-        from mie_spark.api.mcp import McpStdioServer
-        from mie_spark.api import MieClient
+        # same error boundary every subcommand gets: a typo'd --config
+        # path or invalid config must exit with the one-line "Error: …"
+        # contract, not an interpreter traceback at the AI client
+        try:
+            from mie_spark.api.mcp import McpStdioServer
+            from mie_spark.api import MieClient
 
-        cfg = _load_cfg(cfg_path)
-        from mie_spark.session import get_spark
+            cfg = _load_cfg(cfg_path)
+            from mie_spark.session import get_spark
 
-        spark = get_spark("mie_mcp")
-        spark.sparkContext.setLogLevel("ERROR")
-        McpStdioServer(MieClient.from_config(spark, cfg)).serve(
-            sys.stdin, sys.stdout
-        )
+            spark = get_spark("mie_mcp")
+            spark.sparkContext.setLogLevel("ERROR")
+            McpStdioServer(MieClient.from_config(spark, cfg)).serve(
+                sys.stdin, sys.stdout
+            )
+        except Exception as exc:  # noqa: BLE001 — CLI boundary
+            print(f"Error: {exc}", file=sys.stderr)
+            return EXIT_ERROR
         return EXIT_OK
     args = build_parser().parse_args(argv)
     try:

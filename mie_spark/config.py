@@ -121,14 +121,20 @@ def _apply_env_overrides(cfg: Config) -> None:
     # embeddings, diverging from provider_from_env's semantics for the
     # same env var.
     explicit = bool(env.get("MIE_EMBEDDING_PROVIDER"))
-    if v := env.get("OPENAI_API_KEY"):
-        cfg.embedding.api_key = v
-        if not explicit and cfg.embedding.provider in ("ollama", "mock"):
-            cfg.embedding.provider = "openai"
-    if v := env.get("NOMIC_API_KEY"):
-        cfg.embedding.api_key = v
-        if not explicit and cfg.embedding.provider in ("ollama", "mock"):
-            cfg.embedding.provider = "nomic"
+    openai_key = env.get("OPENAI_API_KEY")
+    nomic_key = env.get("NOMIC_API_KEY")
+    if openai_key and not explicit and cfg.embedding.provider in ("ollama", "mock"):
+        cfg.embedding.provider = "openai"
+    if nomic_key and not explicit and cfg.embedding.provider in ("ollama", "mock"):
+        cfg.embedding.provider = "nomic"
+    # Bind a credential ONLY to its own provider: a stray NOMIC_API_KEY
+    # in the shell must never replace the api_key of a config that
+    # explicitly selects openai (or vice versa) — that would POST the
+    # wrong vendor's secret to the other vendor's endpoint.
+    if openai_key and cfg.embedding.provider == "openai":
+        cfg.embedding.api_key = openai_key
+    if nomic_key and cfg.embedding.provider == "nomic":
+        cfg.embedding.api_key = nomic_key
 
 
 def validate_config(cfg: Config) -> None:
@@ -155,6 +161,13 @@ def load_config(path: str | None = None, start_dir: str | None = None) -> Config
             raw = yaml.safe_load(fh) or {}
     except OSError as exc:
         raise FileNotFoundError(f"cannot read config file {path}: {exc}") from exc
+    except yaml.YAMLError as exc:
+        # yaml.YAMLError is NOT a ValueError subclass; without this
+        # wrap, a corrupt file escapes the documented "raises
+        # ValueError on invalid config" contract and every caller's
+        # fallback-to-defaults path (cli._load_cfg, status parity with
+        # status.go:65-69) breaks on a raw parser traceback.
+        raise ValueError(f"invalid YAML in config file {path}: {exc}") from exc
     if not isinstance(raw, dict):
         raise ValueError(f"invalid config format in {path}: not a mapping")
 

@@ -52,8 +52,12 @@ class MockEmbeddingProvider:
 
     def _deterministic(self, text: str) -> list[float]:
         h = self._hash(text)
+        # the & _U64 wraparound BEFORE % 10000 matters: Go's uint64
+        # arithmetic wraps h + i*7919 mod 2^64 first, and
+        # 2^64 % 10000 = 7616 ≠ 0, so skipping the mask diverges from
+        # the reference mock for hashes within ~dim*7919 of 2^64
         vec = [
-            float((h + i * 7919) % 10000) / 10000.0 * 2.0 - 1.0
+            float(((h + i * 7919) & _U64) % 10000) / 10000.0 * 2.0 - 1.0
             for i in range(self.dimension)
         ]
         return _normalize(vec)

@@ -246,8 +246,9 @@ def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             h = 5381
             for ch in text:
                 h = (((h << 5) & u64) + h + ord(ch)) & u64
+            # & u64 before % 10000: uint64 wrap first (2^64 % 10000 != 0)
             vec = [
-                float((h + i * 7919) % 10000) / 10000.0 * 2.0 - 1.0
+                float(((h + i * 7919) & u64) % 10000) / 10000.0 * 2.0 - 1.0
                 for i in range(dim)
             ]
             n = math.sqrt(sum(x * x for x in vec)) or 1.0

@@ -521,8 +521,9 @@ def embed_and_upsert_stream(
 
         def embed(text: str) -> list[float]:
             h = djb2(text)
+            # & u64 before % 10000: uint64 wrap first (2^64 % 10000 != 0)
             vec = [
-                float((h + i * 7919) % 10000) / 10000.0 * 2.0 - 1.0
+                float(((h + i * 7919) & u64) % 10000) / 10000.0 * 2.0 - 1.0
                 for i in range(embed_dim)
             ]
             n = math.sqrt(sum(x * x for x in vec)) or 1.0

@@ -175,3 +175,39 @@ def test_api_key_flips_mock_default_but_not_explicit_choice(
     assert load_config(p).embedding.provider == "nomic"
     monkeypatch.setenv("MIE_EMBEDDING_PROVIDER", "mock")
     assert load_config(p).embedding.provider == "mock"
+
+
+def test_env_key_binds_only_to_its_own_provider(tmp_path, monkeypatch):
+    """A stray NOMIC_API_KEY in the shell must not replace the api_key
+    of a config that explicitly selects openai (cross-provider
+    credential leakage); each env key binds only when its provider is
+    the effective one."""
+    cfg = default_config()
+    cfg.embedding.provider = "openai"
+    cfg.embedding.api_key = "sk-openai"
+    p = config_path(str(tmp_path))
+    save_config(cfg, p)
+
+    monkeypatch.setenv("NOMIC_API_KEY", "nk-nomic")
+    loaded = load_config(p)
+    assert loaded.embedding.provider == "openai"
+    assert loaded.embedding.api_key == "sk-openai"  # NOT the nomic key
+
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-env")
+    loaded = load_config(p)
+    assert loaded.embedding.provider == "openai"
+    assert loaded.embedding.api_key == "sk-env"  # matching key does bind
+
+
+def test_corrupt_yaml_raises_value_error(tmp_path):
+    """yaml parse failures surface as the documented ValueError, so
+    cli._load_cfg's fallback-to-defaults path (status.go:65-69 parity)
+    catches them instead of crashing on a raw parser traceback."""
+    import pytest
+
+    p = config_path(str(tmp_path))
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as fh:
+        fh.write("{[not yaml")
+    with pytest.raises(ValueError):
+        load_config(p)

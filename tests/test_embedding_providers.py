@@ -141,3 +141,25 @@ def test_payloads_are_json_serializable(monkeypatch):
         lambda url, payload, headers: fake(url, json.loads(json.dumps(payload)), headers),
     )
     NomicEmbeddingProvider(api_key="k").embed(["x"])
+
+
+def test_mock_wraps_uint64_before_bucketing(monkeypatch):
+    """Go's uint64 arithmetic wraps hash + i*7919 mod 2^64 BEFORE the
+    % 10000 bucket, and 2^64 % 10000 = 7616 — so for hashes near 2^64
+    the wrap changes the bucket. Pin the wrapped semantics with a
+    forced near-overflow hash."""
+    from mie_spark.embedding import MockEmbeddingProvider
+
+    p = MockEmbeddingProvider(dimension=4)
+    h = (1 << 64) - 100  # h + 1*7919 overflows 64 bits
+    monkeypatch.setattr(MockEmbeddingProvider, "_hash", staticmethod(lambda _: h))
+    vec = p.embed_query("anything")
+    raw = [(((h + i * 7919) % (1 << 64)) % 10000) / 10000.0 * 2.0 - 1.0 for i in range(4)]
+    import math
+
+    n = math.sqrt(sum(x * x for x in raw))
+    expected = [x / n for x in raw]
+    assert vec == expected
+    # and the wrap genuinely matters for this hash: the unwrapped value
+    # would land in a different bucket for i >= 1
+    assert ((h + 7919) % 10000) != (((h + 7919) % (1 << 64)) % 10000)
