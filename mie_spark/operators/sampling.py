@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _hash_bucket(id_col: Column, chars: int = 2) -> Column:
+def hash_bucket(id_col: Column, chars: int = 2) -> Column:
     """First ``chars`` hex digits of md5(id) read as an INTEGER — a
     uniform bucket in [0, 16^chars) (0..255 for chars=2). Comparing
     integers (not hex strings) keeps frac=1.0 meaningful: a string
@@ -49,7 +49,7 @@ def hash_split(
     return df.withColumn(
         split_col,
         F.when(
-            _hash_bucket(F.col(id_col)) < F.lit(cutoff), "train"
+            hash_bucket(F.col(id_col)) < F.lit(cutoff), "train"
         ).otherwise("test"),
     )
 
@@ -125,7 +125,7 @@ def stratified_sample(
         cutoff = F.when(
             F.col(strata_col) == k, F.lit(round(frac * 256))
         ).otherwise(cutoff)
-    return df.filter(_hash_bucket(F.col(id_col)) < cutoff)
+    return df.filter(hash_bucket(F.col(id_col)) < cutoff)
 
 
 def token_budget_sample(

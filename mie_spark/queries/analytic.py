@@ -14,8 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mie_spark.queries import query
-from mie_spark.queries.graph import _REVENUE_SQL, _revenue_col
-from mie_spark.queries.relational import cents
+from mie_spark.queries.relational import REVENUE_SQL, cents, revenue_col
 from mie_spark.sources import load_table
 
 
@@ -169,10 +168,18 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties. Orders with no prior events keep NULL/0 (left-join parity)."""
     o = load_table(spark, sf_dir, "orders")
     e = load_table(spark, sf_dir, "events")
-    # a NULL ts would sort before every order row and be swept into the
-    # running count; the oracle's `e.ts <= o.o_orderdate` matches no
-    # such row, so drop them before the union
-    ev_tag = e.filter(F.col("ts").isNotNull()).select(
+    # NULL hardening, matching the SQL join's semantics exactly:
+    # - a NULL ts would sort before every order row and be swept into
+    #   the running count; `e.ts <= o.o_orderdate` matches no such row
+    # - a NULL user_id event would share the NULL window partition with
+    #   NULL-custkey orders (window partitioning is NULL-equal, the
+    #   equi-join is not), inflating their counts; the join matches no
+    #   NULL keys, so drop them too. NULL-custkey ORDERS stay: the left
+    #   join keeps them with count 0 / NULL last event, and with NULL
+    #   events gone their partition holds no event rows.
+    ev_tag = e.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
         F.col("user_id").alias("u"),
         F.col("ts").alias("t"),
         F.lit(0).alias("side"),  # events first at equal t => inclusive bound
@@ -216,7 +223,7 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l.l_orderkey AS orderkey,
-           {_REVENUE_SQL} AS revenue,
+           {REVENUE_SQL} AS revenue,
            strftime(any_value(o.o_orderdate), '%Y-%m-%d') AS orderdate,
            any_value(o.o_orderpriority) AS orderpriority
     FROM customer c
@@ -250,7 +257,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy(li.l_orderkey.alias("orderkey"))
         .agg(
-            _revenue_col().alias("revenue"),
+            revenue_col().alias("revenue"),
             F.date_format(F.any_value("o_orderdate"), "yyyy-MM-dd").alias(
                 "orderdate"
             ),
@@ -501,7 +508,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           round(avg(l_quantity), 6) AS mean_qty,
+           ((2 * sum(CAST(l_quantity AS BIGINT))::BIGINT * 1000000 + count(*))
+              // (2 * count(*))) / 1000000.0 AS mean_qty,
            round(stddev_samp(l_quantity), 6) AS sd_qty,
            round(var_samp(l_quantity), 6) AS var_qty,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
@@ -518,7 +526,15 @@ def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        # integral quantities: 6-decimal mean via the integer half-up
+        # formula (see q1), never round() on a double
+        (
+            F.expr(
+                "(2 * sum(cast(l_quantity as bigint)) * 1000000 + count(1))"
+                " div (2 * count(1))"
+            )
+            / F.lit(1e6)
+        ).alias("mean_qty"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
@@ -554,7 +570,6 @@ def a_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1/8. The oracle proves the decomposed combiners (count-of-counts,
     sum-of-sums, min-of-mins) reconstruct the exact answer."""
     from mie_spark.operators.skew import salted_groupby_agg
-    from mie_spark.queries.relational import cents
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",

@@ -67,7 +67,8 @@ def _sessions(ev: DataFrame) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT / 100.0
+             AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -86,7 +87,12 @@ def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact-cents sum, not round(sum(double), 2): float sums
+            # diverge across engine summation order
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("total_value"),
         )
     )
 
@@ -121,30 +127,46 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_json_props",
     oracle="""
-    SELECT event_type,
-           count(*) AS n,
-           round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k
-    FROM events
-    GROUP BY event_type
+    WITH g AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             count(json_extract_string(props, '$.k'))::BIGINT AS nk,
+             sum(json_extract_string(props, '$.k')::INT)::BIGINT AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ((2 * s * 10000 + nk) // (2 * nk)) / 10000.0 AS avg_k
+    FROM g
     """,
 )
 def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured property extraction (the reference stores
     JSON-in-String too, e.g. decision `alternatives` — SURVEY §1.2);
-    get_json_object stays JVM-side."""
+    get_json_object stays JVM-side. The 4-decimal average uses the
+    integer half-up formula (see a4_groupby_metrics) over the non-null
+    count, never round() on a double; avg()'s ignore-NULLs denominator
+    is preserved via nk."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.avg(F.get_json_object(F.col("props"), "$.k").cast("int")), 4
-        ).alias("avg_k"),
+        F.count(k).alias("nk"),
+        F.sum(k).alias("s"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        (F.expr("(2 * s * 10000 + nk) div (2 * nk)") / F.lit(10000.0)).alias(
+            "avg_k"
+        ),
     )
 
 
 @query(
     "ev_top_spenders",
     oracle="""
-    SELECT user_id, round(sum(value), 2) AS spend, count(*) AS n_purchases
+    SELECT user_id,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT / 100.0 AS spend,
+           count(*) AS n_purchases
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id
     ORDER BY spend DESC, user_id
@@ -152,12 +174,18 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ev_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k spenders in exact cents (the ORDER BY runs on a value
+    derived from identical integers on both engines, so the top-10
+    boundary can never straddle a float-sum divergence)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
-            F.round(F.sum("value"), 2).alias("spend"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("spend"),
             F.count(F.lit(1)).alias("n_purchases"),
         )
         .orderBy(F.col("spend").desc(), F.col("user_id"))
@@ -299,9 +327,13 @@ def ev_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ev_pivot",
-    oracle="""
+# THE day × event-type pivot definition — single source of truth for
+# ev_pivot and its inverse ev_unpivot (same convention as
+# _SESSIONS_CTE): explicit value list, and a NULL event_type falls in
+# NO bucket (matching FILTER ... NOT IN, where NULL passes no filter).
+_PIVOT_KNOWN = ["view", "click", "purchase"]
+
+_PIVOT_SQL = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*) FILTER (event_type = 'view') AS n_view,
            count(*) FILTER (event_type = 'click') AS n_click,
@@ -309,37 +341,44 @@ def ev_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (event_type NOT IN ('view','click','purchase'))
              AS n_other
     FROM events GROUP BY 1
-    """,
-)
-def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day × event-type pivot (the reporting-matrix shape). Pivot values
-    are EXPLICIT — with an unspecified value list Spark first runs a
-    distinct-scan job to discover columns, a full extra pass at 100 TB.
-    With the list given, pivot compiles to conditional counts inside one
-    ordinary single-shuffle aggregate, exactly like the FILTER oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    known = ["view", "click", "purchase"]
+"""
+
+
+def _day_type_pivot(ev: DataFrame) -> DataFrame:
+    """Spark twin of ``_PIVOT_SQL``: wide (day, n_view, n_click,
+    n_purchase, n_other) matrix. Pivot values are EXPLICIT — with an
+    unspecified value list Spark first runs a distinct-scan job to
+    discover columns, a full extra pass at 100 TB. With the list given,
+    pivot compiles to conditional counts inside one ordinary
+    single-shuffle aggregate, exactly like the FILTER oracle."""
     piv = (
         ev.select(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
             # second WHEN, not otherwise(): a NULL event_type must fall
             # into NO bucket, matching the oracle's NOT IN (NULL -> no
             # FILTER count), not inflate n_other
-            F.when(F.col("event_type").isin(known), F.col("event_type"))
+            F.when(F.col("event_type").isin(_PIVOT_KNOWN), F.col("event_type"))
             .when(F.col("event_type").isNotNull(), F.lit("other"))
             .alias("et"),
         )
         .groupBy("day")
-        .pivot("et", known + ["other"])
+        .pivot("et", _PIVOT_KNOWN + ["other"])
         .count()
     )
     return piv.select(
         "day",
         *[
             F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
-            for c in known + ["other"]
+            for c in _PIVOT_KNOWN + ["other"]
         ],
     )
+
+
+@query("ev_pivot", oracle=_PIVOT_SQL)
+def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type pivot (the reporting-matrix shape); see
+    _day_type_pivot for the plan notes."""
+    return _day_type_pivot(load_table(spark, sf_dir, "events"))
 
 
 @query(
@@ -482,53 +521,23 @@ def ev_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_unpivot",
-    oracle="""
-    WITH piv AS (
-      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-             count(*) FILTER (event_type = 'view') AS n_view,
-             count(*) FILTER (event_type = 'click') AS n_click,
-             count(*) FILTER (event_type = 'purchase') AS n_purchase,
-             count(*) FILTER (event_type NOT IN ('view','click','purchase'))
-               AS n_other
-      FROM events GROUP BY 1
-    )
+    oracle="WITH piv AS (" + _PIVOT_SQL + """)
     SELECT day, kind, n FROM piv
     UNPIVOT (n FOR kind IN (n_view, n_click, n_purchase, n_other))
     """,
 )
 def ev_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT/melt — the inverse reshape of ev_pivot: the wide day ×
-    type matrix back to long (day, kind, n) rows. Spark's unpivot is a
+    """UNPIVOT/melt — the inverse reshape of ev_pivot (both build on
+    the one _day_type_pivot definition): the wide day × type matrix
+    back to long (day, kind, n) rows. Spark's unpivot is a
     zero-shuffle Expand over the already-aggregated matrix (4× the
     matrix rows, never the raw events), matching DuckDB's UNPIVOT
     clause. Wide-to-long is how reporting matrices re-enter relational
     pipelines without a rescan of the source."""
-    ev = load_table(spark, sf_dir, "events")
-    known = ["view", "click", "purchase"]
-    piv = (
-        ev.select(
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-            # second WHEN, not otherwise(): a NULL event_type must fall
-            # into NO bucket, matching the oracle's NOT IN (NULL -> no
-            # FILTER count), not inflate n_other
-            F.when(F.col("event_type").isin(known), F.col("event_type"))
-            .when(F.col("event_type").isNotNull(), F.lit("other"))
-            .alias("et"),
-        )
-        .groupBy("day")
-        .pivot("et", known + ["other"])
-        .count()
-    )
-    wide = piv.select(
-        "day",
-        *[
-            F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
-            for c in known + ["other"]
-        ],
-    )
+    wide = _day_type_pivot(load_table(spark, sf_dir, "events"))
     return wide.unpivot(
         ids=["day"],
-        values=[f"n_{c}" for c in known + ["other"]],
+        values=[f"n_{c}" for c in _PIVOT_KNOWN + ["other"]],
         variableColumnName="kind",
         valueColumnName="n",
     )

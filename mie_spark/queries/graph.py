@@ -19,30 +19,8 @@ from pyspark.sql.window import Window
 
 from mie_spark.operators.graph import bfs, connected_components, pagerank
 from mie_spark.queries import query
-from mie_spark.queries.relational import cents
+from mie_spark.queries.relational import REVENUE_SQL, cents, revenue_col
 from mie_spark.sources import load_table
-
-# revenue in integer fixed-point (see relational.cents): sum of
-# ep_cents * (100 - disc_cents) (units of 1e-4 dollars), rounded to
-# cents with *integer* half-up — double round() diverges across engines
-# on exact .xx5 ties (Spark rounds the decimal string repr, DuckDB the
-# binary value), integer div never does.
-_REVENUE_SQL = (
-    "((sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)::DOUBLE / 100"
-)
-
-
-def _revenue_col() -> "F.Column":
-    from mie_spark.queries.relational import int_div
-
-    units = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
-    # int_div, not floor((units+50)/100): Spark `/` on longs is double
-    # division, which loses exactness past 2^53 where the oracle's
-    # integer `//` does not
-    return int_div(units + 50, 100).cast("double") / 100
-
-
 
 def _ring_base(s: DataFrame, *extra_cols: str) -> DataFrame:
     """Shared synthetic-graph construction for the iterative-analytics
@@ -74,7 +52,7 @@ def _ring_edges(s: DataFrame) -> DataFrame:
     "j1_two_hop_traversal",
     oracle=f"""
     SELECT l.l_orderkey AS orderkey,
-           {_REVENUE_SQL} AS revenue,
+           {REVENUE_SQL} AS revenue,
            strftime(any_value(o.o_orderdate), '%Y-%m-%d') AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -101,7 +79,7 @@ def j1_two_hop_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(li.l_orderkey.alias("orderkey"))
         .agg(
-            _revenue_col().alias("revenue"),
+            revenue_col().alias("revenue"),
             F.date_format(F.any_value(F.col("o_orderdate")), "yyyy-MM-dd").alias(
                 "orderdate"
             ),
@@ -201,7 +179,7 @@ def j6_union_join_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n.n_name AS nation,
-           {_REVENUE_SQL} AS revenue
+           {REVENUE_SQL} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -237,7 +215,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(_revenue_col().alias("revenue"))
+        .agg(revenue_col().alias("revenue"))
     )
 
 
@@ -407,8 +385,12 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly those minima."""
     s = load_table(spark, sf_dir, "supplier")
     edges = _ring_edges(s)
-    src_id = s.agg(F.min("s_suppkey")).first()[0]
-    sources = spark.createDataFrame([(src_id,)], ["node"])
+    # lazy 1-row aggregate, not .first(): no eager driver job at plan
+    # construction, and an empty supplier table yields an empty (typed)
+    # source frontier instead of a createDataFrame inference crash
+    sources = s.agg(F.min("s_suppkey").alias("node")).filter(
+        F.col("node").isNotNull()
+    )
     return bfs(edges, sources, max_hops=12)
 
 
@@ -475,7 +457,7 @@ def g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most 12 edges as a recursive CTE and takes per-node minima —
     exactly the set Bellman-Ford with 12 rounds minimizes over."""
     from mie_spark.operators.graph import sssp
-    from mie_spark.queries.relational import cents
+    from mie_spark.queries.relational import REVENUE_SQL, cents, revenue_col
 
     s = load_table(spark, sf_dir, "supplier")
     base = _ring_base(s, "s_acctbal")
@@ -484,8 +466,10 @@ def g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("nxt", "mn").alias("dst"),
         (F.abs(cents("s_acctbal")) % 997 + 1).alias("w"),
     )
-    src_id = s.agg(F.min("s_suppkey")).first()[0]
-    sources = spark.createDataFrame([(src_id,)], ["node"])
+    # lazy typed frontier (see g_bfs_hops): empty-safe, no eager job
+    sources = s.agg(F.min("s_suppkey").alias("node")).filter(
+        F.col("node").isNotNull()
+    )
     return sssp(edges, sources, max_hops=12)
 
 

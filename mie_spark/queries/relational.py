@@ -44,60 +44,105 @@ def int_div(x: "F.Column", d: int) -> "F.Column":
     return F.floor(x.cast("decimal(38,0)") / d).cast("long")
 
 
+# revenue in integer fixed-point (companion to `cents`): sum of
+# ep_cents * (100 - disc_cents) (units of 1e-4 dollars), rounded to
+# cents with *integer* half-up — double round() diverges across engines
+# on exact .xx5 ties (Spark rounds the decimal string repr, DuckDB the
+# binary value), integer div never does. Lives HERE next to cents /
+# int_div so the whole money-math helper surface is one module
+# (consumed by queries/graph.py and queries/analytic.py).
+REVENUE_SQL = (
+    "((sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)::DOUBLE / 100"
+)
+
+
+def revenue_col() -> "F.Column":
+    units = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    # int_div, not floor((units+50)/100): Spark `/` on longs is double
+    # division, which loses exactness past 2^53 where the oracle's
+    # integer `//` does not
+    return int_div(units + 50, 100).cast("double") / 100
+
+
 # --- flagship: TPC-H-Q1-style pricing summary (F1 + A1/A4 + O1) ----------
 
 @query(
     "q1_pricing_summary",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100
-             AS sum_base_price,
-           ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
-            )::DOUBLE / 100 AS sum_disc_price,
-           ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             count(*)::BIGINT AS n,
+             sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS ep,
+             sum(CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS disc,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+               AS dp,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                 * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) // 10000
-            )::DOUBLE / 100 AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE
-                 / 100 / count(*), 4) AS avg_price,
-           round(sum(CAST(round(l_discount * 100) AS BIGINT))::DOUBLE
-                 / 100 / count(*), 4) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+                 * (100 + CAST(round(l_tax * 100) AS BIGINT)))::BIGINT AS ch
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+           qty::DOUBLE AS sum_qty,
+           ep::DOUBLE / 100 AS sum_base_price,
+           ((dp + 50) // 100)::DOUBLE / 100 AS sum_disc_price,
+           ((ch + 5000) // 10000)::DOUBLE / 100 AS sum_charge,
+           ((2 * qty * 10000 + n) // (2 * n)) / 10000.0 AS avg_qty,
+           ((2 * ep * 100 + n) // (2 * n)) / 10000.0 AS avg_price,
+           ((2 * disc * 100 + n) // (2 * n)) / 10000.0 AS avg_disc,
+           n AS count_order
+    FROM g
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-scan + filter + grouped aggregation; the widest single-table
     aggregate in the suite. One shuffle (by the 2 low-cardinality group
-    keys); partial aggregation map-side makes the shuffle tiny. Money
-    math in integer cents (see `cents`)."""
+    keys); partial aggregation map-side makes the shuffle tiny. ALL
+    money/quantity math is integer (see `cents`), including the
+    4-decimal averages via the half-up formula (2a+n) div (2n) — no
+    round() ever touches a double, because round(double, k) is where
+    Spark's decimal-string HALF_UP and DuckDB's binary rounding can
+    disagree on identical inputs (a group average is a rational that
+    CAN land exactly on a tie boundary)."""
     li = load_table(spark, sf_dir, "lineitem")
     ep, disc, tax = cents("l_extendedprice"), cents("l_discount"), cents("l_tax")
-    n = F.count(F.lit(1))
-    return (
+    g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            (F.sum(ep).cast("double") / 100).alias("sum_base_price"),
-            (
-                int_div(F.sum(ep * (100 - disc)) + 50, 100).cast("double") / 100
-            ).alias("sum_disc_price"),
-            (
-                int_div(F.sum(ep * (100 - disc) * (100 + tax)) + 5000, 10_000)
-                .cast("double")
-                / 100
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum(ep).cast("double") / 100 / n, 4).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / 100 / n, 4).alias("avg_disc"),
-            n.alias("count_order"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(ep).alias("ep"),
+            F.sum(disc).alias("disc"),
+            F.sum(ep * (100 - disc)).alias("dp"),
+            F.sum(ep * (100 - disc) * (100 + tax)).alias("ch"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("qty").cast("double").alias("sum_qty"),
+        (F.col("ep").cast("double") / 100).alias("sum_base_price"),
+        (int_div(F.col("dp") + 50, 100).cast("double") / 100).alias(
+            "sum_disc_price"
+        ),
+        (int_div(F.col("ch") + 5000, 10_000).cast("double") / 100).alias(
+            "sum_charge"
+        ),
+        (F.expr("(2 * qty * 10000 + n) div (2 * n)") / F.lit(1e4)).alias(
+            "avg_qty"
+        ),
+        (F.expr("(2 * ep * 100 + n) div (2 * n)") / F.lit(1e4)).alias(
+            "avg_price"
+        ),
+        (F.expr("(2 * disc * 100 + n) div (2 * n)") / F.lit(1e4)).alias(
+            "avg_disc"
+        ),
+        F.col("n").alias("count_order"),
     )
 
 
@@ -305,20 +350,39 @@ def a3_multi_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a4_groupby_metrics",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
-           round(avg(value), 4) AS avg_value
-    FROM events GROUP BY event_type
+    WITH g AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           cents / 100.0 AS total_value,
+           ((2 * cents * 100 + n) // (2 * n)) / 10000.0 AS avg_value
+    FROM g
     """,
 )
 def a4_groupby_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
+    """Per-type display metrics in the exact-cents convention: the sum
+    is integer cents (never a float sum), and the 4-decimal average is
+    rounded IN INTEGER ARITHMETIC — half-up(a/b) = (2a+b) div (2b) for
+    the non-negative operands here — so no round() ever runs on a
+    double. round(double, n) is the one place Spark (decimal-string
+    HALF_UP) and DuckDB (binary) can disagree on identical inputs; a
+    group average is a rational number that can land exactly on a
+    .xxxx5 boundary, so the tie is reachable, unlike the sub-ULP
+    coincidences float noise would need."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        (F.col("cents") / F.lit(100.0)).alias("total_value"),
+        (
+            F.expr("(2 * cents * 100 + n) div (2 * n)") / F.lit(10000.0)
+        ).alias("avg_value"),
     )
 
 

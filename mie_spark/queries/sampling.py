@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mie_spark.operators.sampling import hash_split, stratified_sample
+from mie_spark.operators.sampling import (
+    fixed_k_per_stratum,
+    hash_bucket,
+    hash_split,
+    shuffle_shards,
+    stratified_sample,
+    token_budget_sample,
+)
+from mie_spark.operators.text import token_count
 from mie_spark.queries import query
 from mie_spark.sources import load_table
 
@@ -121,12 +129,10 @@ def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(p * F.lit(1048576.0)).cast("bigint").alias("cutoff"),
     )
-    from mie_spark.operators.sampling import _hash_bucket
-
-    # 5 hex chars = 20 bits, max 1048575 — fits _hash_bucket's int32
+    # 5 hex chars = 20 bits, max 1048575 — fits hash_bucket's int32
     return (
         docs.join(F.broadcast(cut), "source")
-        .filter(_hash_bucket(F.col("doc_id"), chars=5) < F.col("cutoff"))
+        .filter(hash_bucket(F.col("doc_id"), chars=5) < F.col("cutoff"))
         .select("doc_id", "source")
     )
 
@@ -152,8 +158,6 @@ def samp_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact per-shard membership boundaries (min/max sort key), not just
     sizes. The production write is repartition(shard) +
     sortWithinPartitions(key) — one hash shuffle, no global sort."""
-    from mie_spark.operators.sampling import shuffle_shards
-
     docs = load_table(spark, sf_dir, "documents")
     sharded = shuffle_shards(docs, "doc_id", n_shards=8)
     return sharded.groupBy("shard").agg(
@@ -182,8 +186,6 @@ def samp_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(id) within their stratum — a reproducible uniform order — so
     the oracle checks the exact membership of every per-source sample,
     row for row."""
-    from mie_spark.operators.sampling import fixed_k_per_stratum
-
     docs = load_table(spark, sf_dir, "documents")
     out = fixed_k_per_stratum(docs, "source", "doc_id", k=5)
     return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
@@ -217,9 +219,6 @@ def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEMBERSHIP itself is oracle-checked, not just the totals. The one
     shuffle is the per-source window; everything else fuses into the
     scan."""
-    from mie_spark.operators.sampling import token_budget_sample
-    from mie_spark.operators.text import token_count
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_toks")
     )

@@ -91,7 +91,13 @@ def windowed_counts(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact-cents sum (batch twin: ev_hourly_agg): the streaming
+            # partials sum integers, so incremental merge order can
+            # never drift from the oracle's one-shot float sum
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("total_value"),
         )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
