@@ -198,3 +198,41 @@ def test_ewma_joins_on_daily_agg_not_events(spark):
     df = QUERIES["ev_ewma"](spark, SF)
     assert exchange_count(df) <= 1
     assert broadcast_join_count(df) == 1
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """ev_asof_join is union-and-sweep: ONE exchange (the window's
+    user-key hash partitioning over the unioned sides) and NO join
+    operator — a reappearing join node means the quadratic
+    equi-join-with-bound formulation crept back."""
+    df = QUERIES["ev_asof_join"](spark, SF)
+    assert exchange_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """Per-type moments broadcast back against the daily rollup — the
+    daily side must not shuffle a second time for the stats join."""
+    df = QUERIES["ev_anomaly_zscore"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The top-1000 vocabulary joins the token stream as a broadcast:
+    the corpus tokens never shuffle for the membership probe."""
+    df = QUERIES["text_vocab_coverage"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_chunk_overlap_no_shuffle(spark):
+    """Chunk boundaries depend only on each document's own length — the
+    whole plan is a map-only explode fused into the scan."""
+    df = QUERIES["pipe_chunk_overlap"](spark, SF)
+    assert exchange_count(df) == 0
+
+
+def test_quantize_int8_no_shuffle(spark):
+    """Per-vector quantization is pure array expressions — map-only."""
+    df = QUERIES["v_quantize_int8"](spark, SF)
+    assert exchange_count(df) == 0
