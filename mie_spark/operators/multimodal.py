@@ -256,6 +256,17 @@ def chunk_audio(
         )
     samples_per_chunk = sample_rate * chunk_ms // 1000
     hop = sample_rate * (chunk_ms - overlap_ms) // 1000
+    # the overlap check alone doesn't save low sample rates: integer
+    # truncation can still floor hop (range step=0, opaque executor
+    # error) or samples_per_chunk (every asset silently yields zero
+    # chunks) to 0 — validate the DERIVED quantities too
+    if hop < 1 or samples_per_chunk < 1:
+        raise ValueError(
+            f"sample_rate={sample_rate} with chunk_ms={chunk_ms}, "
+            f"overlap_ms={overlap_ms} floors to hop={hop}, "
+            f"samples_per_chunk={samples_per_chunk}; both must be >= 1 "
+            "sample — raise the durations or the sample rate"
+        )
     bytes_per_sample = 2
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

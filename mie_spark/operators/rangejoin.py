@@ -49,22 +49,25 @@ def interval_containment_join(
     """
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
-    p_bucket = (F.col(point_col) - F.col(point_col) % bucket_width) / bucket_width
-    tagged_points = points.withColumn(
-        "_bucket", p_bucket.cast("bigint")
-    )
+
+    # integer `div`, never `/`: (x - x%w)/w runs in float64, whose
+    # 53-bit mantissa rounds epoch-nanosecond-sized values (~1.7e18) by
+    # up to ~128 — the quotient can come out N - epsilon and truncate
+    # to N-1, silently tagging a point with the wrong bucket so it
+    # never meets its containing interval. `div` is exact for the full
+    # long range and has the same truncating semantics.
+    def bucket(col: str) -> F.Column:
+        return F.expr(f"`{col}` div {bucket_width}")
+
+    tagged_points = points.withColumn("_bucket", bucket(point_col))
     # identical quantization expression as the point side (truncating
     # division). Truncation is monotone non-decreasing, so
     # start <= p <= end implies bucket(start) <= bucket(p) <= bucket(end)
     # and the interval's bucket range always covers the point's bucket —
     # including negative values, where trunc and floor differ.
-    i_lo = (F.col(start_col) - F.col(start_col) % bucket_width) / bucket_width
-    i_hi = (F.col(end_col) - F.col(end_col) % bucket_width) / bucket_width
     tagged_intervals = intervals.withColumn(
         "_bucket",
-        F.explode(
-            F.sequence(i_lo.cast("bigint"), i_hi.cast("bigint"))
-        ),
+        F.explode(F.sequence(bucket(start_col), bucket(end_col))),
     )
     return (
         tagged_points.join(tagged_intervals, "_bucket")

@@ -67,13 +67,24 @@ def bm25_scores(
     (tf, df, stats) pipelined within the one job; a production corpus
     run persists ``base`` first to make it one physical pass.
     """
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    base = docs.withColumn("_toks", tokens(F.lower(F.col(text_col)))).select(
-        F.col(id_col),
-        F.size("_toks").alias("dl"),
-        F.filter(
-            "_toks", lambda x: F.array_contains(term_arr, x)
-        ).alias("_matched"),
+    # lowercase the TERMS to match the lowercased token stream — a
+    # caller passing 'Spark' would otherwise silently match nothing
+    term_arr = F.array(*[F.lit(t.lower()) for t in terms])
+    # NULL text must not enter the corpus stats: with ANSI off and
+    # legacy sizeOfNull, F.size(NULL) is -1, which would count the doc
+    # in N and SUBTRACT 1 from total dl — skewing avgdl and every
+    # score. Excluding the row matches the oracle, whose NULL dl drops
+    # out of sum() and can match no term.
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .withColumn("_toks", tokens(F.lower(F.col(text_col))))
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.filter(
+                "_toks", lambda x: F.array_contains(term_arr, x)
+            ).alias("_matched"),
+        )
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
@@ -152,7 +163,12 @@ def rrf_fuse(
 
     Returns (id_col, *rank_cols, rrf) sorted by rrf desc, id asc.
     """
-    assert len(rankings) == len(rank_cols)
+    if len(rankings) != len(rank_cols):
+        # a bare assert vanishes under python -O, after which zip would
+        # silently truncate the longer sequence
+        raise ValueError(
+            f"{len(rankings)} rankings but {len(rank_cols)} rank_cols"
+        )
     fused = None
     for df, rc in zip(rankings, rank_cols):
         part = df.select(F.col(id_col), F.col("rank").alias(rc))

@@ -25,11 +25,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``skewed``'s key distribution is pathological.
 
-    The skewed side gets a deterministic salt in [0, n_salt) derived by
-    hashing the whole row's representative columns (xxhash64 — cheap,
-    JVM-side); the other side is replicated n_salt times via
-    posexplode of a literal range. The join key becomes (key, salt), so
-    a hot key's rows spread over n_salt reducers instead of one.
+    The skewed side gets a per-ROW salt in [0, n_salt) from
+    monotonically_increasing_id — NOT a hash of the row's columns: the
+    canonical hot key ("one null-ish default id") is usually millions
+    of byte-identical rows, which a content hash maps to ONE salt,
+    silently restoring the straggler the salt exists to kill. Row-id
+    round-robin spreads duplicates too. Any salt assignment yields the
+    same join result (the other side is replicated to every salt), so
+    the value being partition-layout-dependent is harmless — a retried
+    task recomputes its whole output partition. The other side is
+    replicated n_salt times via explode of a literal range; the join
+    key becomes (key, salt), so a hot key's rows spread over n_salt
+    reducers instead of one.
 
     Cost: |other| × n_salt replication — use for medium `other` sides;
     truly small sides should broadcast instead (no salt needed), truly
@@ -46,7 +53,7 @@ def salted_join(
             "replicating the right side duplicates unmatched right rows "
             "under right/full outer semantics"
         )
-    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salt)).cast("int")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")
     left = skewed.withColumn("_salt", salt)
     right = other.select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("_salt")
@@ -79,12 +86,14 @@ def salted_groupby_agg(
     applies the matching combiner). Spark's hash aggregate already does
     map-side partials, but every partial for a key still meets in ONE
     reducer; the salt stage caps any reducer's share of a hot key at
-    1/n_salt.
+    1/n_salt. The salt is row-id round-robin, not a content hash, so
+    byte-identical duplicate rows spread too (see salted_join); every
+    decomposable aggregate here is salt-assignment-invariant.
     """
     for name, (agg, _) in aggs.items():
         if agg not in _PARTIAL:
             raise ValueError(f"{name}: non-decomposable aggregate {agg!r}")
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).cast("int")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

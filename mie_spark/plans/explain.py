@@ -27,6 +27,29 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split a comma-separated list at bracket depth 0 only:
+    ``In(category, [a,b]), IsNotNull(x)`` is TWO entries, not three —
+    a naive split would mangle every comma-bearing filter."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across the plan's file scans, flattened.
     Empty list means NO filter reached any scan — a red flag for any
@@ -36,7 +59,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         body = m.group(1).strip()
         if body:
-            out.extend(p.strip() for p in body.split(","))
+            out.extend(_split_top_level(body))
     return out
 
 
@@ -46,10 +69,47 @@ def read_schemas(df: DataFrame) -> list[list[str]]:
     failure that multiplies IO by 8× at scale."""
     plan = formatted_plan(df)
     out: list[list[str]] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        body = m.group(1)
-        cols = [c.split(":")[0].strip() for c in body.split(",") if ":" in c]
-        out.append(cols)
+    marker = "ReadSchema: struct<"
+    # angle-bracket-depth scan, not a [^>]* regex: nested types close
+    # angles too (struct<id:bigint,embedding:array<float>,extra:string>
+    # would truncate at 'array<float' and silently DROP every later
+    # column — fabricating the pruning facts this helper exists to pin)
+    pos = 0
+    while True:
+        start = plan.find(marker, pos)
+        if start < 0:
+            break
+        i = start + len(marker)
+        depth = 1
+        body_chars: list[str] = []
+        while i < len(plan) and depth > 0:
+            ch = plan[i]
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            body_chars.append(ch)
+            i += 1
+        body = "".join(body_chars)
+        cols = []
+        field_depth = 0
+        cur: list[str] = []
+        for ch in body:
+            if ch == "<":
+                field_depth += 1
+            elif ch == ">":
+                field_depth -= 1
+            if ch == "," and field_depth == 0:
+                cols.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            cols.append("".join(cur))
+        out.append([c.split(":")[0].strip() for c in cols if ":" in c])
+        pos = i
     return out
 
 

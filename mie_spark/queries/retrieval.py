@@ -33,7 +33,7 @@ _BM25_CTE = r"""
       SELECT doc_id, source,
              len(list_filter(string_split_regex(lower(text), '\s+'),
                              x -> x <> '')) AS dl
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     stats AS (
       SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS total FROM dl

@@ -143,8 +143,14 @@ def compact_small_files(
     if fmt == "csv":
         # write_format emits header=true csv; reading without the
         # option would turn every file's header line into a data row
-        # and destroy column names before the destructive swap below
-        reader = reader.option("header", "true").option("inferSchema", "true")
+        # and destroy column names before the destructive swap below.
+        # NO inferSchema: compaction is a destructive in-place rewrite,
+        # and inference MUTATES data on the way through (a string column
+        # of zero-padded codes '00123' re-emits as int '123', '1.10' as
+        # '1.1') — reading every column as plain string round-trips the
+        # bytes losslessly, which is the only safe contract when the
+        # originals are deleted right after
+        reader = reader.option("header", "true")
     df = reader.load(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     writer = df.coalesce(n_out).write.mode("overwrite").format(fmt)

@@ -184,3 +184,23 @@ def test_resize_ppm_spark(spark):
     assert (w, h) == (4, 3)
     # nearest-neighbor: output pixel (y,x) == input pixel (y*6//3, x*8//4)
     assert (px == img[::2, ::2]).all()
+
+
+def test_phash_inline_parser_matches_module_parser(spark):
+    """image_phash ships a closure-inlined copy of the PPM parser (the
+    documented worker-pickling constraint); this pins the two copies to
+    the same parse on the header quirks most likely to drift — a '#'
+    comment in the header and multi-whitespace separators. If the
+    inline copy ever mishandles either, the hash of the commented
+    variant diverges from the plain one here."""
+    from mie_spark.operators.multimodal import image_phash
+
+    raw, _ = _ppm_bytes(w=16, h=16)
+    # same image, re-encoded with a comment + extra whitespace after P6
+    commented = b"P6\n# a comment line\n  16  16 \n255\n" + raw[raw.index(b"255\n") + 4:]
+    df = spark.createDataFrame(
+        [(1, bytearray(raw)), (2, bytearray(commented))],
+        ["asset_id", "payload"],
+    )
+    out = {r["asset_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert out[1] == out[2]
