@@ -214,3 +214,22 @@ def test_token_budget_fill_is_prefix_of_md5_order(spark, budget):
             cum += r["w"]
             want[r["doc_id"]] = (src, r["w"], cum)
     assert got == want
+
+
+@given(
+    st.integers(min_value=0, max_value=10**15),
+    st.integers(min_value=1, max_value=10**9),
+    st.sampled_from([2, 4, 6]),
+)
+def test_integer_half_up_mean_formula(s, n, k):
+    """The repo-wide k-decimal mean formula ((2*s*10^k + n) // (2*n))
+    must equal round-half-UP(s*10^k / n) computed exactly over the
+    rationals — the property that makes Spark and DuckDB agree by
+    construction where round(double) cannot."""
+    from fractions import Fraction
+
+    q = (2 * s * 10**k + n) // (2 * n)
+    exact = Fraction(s * 10**k, n)
+    # half-up means q = floor(exact + 1/2), i.e. exact lies in
+    # [q - 1/2, q + 1/2) — a tie (exact == q - 1/2) rounds UP to q
+    assert q - Fraction(1, 2) <= exact < q + Fraction(1, 2)

@@ -74,3 +74,25 @@ def test_rejects_nonpositive_bucket_width(spark):
     i = spark.range(1).selectExpr("id AS s", "id AS e")
     with pytest.raises(ValueError):
         interval_containment_join(p, i, "p", "s", "e", bucket_width=0)
+
+
+def test_epoch_nanosecond_magnitudes_bucket_exactly(spark):
+    """Regression for the double-division bucketing bug: at epoch-ns
+    magnitudes (~1.7e18) float64 rounds (x - x%w)/w by enough to
+    truncate into the WRONG bucket, silently dropping the pair. The
+    integer `div` path must keep a point inside its interval at any
+    long magnitude — probe points straddling bucket boundaries right
+    where the float error bites."""
+    base = 1_700_000_000_000_000_000  # ~2023 in epoch nanoseconds
+    w = 3_600_000_000_000  # 1 hour in ns
+    # points at and around a bucket boundary near `base`
+    boundary = (base // w + 1) * w
+    pts = [(i, p) for i, p in enumerate(
+        [boundary - 1, boundary, boundary + 1, base + 12345]
+    )]
+    points = spark.createDataFrame(pts, ["pid", "p"])
+    intervals = spark.createDataFrame(
+        [(100, base, base + 10 * w)], ["iid", "lo", "hi"]
+    )
+    out = interval_containment_join(points, intervals, "p", "lo", "hi", w)
+    assert sorted(r["pid"] for r in out.collect()) == [0, 1, 2, 3]
