@@ -969,3 +969,68 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.cast("long").alias("n_oov"),
         F.round(n_oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+@query(
+    "text_quality_model",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             list_sum(list_transform(toks,
+               x -> (((('0x' || substr(md5(x), 1, 4))::BIGINT % 64)
+                      * 37 + 11) % 1000 - 500)))::BIGINT AS w_sum
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, w_sum,
+           round(1.0 / (1.0 + exp(-(w_sum / (1000.0 * n_tokens)))), 6)
+             AS score
+    FROM f
+    """,
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE as a scan-fused expression —
+    the fasttext-style filtering pass (CCNet / FineWeb shape) that
+    scores every document of a 100 TB corpus without a model server or
+    a UDF: hashing-trick unigram features (md5-prefix bucket, 64 dims)
+    look up per-bucket weights, the weighted sum accumulates in exact
+    integer milli-units via F.aggregate over the token array (no
+    explode, no shuffle — map-only at any scale), and only the final
+    sigmoid touches floats, on identical integer operands.
+
+    The weight table here is a deterministic stand-in (affine map of
+    the bucket index) so the oracle can replay it; a trained model
+    deploys as a 64-entry broadcast map — same plan, same cost. The
+    per-token weight expression is engine-portable md5 arithmetic, the
+    same construction as the sampling family's hash-cutoff rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
+
+    def tok_weight(x: F.Column) -> F.Column:
+        bucket = F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long") % 64
+        return (bucket * 37 + 11) % 1000 - 500
+
+    f = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(F.col("toks"), tok_weight),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        ).alias("w_sum"),
+    )
+    logit = F.col("w_sum") / (F.lit(1000.0) * F.col("n_tokens"))
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        "w_sum",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+    )

@@ -311,9 +311,16 @@ def v_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(scale, 9) AS scale,
            list_sum(qv)::BIGINT AS q_sum,
            list_sum(list_transform(qv, v -> abs(v)))::BIGINT AS q_l1,
+           -- list_reduce over a prepended 0.0, NOT list_sum: the float
+           -- error sum must fold left-to-right exactly like Spark's
+           -- F.aggregate — list_sum's accumulation order differs
+           -- enough to flip round(..., 6) on real data (caught at
+           -- sf0.1). Integer sums above are order-safe.
            round(CASE WHEN amax > 0 THEN sqrt(
-             list_sum(list_transform(range(1, len(x) + 1),
-               i -> (x[i] - qv[i] * scale) * (x[i] - qv[i] * scale)))
+             list_reduce(
+               list_prepend(0.0, list_transform(range(1, len(x) + 1),
+                 i -> (x[i] - qv[i] * scale) * (x[i] - qv[i] * scale))),
+               (acc, v) -> acc + v)
              / len(x)) ELSE 0.0 END, 6) AS rmse
     FROM q
     """,
@@ -342,12 +349,18 @@ def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("amax") > 0,
         F.transform(F.col("x"), lambda v: F.round(v / scale).cast("long")),
     ).otherwise(F.transform(F.col("x"), lambda v: F.lit(0).cast("long")))
-    q = xs.select("vec_id", "x", "amax", scale.alias("scale"), qv.alias("qv"))
+    # the internal full-precision column is "_scale", NOT "scale": the
+    # final select emits a ROUNDED column aliased "scale", and when
+    # Catalyst collapses the projections a same-named reference inside
+    # the rmse expression resolves to the rounded output — silently
+    # computing every error term against the display value (caught as
+    # an sf0.1 oracle mismatch in the 7th significant digit)
+    q = xs.select("vec_id", "x", "amax", scale.alias("_scale"), qv.alias("qv"))
     err_sq = F.zip_with(
         F.col("x"),
         F.col("qv"),
-        lambda xv, qv_: (xv - qv_ * F.col("scale"))
-        * (xv - qv_ * F.col("scale")),
+        lambda xv, qv_: (xv - qv_ * F.col("_scale"))
+        * (xv - qv_ * F.col("_scale")),
     )
     rmse = F.when(
         F.col("amax") > 0,
@@ -358,7 +371,7 @@ def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     return q.select(
         "vec_id",
-        F.round("scale", 9).alias("scale"),
+        F.round("_scale", 9).alias("scale"),
         F.aggregate("qv", F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
             "q_sum"
         ),

@@ -236,3 +236,11 @@ def test_quantize_int8_no_shuffle(spark):
     """Per-vector quantization is pure array expressions — map-only."""
     df = QUERIES["v_quantize_int8"](spark, SF)
     assert exchange_count(df) == 0
+
+
+def test_quality_model_inference_no_shuffle(spark):
+    """Hashed linear-model inference is map-only: the weighted sum
+    accumulates over the token array inside the scan's codegen stage —
+    zero exchanges at any corpus size."""
+    df = QUERIES["text_quality_model"](spark, SF)
+    assert exchange_count(df) == 0
