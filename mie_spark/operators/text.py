@@ -230,3 +230,147 @@ def pii_count(text: Column) -> Column:
         out = out + F.regexp_count(running, F.lit(pattern))
         running = F.regexp_replace(running, pattern, token)
     return out
+
+
+def train_bpe_merges(
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "w",
+    freq_col: str = "freq",
+    max_vocab_rows: int = 500_000,
+) -> list[tuple[str, str]]:
+    """Full BPE merge training over a word-frequency vocabulary:
+    repeat n_merges times {count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair} — the classic algorithm
+    (Sennrich et al. 2016), deterministic by (count desc, pair lex asc)
+    tie order.
+
+    The DISTRIBUTED part of BPE training is the vocab aggregation the
+    caller already did (corpus scan → word counts, sublinear output):
+    that is exactly how production tokenizer trainers work — HF
+    tokenizers/SentencePiece also run the merge loop in memory over
+    word counts, because the loop is sequential by definition (merge k
+    changes the pair counts merge k+1 sees) and the vocab is bounded
+    by language, not corpus size. The driver-side collect is
+    cap-bounded (max_vocab_rows, raises loudly past it) like the
+    blocked similarity join's broadcast side; at 100 TB the vocab for
+    the merge loop is routinely capped to the top ~1e5 words by
+    frequency — pass vocab.orderBy(desc(freq)).limit(...) for that.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    rows = vocab.select(word_col, freq_col).limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; cap it "
+            f"first (e.g. .orderBy(F.desc({freq_col!r})).limit(N)) — an "
+            "unbounded driver collect is how scale paths die"
+        )
+    words: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        w, f = r[word_col], int(r[freq_col])
+        if w:
+            key = tuple(w)
+            words[key] = words.get(key, 0) + f
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        # deterministic argmax: count desc, then lexicographic pair
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        a, b = best
+        ab = a + b
+        for syms, f in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + f
+        words = merged
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to every document — the inference
+    side of train_bpe_merges: lowercase alpha words split to
+    characters, merges replayed in training order per word. Returns
+    (id_col, n_words, n_syms, n_merged_syms): total symbol count and
+    how many emitted symbols are multi-character (i.e. products of a
+    merge) — the compression signal a tokenizer-fit report needs.
+
+    Arrow-batched mapInPandas with the merge list broadcast by closure
+    (a few KB); per-word encode cost is O(len × n_merges) worst case.
+    Map-only: no shuffle at any corpus size.
+    """
+    import re as _re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    merge_seq = list(merges)
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("n_words", LongType()),
+            StructField("n_syms", LongType()),
+            StructField("n_merged_syms", LongType()),
+        ]
+    )
+    word_re = _re.compile(r"[a-z]+")
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w)
+        for a, b in merge_seq:
+            if len(syms) < 2:
+                break
+            out: list[str] = []
+            i = 0
+            ab = a + b
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, nw, ns, nm = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                words = word_re.findall(str(text).lower()) if text is not None else []
+                n_syms = 0
+                n_merged = 0
+                for w in words:
+                    syms = encode_word(w)
+                    n_syms += len(syms)
+                    n_merged += sum(1 for s in syms if len(s) > 1)
+                ids.append(rid)
+                nw.append(len(words))
+                ns.append(n_syms)
+                nm.append(n_merged)
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": nw, "n_syms": ns, "n_merged_syms": nm}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)

@@ -179,11 +179,12 @@ _GRADE_FIRST = [
     # (membership itself oracle-checked)
     "samp_token_budget",
     # NOT in this round's window (it is full at 50 with the stale-family
-    # re-grade): the four queries added late in round 5 —
-    # ev_anomaly_zscore, pipe_chunk_overlap, text_vocab_coverage,
-    # v_quantize_int8 — are exact-verified against their oracles by
-    # tools_drive_registry + tests/test_oracle_parity locally and are
-    # first in line for the r06 rotation.
+    # re-grade): the queries added late in round 5 — ev_anomaly_zscore,
+    # pipe_chunk_overlap, text_vocab_coverage, v_quantize_int8,
+    # text_quality_model — are exact-verified against their oracles at
+    # BOTH sf0.01 and sf0.1 by tools_drive_registry +
+    # tests/test_oracle_parity locally and are first in line for the
+    # r06 rotation.
 ]
 
 

@@ -1034,3 +1034,38 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_sum",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
     )
+
+
+@query("pipe_bpe_encode")
+def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer fit + apply in one pipeline: word-frequency
+    vocabulary (distributed aggregate over the corpus — the part that
+    scales with data), 30 merge rounds of the classic sequential BPE
+    loop over that bounded vocab (train_bpe_merges; driver-side by
+    construction, exactly like HF tokenizers/SentencePiece, cap-guarded
+    collect), then corpus-wide ENCODE with the learned merges as an
+    Arrow-batched map-only pass (bpe_encode) reporting per-document
+    symbol counts and merge compression.
+
+    No SQL oracle: the merge loop is inherently iterative (merge k
+    changes what merge k+1 counts — the same non-SQL-expressible class
+    as MMR); output is digest-pinned in tests/test_rows_only_digests.py
+    and the trainer's merge choices are unit-tested against a
+    hand-computed example."""
+    from mie_spark.operators.text import bpe_encode, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = train_bpe_merges(vocab, n_merges=30)
+    return bpe_encode(docs, merges)

@@ -317,3 +317,39 @@ def test_minhash_signatures_public_api_matches_kernel(spark):
     agree_13 = sum(a == b for a, b in zip(via_api[1], via_api[3]))
     assert agree_12 > agree_13
     assert all(0 <= v < _MERSENNE31 for v in via_api[1])
+
+
+def test_bpe_trainer_matches_hand_computed_merges(spark):
+    """Classic BPE on a tiny vocab with known pair counts: the trainer
+    must pick merges in (count desc, pair lex asc) order and re-count
+    after each merge (the sequential dependence that makes this
+    non-SQL)."""
+    from mie_spark.operators.text import bpe_encode, train_bpe_merges
+
+    vocab = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "w string, freq long",
+    )
+    merges = train_bpe_merges(vocab, n_merges=4)
+    # pair counts round 1: es=9 (newest 6 + widest 3), st=9, lo=7, ow=7...
+    # tie (es, st) breaks lexicographically -> ('e','s'); after that
+    # merge, ('es','t') counts 9 and wins round 2.
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    # encode: 'newest' ends in one 'est' symbol after the two merges
+    df = spark.createDataFrame([(1, "newest newest")], "doc_id long, text string")
+    row = bpe_encode(df, merges[:2]).collect()[0]
+    assert row["n_words"] == 2
+    # n,e,w,est per word = 4 symbols, one of which is merged
+    assert row["n_syms"] == 8 and row["n_merged_syms"] == 2
+
+
+def test_bpe_trainer_cap_guard(spark):
+    from mie_spark.operators.text import train_bpe_merges
+    import pytest
+
+    vocab = spark.createDataFrame(
+        [(f"w{i}", 1) for i in range(10)], "w string, freq long"
+    )
+    with pytest.raises(ValueError):
+        train_bpe_merges(vocab, n_merges=1, max_vocab_rows=5)

@@ -33,6 +33,7 @@ PINNED = {
     "mm_resize_features": "caa2002e249d8e80",
     "mm_audio_chunks": "0e9db5e96c1f8a17",
     "v_mmr_topk": "39e0310d9d150bd1",
+    "pipe_bpe_encode": "0926a3a9f6d2c62b",
 }
 
 
