@@ -205,6 +205,43 @@ def cmd_query(args: argparse.Namespace) -> int:
     return EXIT_OK
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Plan-health report for a raw SQL query — the Spark-first
+    counterpart of the reference's opaque CozoScript execution
+    (SURVEY.md §3: no plan surface at all). Prints one JSON object of
+    the facts that decide 100 TB behavior: filters pushed into each
+    scan, columns actually read, shuffle-exchange count, broadcast
+    joins, cartesian/nested-loop joins (the red flag), and codegen
+    span count — the same helpers tests/test_plans.py pins regressions
+    with, exposed at the CLI for ad-hoc queries."""
+    from mie_spark.plans import (
+        broadcast_join_count,
+        cartesian_product_count,
+        exchange_count,
+        pushed_filters,
+        read_schemas,
+        wholestage_codegen_spans,
+    )
+
+    cfg = _load_cfg(args.config)
+    c = _client(cfg)
+    df = c.raw_query(args.sql)
+    report = {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schemas(df),
+        "shuffle_exchanges": exchange_count(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "cartesian_or_nested_loop_joins": cartesian_product_count(df),
+        "codegen_spans": wholestage_codegen_spans(df),
+    }
+    print(json.dumps(report))
+    if args.verbose:
+        from mie_spark.plans import formatted_plan
+
+        print(formatted_plan(df), file=sys.stderr)
+    return EXIT_OK
+
+
 def cmd_backup(args: argparse.Namespace) -> int:
     cfg = _load_cfg(args.config)
     manifest = _client(cfg).backup(args.dest)
@@ -255,6 +292,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("sql")
     sp.add_argument("--limit", type=int, default=100)
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser(
+        "explain", help="plan-health report (pushdown/pruning/shuffles) for a SQL query"
+    )
+    sp.add_argument("sql")
+    sp.add_argument("-v", "--verbose", action="store_true",
+                    help="also print the full formatted plan to stderr")
+    sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser("backup", help="point-in-time parquet backup")
     sp.add_argument("dest")

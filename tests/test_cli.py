@@ -207,3 +207,22 @@ def test_dry_run_count_excludes_embedding_tables(spark, cfg_file, tmp_path, caps
         capsys, "--config", cfg_file, "import", "-i", str(src), "--dry-run"
     )
     assert rc == 0 and "Would import 1 rows" in out
+
+
+def test_explain_cli_reports_plan_health(spark, cfg_file, capsys):
+    rc, out = _run(
+        capsys, "--config", cfg_file, "explain",
+        "SELECT category, count(*) AS n FROM mie_fact "
+        "WHERE category = 'general' GROUP BY category",
+    )
+    assert rc == 0
+    report = json.loads(out.splitlines()[0])
+    assert set(report) == {
+        "pushed_filters", "read_schemas", "shuffle_exchanges",
+        "broadcast_joins", "cartesian_or_nested_loop_joins",
+        "codegen_spans",
+    }
+    # a grouped filter query: at least the aggregation exchange, and no
+    # nested-loop/cartesian join anywhere
+    assert report["cartesian_or_nested_loop_joins"] == 0
+    assert report["shuffle_exchanges"] >= 0
