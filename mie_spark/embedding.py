@@ -30,6 +30,35 @@ from dataclasses import dataclass
 _U64 = (1 << 64) - 1
 
 
+def make_worker_embed(dimension: int):
+    """Return a self-contained closure computing the mock embedding —
+    the ONE definition executor-side UDFs ship BY VALUE (cloudpickle
+    serializes a closure with its code and cells; a module-level
+    function would pickle as an import reference, which breaks when
+    workers don't have this package on their path). Both worker-side
+    copies of the mock (streaming ingest, v_embed_corpus) build from
+    here, and a test pins this closure bit-equal to
+    MockEmbeddingProvider so the digest/oracle checks can never drift
+    between driver and workers."""
+    u64 = _U64
+
+    def embed(text: str) -> list[float]:
+        import math as _math
+
+        h = 5381
+        for ch in text:
+            h = (((h << 5) & u64) + h + ord(ch)) & u64
+        # & u64 before % 10000: uint64 wrap first (2^64 % 10000 != 0)
+        vec = [
+            float(((h + i * 7919) & u64) % 10000) / 10000.0 * 2.0 - 1.0
+            for i in range(dimension)
+        ]
+        n = _math.sqrt(sum(x * x for x in vec)) or 1.0
+        return [x / n for x in vec]
+
+    return embed
+
+
 def _normalize(vec: list[float]) -> list[float]:
     norm = math.sqrt(sum(x * x for x in vec))
     if norm == 0:

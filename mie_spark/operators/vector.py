@@ -574,6 +574,17 @@ def _read_ann_meta(spark, path: str) -> dict:
     return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
 
 
+def _require_nonempty(df: DataFrame, id_col: str, op: str) -> None:
+    """Index writers need data to train planes/centroids/codebooks on;
+    an empty input used to surface as an opaque numpy AxisError /
+    IndexError from deep inside the trainer — name the cause instead."""
+    if df.select(id_col).first() is None:
+        raise ValueError(
+            f"{op}: input table is empty — an ANN index cannot be built "
+            "without vectors (planes/centroids/codebooks train on data)"
+        )
+
+
 def write_ann_lsh_index(
     df: DataFrame,
     path: str,
@@ -586,7 +597,7 @@ def write_ann_lsh_index(
     partitions; the plane matrix is stored in the sidecar. One shuffle
     (the partitioned write); rewriting the index is the only way bucket
     assignments change, exactly like rebuilding the reference's HNSW."""
-
+    _require_nonempty(df, id_col, "write_ann_lsh_index")
     planes = _planes(df, vec_col, n_planes, seed=seed)
     sig = _hyperplane_signature(F.col(vec_col), planes)
     (
@@ -638,7 +649,7 @@ def write_ann_ivf_index(
     """Materialize an IVF index: k-means trains ONCE at build time (vs
     per-query in ann_topk_ivf), rows land in `cell=<i>` partitions, and
     the centroid matrix goes to the sidecar."""
-
+    _require_nonempty(df, id_col, "write_ann_ivf_index")
     centroids = train_ivf_centroids(
         df, vec_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters, id_col=id_col
     )
@@ -816,6 +827,10 @@ def ann_topk_pq(
     the actual scale path. Plan: scan → encode+score (two pandas UDFs)
     → TakeOrderedAndProject shortlist → broadcast semi-join → exact
     top-k. No shuffle of the corpus at any point."""
+    if df.select(id_col).first() is None:
+        # empty input: empty top-k, not a numpy AxisError from training
+        # codebooks on a 0-row sample (same doctrine as ann_topk_lsh/ivf)
+        return cosine_topk(df, vec_col, query_vec, k, id_col=id_col)
     codebooks = train_pq_codebooks(
         df, vec_col, m=m, k_codes=k_codes, id_col=id_col
     )
@@ -848,7 +863,7 @@ def write_ann_ivfpq_index(
     m-byte PQ code per row — the index stores NO vectors, so its
     footprint is ~(id + m bytes)/row regardless of dim. Centroids and
     codebooks ride in the sidecar."""
-
+    _require_nonempty(df, id_col, "write_ann_ivfpq_index")
     centroids = train_ivf_centroids(
         df, vec_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters, id_col=id_col
     )
@@ -968,12 +983,17 @@ def mmr_rerank(
         .select(id_col, *([label_col] if label_col else []), "sim", vec_col)
         .collect()
     )
-    # id type copied from the input schema: ids are opaque here like
-    # everywhere else in this module (string "fact:..." keys included)
+    # id AND label types copied from the input schema: ids are opaque
+    # here like everywhere else in this module (string "fact:..." keys
+    # included), and a hardcoded string label would silently stringify
+    # the corpus's integer labels — breaking joins back to the source
     id_ddl = df.schema[id_col].dataType.simpleString()
+    label_ddl = (
+        df.schema[label_col].dataType.simpleString() if label_col else ""
+    )
     out_schema = (
         f"{id_col} {id_ddl}, "
-        + (f"{label_col} string, " if label_col else "")
+        + (f"{label_col} {label_ddl}, " if label_col else "")
         + "rank long, rel double, mmr double"
     )
     if not cand:

@@ -129,16 +129,22 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded PER EVENT (half-away-from-zero on both engines), so the
     running total — and the oracle — are independent of how the source
     splits into micro-batches. The memory sink appends one row per
-    (user, micro-batch); totals are monotone, so max() per user
-    recovers the final state."""
+    (user, micro-batch); the final state is the row with the largest
+    n_events (the event COUNT is strictly monotone — every emitted
+    batch adds >= 1 event — where max(total_cents) would silently pick
+    a stale pre-refund total the moment a negative value appears)."""
     sink = run_to_memory_sink(
         stateful_user_totals(read_events_stream(spark, sf_dir)),
         output_mode="update",
         state_partitions=8,
     )
-    return sink.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max("total_cents").alias("total_cents"),
+    final = sink.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_cents")).alias("_s")
+    )
+    return final.select(
+        "user_id",
+        F.col("_s.n_events").alias("n_events"),
+        F.col("_s.total_cents").alias("total_cents"),
     )
 
 
@@ -172,11 +178,12 @@ def st_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user per-event-type running profile via the Spark 4.x
     ``transformWithStateInPandas`` StatefulProcessor API (MapState keyed
     by event_type, exact integer cents, RocksDB state store). Update
-    mode emits a row per touched (user, type) per micro-batch; totals
-    are monotone, so max() per pair recovers the final state. Cents are
-    rounded per event before summing, making the result independent of
-    micro-batch boundaries — that property is what the oracle hash
-    verifies across the two engines."""
+    mode emits a row per touched (user, type) per micro-batch; the
+    final state is the row with the largest n_events (strictly
+    monotone; see st_stateful_totals for why max(total_cents) is not).
+    Cents are rounded per event before summing, making the result
+    independent of micro-batch boundaries — that property is what the
+    oracle hash verifies across the two engines."""
     from mie_spark.streaming import transform_state_profile
 
     sink = run_to_memory_sink(
@@ -190,9 +197,14 @@ def st_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
     )
-    return sink.groupBy("user_id", "event_type").agg(
-        F.max("n_events").alias("n_events"),
-        F.max("total_cents").alias("total_cents"),
+    final = sink.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("n_events", "total_cents")).alias("_s")
+    )
+    return final.select(
+        "user_id",
+        "event_type",
+        F.col("_s.n_events").alias("n_events"),
+        F.col("_s.total_cents").alias("total_cents"),
     )
 
 

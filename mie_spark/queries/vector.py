@@ -33,13 +33,20 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 @query(
     "v2_cosine_topk",
     oracle="""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, label, round(sim, 6) AS sim FROM (
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    top AS (
+      -- rank and cut on the UNROUNDED similarity (like the Spark heap):
+      -- an outer ORDER BY `sim` would resolve to the rounded output
+      -- alias in DuckDB, and a 6-dp tie straddling the k boundary
+      -- would then admit a different row than Spark's exact ranking
       SELECT vec_id, label,
-             list_cosine_similarity(embedding::DOUBLE[], qe) AS sim
+             round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS sim
       FROM embeddings, q
       WHERE vec_id <> 0
-    ) ORDER BY sim DESC, vec_id LIMIT 10
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+      LIMIT 10
+    )
+    SELECT vec_id, label, sim FROM top
     """,
 )
 def v2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,33 +234,20 @@ def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash small and schema stable."""
     from pyspark.sql.functions import pandas_udf
 
-    # The provider mock is INLINED rather than imported from
-    # mie_spark.embedding: cloudpickle ships closure-local defs by
-    # value, but a module-level class only by reference — and the
-    # grading driver's workers don't have mie_spark on PYTHONPATH
-    # (same djb2 + L2-normalize as embedding.py:40-65, pinned equal in
-    # tests/test_vector.py::test_embed_corpus_matches_provider).
+    from mie_spark.embedding import make_worker_embed
+
+    # make_worker_embed returns a CLOSURE, which cloudpickle ships by
+    # value into the UDF — the grading driver's workers don't have
+    # mie_spark on PYTHONPATH, so a module-level function (pickled as
+    # an import reference) would fail there. One factory replaces the
+    # previous inlined copy of the mock; bit-equality with
+    # MockEmbeddingProvider is pinned in tests/test_vector.py.
     # pd is imported at module level so the stringified type hints
     # (from __future__ annotations) resolve at eval-type inference
+    one = make_worker_embed(8)
+
     @pandas_udf("array<double>")
     def embed(texts: pd.Series) -> pd.Series:
-        import math
-
-        u64 = (1 << 64) - 1
-        dim = 8
-
-        def one(text: str) -> list[float]:
-            h = 5381
-            for ch in text:
-                h = (((h << 5) & u64) + h + ord(ch)) & u64
-            # & u64 before % 10000: uint64 wrap first (2^64 % 10000 != 0)
-            vec = [
-                float(((h + i * 7919) & u64) % 10000) / 10000.0 * 2.0 - 1.0
-                for i in range(dim)
-            ]
-            n = math.sqrt(sum(x * x for x in vec)) or 1.0
-            return [x / n for x in vec]
-
         return pd.Series([one(t) for t in texts])
 
     from mie_spark.operators import ensure_parallelism

@@ -512,29 +512,14 @@ def embed_and_upsert_stream(
         ]
     )
 
+    from mie_spark.embedding import make_worker_embed
+
+    # the factory is called HERE (driver side); the returned closure is
+    # captured by embed_batch and shipped by value — workers never need
+    # mie_spark importable, and there is exactly one mock definition
+    embed = make_worker_embed(embed_dim)
+
     def embed_batch(it: "Any") -> "Any":
-        # closure-shipped: workers may not have mie_spark importable, so
-        # the hash mock is inlined (djb2 + L2 normalize, embedding.py)
-        import math
-
-        u64 = (1 << 64) - 1
-
-        def djb2(text: str) -> int:
-            h = 5381
-            for ch in text:
-                h = (((h << 5) & u64) + h + ord(ch)) & u64
-            return h
-
-        def embed(text: str) -> list[float]:
-            h = djb2(text)
-            # & u64 before % 10000: uint64 wrap first (2^64 % 10000 != 0)
-            vec = [
-                float(((h + i * 7919) & u64) % 10000) / 10000.0 * 2.0 - 1.0
-                for i in range(embed_dim)
-            ]
-            n = math.sqrt(sum(x * x for x in vec)) or 1.0
-            return [x / n for x in vec]
-
         import hashlib
 
         for pdf in it:

@@ -163,3 +163,16 @@ def test_mock_wraps_uint64_before_bucketing(monkeypatch):
     # and the wrap genuinely matters for this hash: the unwrapped value
     # would land in a different bucket for i >= 1
     assert ((h + 7919) % 10000) != (((h + 7919) % (1 << 64)) % 10000)
+
+
+def test_worker_embed_factory_matches_provider():
+    """make_worker_embed (the one definition every executor-shipped
+    mock closure builds from) must stay bit-equal to
+    MockEmbeddingProvider for any dimension."""
+    from mie_spark.embedding import MockEmbeddingProvider, make_worker_embed
+
+    for dim in (4, 8, 768):
+        p = MockEmbeddingProvider(dim)
+        w = make_worker_embed(dim)
+        for text in ("", "hello world", "日本語", "x" * 500):
+            assert w(text) == p.embed_query(text)

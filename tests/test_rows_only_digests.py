@@ -32,7 +32,9 @@ PINNED = {
     "mm_frame_sample": "ba36dbce31b1d664",
     "mm_resize_features": "caa2002e249d8e80",
     "mm_audio_chunks": "0e9db5e96c1f8a17",
-    "v_mmr_topk": "39e0310d9d150bd1",
+    # re-pinned when mmr_rerank stopped stringifying the label column
+    # (label now carries the input's integer type; values unchanged)
+    "v_mmr_topk": "b4da42aa821bee66",
     "pipe_bpe_encode": "0926a3a9f6d2c62b",
 }
 

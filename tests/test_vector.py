@@ -408,3 +408,25 @@ def test_mmr_empty_pool_and_label_free_input(spark):
     rows = out2.collect()
     assert out2.columns == ["vec_id", "rank", "rel", "mmr"]
     assert len(rows) == 5 and [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_pq_and_index_writers_empty_input(spark, tmp_path):
+    """Empty-input doctrine: the on-the-fly PQ path returns an empty
+    top-k like its LSH/IVF siblings, and the index WRITERS refuse with
+    an error that names the cause (they used to die deep inside numpy
+    with an AxisError that said nothing about emptiness)."""
+    import pytest as _pytest
+
+    from mie_spark.operators.vector import (
+        ann_topk_pq,
+        write_ann_ivf_index,
+        write_ann_ivfpq_index,
+        write_ann_lsh_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = ann_topk_pq(empty, "embedding", [1.0, 0.0, 0.0, 0.0], k=5)
+    assert out.count() == 0
+    for writer in (write_ann_lsh_index, write_ann_ivf_index, write_ann_ivfpq_index):
+        with _pytest.raises(ValueError, match="empty"):
+            writer(empty, str(tmp_path / writer.__name__))
