@@ -1069,3 +1069,91 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = train_bpe_merges(vocab, n_merges=30)
     return bpe_encode(docs, merges)
+
+
+@query(
+    "pipe_corpus_delta",
+    oracle=r"""
+    WITH curr AS (
+      SELECT doc_id, source,
+             sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    prev AS (
+      -- simulated previous snapshot, deterministic on both engines:
+      -- every 10th doc is new this crawl (absent before), every 7th
+      -- changed content, and a disjoint synthetic id range models docs
+      -- that disappeared from the source since last crawl
+      SELECT doc_id, source,
+             sha256(lower(trim(regexp_replace(
+               CASE WHEN doc_id % 7 = 0 THEN text || ' (old revision)'
+                    ELSE text END, '\s+', ' ', 'g')))) AS fp
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, source,
+             sha256('gone:' || doc_id::VARCHAR) AS fp
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(c.source, p.source) AS source,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN c.fp <> p.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n
+    FROM curr c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def pipe_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the CDC census an incremental re-crawl
+    pipeline runs before ingest: full-outer-join current vs previous
+    snapshot on document id, classify added / removed / changed /
+    unchanged by normalized content fingerprint, report the per-source
+    census that decides how much downstream work (re-embed, re-dedup)
+    the refresh actually costs.
+
+    The previous snapshot is SIMULATED deterministically (both engines
+    derive it from the same table with the same arithmetic) so the
+    classification itself is hash-graded. Scale: one equi-join on the
+    id — both snapshots shuffle once on doc_id; fingerprints are
+    computed scan-side so the join carries (id, source, 32-byte fp),
+    never text. The real deployment replaces `prev` with the stored
+    manifest table (dedup_incremental is the content-level sibling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    curr = docs.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    prev_changed = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        "source",
+        fingerprint(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" (old revision)")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    prev_gone = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "source",
+        F.sha2(
+            F.concat(F.lit("gone:"), F.col("doc_id").cast("string")), 256
+        ).alias("fp"),
+    )
+    prev = prev_changed.unionByName(prev_gone)
+    c, p = curr.alias("c"), prev.alias("p")
+    j = c.join(p, F.col("c.doc_id") == F.col("p.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("c.fp") != F.col("p.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("c.source"), F.col("p.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
