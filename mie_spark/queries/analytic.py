@@ -589,3 +589,57 @@ def a_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salt=8,
     )
+
+
+@query(
+    "w_trailing_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey,
+             CAST(epoch(date_trunc('day', o_orderdate)) // 86400 AS BIGINT)
+               AS day_no,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, day_no,
+           CAST(sum(cents) OVER (
+             PARTITION BY o_custkey ORDER BY day_no
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trailing_7d_cents
+    FROM daily
+    """,
+)
+def w_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-calendar-day spend per customer: a RANGE frame over
+    integer day numbers — the time-based sliding window ROWS frames
+    cannot express (a RANGE frame keys on the VALUE distance, so gaps
+    in activity shrink the window correctly instead of reaching back 7
+    ROWS across months). Pre-aggregating to (customer, day) first keeps
+    the window input at one row per active day — the frame scan is over
+    days, not orders — and the explicit repartition on o_custkey ALONE
+    makes the rollup and the window share ONE shuffle (hash(custkey)
+    clusters every (custkey, day) group AND satisfies the window's
+    partitioning; letting groupBy pick hash(custkey, day) forces the
+    window to re-exchange — pinned in tests/test_plans.py). Exact
+    BIGINT cents everywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.repartition("o_custkey")
+        .groupBy(
+            "o_custkey",
+            F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("long").alias(
+                "day_no"
+            ),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_custkey",
+        "day_no",
+        F.sum("cents").over(w).alias("trailing_7d_cents"),
+    )

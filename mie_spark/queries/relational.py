@@ -709,3 +709,58 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_pct")
         )
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             count(*)::BIGINT AS n,
+             sum(CAST(l_quantity AS BIGINT))::BIGINT AS qsum
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT
+      CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        AS small_qty_revenue_cents,
+      count(*) AS n_items
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * pa.n < pa.qsum
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: revenue locked in orders below 20% of a part's
+    average quantity — the correlated scalar-aggregate subquery,
+    DECORRELATED into a per-part aggregate joined back (the rewrite
+    Catalyst would have to find; stating it explicitly keeps the plan
+    one aggregate + one shuffle join at any scale, no per-row
+    re-aggregation).
+
+    The threshold comparison `qty < 0.2 * avg` is cross-multiplied to
+    pure BIGINT arithmetic (5*qty*n < sum): the qualifying SET is exact
+    on both engines — a float avg would make rows at the boundary
+    engine-dependent. The brand filter prunes the part dimension before
+    broadcast; revenue sums in exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qsum"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("n")
+            < F.col("qsum")
+        )
+    )
+    return qualifying.agg(
+        F.sum(cents("l_extendedprice")).alias("small_qty_revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

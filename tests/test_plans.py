@@ -244,3 +244,19 @@ def test_quality_model_inference_no_shuffle(spark):
     zero exchanges at any corpus size."""
     df = QUERIES["text_quality_model"](spark, SF)
     assert exchange_count(df) == 0
+
+
+def test_q17_one_fact_shuffle_broadcast_part(spark):
+    """The decorrelated Q17: the per-part aggregate and the join reuse
+    the l_partkey shuffle; the brand-filtered part dimension must
+    broadcast, and the brand filter must reach its scan."""
+    df = QUERIES["q17_small_quantity_revenue"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert any("Brand#23" in f for f in pushed_filters(df))
+
+
+def test_trailing_window_shares_customer_shuffle(spark):
+    """Daily rollup + RANGE window both key on o_custkey: one exchange
+    serves both (a second exchange means the window re-shuffled)."""
+    df = QUERIES["w_trailing_7d"](spark, SF)
+    assert exchange_count(df) == 1
