@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _undirect(edges: DataFrame) -> DataFrame:
@@ -349,3 +350,51 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected view of ``edges``: every node starts labeled with its
+    own id; each round it adopts the most frequent label among its
+    neighbors, ties broken by the smaller label (a total order, so the
+    update is deterministic); a node keeps its current label only when
+    it has no neighbors. Returns (node, label) after exactly ``rounds`` SYNCHRONOUS
+    rounds — fixed synchronous updates are what make the operator
+    oracle-checkable (the oracle unrolls the identical rounds) and what
+    bound the job chain on a 100 TB graph; asynchronous LPA converges
+    faster but is order-dependent and unverifiable.
+
+    Per round: one (node, label) count aggregate, one per-node argmax
+    window (both shuffle on the node key), one left join back;
+    ``localCheckpoint`` truncates lineage so round N's plan does not
+    replay rounds 1..N-1 — the same iterative-Spark hygiene as
+    connected_components / pagerank / kcore."""
+    # distinct: a duplicated input edge must not double its neighbor's
+    # vote (matches the oracle's UNION-distinct symmetrization)
+    adj = _undirect(edges).distinct().localCheckpoint()
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(rounds):
+        cand = (
+            adj.join(labels, adj.dst == labels.node)
+            .groupBy(F.col("src").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -551,3 +551,83 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     return kcore(edges, k=10, rounds=8)
+
+
+def _labelprop_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle over the same
+    planted-density doc graph as g_kcore. Every round is MATERIALIZED
+    for the same reason as the kcore oracle (each round is referenced
+    by count + argmax + join; naive inlining is exponential)."""
+    s = """
+    WITH ids AS MATERIALIZED (SELECT doc_id, doc_id // 50 AS blk FROM documents),
+    e0 AS MATERIALIZED (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM ids a JOIN ids b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE ('0x' || substr(md5(a.doc_id::VARCHAR || '_' || b.doc_id::VARCHAR), 1, 2))::INTEGER
+            < 16 + 24 * (a.blk % 8)
+    ),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM und)"""
+    for i in range(rounds):
+        s += f""",
+    c{i} AS MATERIALIZED (
+      SELECT u.src AS node, l.label, count(*) AS c
+      FROM und u JOIN l{i} l ON l.node = u.dst GROUP BY 1, 2),
+    p{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1),
+    l{i + 1} AS MATERIALIZED (
+      SELECT o.node, coalesce(p.label, o.label) AS label
+      FROM l{i} o LEFT JOIN p{i} p USING (node))"""
+    return s + f"""
+    SELECT node, label FROM l{rounds}
+    """
+
+
+@query("g_labelprop", oracle=_labelprop_oracle())
+def g_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (4 rounds)
+    over the planted-density doc graph — the lighter-weight sibling of
+    connected components for community structure: where CC's hash-min
+    collapses every connected block to one id, majority-vote labels
+    settle into intra-block communities shaped by the planted edge
+    density. The oracle replays the IDENTICAL synchronous rounds as
+    unrolled MATERIALIZED CTEs (count → deterministic argmax → update),
+    so the hash proves the distributed loop's every round, not just a
+    fixpoint. Same graph construction as g_kcore — one definition of
+    the planted edges on each side."""
+    from mie_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id", F.expr("doc_id div 50").alias("blk"))
+    a = ids.alias("a")
+    b = ids.alias("b")
+    pair_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a.doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("b.doc_id").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(pair_hash < 16 + 24 * (F.col("a.blk") % 8))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return label_propagation(edges, rounds=4)

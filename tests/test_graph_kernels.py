@@ -49,3 +49,40 @@ def test_kcore_keeps_whole_clique(spark):
 def test_kcore_empty_edges(spark):
     e = spark.createDataFrame([], "src long, dst long")
     assert kcore(e, k=2).count() == 0
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Empty edges yield an empty labeling, and on a small graph the
+    distributed loop must match an independent Python implementation of
+    the SAME synchronous rule (most-frequent neighbor label, ties to
+    min) round for round."""
+    from collections import Counter
+
+    from mie_spark.operators.graph import label_propagation
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(empty, rounds=2).count() == 0
+
+    raw = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10),
+           (20, 21), (21, 22), (20, 22), (22, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+
+    # independent reference: synchronous rounds over adjacency sets
+    adj: dict[int, set[int]] = {}
+    for s_, d_ in raw:
+        adj.setdefault(s_, set()).add(d_)
+        adj.setdefault(d_, set()).add(s_)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n in adj:
+            counts = Counter(labels[v] for v in adj[n])
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        labels = nxt
+
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert out == labels
