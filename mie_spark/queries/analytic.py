@@ -643,3 +643,83 @@ def w_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_no",
         F.sum("cents").over(w).alias("trailing_7d_cents"),
     )
+
+
+@query(
+    "a_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.1) AS p10,
+             quantile_cont(value, 0.9) AS p90
+      FROM events GROUP BY event_type
+    ),
+    trimmed AS (
+      SELECT e.event_type,
+             count(*)::BIGINT AS n_trim,
+             sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS cents_trim
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value >= m.p10 AND e.value <= m.p90
+      GROUP BY e.event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type,
+           round(m.med, 6) AS median,
+           round(d.mad, 6) AS mad,
+           ((2 * t.cents_trim * 100 + t.n_trim) // (2 * t.n_trim)) / 10000.0
+             AS trimmed_mean
+    FROM med m JOIN mad d USING (event_type) JOIN trimmed t USING (event_type)
+    """,
+)
+def a_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics per event type — the outlier-resistant
+    monitoring trio: exact interpolated median, MAD (median absolute
+    deviation, the robust spread measure), and the 10%-trimmed mean.
+
+    Two passes by necessity (MAD and the trim band are defined AGAINST
+    the median), each a single shuffle with the tiny per-type quantile
+    table broadcast back. Cross-engine exactness: Spark `percentile` ==
+    DuckDB `quantile_cont` (both exact interpolation over identical
+    value sets, the ev_value_percentiles precedent); the trim-band
+    filter compares raw doubles to identical interpolated bounds; and
+    the trimmed mean is the integer half-up formula over exact-cents
+    sums — no round(avg(double)) anywhere. At 100 TB the exact
+    quantiles swap for approx_percentile sketches (t-digest,
+    mergeable) with the identical two-pass shape."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.percentile("value", F.lit(0.1)).alias("p10"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    trimmed = (
+        j.filter((F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_trim"),
+            F.sum(cents("value")).alias("cents_trim"),
+        )
+    )
+    mad = j.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(trimmed, "event_type")
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            (
+                F.expr("(2 * cents_trim * 100 + n_trim) div (2 * n_trim)")
+                / F.lit(1e4)
+            ).alias("trimmed_mean"),
+        )
+    )
