@@ -649,77 +649,85 @@ def w_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_robust_stats",
     oracle="""
     WITH med AS (
-      SELECT event_type,
-             quantile_cont(value, 0.5) AS med,
-             quantile_cont(value, 0.1) AS p10,
-             quantile_cont(value, 0.9) AS p90
+      SELECT event_type, quantile_cont(value, 0.5) AS med
       FROM events GROUP BY event_type
     ),
-    trimmed AS (
-      SELECT e.event_type,
-             count(*)::BIGINT AS n_trim,
-             sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS cents_trim
-      FROM events e JOIN med m USING (event_type)
-      WHERE e.value >= m.p10 AND e.value <= m.p90
-      GROUP BY e.event_type
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
     ),
-    mad AS (
-      SELECT e.event_type,
-             quantile_cont(abs(e.value - m.med), 0.5) AS mad
-      FROM events e JOIN med m USING (event_type)
-      GROUP BY e.event_type
+    stats AS (
+      SELECT r.event_type,
+             quantile_cont(abs(r.value - m.med), 0.5) AS mad,
+             count(*) FILTER (r.rn > r.n // 10 AND r.rn <= r.n - r.n // 10)
+               ::BIGINT AS n_trim,
+             sum(CAST(round(r.value * 100) AS BIGINT))
+               FILTER (r.rn > r.n // 10 AND r.rn <= r.n - r.n // 10)
+               ::BIGINT AS cents_trim
+      FROM ranked r JOIN med m USING (event_type)
+      GROUP BY r.event_type
     )
     SELECT m.event_type,
            round(m.med, 6) AS median,
-           round(d.mad, 6) AS mad,
-           ((2 * t.cents_trim * 100 + t.n_trim) // (2 * t.n_trim)) / 10000.0
+           round(s.mad, 6) AS mad,
+           ((2 * s.cents_trim * 100 + s.n_trim) // (2 * s.n_trim)) / 10000.0
              AS trimmed_mean
-    FROM med m JOIN mad d USING (event_type) JOIN trimmed t USING (event_type)
+    FROM med m JOIN stats s USING (event_type)
     """,
 )
 def a_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust statistics per event type — the outlier-resistant
     monitoring trio: exact interpolated median, MAD (median absolute
-    deviation, the robust spread measure), and the 10%-trimmed mean.
+    deviation, the robust spread measure), and the 10%-trimmed mean
+    (drop the k = n div 10 lowest and highest OBSERVATIONS — the
+    textbook rank-based definition).
 
-    Two passes by necessity (MAD and the trim band are defined AGAINST
-    the median), each a single shuffle with the tiny per-type quantile
-    table broadcast back. Cross-engine exactness: Spark `percentile` ==
-    DuckDB `quantile_cont` (both exact interpolation over identical
-    value sets, the ev_value_percentiles precedent); the trim-band
-    filter compares raw doubles to identical interpolated bounds; and
-    the trimmed mean is the integer half-up formula over exact-cents
-    sums — no round(avg(double)) anywhere. At 100 TB the exact
-    quantiles swap for approx_percentile sketches (t-digest,
-    mergeable) with the identical two-pass shape."""
+    Trim membership is a pure INTEGER decision (rank vs n div 10):
+    comparing raw values against interpolated percentile bounds would
+    hang the kept set on a float boundary two engines can lerp 1 ulp
+    apart; ranks cannot disagree, and ties in `value` are harmless
+    because the kept MULTISET of values is rank-order-invariant. Two
+    passes by necessity (MAD and the trim band are defined against the
+    median/ranks), but the second pass computes MAD and the trimmed
+    sums in ONE grouped aggregate over the rank window + broadcast
+    median join. The trimmed mean is the integer half-up formula over
+    exact-cents sums. At 100 TB: exact median → t-digest sketch, exact
+    ranks → approx quantile cut points, identical shape."""
+    from pyspark.sql.window import Window as W
+
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med"),
-        F.percentile("value", F.lit(0.1)).alias("p10"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.5)).alias("med")
     )
-    j = ev.join(F.broadcast(med), "event_type")
-    trimmed = (
-        j.filter((F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90")))
+    wp = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wp.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    in_band = (F.col("rn") > F.expr("n div 10")) & (
+        F.col("rn") <= F.col("n") - F.expr("n div 10")
+    )
+    stats = (
+        ranked.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_trim"),
-            F.sum(cents("value")).alias("cents_trim"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            ),
+            F.count(F.when(in_band, 1)).alias("n_trim"),
+            F.sum(F.when(in_band, cents("value"))).alias("cents_trim"),
         )
     )
-    mad = j.groupBy("event_type").agg(
-        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
-    )
-    return (
-        med.join(mad, "event_type")
-        .join(trimmed, "event_type")
-        .select(
-            "event_type",
-            F.round("med", 6).alias("median"),
-            F.round("mad", 6).alias("mad"),
-            (
-                F.expr("(2 * cents_trim * 100 + n_trim) div (2 * n_trim)")
-                / F.lit(1e4)
-            ).alias("trimmed_mean"),
-        )
+    return med.join(stats, "event_type").select(
+        "event_type",
+        F.round("med", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        (
+            F.expr("(2 * cents_trim * 100 + n_trim) div (2 * n_trim)")
+            / F.lit(1e4)
+        ).alias("trimmed_mean"),
     )

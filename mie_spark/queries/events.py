@@ -905,9 +905,10 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE divide/sqrt on both engines). Plan: one shuffle for
     the daily rollup, per-type (n, S, SS) moments as a tiny aggregate
     broadcast back — the 100 TB shape, no window over all days. The
-    integer cross-multiplication needs n*SS < 2^63: daily cents up to
-    ~3e7 over ~1e3 days holds; past that, swap the decision to the
-    two-pass double moments (documented trade, SCALE.md)."""
+    integer cross-multiplication needs 4*(n*SS - S^2) < 2^63; with
+    SS ~ n*c^2 that bounds n*c below ~1.5e9 — e.g. ~1e3 days at up to
+    ~1e6 cents/day. Past that, swap the decision to two-pass double
+    moments (documented trade; SCALE.md)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")

@@ -473,12 +473,13 @@ def g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(edges, sources, max_hops=12)
 
 
-def _kcore_oracle(k: int = 10, rounds: int = 8) -> str:
-    """Unrolled peel oracle. Each round MUST be MATERIALIZED: the peel
-    references the previous round three times (degree count + two IN
-    filters), so naive CTE inlining is 3^rounds copies of the base —
-    DuckDB actually exhausts file handles on the inlined form."""
-    s = """
+# THE planted-density doc graph — single source of truth for every
+# query that analyzes it (g_kcore, g_labelprop): nodes pair within
+# 50-doc blocks, an md5 rule keeps each candidate edge with a
+# per-block density from ~6% to ~72%. The oracle CTE prefix and the
+# Spark helper below MUST stay in lockstep; that is the point of there
+# being exactly one of each (same convention as _ring_base).
+_PLANTED_EDGES_CTE = """
     WITH ids AS MATERIALIZED (SELECT doc_id, doc_id // 50 AS blk FROM documents),
     e0 AS MATERIALIZED (
       SELECT a.doc_id AS src, b.doc_id AS dst
@@ -486,6 +487,45 @@ def _kcore_oracle(k: int = 10, rounds: int = 8) -> str:
       WHERE ('0x' || substr(md5(a.doc_id::VARCHAR || '_' || b.doc_id::VARCHAR), 1, 2))::INTEGER
             < 16 + 24 * (a.blk % 8)
     )"""
+
+
+def _planted_edges(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_PLANTED_EDGES_CTE``: (src, dst) with src < dst."""
+    ids = docs.select("doc_id", F.expr("doc_id div 50").alias("blk"))
+    a = ids.alias("a")
+    b = ids.alias("b")
+    pair_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a.doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("b.doc_id").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(pair_hash < 16 + 24 * (F.col("a.blk") % 8))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+
+
+def _kcore_oracle(k: int = 10, rounds: int = 8) -> str:
+    """Unrolled peel oracle. Each round MUST be MATERIALIZED: the peel
+    references the previous round three times (degree count + two IN
+    filters), so naive CTE inlining is 3^rounds copies of the base —
+    DuckDB actually exhausts file handles on the inlined form."""
+    s = _PLANTED_EDGES_CTE
     cur = "e0"
     for i in range(rounds):
         s += f""",
@@ -523,34 +563,7 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mie_spark.operators.graph import kcore
 
     docs = load_table(spark, sf_dir, "documents")
-    ids = docs.select("doc_id", F.expr("doc_id div 50").alias("blk"))
-    a = ids.alias("a")
-    b = ids.alias("b")
-    pair_hash = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("a.doc_id").cast("string"),
-                    F.lit("_"),
-                    F.col("b.doc_id").cast("string"),
-                )
-            ),
-            1,
-            2,
-        ),
-        16,
-        10,
-    ).cast("int")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(pair_hash < 16 + 24 * (F.col("a.blk") % 8))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
-    return kcore(edges, k=10, rounds=8)
+    return kcore(_planted_edges(docs), k=10, rounds=8)
 
 
 def _labelprop_oracle(rounds: int = 4) -> str:
@@ -558,14 +571,7 @@ def _labelprop_oracle(rounds: int = 4) -> str:
     planted-density doc graph as g_kcore. Every round is MATERIALIZED
     for the same reason as the kcore oracle (each round is referenced
     by count + argmax + join; naive inlining is exponential)."""
-    s = """
-    WITH ids AS MATERIALIZED (SELECT doc_id, doc_id // 50 AS blk FROM documents),
-    e0 AS MATERIALIZED (
-      SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM ids a JOIN ids b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE ('0x' || substr(md5(a.doc_id::VARCHAR || '_' || b.doc_id::VARCHAR), 1, 2))::INTEGER
-            < 16 + 24 * (a.blk % 8)
-    ),
+    s = _PLANTED_EDGES_CTE + """,
     und AS MATERIALIZED (
       SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
     ),
@@ -603,31 +609,4 @@ def g_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mie_spark.operators.graph import label_propagation
 
     docs = load_table(spark, sf_dir, "documents")
-    ids = docs.select("doc_id", F.expr("doc_id div 50").alias("blk"))
-    a = ids.alias("a")
-    b = ids.alias("b")
-    pair_hash = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("a.doc_id").cast("string"),
-                    F.lit("_"),
-                    F.col("b.doc_id").cast("string"),
-                )
-            ),
-            1,
-            2,
-        ),
-        16,
-        10,
-    ).cast("int")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(pair_hash < 16 + 24 * (F.col("a.blk") % 8))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
-    return label_propagation(edges, rounds=4)
+    return label_propagation(_planted_edges(docs), rounds=4)

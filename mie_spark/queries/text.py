@@ -621,8 +621,6 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-pipeline addition."""
     from pyspark.sql.window import Window
 
-    from mie_spark.operators.text import token_count
-
     docs = load_table(spark, sf_dir, "documents")
     dl = docs.select(
         "source",
@@ -825,12 +823,6 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens once and the shuffle carries |sources| rows of partial
     aggregates). Ratios are single IEEE divisions of exact integers,
     rounded identically on both engines."""
-    from mie_spark.operators.text import (
-        fingerprint,
-        token_count,
-        type_token_ratio,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     n_tok = token_count(text)
@@ -871,7 +863,13 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     c AS (
-      SELECT doc_id, n, unnest(range(0, ((n - 1) // 96) + 1)) AS i
+      -- last start = ceil((n-128)/96): generation stops once a window
+      -- has reached the document end, so no chunk is ever a strict
+      -- subset of its predecessor ((n-33)//96 == ceil((n-128)/96) for
+      -- n > 128)
+      SELECT doc_id, n,
+             unnest(range(0, CASE WHEN n <= 128 THEN 1
+                                  ELSE ((n - 33) // 96) + 1 END)) AS i
       FROM dl WHERE n > 0
     )
     SELECT doc_id,
@@ -886,8 +884,13 @@ def pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking — the RAG / long-context prep step that
     cuts each document into 128-token windows at stride 96 (32-token
     overlap so no boundary sentence is orphaned). Chunk starts are
-    i*stride for i in [0, floor((n-1)/stride)] — pure integer window
-    math, so the chunk table is exact by construction on both engines.
+    i*stride for i in [0, ceil((n-128)/96)] (0 alone when n <= 128):
+    generation STOPS once a window has reached the document end, so no
+    chunk is ever a strict subset of its predecessor — a naive
+    floor((n-1)/stride) bound emits a degenerate fully-contained tail
+    chunk for every n with n mod 96 in [1, 32], double-indexing the
+    document tail. Pure integer window math, exact by construction on
+    both engines.
 
     Scale: unlike pipe_pack_sequences (whose offsets chain through a
     cumulative sum), chunk boundaries depend only on the document's OWN
@@ -902,9 +905,13 @@ def pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n",
         # `div`, not `/`: Spark `/` on longs is double division, which
-        # loses exactness past 2^53 where the oracle's integer // does not
+        # loses exactness past 2^53 where the oracle's integer // does
+        # not; (n-33) div 96 == ceil((n-128)/96) for n > 128
         F.explode(
-            F.sequence(F.lit(0).cast("long"), F.expr("(n - 1) div 96"))
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr("CASE WHEN n <= 128 THEN 0 ELSE (n - 33) div 96 END"),
+            )
         ).alias("i"),
     )
     end = F.least(F.col("i") * 96 + 128, F.col("n"))
