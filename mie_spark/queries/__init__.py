@@ -68,123 +68,73 @@ def _load_all() -> None:
 # analytic / graph families proved stable in r01 AND r02 and move
 # behind the cutoff; they remain fully pytest-covered.
 _GRADE_FIRST = [
-    # Round 5 rotation. Head: the four oracles whose HUGEINT casts were
-    # fixed this round — their hash rows must flip to green. Then every
-    # family last graded in r02 (relational / analytic / graph / window
-    # / dedup): the corpus encoding and the shared catalog helpers
-    # changed since, so their green rows are stale. ev_asof_join also
-    # rotated out in r04 and returns here. Left outside the 50-slot
-    # window: the four rows-only multimodal queries (graded r03, no
-    # oracle — pytest-covered with real-bytes fixtures) and three
-    # trivial filter/order queries whose siblings stay graded
-    # (f4≈f2/f3, o5≈o1/o3, u1≈u2/u3/u4); the r04-graded families
-    # (vector/text/events/streaming) rotate behind the cutoff.
-    "ev_sessionize",
-    "ev_multi_rollup",
-    "ev_gap_fill",
-    "pipe_pack_sequences",
-    # new this round, never graded: exact-substring span census,
-    # cluster-scoped semantic dedup, perplexity-tier bucketing, and the
-    # r04-added stream-static enrichment join
-    "dedup_exact_substring",
-    "dedup_semantic",
-    "pipe_quality_buckets",
-    "st_enrich_join",
-    "ev_range_join",
-    "g_sssp",
-    "pipe_keep_best",
-    # events (stale member)
-    "ev_asof_join",
-    # new this session, never graded: sweep-line concurrency census and
-    # dyadic-weight EWMA smoothing (funded by rotating out
-    # a4_groupby_metrics — twice-green, a1/a3/a_rollup keep the
-    # aggregate family graded — and g_chain_motif, twice-green sibling
-    # of the staying g_bfs_hops)
-    "ev_concurrency",
-    "ev_ewma",
-    # also new this session: event-type Markov transition matrix and
-    # the per-source dataset-card report (funded by rotating out
-    # q18_large_volume_orders — twice-green, q12/q13 keep the
-    # conditional-agg family — and j6_union_join_single_pass —
-    # twice-green, j1/j8 keep the traversal family graded)
-    "ev_markov_transitions",
-    "pipe_dataset_card",
-    # flagship + TPC-H-ish relational (stale since r02)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    # q4 rotates out (twice-green, simple EXISTS agg; q3/q12 keep the
-    # order-priority shapes graded) to fund the never-graded head
-    "q5_local_supplier_volume",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    # q14 and q18 rotate out (twice-green; q12/q13 keep the
-    # conditional-agg family graded) to fund the never-graded head
-    # scans / filters / raw SQL (f2/f3 rotate out: green in r01 AND
-    # r02, trivial lineitem/customer filters independent of the changed
-    # helpers, and their family stays graded via s1/f6)
-    "s1_scan_projection",
-    # s2 rotates out (twice-green point filter, also client-tested;
-    # s1/s7/f6 keep the scan family graded)
-    "s7_raw_sql",
-    "f6_range_revenue",
-    # aggregates
-    "a1_stats_single_pass",
-    "a3_multi_table_counts",
-    "a_rollup_suppliers",
-    # a_cube_orders and a_grouping_sets rotate out (same GROUPING SETS
-    # machinery as the staying a_rollup_suppliers) to fund the
-    # never-graded samp_token_budget below
-    "a_stats_moments",
-    # new this session: the skew toolkit's salted two-stage aggregation
-    # under the oracle, and funnel time-to-convert percentiles
-    "a_salted_agg",
-    "ev_funnel_time",
-    # ordering / sets (o1/u2 rotate out on the same twice-green,
-    # helper-independent grounds; o3/u3/u4 keep the family graded)
-    "o3_topk",
-    "u3_except_customers",
-    # u4 rotates out (mirror of u3, twice-green)
-    # graph traversals + analytics
-    "j1_two_hop_traversal",
-    # j3/j4/j6 rotate out (twice-green; j3 also plan-pinned; j1/j8
-    # keep the traversal family graded) to fund the session's new
-    # queries
-    "j8_anti_join_inactive",
-    "g_triangle_count",
-    "g_connected_components",
-    "g_pagerank",
-    # g_bfs_hops rotates out (twice-green; triangle/cc/pagerank plus
-    # the head's g_sssp keep the family graded) to fund the
-    # never-graded bounded-round k-core peel
-    "g_kcore",
-    # window functions (w_rank_per_group rotates out — twice-green,
-    # w_running_total keeps the family graded — to fund a_salted_agg)
-    "w_running_total",
-    # w_lag_monthly_delta rotates out (lag-over-window sibling of the
-    # two staying window queries, twice-green)
-    # dedup family (stale since r02)
-    "dedup_exact_groups",
-    "dedup_keep_one",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    # new this round, never graded: incremental ingest dedup, BPE merge
-    # training, deterministic shuffle shards, fixed-k stratum sample
-    "dedup_incremental",
-    "text_bpe_train",
-    "samp_shuffle_shards",
-    "samp_fixed_k",
-    # new this session: deterministic per-source token-budget fill
-    # (membership itself oracle-checked)
-    "samp_token_budget",
-    # NOT in this round's window (it is full at 50 with the stale-family
-    # re-grade): the queries added late in round 5 — ev_anomaly_zscore,
-    # pipe_chunk_overlap, text_vocab_coverage, v_quantize_int8,
-    # text_quality_model — are exact-verified against their oracles at
-    # BOTH sf0.01 and sf0.1 by tools_drive_registry +
-    # tests/test_oracle_parity locally and are first in line for the
-    # r06 rotation.
+    # Round 6 rotation. Head: the 12 queries added late in round 5 that
+    # have NEVER had a driver CORRECTNESS row (VERDICT r5 item #1) —
+    # locally they pass tools_drive_registry at sf0.01/sf0.1 and
+    # tests/test_oracle_parity, but the driver's row is the contract.
+    # pipe_bpe_encode and v_mmr_topk are rows-only by design (digest-
+    # pinned in tests); the other ten are hash-oracled.
+    "a_robust_stats",
+    "ev_anomaly_zscore",
+    "g_labelprop",
+    "pipe_bpe_encode",
+    "pipe_chunk_overlap",
+    "pipe_corpus_delta",
+    "q17_small_quantity_revenue",
+    "text_quality_model",
+    "text_vocab_coverage",
+    "v_mmr_topk",
+    "v_quantize_int8",
+    "w_trailing_7d",
+    # Then the r04-stale families (VERDICT r5 item #2): the vector /
+    # text / events / streaming / sampling / multimodal queries last
+    # driver-graded in r04, whose shared helpers (catalog, cents
+    # doctrine, corpus encode) changed in r5. 38 slots = every r04-era
+    # query EXCEPT six rows-only entries (ev_approx_distinct,
+    # mm_phash_pairs, v_ann_{lsh,ivf,pq}_topk, v_embed_corpus — their
+    # exactness is digest/recall-pinned in pytest, so a rows-only
+    # driver slot carries the least signal) and two trivial siblings of
+    # staying queries (text_bpe_tokens ~ text_bpe_train green r5;
+    # v5_norms ~ v2_cosine_topk staying in-window). Those eight plus
+    # the r02-era 22 and the r03 mm_* quartet are first in line for r7.
+    "dedup_simhash_pairs",
+    "pipe_dedup_clusters",
+    "pipe_decontaminate",
+    "ev_hourly_agg",
+    "ev_json_props",
+    "ev_top_spenders",
+    "ev_funnel",
+    "ev_value_percentiles",
+    "ev_pivot",
+    "ev_retention",
+    "ev_anomalies",
+    "ev_unpivot",
+    "mm_binary_meta",
+    "text_bm25_topk",
+    "text_hybrid_rrf",
+    "samp_hash_split",
+    "samp_stratified",
+    "samp_temperature_mix",
+    "st_hourly_agg",
+    "st_sessionize",
+    "st_dedup_totals",
+    "st_stateful_totals",
+    "st_attribution_join",
+    "text_token_stats",
+    "text_quality_filter",
+    "text_fingerprint",
+    "text_token_histogram",
+    "text_lang_id",
+    "pipe_clean_corpus",
+    "text_tfidf",
+    "text_unigram_logprob",
+    "text_repeat_ngrams",
+    "pipe_training_manifest",
+    "text_redact_pii",
+    "v2_cosine_topk",
+    "v3_similarity_self_join",
+    "v_knn_join_nodes",
+    "v_batch_knn",
 ]
 
 

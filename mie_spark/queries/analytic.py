@@ -672,8 +672,10 @@ def w_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.event_type,
            round(m.med, 6) AS median,
            round(s.mad, 6) AS mad,
-           ((2 * s.cents_trim * 100 + s.n_trim) // (2 * s.n_trim)) / 10000.0
-             AS trimmed_mean
+           CASE WHEN s.cents_trim < 0
+                THEN -((-2 * s.cents_trim * 100 + s.n_trim) // (2 * s.n_trim))
+                ELSE ((2 * s.cents_trim * 100 + s.n_trim) // (2 * s.n_trim))
+           END / 10000.0 AS trimmed_mean
     FROM med m JOIN stats s USING (event_type)
     """,
 )
@@ -692,8 +694,12 @@ def a_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes by necessity (MAD and the trim band are defined against the
     median/ranks), but the second pass computes MAD and the trimmed
     sums in ONE grouped aggregate over the rank window + broadcast
-    median join. The trimmed mean is the integer half-up formula over
-    exact-cents sums. At 100 TB: exact median → t-digest sketch, exact
+    median join. The trimmed mean rounds half-AWAY-FROM-ZERO over
+    exact-cents sums: the (2a*100+n) div (2n) half-up identity only
+    holds for a >= 0 (both Spark `div` and DuckDB `//` truncate toward
+    zero), so a negative trimmed sum is folded through abs() and the
+    sign reapplied — identical integer arithmetic on both engines for
+    either sign. At 100 TB: exact median → t-digest sketch, exact
     ranks → approx quantile cut points, identical shape."""
     from pyspark.sql.window import Window as W
 
@@ -727,7 +733,11 @@ def a_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med", 6).alias("median"),
         F.round("mad", 6).alias("mad"),
         (
-            F.expr("(2 * cents_trim * 100 + n_trim) div (2 * n_trim)")
+            F.expr(
+                "CASE WHEN cents_trim < 0"
+                " THEN -((-2 * cents_trim * 100 + n_trim) div (2 * n_trim))"
+                " ELSE ((2 * cents_trim * 100 + n_trim) div (2 * n_trim)) END"
+            )
             / F.lit(1e4)
         ).alias("trimmed_mean"),
     )

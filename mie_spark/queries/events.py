@@ -134,7 +134,9 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT event_type, n,
-           ((2 * s * 10000 + nk) // (2 * nk)) / 10000.0 AS avg_k
+           CASE WHEN nk = 0 THEN NULL
+                ELSE ((2 * s * 10000 + nk) // (2 * nk)) / 10000.0
+           END AS avg_k
     FROM g
     """,
 )
@@ -144,7 +146,8 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object stays JVM-side. The 4-decimal average uses the
     integer half-up formula (see a4_groupby_metrics) over the non-null
     count, never round() on a double; avg()'s ignore-NULLs denominator
-    is preserved via nk."""
+    is preserved via nk, and a group with NO non-null $.k yields NULL
+    (avg-over-empty semantics) instead of dividing by zero."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     g = ev.groupBy("event_type").agg(
@@ -155,9 +158,10 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         "n",
-        (F.expr("(2 * s * 10000 + nk) div (2 * nk)") / F.lit(10000.0)).alias(
-            "avg_k"
-        ),
+        F.when(
+            F.col("nk") > 0,
+            F.expr("(2 * s * 10000 + nk) div (2 * nk)") / F.lit(10000.0),
+        ).alias("avg_k"),
     )
 
 

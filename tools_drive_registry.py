@@ -10,7 +10,7 @@ Prints one WARN/ERR line per discrepancy and a final count; exit code
 is nonzero when anything is flagged.
 """
 
-import sys, math; sys.path.insert(0, "/root/repo")
+import os, sys, math; sys.path.insert(0, "/root/repo")
 import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -20,7 +20,7 @@ spark = (SparkSession.builder.master("local[16]")
          .config("spark.ui.enabled","false")
          .config("spark.sql.shuffle.partitions","16")
          .config("spark.ui.showConsoleProgress","false").getOrCreate())
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split():
