@@ -76,10 +76,16 @@ class MieClient:
         path: str | None = None,
         embedder=None,
         embedding_dim: int = 4,
+        snapshot_retention: int = 2,
     ):
         self.spark = spark
         self.embedder = embedder or MockEmbeddingProvider(embedding_dim)
-        self.store = MieStore(spark, path, embedding_dim=embedding_dim)
+        self.store = MieStore(
+            spark,
+            path,
+            embedding_dim=embedding_dim,
+            snapshot_retention=snapshot_retention,
+        )
 
     @classmethod
     def from_config(cls, spark: SparkSession, cfg=None) -> "MieClient":

@@ -15,6 +15,8 @@ self-join, bucketed so the join never goes quadratic at scale.
 
 from __future__ import annotations
 
+import logging
+
 from typing import Sequence
 
 import pandas as pd
@@ -68,6 +70,15 @@ def cosine_topk(
 # float64 ≈ 1.2 GB — too big; 50k × 64-dim ≈ 25 MB — fine. Beyond the
 # cap, fall back to the expression join (bucketed for scale).
 _BLOCKED_MAX_CELLS = 16_000_000  # rows × dim
+
+# Observability for the auto dispatch (see CALLER CONTRACT below): the
+# last similarity_self_join call records which physical path it took so
+# callers that advertise exact semantics (oracle-graded queries, tests)
+# can ASSERT exactness instead of trusting it. "blocked" = exhaustive
+# BLAS path; "banded" = approximate LSH path; "explicit" = caller chose
+# banding itself (n_buckets > 0), so the contract was approximate all
+# along. Plan-construction-time state (single-threaded driver code).
+last_self_join_dispatch: dict = {"path": None, "was_exact": None}
 
 
 def similarity_self_join(
@@ -131,10 +142,27 @@ def similarity_self_join(
         rows_cap = _BLOCKED_MAX_CELLS // max(dim, 1)
         n = df.limit(rows_cap + 1).count()
         if n * max(dim, 1) <= _BLOCKED_MAX_CELLS:
+            last_self_join_dispatch.update(path="blocked", was_exact=True)
             return _similarity_self_join_blocked(
                 df, vec_col, threshold, id_col
             )
+        # The semantics switch is deliberate (see CALLER CONTRACT) but
+        # must never be silent: a caller that asked for auto and
+        # advertised exactness would otherwise start missing
+        # weak-similarity pairs the day its corpus outgrows the cap.
+        logging.getLogger(__name__).warning(
+            "similarity_self_join auto dispatch: input exceeds "
+            "_BLOCKED_MAX_CELLS (%d rows x %d dims > %d cells); "
+            "degrading to banded-LSH APPROXIMATE semantics "
+            "(recall < 1 for weak similarities).",
+            n,
+            dim,
+            _BLOCKED_MAX_CELLS,
+        )
         n_buckets, n_bands = 6, 24
+        last_self_join_dispatch.update(path="banded", was_exact=False)
+    else:
+        last_self_join_dispatch.update(path="explicit", was_exact=False)
     planes = _planes(df, vec_col, n_buckets * n_bands, dim=dim)
     band_sigs = _band_signatures(F.col(vec_col), planes, n_bands, n_buckets)
     tagged = df.select(

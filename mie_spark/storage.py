@@ -88,10 +88,21 @@ class MieStore:
         spark: SparkSession,
         path: str | None = None,
         embedding_dim: int = DEFAULT_EMBEDDING_DIM,
+        snapshot_retention: int = 2,
     ):
+        if snapshot_retention < 1:
+            raise ValueError(
+                f"snapshot_retention must be >= 1, got {snapshot_retention}"
+            )
         self.spark = spark
         self.path = path
         self.embedding_dim = embedding_dim
+        # How many newest snapshot versions GC keeps per table (plus any
+        # pinned versions). Default 2 = the historical contract (a lazy
+        # reader survives exactly one commit); raise it so a reader
+        # opened N commits ago keeps its files — the same knob as
+        # Delta's VACUUM retention horizon.
+        self.snapshot_retention = snapshot_retention
         self._mem: dict[str, pd.DataFrame] = {}
         # Writers fully serialize, matching the reference's single
         # RWMutex over the DB (storage/embedded.go:23-25,88-133): every
@@ -146,11 +157,12 @@ class MieStore:
         return os.path.join(tdir, next_v), next_v
 
     def _commit_snapshot(self, table: str, version: str) -> None:
-        """Atomic pointer flip, then GC all but the 2 newest versions
-        (the previous one stays so lazy readers opened before this
-        commit keep their files). Pinned versions (see pin_current)
-        are exempt from GC — they back named backups and long-lived
-        readers, the same contract as Delta's VACUUM retention."""
+        """Atomic pointer flip, then GC all but the `snapshot_retention`
+        newest versions (default 2: the previous one stays so lazy
+        readers opened before this commit keep their files). Pinned
+        versions (see pin_current) are exempt from GC — they back named
+        backups and long-lived readers, the same contract as Delta's
+        VACUUM retention."""
         tdir = os.path.join(self.path, table)
         tmp_pointer = os.path.join(tdir, "_CURRENT.tmp")
         with open(tmp_pointer, "w") as fh:
@@ -161,7 +173,7 @@ class MieStore:
             (d for d in os.listdir(tdir) if d.startswith("v") and d[1:].isdigit()),
             key=lambda d: int(d[1:]),
         )
-        for stale in versions[:-2]:
+        for stale in versions[: -self.snapshot_retention]:
             if stale not in pinned:
                 shutil.rmtree(os.path.join(tdir, stale), ignore_errors=True)
 

@@ -102,6 +102,42 @@ def test_self_join_above_cap_is_banded_not_cartesian(spark, monkeypatch):
         assert abs(blocked[k] - banded[k]) < 1e-6
 
 
+def test_graded_self_join_queries_take_exact_path_at_oracle_scale(spark):
+    """The oracle-graded queries (dedup_embedding_cosine,
+    v3_similarity_self_join) advertise EXACT all-pairs semantics; the
+    auto dispatch must pick the blocked BLAS path at the driver's
+    grading scale (sf0.01), and the recorded marker proves it — if the
+    corpus ever outgrows _BLOCKED_MAX_CELLS this test fails instead of
+    the oracle silently losing weak pairs."""
+    import mie_spark.operators.vector as V
+    from mie_spark.queries.dedup import dedup_embedding_cosine
+    from mie_spark.queries.vector import v3_similarity_self_join
+
+    for fn in (v3_similarity_self_join, dedup_embedding_cosine):
+        V.last_self_join_dispatch.update(path=None, was_exact=None)
+        fn(spark, SF)  # dispatch happens at plan-construction time
+        assert V.last_self_join_dispatch == {
+            "path": "blocked",
+            "was_exact": True,
+        }, f"{fn.__name__} no longer takes the exact path at oracle scale"
+
+
+def test_self_join_auto_degrade_warns(spark, monkeypatch, caplog):
+    """Crossing _BLOCKED_MAX_CELLS under auto dispatch switches
+    SEMANTICS (exhaustive → banded recall); that must emit a visible
+    warning and record was_exact=False."""
+    import logging
+
+    import mie_spark.operators.vector as V
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(V, "_BLOCKED_MAX_CELLS", 0)
+    with caplog.at_level(logging.WARNING, logger="mie_spark.operators.vector"):
+        V.similarity_self_join(emb, "embedding", threshold=0.45)
+    assert any("APPROXIMATE" in r.message for r in caplog.records)
+    assert V.last_self_join_dispatch == {"path": "banded", "was_exact": False}
+
+
 def test_self_join_carries_string_ids(spark):
     """Ids are opaque: the conflict scan feeds string ``fact:…`` keys
     through the same operator. Pair set must match the long-id run
