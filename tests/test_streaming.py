@@ -117,6 +117,20 @@ def test_stateful_totals_across_multiple_microbatches(spark, tmp_path):
         assert got[uid][1] == cents
 
 
+def test_transform_state_gate_matches_registration(spark):
+    """The protobuf gate and the registry must agree (VERDICT r5 item
+    #9): where google.protobuf is absent the query is cleanly NOT
+    registered (the grading driver skips it by omission rather than
+    crashing mid-drive); where it exists the query registers WITH its
+    oracle so the driver hash-grades it. Either way the registry import
+    itself must never depend on protobuf."""
+    from mie_spark import queries as Q
+    from mie_spark.queries.streaming import _has_protobuf
+
+    assert ("st_transform_state" in Q.QUERIES) == _has_protobuf()
+    assert ("st_transform_state" in Q.ORACLES) == _has_protobuf()
+
+
 def test_transform_state_profile_matches_batch(spark):
     """Spark 4.x transformWithStateInPandas path (MapState per-user
     profile) equals the batch groupBy — runnable only where
