@@ -58,6 +58,23 @@ HEADLINE = [
     "text_hybrid_rrf",           # BM25 + cosine top-50s fused by RRF
     "ev_concurrency",            # sweep-line peak-concurrency census
     "ev_ewma",                   # banded self-join EWMA over daily aggs
+    # round-5 additions (VERDICT r5 item #6): the late-registered
+    # queries join the headline suite so their cost is driver-visible
+    "a_robust_stats",            # median/MAD/trimmed-mean, 5 xchg + 4 bcast
+    "ev_anomaly_zscore",         # per-type daily z-score flags, bigint rule
+    "g_labelprop",               # 4 synchronous label-propagation rounds
+    "pipe_bpe_encode",           # BPE fit + Arrow-batched corpus encode
+    "pipe_chunk_overlap",        # sliding 128-token windows, map-only
+    "pipe_corpus_delta",         # full-outer CDC census on (id, fp)
+    "q17_small_quantity_revenue",# decorrelated scalar-agg subquery join
+    "text_quality_model",        # hashed linear classifier fused in scan
+    "text_vocab_coverage",       # top-1000 vocab broadcast, OOV rates
+    "v_mmr_topk",                # MMR diversification of top-50 pool
+    "v_quantize_int8",           # int8 quantize + RMSE report, map-only
+    "w_trailing_7d",             # RANGE-frame trailing-7d window
+    # round-6 additions, benched from day one
+    "j_bloom_semi_join",         # bloom build + scan-fused prefilter + semi-join
+    "dedup_fuzzy_names",         # blocked-Levenshtein record linkage
 ]
 
 

@@ -86,6 +86,14 @@ _GRADE_FIRST = [
     "v_mmr_topk",
     "v_quantize_int8",
     "w_trailing_7d",
+    # New THIS round, added early + windowed immediately (the r5 lesson:
+    # never let an addition sit ungraded): bloom-prefiltered semi-join
+    # reduction and blocked-Levenshtein record linkage. Funded by
+    # deferring ev_unpivot (mirror of the staying ev_pivot) and
+    # samp_temperature_mix (siblings samp_hash_split/samp_stratified
+    # stay) to r7.
+    "j_bloom_semi_join",
+    "dedup_fuzzy_names",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
@@ -108,13 +116,11 @@ _GRADE_FIRST = [
     "ev_pivot",
     "ev_retention",
     "ev_anomalies",
-    "ev_unpivot",
     "mm_binary_meta",
     "text_bm25_topk",
     "text_hybrid_rrf",
     "samp_hash_split",
     "samp_stratified",
-    "samp_temperature_mix",
     "st_hourly_agg",
     "st_sessionize",
     "st_dedup_totals",

@@ -535,3 +535,60 @@ def pipe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivor.alias("survivor_id"),
         (F.col("doc_id") == survivor).alias("keep"),
     )
+
+
+# --- record linkage: blocked edit-distance matching -----------------------
+
+@query(
+    "dedup_fuzzy_names",
+    oracle="""
+    WITH dirty AS (
+      SELECT p_partkey,
+             substr(p_name, 1, ('0x' || substr(md5(p_partkey::VARCHAR), 1, 4))
+                                 ::INTEGER % length(p_name))
+             || substr(p_name, ('0x' || substr(md5(p_partkey::VARCHAR), 1, 4))
+                                 ::INTEGER % length(p_name) + 2) AS dirty_name
+      FROM part
+    ),
+    clean AS (SELECT DISTINCT p_name AS clean_name FROM part)
+    SELECT c.clean_name, count(*) AS n_matched
+    FROM dirty d JOIN clean c
+      ON length(c.clean_name) = length(d.dirty_name) + 1
+     AND levenshtein(d.dirty_name, c.clean_name) <= 1
+    GROUP BY c.clean_name
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution: link DIRTY records (here a
+    deterministic one-character deletion at an md5-derived position —
+    the reproducible stand-in for OCR/typo noise, same portable
+    hex-prefix rule as samp_hash_split) back to the clean catalog by
+    edit distance, BLOCKED so the match never goes all-pairs.
+
+    The block key is exact-length (clean = dirty + 1): Catalyst
+    extracts the length equality as a hash-join key, so the plan is an
+    equi-join whose per-block candidate lists are small, with
+    levenshtein evaluated only INSIDE blocks — the standard blocking
+    decomposition of record linkage. At 100 TB the block key grows to
+    (length band, char n-gram signature) with the same plan shape; the
+    edit-distance predicate stays a JVM expression either way (both
+    engines implement classical Levenshtein, so the matched multiset
+    is engine-exact). Output: per-clean-name match counts."""
+    p = load_table(spark, sf_dir, "part")
+    dirty = p.select(
+        F.concat(
+            F.expr("substring(p_name, 1, "
+                   "CAST(conv(substring(md5(CAST(p_partkey AS STRING)), 1, 4), 16, 10) AS INT)"
+                   " % length(p_name))"),
+            F.expr("substring(p_name, "
+                   "CAST(conv(substring(md5(CAST(p_partkey AS STRING)), 1, 4), 16, 10) AS INT)"
+                   " % length(p_name) + 2)"),
+        ).alias("dirty_name")
+    )
+    clean = p.select(F.col("p_name").alias("clean_name")).dropDuplicates()
+    matched = dirty.join(
+        clean,
+        (F.length("clean_name") == F.length("dirty_name") + 1)
+        & (F.levenshtein("dirty_name", "clean_name") <= 1),
+    )
+    return matched.groupBy("clean_name").agg(F.count(F.lit(1)).alias("n_matched"))

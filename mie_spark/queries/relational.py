@@ -764,3 +764,48 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("l_extendedprice")).alias("small_qty_revenue_cents"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- scale toolkit under the oracle: bloom-prefiltered semi-join ----------
+
+@query(
+    "j_bloom_semi_join",
+    oracle="""
+    SELECT count(*) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+             AS revenue_cents
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    """,
+)
+def j_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a distributed Bloom filter
+    (operators/bloom.py): the selective build side (urgent 1996
+    orders) folds into a 16 KB bitmap with one tiny groupBy(word)
+    bit_or shuffle; the probe side (lineitem) tests membership as a
+    pure JVM expression FUSED INTO ITS SCAN, so the exchange feeding
+    the exact semi-join sees only survivors (true matches + <0.3%
+    false positives). Results are EXACTLY the plain semi-join's — the
+    oracle is the plain semi-join — because the bloom test only prunes;
+    the real join removes the leakage. At 100 TB this is the pattern
+    that turns a fact-fact semi-join from a full-shuffle into a
+    map-side-pruned one; Spark's built-in runtime bloom join does the
+    same thing but offers no API for an explicit key-set filter."""
+    from mie_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    kept = bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+    )

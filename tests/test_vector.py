@@ -53,6 +53,36 @@ def test_lsh_recall_at_10(spark):
     assert recall >= 0.3, f"LSH recall@10 too low: {recall}"
 
 
+def test_published_recall_floors_sf01(spark):
+    """Pins the SCALE.md recall table (measured r6 at sf0.1, 20
+    queries): ivf-pq 0.910@10 / 0.989@50, ivf-flat 0.710@10. A 5-query
+    spot check with floors a margin below the published 20-query means
+    — sampling error on 5 queries is larger, but a real regression
+    (broken codebooks, wrong probe ranking) lands far below these."""
+    from mie_spark.operators.vector import ann_topk_pq
+    from mie_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    pq10, pq50, ivf10 = [], [], []
+    for q in queries.values():
+        exact10 = {r["vec_id"] for r in cosine_topk(corpus, "embedding", q, 10).collect()}
+        exact50 = {r["vec_id"] for r in cosine_topk(corpus, "embedding", q, 50).collect()}
+        got10 = {r["vec_id"] for r in ann_topk_pq(corpus, "embedding", q, 10).collect()}
+        got50 = {r["vec_id"] for r in ann_topk_pq(corpus, "embedding", q, 50).collect()}
+        iv10 = {r["vec_id"] for r in ann_topk_ivf(corpus, "embedding", q, 10).collect()}
+        pq10.append(len(got10 & exact10) / 10)
+        pq50.append(len(got50 & exact50) / 50)
+        ivf10.append(len(iv10 & exact10) / 10)
+    assert sum(pq10) / 5 >= 0.7, f"ivf-pq recall@10 collapsed: {pq10}"
+    assert sum(pq50) / 5 >= 0.85, f"ivf-pq recall@50 collapsed: {pq50}"
+    assert sum(ivf10) / 5 >= 0.4, f"ivf recall@10 collapsed: {ivf10}"
+
+
 def test_ivf_centroids_deterministic(spark):
     emb, _ = _emb_and_query(spark)
     c1 = train_ivf_centroids(emb, "embedding", n_centroids=8, lloyd_iters=1)
