@@ -97,14 +97,16 @@ _GRADE_FIRST = [
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
-    # doctrine, corpus encode) changed in r5. 38 slots = every r04-era
+    # doctrine, corpus encode) changed in r5. 36 slots = every r04-era
     # query EXCEPT six rows-only entries (ev_approx_distinct,
     # mm_phash_pairs, v_ann_{lsh,ivf,pq}_topk, v_embed_corpus — their
     # exactness is digest/recall-pinned in pytest, so a rows-only
-    # driver slot carries the least signal) and two trivial siblings of
+    # driver slot carries the least signal) and four siblings of
     # staying queries (text_bpe_tokens ~ text_bpe_train green r5;
-    # v5_norms ~ v2_cosine_topk staying in-window). Those eight plus
-    # the r02-era 22 and the r03 mm_* quartet are first in line for r7.
+    # v5_norms ~ v2_cosine_topk in-window; ev_unpivot ~ ev_pivot;
+    # samp_temperature_mix ~ samp_hash_split/samp_stratified). Those
+    # ten plus the r02-era 22 and the r03 mm_* quartet are first in
+    # line for r7.
     "dedup_simhash_pairs",
     "pipe_dedup_clusters",
     "pipe_decontaminate",
