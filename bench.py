@@ -75,6 +75,17 @@ HEADLINE = [
     # round-6 additions, benched from day one
     "j_bloom_semi_join",         # bloom build + scan-fused prefilter + semi-join
     "dedup_fuzzy_names",         # blocked-Levenshtein record linkage
+    "q7_volume_shipping",        # bidirectional nation-pair volume, pre-pruned dims
+    "q8_market_share",           # 7-way join, conditional BIGINT ratio
+    "q9_product_profit",         # LIKE-pruned part probe, nation x year rollup
+    "q10_returned_items",        # returned-revenue top-20, TakeOrderedAndProject
+    "q16_supplier_variety",      # anti-join blacklist + count(DISTINCT)
+    "q19_or_of_ands",            # 3-arm OR-of-ANDs with factored pushdown
+    "q21_blamed_suppliers",      # EXISTS/NOT-EXISTS decorrelated to one grouped pass
+    "q22_idle_rich_customers",   # broadcast scalar-agg + left-anti join
+    "ev_scd2_intervals",         # SCD-2 CDC build, one user_id shuffle, two windows
+    "g_copurchase_jaccard",      # df-capped inverted-index pair join
+    "text_char_entropy",         # char explode + two same-key aggs, integer micro-nats
 ]
 
 

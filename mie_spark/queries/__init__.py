@@ -55,6 +55,7 @@ def _load_all() -> None:
         streaming,
         text,
         vector,
+        warehouse,
     )
 
 
@@ -94,50 +95,66 @@ _GRADE_FIRST = [
     # stay) to r7.
     "j_bloom_semi_join",
     "dedup_fuzzy_names",
+    # New in round 6, windowed immediately: the remaining classic
+    # TPC-H decision-support shapes (queries/warehouse.py). Funded by
+    # deferring eight r04-stale entries whose family keeps another
+    # in-window representative (ev_top_spenders/ev_pivot/ev_retention/
+    # ev_anomalies ~ the staying events rows + never-graded
+    # ev_anomaly_zscore; text_token_histogram ~ text_token_stats;
+    # text_repeat_ngrams ~ the staying text rows; st_dedup_totals ~
+    # st_stateful_totals; pipe_training_manifest ~ pipe_clean_corpus/
+    # pipe_decontaminate) to r7.
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q16_supplier_variety",
+    "q19_or_of_ands",
+    "q21_blamed_suppliers",
+    "q22_idle_rich_customers",
+    # Also new in round 6: SCD-2 CDC interval build, co-purchase
+    # Jaccard link prediction, char-entropy quality signal. Funded by
+    # deferring ev_funnel (~ ev_json_props/ev_value_percentiles +
+    # the new ev_scd2_intervals), text_fingerprint (~ the staying
+    # dedup_simhash_pairs hash family), samp_stratified
+    # (~ samp_hash_split) to r7.
+    "ev_scd2_intervals",
+    "g_copurchase_jaccard",
+    "text_char_entropy",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
-    # doctrine, corpus encode) changed in r5. 36 slots = every r04-era
+    # doctrine, corpus encode) changed in r5. 25 slots = every r04-era
     # query EXCEPT six rows-only entries (ev_approx_distinct,
     # mm_phash_pairs, v_ann_{lsh,ivf,pq}_topk, v_embed_corpus — their
     # exactness is digest/recall-pinned in pytest, so a rows-only
-    # driver slot carries the least signal) and four siblings of
-    # staying queries (text_bpe_tokens ~ text_bpe_train green r5;
-    # v5_norms ~ v2_cosine_topk in-window; ev_unpivot ~ ev_pivot;
-    # samp_temperature_mix ~ samp_hash_split/samp_stratified). Those
-    # ten plus the r02-era 22 and the r03 mm_* quartet are first in
-    # line for r7.
+    # driver slot carries the least signal), four siblings of staying
+    # queries (text_bpe_tokens ~ text_bpe_train green r5; v5_norms ~
+    # v2_cosine_topk in-window; ev_unpivot ~ ev_pivot;
+    # samp_temperature_mix ~ samp_hash_split/samp_stratified), and the
+    # eleven deferred above to fund the round-6 batches. Those
+    # twenty-one plus the r02-era 22 and the r03 mm_* quartet are
+    # first in line for r7.
     "dedup_simhash_pairs",
     "pipe_dedup_clusters",
     "pipe_decontaminate",
     "ev_hourly_agg",
     "ev_json_props",
-    "ev_top_spenders",
-    "ev_funnel",
     "ev_value_percentiles",
-    "ev_pivot",
-    "ev_retention",
-    "ev_anomalies",
     "mm_binary_meta",
     "text_bm25_topk",
     "text_hybrid_rrf",
     "samp_hash_split",
-    "samp_stratified",
     "st_hourly_agg",
     "st_sessionize",
-    "st_dedup_totals",
     "st_stateful_totals",
     "st_attribution_join",
     "text_token_stats",
     "text_quality_filter",
-    "text_fingerprint",
-    "text_token_histogram",
     "text_lang_id",
     "pipe_clean_corpus",
     "text_tfidf",
     "text_unigram_logprob",
-    "text_repeat_ngrams",
-    "pipe_training_manifest",
     "text_redact_pii",
     "v2_cosine_topk",
     "v3_similarity_self_join",

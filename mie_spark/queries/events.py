@@ -934,3 +934,58 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / F.sqrt(var_n2), 4).alias("z"),
         )
     )
+
+
+# --- SCD-2 dimension build (change-data-capture interval compression) -------
+
+@query(
+    "ev_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w2) AS valid_to_us,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build from a change stream — the warehouse
+    CDC shape: compress each user's event-type history into validity
+    intervals [valid_from, valid_to) with an open-ended current row.
+    Change-point detection (lag != prev) and interval closing (lead of
+    the surviving rows) are two window passes over the SAME
+    (user_id)-partitioned sort — one shuffle serves both, Catalyst
+    collapses them into a single sort + two window operators. Ties
+    broken by (ts, event_id), so the compression is deterministic.
+    At 100 TB this is embarrassingly parallel in the dimension key;
+    no global sort, no driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

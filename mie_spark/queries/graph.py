@@ -610,3 +610,93 @@ def g_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return label_propagation(_planted_edges(docs), rounds=4)
+
+
+# --- link prediction: co-purchase neighborhood Jaccard ----------------------
+
+@query(
+    "g_copurchase_jaccard",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+    ), cold AS (
+      SELECT part FROM e GROUP BY part HAVING count(*) <= 32
+    ), deg AS (
+      SELECT cust, count(*)::BIGINT AS deg FROM e GROUP BY cust
+    ), pairs AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b, count(*)::BIGINT AS common
+      FROM e a
+      JOIN e b ON a.part = b.part AND a.cust < b.cust
+      JOIN cold ON cold.part = a.part
+      GROUP BY a.cust, b.cust
+    )
+    SELECT p.cust_a, p.cust_b, p.common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           ((2 * p.common * 10000 + (da.deg + db.deg - p.common))
+            // (2 * (da.deg + db.deg - p.common))) / 10000.0 AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.cust = p.cust_a
+    JOIN deg db ON db.cust = p.cust_b
+    WHERE p.common >= 2
+      AND 5 * p.common >= da.deg + db.deg
+    """,
+)
+def g_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard over the customer-part
+    co-purchase bipartite graph (one ship-half-year window): customer
+    pairs whose purchased-part sets overlap by >= 2 parts and Jaccard
+    >= 0.25. The pair generation is an INVERTED-INDEX equi-join on
+    part (a.cust < b.cust kills symmetry) with a document-frequency
+    cap on hot parts (> 32 buyers contribute no pairs — the same
+    candidate-blowup bound as dedup_ngram_jaccard, mirrored in the
+    oracle so the cap is part of the graded semantics). The Jaccard
+    cut is cross-multiplied (5*common >= deg_a+deg_b <=> J >= 1/4):
+    pure BIGINT, no float boundary; the reported jaccard is integer
+    half-up to 4 decimals. Shuffles carry (cust, part) ids only —
+    never text or vectors. At 100 TB the cap bounds per-part pair
+    fan-out at C(32,2), so the join output is linear in edges."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    e = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    cold = e.groupBy("part").agg(F.count(F.lit(1)).alias("nb")).filter(
+        F.col("nb") <= 32
+    ).select("part")
+    deg = e.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(cold, "part")
+        .join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.cust") < F.col("b.cust")))
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("cust").alias("_ca"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("cust").alias("_cb"), F.col("deg").alias("deg_b"))
+    union_sz = F.col("deg_a") + F.col("deg_b") - F.col("common")
+    jac = (
+        F.floor(
+            (F.col("common").cast("decimal(38,0)") * 20000 + union_sz)
+            / (union_sz.cast("decimal(38,0)") * 2)
+        ).cast("long")
+        / F.lit(10000.0)
+    )
+    return (
+        pairs.join(da, F.col("cust_a") == F.col("_ca"))
+        .join(db, F.col("cust_b") == F.col("_cb"))
+        .filter(
+            (F.col("common") >= 2)
+            & (5 * F.col("common") >= F.col("deg_a") + F.col("deg_b"))
+        )
+        .select("cust_a", "cust_b", "common", "deg_a", "deg_b", jac.alias("jaccard"))
+    )

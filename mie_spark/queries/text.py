@@ -1164,3 +1164,72 @@ def pipe_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- character-level entropy (gibberish / boilerplate signal) ---------------
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents
+    ), filtered AS (
+      SELECT doc_id, c FROM ch WHERE c <> ''
+    ), tf AS (
+      SELECT doc_id, c, count(*)::BIGINT AS cnt
+      FROM filtered GROUP BY doc_id, c
+    ), agg AS (
+      SELECT doc_id,
+             sum(cnt)::BIGINT AS n_chars_t,
+             count(*)::BIGINT AS n_distinct,
+             sum(cnt * CAST(round(ln(cnt) * 1000000.0, 0) AS BIGINT))::BIGINT
+               AS s
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_t, n_distinct,
+           (CAST(round(ln(n_chars_t) * 1000000.0, 0) AS BIGINT)
+            - (2 * s + n_chars_t) // (2 * n_chars_t)) / 1000000.0
+             AS entropy_nats
+    FROM agg
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document — the classic
+    cheap gibberish/boilerplate detector (near-zero entropy = repeated
+    filler, anomalously high = random noise; natural text sits in a
+    narrow band). Uses H = ln(n) - (1/n)*sum(c*ln(c)) so every ln
+    argument is an exact integer COUNT: each ln is evaluated on
+    identical operands by both engines, rounded once to micro-nats,
+    and everything after that is order-independent BIGINT arithmetic
+    (doctrine: the half-up mean is (2S+n) div 2n, S >= 0). Plan:
+    explode to chars, one (doc_id, char) aggregate with map-side
+    combine (alphabet is tiny so partial aggs collapse hard), one
+    per-doc aggregate on the same doc_id key. No driver state; at
+    100 TB the shuffle carries (doc_id, char, count) — bounded by
+    |docs| x |alphabet|, never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lnu = lambda col: F.round(F.log(col) * F.lit(1e6), 0).cast("long")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars_t"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * lnu(F.col("cnt"))).alias("s"),
+    )
+    mean_half_up = F.floor(
+        (F.col("s").cast("decimal(38,0)") * 2 + F.col("n_chars_t"))
+        / (F.col("n_chars_t").cast("decimal(38,0)") * 2)
+    ).cast("long")
+    return agg.select(
+        "doc_id",
+        "n_chars_t",
+        "n_distinct",
+        ((lnu(F.col("n_chars_t")) - mean_half_up) / F.lit(1e6)).alias(
+            "entropy_nats"
+        ),
+    )
