@@ -84,8 +84,11 @@ HEADLINE = [
     "q21_blamed_suppliers",      # EXISTS/NOT-EXISTS decorrelated to one grouped pass
     "q22_idle_rich_customers",   # broadcast scalar-agg + left-anti join
     "ev_scd2_intervals",         # SCD-2 CDC build, one user_id shuffle, two windows
-    "g_copurchase_jaccard",      # df-capped inverted-index pair join
+    "g_copurchase_jaccard",      # in-row pair generation from cap-bounded member lists
     "text_char_entropy",         # char explode + two same-key aggs, integer micro-nats
+    "q6_forecast_revenue",       # pure predicate scan, all filters pushed
+    "q15_top_supplier",          # grouped revenue reused for scalar max (ReuseExchange)
+    "q20_red_part_specialists",  # conditional agg + broadcast corpus-share threshold
 ]
 
 

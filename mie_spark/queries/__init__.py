@@ -121,10 +121,19 @@ _GRADE_FIRST = [
     "ev_scd2_intervals",
     "g_copurchase_jaccard",
     "text_char_entropy",
+    # Third round-6 batch: Q6 pure predicate scan, Q15 view+scalar-max
+    # reuse, Q20 nested-aggregate concentration cut. Funded by
+    # deferring text_quality_filter (~ the in-head text_quality_model),
+    # st_sessionize (~ batch twin ev_sessionize green r5 + three other
+    # st_* staying), pipe_dedup_clusters (~ pipe_keep_best green r5,
+    # dedup family heavily represented) to r7.
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q20_red_part_specialists",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
-    # doctrine, corpus encode) changed in r5. 25 slots = every r04-era
+    # doctrine, corpus encode) changed in r5. 22 slots = every r04-era
     # query EXCEPT six rows-only entries (ev_approx_distinct,
     # mm_phash_pairs, v_ann_{lsh,ivf,pq}_topk, v_embed_corpus — their
     # exactness is digest/recall-pinned in pytest, so a rows-only
@@ -132,11 +141,10 @@ _GRADE_FIRST = [
     # queries (text_bpe_tokens ~ text_bpe_train green r5; v5_norms ~
     # v2_cosine_topk in-window; ev_unpivot ~ ev_pivot;
     # samp_temperature_mix ~ samp_hash_split/samp_stratified), and the
-    # eleven deferred above to fund the round-6 batches. Those
-    # twenty-one plus the r02-era 22 and the r03 mm_* quartet are
+    # fourteen deferred above to fund the round-6 batches. Those
+    # twenty-four plus the r02-era 22 and the r03 mm_* quartet are
     # first in line for r7.
     "dedup_simhash_pairs",
-    "pipe_dedup_clusters",
     "pipe_decontaminate",
     "ev_hourly_agg",
     "ev_json_props",
@@ -146,11 +154,9 @@ _GRADE_FIRST = [
     "text_hybrid_rrf",
     "samp_hash_split",
     "st_hourly_agg",
-    "st_sessionize",
     "st_stateful_totals",
     "st_attribution_join",
     "text_token_stats",
-    "text_quality_filter",
     "text_lang_id",
     "pipe_clean_corpus",
     "text_tfidf",

@@ -655,9 +655,19 @@ def g_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle so the cap is part of the graded semantics). The Jaccard
     cut is cross-multiplied (5*common >= deg_a+deg_b <=> J >= 1/4):
     pure BIGINT, no float boundary; the reported jaccard is integer
-    half-up to 4 decimals. Shuffles carry (cust, part) ids only —
+    half-up to 4 decimals. Shuffles carry (cust, part, deg) ids only —
     never text or vectors. At 100 TB the cap bounds per-part pair
-    fan-out at C(32,2), so the join output is linear in edges."""
+    fan-out at C(32,2), so the pair stream is linear in edges.
+
+    Plan shape (4 exchanges, no recompute): the naive form (edge set
+    referenced by the index join, both self-join sides, AND two degree
+    joins) re-evaluates the lineitem⋈orders subtree five times — 13
+    exchanges. Instead the degree is attached to each edge by a window
+    over the SAME edge pass, the per-part member list is collected
+    once ((cust, deg) structs, cap-filtered), pairs are generated
+    IN-ROW by a double explode of the cap-bounded list (map-side,
+    a.cust < b.cust kills symmetry), and the final aggregate counts
+    common parts per pair — degrees ride along, so no join back."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
@@ -668,21 +678,25 @@ def g_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
-    cold = e.groupBy("part").agg(F.count(F.lit(1)).alias("nb")).filter(
-        F.col("nb") <= 32
-    ).select("part")
-    deg = e.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
-    a, b = e.alias("a"), e.alias("b")
+    w = Window.partitionBy("cust")
+    ed = e.withColumn("deg", F.count(F.lit(1)).over(w))
+    members = (
+        ed.groupBy("part")
+        .agg(F.collect_list(F.struct("cust", "deg")).alias("ms"))
+        .filter(F.size("ms") <= 32)
+    )
     pairs = (
-        a.join(cold, "part")
-        .join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.cust") < F.col("b.cust")))
+        members.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.cust") < F.col("b.cust"))
         .groupBy(
-            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+            F.col("a.cust").alias("cust_a"),
+            F.col("b.cust").alias("cust_b"),
+            F.col("a.deg").alias("deg_a"),
+            F.col("b.deg").alias("deg_b"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    da = deg.select(F.col("cust").alias("_ca"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("cust").alias("_cb"), F.col("deg").alias("deg_b"))
     union_sz = F.col("deg_a") + F.col("deg_b") - F.col("common")
     jac = (
         F.floor(
@@ -692,9 +706,7 @@ def g_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(10000.0)
     )
     return (
-        pairs.join(da, F.col("cust_a") == F.col("_ca"))
-        .join(db, F.col("cust_b") == F.col("_cb"))
-        .filter(
+        pairs.filter(
             (F.col("common") >= 2)
             & (5 * F.col("common") >= F.col("deg_a") + F.col("deg_b"))
         )

@@ -5,8 +5,10 @@ the rest of the decision-support shapes the corpus schema can express —
 bidirectional dimension pairing (Q7), conditional market-share ratio
 (Q8), multi-dim profit rollup (Q9), returned-item ranking (Q10),
 NOT-IN distinct-count census (Q16), OR-of-ANDs pushdown (Q19),
-EXISTS/NOT-EXISTS decorrelation (Q21), and scalar-subquery anti-join
-(Q22). The corpus (TESTDATA.md) has no partsupp / shipmode / comment /
+EXISTS/NOT-EXISTS decorrelation (Q21), scalar-subquery anti-join
+(Q22), pure predicate scan (Q6), view + scalar-max reuse (Q15), and
+nested-aggregate concentration cut (Q20).
+The corpus (TESTDATA.md) has no partsupp / shipmode / comment /
 phone columns, so each query keeps the *plan shape* of its TPC-H
 namesake over the columns that exist; the docstrings note the
 adaptation.
@@ -28,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mie_spark.queries import query
-from mie_spark.queries.relational import REVENUE_SQL, cents, revenue_col
+from mie_spark.queries.relational import REVENUE_SQL, cents, int_div, revenue_col
 from mie_spark.sources import load_table
 
 
@@ -419,34 +421,35 @@ def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (returnflag='R' stands in for the absent receiptdate>commitdate
     lateness predicate) on a finished multi-supplier order. The
     oracle states it as the spec's correlated EXISTS + NOT EXISTS;
-    the Spark plan DECORRELATES both into one grouped pass over the
-    distinct (orderkey, suppkey, flag) pairs: per order, count the
-    distinct suppliers and the distinct at-fault suppliers — EXISTS
-    (another supplier) == n_supp > 1, NOT EXISTS (another at-fault)
-    == n_fault == 1 — then keep the at-fault pair rows of qualifying
-    orders. Two aggregates over the SAME orderkey exchange
-    (ReuseExchange), zero correlated re-scans; the spec shape at
-    per-order-fan-in cost."""
+    the Spark plan DECORRELATES both into two stacked aggregates,
+    each map-side-combined so the exchanges carry pair / order
+    partials, never lineitem rows: first collapse lineitem to
+    per-(order, supplier) rows with an at-fault flag, then per order count
+    suppliers and at-fault suppliers — EXISTS (another supplier) ==
+    n_supp > 1, NOT EXISTS (another at-fault) == n_fault == 1 — and
+    because a qualifying order has EXACTLY one at-fault supplier,
+    carry that supplier out of the same aggregate (max of the flagged
+    key) instead of re-joining the pair table. Zero correlated
+    re-scans, no count_distinct expand, one fact shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_suppkey", "l_returnflag").distinct()
-    per_order = pairs.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_fault"),
+    per_pair = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_returnflag") == "R").alias("has_r"))
     )
-    qualifying = per_order.filter(
-        (F.col("n_supp") > 1) & (F.col("n_fault") == 1)
-    ).select("l_orderkey")
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("has_r").cast("long")).alias("n_fault"),
+        F.max(F.when(F.col("has_r"), F.col("l_suppkey"))).alias("fault_supp"),
+    )
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        pairs.filter(F.col("l_returnflag") == "R")
-        .join(qualifying, "l_orderkey")
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_fault") == 1))
         .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(s), F.col("fault_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -515,4 +518,170 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("totacctbal"),
         )
+    )
+
+
+# --- Q6: forecasting revenue change (pure predicate scan) ------------------
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100)::DOUBLE
+           / 100 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: what-if revenue of dropping a discount band — a pure
+    predicate scan-and-sum, zero joins. All three predicates push into
+    the parquet scan (PushedFilters: shipdate range, discount range,
+    quantity bound) and the projection reads exactly two columns; the
+    whole query is one WholeStageCodegen span over the pruned scan plus
+    a 1-row partial-sum exchange. The discount literals compare against
+    the same stored doubles on both engines, so the band edges cannot
+    diverge. Revenue = sum(ep_cents * disc_cents), integer half-up to
+    cents — the ep*disc analog of REVENUE_SQL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    units = F.sum(cents("l_extendedprice") * cents("l_discount"))
+    return li.agg(
+        (int_div(units + 50, 100).cast("double") / 100).alias("revenue")
+    )
+
+
+# --- Q15: top supplier(s) by quarterly revenue (view + scalar max) ---------
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+               AS units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           (((rev.units + 50) // 100)::DOUBLE / 100) AS total_revenue
+    FROM supplier s
+    JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.units = (SELECT max(units) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) achieving the maximum quarterly
+    revenue — the revenue 'view' reused both as the ranking input and
+    inside the scalar-max subquery. The Spark plan computes the
+    grouped revenue ONCE (Catalyst ReuseExchange folds the second
+    reference onto the same exchange), reduces it to a 1-row max, and
+    broadcast-joins that scalar back — the decorrelated form of the
+    WHERE units = (SELECT max...). The equality is on exact BIGINT
+    revenue units (not the rounded double), so cross-engine max ties
+    are impossible to split."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+            "units"
+        )
+    )
+    top = rev.agg(F.max("units").alias("max_units"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), F.col("units") == F.col("max_units"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (int_div(F.col("units") + 50, 100).cast("double") / 100).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+# --- Q20: suppliers concentrated on one product line (nested aggregates) ---
+
+@query(
+    "q20_red_part_specialists",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l.l_suppkey,
+             sum(CAST(round(l.l_quantity) AS BIGINT))::BIGINT AS total_qty,
+             sum(CASE WHEN p.p_name LIKE '%red%'
+                      THEN CAST(round(l.l_quantity) AS BIGINT)
+                      ELSE 0 END)::BIGINT AS red_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY l.l_suppkey
+    )
+    , corpus AS (
+      SELECT sum(total_qty)::BIGINT AS tot_all, sum(red_qty)::BIGINT AS red_all
+      FROM per_supp
+    )
+    SELECT s.s_name, ps.red_qty, ps.total_qty
+    FROM per_supp ps
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    CROSS JOIN corpus
+    WHERE ps.red_qty * corpus.tot_all > corpus.red_all * ps.total_qty
+    ORDER BY s.s_name
+    """,
+)
+def q20_red_part_specialists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped volume is concentrated
+    in one product line — above the corpus-wide 'red' share (the
+    corpus has no partsupp availability, so shipped-quantity share
+    stands in for the excess-stock predicate, and the corpus share
+    stands in for the spec's 0.5*sum threshold subquery). The
+    nested-aggregate semi-join is decorrelated into ONE conditional
+    grouped pass: total and line-specific quantities accumulate
+    together (sum + sum(CASE)); the corpus threshold is a 1-row
+    aggregate OF THE SAME per-supplier subtree (ReuseExchange)
+    broadcast back; the above-share cut is cross-multiplied to BIGINT
+    (red*tot_all > red_all*total — no division, no float boundary).
+    Quantities are integral doubles in the corpus; round-to-BIGINT
+    makes the sums exact. One fact shuffle on suppkey; part
+    broadcasts into the scan-side join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_name").like("%red%").alias("is_red")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    per_supp = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.sum(F.when(F.col("is_red"), qty).otherwise(F.lit(0))).alias(
+                "red_qty"
+            ),
+        )
+    )
+    corpus = per_supp.agg(
+        F.sum("total_qty").alias("tot_all"), F.sum("red_qty").alias("red_all")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(corpus))
+        .filter(
+            F.col("red_qty") * F.col("tot_all")
+            > F.col("red_all") * F.col("total_qty")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "red_qty", "total_qty")
+        .orderBy("s_name")
     )
