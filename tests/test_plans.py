@@ -260,3 +260,81 @@ def test_trailing_window_shares_customer_shuffle(spark):
     serves both (a second exchange means the window re-shuffled)."""
     df = QUERIES["w_trailing_7d"](spark, SF)
     assert exchange_count(df) == 1
+
+
+def test_q6_pure_scan_all_filters_pushed(spark):
+    """Q6 is a zero-join predicate scan: shipdate/discount/quantity all
+    appear as PushedFilters, the scan reads exactly the four live
+    columns, and the only exchange is the 1-row final aggregate."""
+    df = QUERIES["q6_forecast_revenue"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "l_quantity" in pushed
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    assert set(schemas[0]) <= {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }
+    assert exchange_count(df) == 1
+
+
+def test_q7_nation_pair_prunes_before_fact_join(spark):
+    """Q7: supplier/customer are nation-filtered behind broadcasts
+    before lineitem is touched — at least 2 broadcast joins and the
+    shipdate window pushed into the lineitem scan."""
+    df = QUERIES["q7_volume_shipping"](spark, SF)
+    assert broadcast_join_count(df) >= 2
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q10_topk_no_global_sort(spark):
+    """Q10's top-20 must compile to TakeOrderedAndProject, and the
+    returnflag filter must reach the lineitem scan."""
+    df = QUERIES["q10_returned_items"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert any("l_returnflag" in f for f in pushed_filters(df))
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark):
+    """Q16's NOT IN compiles to a broadcast left-anti join (s_suppkey
+    is non-null); the acctbal predicate reaches the supplier scan."""
+    df = QUERIES["q16_supplier_variety"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert any("s_acctbal" in f for f in pushed_filters(df))
+
+
+def test_q21_decorrelated_no_expand_bounded_exchanges(spark):
+    """Q21's EXISTS/NOT-EXISTS decorrelation: no count_distinct Expand
+    operator, no correlated re-scan — at most 3 exchanges (pair agg,
+    order agg, order join)."""
+    df = QUERIES["q21_blamed_suppliers"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert exchange_count(df) <= 4
+
+
+def test_copurchase_pairs_generated_in_row(spark):
+    """g_copurchase_jaccard must not re-evaluate the edge subtree per
+    reference: bounded exchanges (edge distinct, degree window, part
+    collect, pair agg) and no join back to a degree table."""
+    df = QUERIES["g_copurchase_jaccard"](spark, SF)
+    assert exchange_count(df) <= 5
+
+
+def test_scd2_single_user_exchange(spark):
+    """Both SCD-2 window passes ride ONE user_id exchange."""
+    df = QUERIES["ev_scd2_intervals"](spark, SF)
+    assert exchange_count(df) == 1
+
+
+def test_char_entropy_shuffles_counts_not_chars(spark):
+    """text_char_entropy: the scan reads only (doc_id, text); two
+    aggregate exchanges (doc_id x char partials, then per-doc), no
+    extra shuffle, no join."""
+    df = QUERIES["text_char_entropy"](spark, SF)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    assert set(schemas[0]) <= {"doc_id", "text"}
+    assert exchange_count(df) == 2
