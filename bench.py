@@ -89,6 +89,7 @@ HEADLINE = [
     "q6_forecast_revenue",       # pure predicate scan, all filters pushed
     "q15_top_supplier",          # grouped revenue reused for scalar max (ReuseExchange)
     "q20_red_part_specialists",  # conditional agg + broadcast corpus-share threshold
+    "ev_heavy_hitters",          # MG candidates + broadcast semi-join exact recount
 ]
 
 

@@ -130,6 +130,11 @@ _GRADE_FIRST = [
     "q6_forecast_revenue",
     "q15_top_supplier",
     "q20_red_part_specialists",
+    # Fourth round-6 batch: exact two-pass Misra-Gries heavy hitters
+    # (operators/sketch.py). Funded by deferring ev_value_percentiles
+    # (~ staying ev_json_props/ev_hourly_agg + the two new events
+    # entries) to r7.
+    "ev_heavy_hitters",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
@@ -148,7 +153,6 @@ _GRADE_FIRST = [
     "pipe_decontaminate",
     "ev_hourly_agg",
     "ev_json_props",
-    "ev_value_percentiles",
     "mm_binary_meta",
     "text_bm25_topk",
     "text_hybrid_rrf",

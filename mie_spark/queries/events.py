@@ -989,3 +989,39 @@ def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(nxt).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --- exact heavy hitters via Misra-Gries candidates -------------------------
+
+@query(
+    "ev_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(value) AS BIGINT) AS bucket, count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1
+    ), t AS (SELECT count(*)::BIGINT AS total FROM events)
+    SELECT bucket, cnt,
+           ((2 * cnt * 10000 + total) // (2 * total)) / 10000.0 AS share
+    FROM c, t
+    WHERE cnt * 200 >= total
+    """,
+)
+def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (value buckets holding >= 0.5% of all
+    events) via the two-pass Misra-Gries pattern
+    (operators/sketch.py): per-partition bounded summaries give a
+    candidate set with NO false negatives (k+1 > 200 bound), a
+    broadcast semi-join recounts only candidates exactly, and the
+    threshold is cross-multiplied BIGINT. The oracle is the plain
+    GROUP BY ... HAVING — the sketch path must reproduce it
+    bit-for-bit, which is the point: at 100 TB with an unbounded key
+    space (URLs, n-grams) the plain form shuffles a partial count per
+    DISTINCT key, while this shuffles O(partitions x k) candidates
+    plus the candidates' own rows. On this corpus's bounded key space
+    both are cheap; the query grades the machinery."""
+    from mie_spark.operators.sketch import exact_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("bucket")
+    )
+    return exact_heavy_hitters(ev, "bucket", denom=200)
