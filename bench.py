@@ -90,6 +90,7 @@ HEADLINE = [
     "q15_top_supplier",          # grouped revenue reused for scalar max (ReuseExchange)
     "q20_red_part_specialists",  # conditional agg + broadcast corpus-share threshold
     "ev_heavy_hitters",          # MG candidates + broadcast semi-join exact recount
+    "v_filtered_topk",           # pre-filter vector search, no-shuffle top-k heap
 ]
 
 

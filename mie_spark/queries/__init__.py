@@ -131,10 +131,14 @@ _GRADE_FIRST = [
     "q15_top_supplier",
     "q20_red_part_specialists",
     # Fourth round-6 batch: exact two-pass Misra-Gries heavy hitters
-    # (operators/sketch.py). Funded by deferring ev_value_percentiles
-    # (~ staying ev_json_props/ev_hourly_agg + the two new events
-    # entries) to r7.
+    # (operators/sketch.py) and pre-filter vector search. Funded by
+    # deferring ev_value_percentiles (~ staying ev_json_props/
+    # ev_hourly_agg + the two new events entries) and v_knn_join_nodes
+    # (~ staying v2_cosine_topk/v_batch_knn; the new v_filtered_topk
+    # exercises the same rank+metadata shape with pre-filter
+    # semantics) to r7.
     "ev_heavy_hitters",
+    "v_filtered_topk",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
@@ -168,7 +172,6 @@ _GRADE_FIRST = [
     "text_redact_pii",
     "v2_cosine_topk",
     "v3_similarity_self_join",
-    "v_knn_join_nodes",
     "v_batch_knn",
 ]
 

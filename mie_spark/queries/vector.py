@@ -376,3 +376,40 @@ def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.round(rmse, 6).alias("rmse"),
     )
+
+
+# --- filtered vector search (pre-filter, k-within-the-filter) ---------------
+
+@query(
+    "v_filtered_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    top AS (
+      SELECT vec_id, label,
+             round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS sim
+      FROM embeddings, q
+      WHERE vec_id <> 0 AND label IN (1, 3, 7)
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+      LIMIT 10
+    )
+    SELECT vec_id, label, sim FROM top
+    """,
+)
+def v_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, PRE-filter semantics: the metadata
+    predicate (label IN ...) restricts the candidate set BEFORE the
+    rank, so k means k results satisfying the filter — the semantics
+    vector stores call filtered search, and the complement of
+    v_knn_join_nodes' post-filter shape (top-k first, predicate after,
+    possibly fewer than k survivors). In Spark the compose is free:
+    the filter fuses into the embedding scan (pushed to parquet when
+    label is a scan column) and the exact top-k heap runs on the
+    pruned stream — same no-shuffle TakeOrderedAndProject plan as
+    v2_cosine_topk. On a materialized ANN index the same pre-filter
+    rides the pruned partition scan (ann_topk_*_indexed), degrading
+    recall only through cell probing, never through the filter."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") != 0) & F.col("label").isin(1, 3, 7)
+    )
+    top = cosine_topk(emb, "embedding", _query_vec(spark, sf_dir), k=10)
+    return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
