@@ -1,7 +1,9 @@
 """Warehouse analytics: the remaining classic TPC-H query shapes.
 
 Rounds 1-5 covered Q1/Q2/Q3/Q4/Q5/Q12/Q13/Q14/Q17/Q18; this module adds
-the rest of the decision-support shapes the corpus schema can express —
+the rest: with it the repo expresses 21 of the 22 TPC-H query shapes
+(all but Q11, whose partsupp-only ps_supplycost*ps_availqty aggregate
+has no analog in this corpus) —
 bidirectional dimension pairing (Q7), conditional market-share ratio
 (Q8), multi-dim profit rollup (Q9), returned-item ranking (Q10),
 NOT-IN distinct-count census (Q16), OR-of-ANDs pushdown (Q19),

@@ -233,3 +233,62 @@ def test_integer_half_up_mean_formula(s, n, k):
     # half-up means q = floor(exact + 1/2), i.e. exact lies in
     # [q - 1/2, q + 1/2) — a tie (exact == q - 1/2) rounds UP to q
     assert q - Fraction(1, 2) <= exact < q + Fraction(1, 2)
+
+
+# --- round-6 numeric identities ---------------------------------------------
+
+@given(st.integers(min_value=0, max_value=10**15), st.integers(min_value=1, max_value=10**12))
+def test_half_up_share_identity(num, den):
+    """(2a*10^4 + b) // (2b) == round-half-up(a/b to 4 decimals) for
+    non-negative a — the cross-engine share formula (q8, jaccard,
+    heavy-hitter share)."""
+    num = min(num, den)  # shares are fractions
+    got = (2 * num * 10000 + den) // (2 * den)
+    # exact rational half-up reference via integer arithmetic
+    q, r = divmod(num * 10000, den)
+    want = q + (1 if 2 * r >= den else 0)
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=20))
+def test_char_entropy_formula_matches_float_reference(counts):
+    """ln(n) - halfup(sum c*lnu(c) / n) in micro-nats tracks the exact
+    Shannon entropy within 2 micro-nats per term (rounding error bound),
+    and is always non-negative for the uniform upper bound."""
+    n = sum(counts)
+    lnu = lambda x: round(math.log(x) * 1_000_000)
+    s = sum(c * lnu(c) for c in counts)
+    ent_micro = lnu(n) - (2 * s + n) // (2 * n)
+    exact = math.log(n) - sum(c * math.log(c) for c in counts) / n
+    assert abs(ent_micro / 1e6 - exact) <= (len(counts) + 2) * 1e-6
+    assert ent_micro >= -len(counts) - 2  # never meaningfully negative
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=30, max_size=200),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=30, deadline=None)
+def test_misra_gries_no_false_negatives_any_partitioning(keys, parts):
+    """Pure-python mirror of operators/sketch.py's per-partition MG +
+    candidate union: any key with global count*denom >= n must appear in
+    the union of partition summaries, for every round-robin
+    partitioning."""
+    denom = 10
+    k = 2 * denom
+    n = len(keys)
+    partitions = [keys[i::parts] for i in range(parts)]
+    cand = set()
+    for part in partitions:
+        counters = {}
+        for key in part:  # batch size 1 is the adversarial batching
+            counters[key] = counters.get(key, 0) + 1
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                thr = vals[k]
+                counters = {x: c - thr for x, c in counters.items() if c > thr}
+        cand |= set(counters)
+    from collections import Counter
+
+    truth = {key for key, c in Counter(keys).items() if c * denom >= n}
+    assert truth <= cand
