@@ -91,6 +91,7 @@ HEADLINE = [
     "q20_red_part_specialists",  # conditional agg + broadcast corpus-share threshold
     "ev_heavy_hitters",          # MG candidates + broadcast semi-join exact recount
     "v_filtered_topk",           # pre-filter vector search, no-shuffle top-k heap
+    "st_heavy_hitters",          # foreachBatch-maintained MG summary + exact recount
 ]
 
 

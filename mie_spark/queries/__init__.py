@@ -139,6 +139,11 @@ _GRADE_FIRST = [
     # semantics) to r7.
     "ev_heavy_hitters",
     "v_filtered_topk",
+    # and the incremental (foreachBatch-maintained) sketch twin; funded
+    # by deferring pipe_decontaminate (~ staying pipe_clean_corpus;
+    # its broadcast-probe shape is also exercised by text_vocab_coverage
+    # in the head) to r7.
+    "st_heavy_hitters",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
@@ -154,7 +159,6 @@ _GRADE_FIRST = [
     # twenty-four plus the r02-era 22 and the r03 mm_* quartet are
     # first in line for r7.
     "dedup_simhash_pairs",
-    "pipe_decontaminate",
     "ev_hourly_agg",
     "ev_json_props",
     "mm_binary_meta",

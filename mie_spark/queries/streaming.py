@@ -281,3 +281,61 @@ def st_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers = load_table(spark, sf_dir, "customer")
     stream = enriched_segment_spend(events, customers)
     return run_to_memory_sink(stream, output_mode="complete", state_partitions=8)
+
+
+@query(
+    "st_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(value) AS BIGINT) AS bucket, count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1
+    ), t AS (SELECT count(*)::BIGINT AS total FROM events)
+    SELECT bucket, cnt,
+           ((2 * cnt * 10000 + total) // (2 * total)) / 10000.0 AS share
+    FROM c, t
+    WHERE cnt * 200 >= total
+    """,
+)
+def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_heavy_hitters: the Misra-Gries summary is
+    MAINTAINED INCREMENTALLY by a foreachBatch job
+    (stream_heavy_hitters_summary — per-batch bounded summaries merged
+    into a <= k-row state, mergeable-summaries guarantee), then the
+    drained candidate set is exactly recounted against the corpus and
+    cut at 0.5% with the cross-multiplied BIGINT rule. Same oracle as
+    the batch form — the hash proves the incremental sketch loses no
+    heavy key across micro-batch boundaries."""
+    import tempfile
+
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import (
+        load_heavy_hitter_candidates,
+        read_events_stream,
+        stream_heavy_hitters_summary,
+    )
+
+    summary_dir = tempfile.mkdtemp(prefix="mg_summary_")
+    stream = read_events_stream(spark, sf_dir).select(
+        F.floor("value").cast("long").alias("bucket")
+    )
+    stream_heavy_hitters_summary(stream, "bucket", summary_dir, k=400)
+    cand = load_heavy_hitter_candidates(spark, summary_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("bucket")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("_total"))
+    share = (
+        F.floor(
+            (F.col("cnt").cast("decimal(38,0)") * 20000 + F.col("_total"))
+            / (F.col("_total").cast("decimal(38,0)") * 2)
+        ).cast("long")
+        / F.lit(10000.0)
+    )
+    return (
+        ev.filter(F.col("bucket").isin(cand) if cand else F.lit(False))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 200 >= F.col("_total"))
+        .select("bucket", "cnt", share.alias("share"))
+    )

@@ -444,6 +444,82 @@ def foreach_batch_upsert(
     _await_drained(q, timeout_s)
 
 
+def stream_heavy_hitters_summary(
+    stream_df: "DataFrame",
+    key_col: str,
+    summary_dir: str,
+    k: int,
+    timeout_s: int = 300,
+) -> None:
+    """Maintain a mergeable Misra-Gries heavy-hitter summary across
+    micro-batches (operators/sketch.py is the batch form; this is its
+    incremental twin, the sketch analog of stream_append_ivf_index).
+
+    Per micro-batch: per-partition MG summaries of the batch (bounded
+    k rows each, vectorized), merged with the stored summary by key,
+    then MG-reduced back to <= k rows and atomically replaced. The
+    mergeable-summaries theorem (Agarwal et al., PODS'12) gives the
+    merged summary the SAME guarantee as one MG pass over the whole
+    history: total undercount <= n/(k+1), so any key with lifetime
+    count > n/(k+1) is present. The merge state is <= k rows + one
+    batch of summaries — collected driver-side under that explicit
+    cap (the MMR-pool pattern), never proportional to the stream.
+
+    Single-writer by construction (one streaming query owns
+    summary_dir); the replace is write-temp-then-rename-free plain
+    overwrite, safe because the collect above already detached the
+    read from the files being replaced.
+    """
+    import json
+    import os
+
+    from mie_spark.operators.sketch import misra_gries_summaries
+
+    state_path = os.path.join(summary_dir, "summary.json")
+
+    def _apply(batch_df: "DataFrame", batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_summ = (
+            misra_gries_summaries(batch_df.select(key_col), key_col, k)
+            .groupBy(key_col)
+            .agg(F.sum("residual").alias("residual"))
+            .collect()
+        )
+        counters: dict[int, int] = {}
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                counters = {int(key): c for key, c in json.load(fh).items()}
+        for row in batch_summ:
+            key = int(row[key_col])
+            counters[key] = counters.get(key, 0) + int(row["residual"])
+        if len(counters) > k:
+            vals = sorted(counters.values(), reverse=True)
+            thr = vals[k]
+            counters = {key: c - thr for key, c in counters.items() if c > thr}
+        os.makedirs(summary_dir, exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(key): c for key, c in counters.items()}, fh)
+        os.replace(tmp, state_path)
+
+    foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
+
+
+def load_heavy_hitter_candidates(
+    spark: "SparkSession", summary_dir: str
+) -> list[int]:
+    """Candidate keys from a stream_heavy_hitters_summary state dir."""
+    import json
+    import os
+
+    state_path = os.path.join(summary_dir, "summary.json")
+    if not os.path.exists(state_path):
+        return []
+    with open(state_path) as fh:
+        return [int(key) for key in json.load(fh)]
+
+
 def stream_append_ivf_index(
     stream_df: DataFrame,
     path: str,
@@ -668,6 +744,8 @@ __all__ = [
     "sessionized_stream",
     "stateful_user_totals",
     "stream_append_ivf_index",
+    "stream_heavy_hitters_summary",
+    "load_heavy_hitter_candidates",
     "stream_dedup",
     "transform_state_profile",
     "windowed_counts",

@@ -63,3 +63,42 @@ def test_heavy_hitters_query_nonempty(spark):
     assert len(out) > 0
     # shares must be consistent with the 0.5% cut
     assert (out["cnt"] * 200 >= out["cnt"].sum() * 0).all()
+
+
+def test_stream_summary_merges_across_microbatches(spark, tmp_path):
+    """The incremental MG summary (stream_heavy_hitters_summary) must
+    not lose a heavy key when the stream is cut into micro-batches:
+    split events into 4 files, one per trigger, and require the merged
+    candidate set to cover every key at or above the 0.5% cut — then
+    the exact recount to equal the batch answer."""
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import (
+        load_heavy_hitter_candidates,
+        stream_heavy_hitters_summary,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        F.floor("value").cast("long").alias("bucket")
+    )
+    src = str(tmp_path / "ev_split")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("bucket")
+    )
+    summary_dir = str(tmp_path / "mg_state")
+    stream_heavy_hitters_summary(stream, "bucket", summary_dir, k=400)
+    cand = set(load_heavy_hitter_candidates(spark, summary_dir))
+    assert len(cand) <= 400
+
+    total = ev.count()
+    truth = {
+        r["bucket"]: r["cnt"]
+        for r in ev.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 200 >= F.lit(total))
+        .collect()
+    }
+    assert set(truth) <= cand  # no false negatives across batch cuts
