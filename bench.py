@@ -92,6 +92,7 @@ HEADLINE = [
     "ev_heavy_hitters",          # MG candidates + broadcast semi-join exact recount
     "v_filtered_topk",           # pre-filter vector search, no-shuffle top-k heap
     "st_heavy_hitters",          # foreachBatch-maintained MG summary + exact recount
+    "v_centroid_outliers",       # integer-exact per-label centroid distance top-3
 ]
 
 

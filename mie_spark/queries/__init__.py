@@ -144,6 +144,11 @@ _GRADE_FIRST = [
     # its broadcast-probe shape is also exercised by text_vocab_coverage
     # in the head) to r7.
     "st_heavy_hitters",
+    # and the integer-exact label-noise audit; funded by deferring
+    # text_lang_id (~ staying text_char_entropy/text_tfidf cover the
+    # text-feature shapes; lang_id r04-green and pytest-replicated) to
+    # r7.
+    "v_centroid_outliers",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
@@ -169,7 +174,6 @@ _GRADE_FIRST = [
     "st_stateful_totals",
     "st_attribution_join",
     "text_token_stats",
-    "text_lang_id",
     "pipe_clean_corpus",
     "text_tfidf",
     "text_unigram_logprob",

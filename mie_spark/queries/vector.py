@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mie_spark.operators.vector import (
     ann_topk_lsh,
@@ -413,3 +414,88 @@ def v_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = cosine_topk(emb, "embedding", _query_vec(spark, sf_dir), k=10)
     return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
+
+
+# --- label-noise audit: per-label centroid outliers -------------------------
+
+@query(
+    "v_centroid_outliers",
+    oracle="""
+    WITH pos AS (SELECT unnest(range(1, 65)) AS p),
+    ex AS (
+      SELECT e.vec_id, e.label, pos.p,
+             CAST(round(CAST(e.embedding[pos.p] AS DOUBLE) * 1000000) AS BIGINT)
+               AS q
+      FROM embeddings e CROSS JOIN pos
+    ),
+    cent AS (
+      SELECT label, p, (sum(q)::BIGINT // count(*)::BIGINT) AS c
+      FROM ex GROUP BY label, p
+    ),
+    dist AS (
+      SELECT ex.vec_id, ex.label,
+             sum((ex.q - cent.c) * (ex.q - cent.c))::BIGINT AS dist2
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.p = cent.p
+      GROUP BY ex.vec_id, ex.label
+    ),
+    ranked AS (
+      SELECT label, vec_id, dist2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rn
+      FROM dist
+    )
+    SELECT label, vec_id, dist2 FROM ranked WHERE rn <= 3
+    """,
+)
+def v_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit for embedding corpora: the 3 vectors farthest
+    from their label's centroid, per label — the standard first pass
+    for finding mislabeled / polluted training examples. Everything is
+    INTEGER: coordinates quantize once to micro-units (round() is
+    half-away-from-zero on both engines — the v_quantize_int8
+    precedent), the centroid is the truncating integer mean (both
+    engines' integer division truncates toward zero), and dist2 is an
+    exact BIGINT sum of squares — no float fold anywhere, so the
+    ranking can never straddle a cross-engine boundary.
+
+    Plan: posexplode feeds BOTH the (label, pos) centroid aggregate
+    (collapses map-side to |labels| x 64 rows) and the per-vector
+    distance join (centroids broadcast); the dist aggregate combines
+    fully map-side because exploded rows of one vector stay in its
+    partition. The top-3 window runs over |vectors| compact rows
+    partitioned by label. At 100 TB: two scans of the embedding
+    column, one |rows|-sized shuffle, one |labels|-row broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("p", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("p"),
+        # cast BEFORE the multiply: float32 * int would round in single
+        # precision and drift from the oracle's double product
+        F.round(F.col("val").cast("double") * 1_000_000).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("label", "p").agg(
+        F.expr("sum(q) div count(1)").alias("c")
+    )
+    dist = (
+        ex.join(
+            F.broadcast(cent.withColumnsRenamed({"label": "cl", "p": "cp"})),
+            (F.col("label") == F.col("cl")) & (F.col("p") == F.col("cp")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "dist2"
+            )
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "dist2")
+    )
