@@ -93,6 +93,7 @@ HEADLINE = [
     "v_filtered_topk",           # pre-filter vector search, no-shuffle top-k heap
     "st_heavy_hitters",          # foreachBatch-maintained MG summary + exact recount
     "v_centroid_outliers",       # integer-exact per-label centroid distance top-3
+    "samp_epoch_mix",            # epoch-repeat manifest, scan-fused keep rule
 ]
 
 

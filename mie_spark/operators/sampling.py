@@ -164,3 +164,37 @@ def token_budget_sample(
     w_long = F.col(weight_col).cast("long")
     out = df.withColumn("cum", F.sum(w_long).over(w))
     return out.filter(F.col("cum") - w_long < F.lit(budget))
+
+
+def epoch_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-weighted dataset mixing (Pile/Dolma-style): each source is
+    repeated ``epochs[source]`` times in the training manifest — full
+    copies for the integer part, a deterministic md5-selected fraction
+    of the docs for the remainder (quantized to 1/256ths, same
+    ``hash_bucket`` rule as hash_split, so the fractional epoch is a
+    pure function of the id: re-runs and engines agree).
+
+    Plan: a per-row CASE for the rate, one explode of a
+    ceil(e)-element sequence (bounded by the largest epoch count —
+    row expansion is the SEMANTICS here, not a blowup), and a
+    scan-fusable keep filter. No shuffle; the manifest streams out at
+    scan speed. At 100 TB the repeated epochs are manifest ROWS (id,
+    source, epoch), not copied bytes — the training reader re-reads
+    payloads by id."""
+    e = F.lit(float(default_epochs))
+    for src, rate in sorted(epochs.items()):
+        e = F.when(F.col(source_col) == src, F.lit(float(rate))).otherwise(e)
+    out = df.withColumn("_e", e).withColumn(
+        epoch_col, F.explode(F.sequence(F.lit(0), F.ceil(F.col("_e")) - 1))
+    )
+    keep = (F.col(epoch_col) < F.floor(F.col("_e"))) | (
+        hash_bucket(F.col(id_col)) < F.round((F.col("_e") - F.floor(F.col("_e"))) * 256)
+    )
+    return out.filter(keep).drop("_e")

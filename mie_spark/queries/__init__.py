@@ -149,6 +149,10 @@ _GRADE_FIRST = [
     # text-feature shapes; lang_id r04-green and pytest-replicated) to
     # r7.
     "v_centroid_outliers",
+    # and the epoch-weighted mixing manifest; funded by deferring
+    # samp_hash_split (the new samp_epoch_mix grades the identical
+    # hash_bucket md5 rule, full- and fractional-epoch) to r7.
+    "samp_epoch_mix",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
@@ -169,7 +173,6 @@ _GRADE_FIRST = [
     "mm_binary_meta",
     "text_bm25_topk",
     "text_hybrid_rrf",
-    "samp_hash_split",
     "st_hourly_agg",
     "st_stateful_totals",
     "st_attribution_join",

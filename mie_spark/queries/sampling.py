@@ -223,3 +223,56 @@ def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_toks")
     )
     return token_budget_sample(docs, "source", "doc_id", "n_toks", budget=300)
+
+
+@query(
+    "samp_epoch_mix",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+                  ELSE 0.5 END AS e
+      FROM documents
+    ),
+    expanded AS (
+      SELECT r.doc_id, r.source, r.e, ep.epoch
+      FROM rated r
+      JOIN (SELECT unnest(range(0, 3)) AS epoch) ep
+        ON ep.epoch < ceil(r.e)
+    )
+    SELECT source, epoch,
+           count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM expanded
+    WHERE epoch < floor(e)
+       OR ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER
+          < round((e - floor(e)) * 256)
+    GROUP BY source, epoch
+    """,
+)
+def samp_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixing manifest (operators/sampling.epoch_mix):
+    high-quality sources src0-4 repeat 2.5 epochs, src5-9 run once,
+    the rest downsample to half an epoch — the Pile/Dolma oversampling
+    shape. Full epochs keep every doc; the fractional epoch keeps a
+    deterministic md5-selected half (1/256-quantized, pure function of
+    the id). Graded by per-(source, epoch) doc counts plus an id-sum
+    membership checksum, so the hash pins exactly WHICH docs each
+    epoch carries, not just how many."""
+    from mie_spark.operators.sampling import epoch_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {f"src{i}": 2.5 for i in range(5)}
+    rates.update({f"src{i}": 1.0 for i in range(5, 10)})
+    mixed = epoch_mix(
+        docs.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        rates,
+        default_epochs=0.5,
+    )
+    return mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
