@@ -700,10 +700,21 @@ def ann_topk_ivf_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 6,
+    metadata: DataFrame | None = None,
+    pre_filter: "F.Column | None" = None,
 ) -> DataFrame:
     """Probe a materialized IVF index: rank only the n_probe closest
     cells; the cell filter is partition pruning, so IO scales with
-    n_probe/n_centroids of the corpus, not the corpus."""
+    n_probe/n_centroids of the corpus, not the corpus.
+
+    Filtered search (``metadata`` + ``pre_filter``): the index stores
+    only (id, vector, cell), so metadata predicates join the sidecar
+    table onto the PROBED candidates by id — after partition pruning,
+    before ranking. PRE-filter semantics: k means k results satisfying
+    the predicate; recall degrades only through cell probing, never
+    through the filter (the filtered exact ranking restricted to the
+    probed cells is reproduced identically — pinned in
+    tests/test_vector.py)."""
 
     meta = _read_ann_meta(spark, path)
     centroids = meta["centroids"]
@@ -712,7 +723,12 @@ def ann_topk_ivf_indexed(
         range(len(centroids)), key=lambda i: (-_driver_cos(query_vec, centroids[i]), i)
     )[:n_probe]
     candidates = spark.read.parquet(path).filter(F.col("cell").isin(*probe))
-    return cosine_topk(candidates.drop("cell"), vec_col, query_vec, k, id_col=id_col)
+    candidates = candidates.drop("cell")
+    if metadata is not None:
+        candidates = candidates.join(metadata, id_col)
+    if pre_filter is not None:
+        candidates = candidates.filter(pre_filter)
+    return cosine_topk(candidates, vec_col, query_vec, k, id_col=id_col)
 
 
 # --- product quantization: IVF-PQ, the compressed 100 TB path ---------------

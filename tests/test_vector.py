@@ -496,3 +496,40 @@ def test_pq_and_index_writers_empty_input(spark, tmp_path):
     for writer in (write_ann_lsh_index, write_ann_ivf_index, write_ann_ivfpq_index):
         with _pytest.raises(ValueError, match="empty"):
             writer(empty, str(tmp_path / writer.__name__))
+
+
+def test_filtered_indexed_probe_matches_filtered_exact_on_probed_cells(spark, tmp_path):
+    """Filtered search on the materialized IVF index: the metadata
+    pre-filter must not change WHICH of the probed vectors rank — the
+    result equals the exact filtered ranking restricted to the probed
+    cells, and with all cells probed it equals the exact filtered
+    ranking outright."""
+    from mie_spark.operators.vector import (
+        ann_topk_ivf_indexed,
+        cosine_topk,
+        write_ann_ivf_index,
+    )
+
+    emb, q = _emb_and_query(spark)
+    path = str(tmp_path / "ivf_idx_filt")
+    write_ann_ivf_index(emb, path, "embedding", n_centroids=8)
+    labels = emb.select("vec_id", "label")
+    pred = F.col("label").isin(1, 3, 7)
+
+    # all cells probed == exact filtered ranking
+    got = ann_topk_ivf_indexed(
+        spark, path, q, 10, n_probe=8, metadata=labels, pre_filter=pred
+    ).collect()
+    exact = cosine_topk(emb.filter(pred), "embedding", q, 10).collect()
+    assert [(r["vec_id"], round(r["sim"], 9)) for r in got] == [
+        (r["vec_id"], round(r["sim"], 9)) for r in exact
+    ]
+    assert all(r["label"] in (1, 3, 7) for r in got)
+
+    # partial probe: k results still all satisfy the filter (pre-filter
+    # semantics — the filter never eats into k)
+    part = ann_topk_ivf_indexed(
+        spark, path, q, 10, n_probe=3, metadata=labels, pre_filter=pred
+    ).collect()
+    assert len(part) == 10
+    assert all(r["label"] in (1, 3, 7) for r in part)
