@@ -94,6 +94,7 @@ HEADLINE = [
     "st_heavy_hitters",          # foreachBatch-maintained MG summary + exact recount
     "v_centroid_outliers",       # integer-exact per-label centroid distance top-3
     "samp_epoch_mix",            # epoch-repeat manifest, scan-fused keep rule
+    "text_bigram_logprob",       # conditional-LM scoring, two windows over tf counts
 ]
 
 

@@ -153,10 +153,14 @@ _GRADE_FIRST = [
     # samp_hash_split (the new samp_epoch_mix grades the identical
     # hash_bucket md5 rule, full- and fractional-epoch) to r7.
     "samp_epoch_mix",
+    # and the bigram-LM scorer; funded by deferring its sibling
+    # text_unigram_logprob (the bigram query exercises the same
+    # micro-nat window machinery plus the conditional counts) to r7.
+    "text_bigram_logprob",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
-    # doctrine, corpus encode) changed in r5. 22 slots = every r04-era
+    # doctrine, corpus encode) changed in r5. 16 slots = every r04-era
     # query EXCEPT six rows-only entries (ev_approx_distinct,
     # mm_phash_pairs, v_ann_{lsh,ivf,pq}_topk, v_embed_corpus — their
     # exactness is digest/recall-pinned in pytest, so a rows-only
@@ -164,9 +168,9 @@ _GRADE_FIRST = [
     # queries (text_bpe_tokens ~ text_bpe_train green r5; v5_norms ~
     # v2_cosine_topk in-window; ev_unpivot ~ ev_pivot;
     # samp_temperature_mix ~ samp_hash_split/samp_stratified), and the
-    # fourteen deferred above to fund the round-6 batches. Those
-    # twenty-four plus the r02-era 22 and the r03 mm_* quartet are
-    # first in line for r7.
+    # twenty deferred above to fund the round-6 batches (each with its
+    # stated in-window sibling). Those thirty plus the r02-era 22 and
+    # the r03 mm_* quartet are first in line for r7.
     "dedup_simhash_pairs",
     "ev_hourly_agg",
     "ev_json_props",
@@ -179,7 +183,6 @@ _GRADE_FIRST = [
     "text_token_stats",
     "pipe_clean_corpus",
     "text_tfidf",
-    "text_unigram_logprob",
     "text_redact_pii",
     "v2_cosine_topk",
     "v3_similarity_self_join",

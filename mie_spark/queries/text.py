@@ -1233,3 +1233,104 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats"
         ),
     )
+
+
+# --- bigram-LM document scoring (conditional perplexity) --------------------
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_zip(l[:-2], l[2:])) AS pair
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2,
+             count(*)::BIGINT AS tf
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    vocab AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM tf),
+    scored AS (
+      SELECT doc_id, tf,
+             CAST(round(-ln(
+               ((sum(tf) OVER (PARTITION BY w1, w2))::BIGINT + 1)
+               / ((sum(tf) OVER (PARTITION BY w1))::BIGINT + vocab.v)::DOUBLE
+             ) * 1000000.0, 0) AS BIGINT) AS nllu
+      FROM tf CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_bigrams,
+           round(sum(tf * nllu)::BIGINT / sum(tf)::BIGINT / 1000000.0, 6)
+             AS avg_nll,
+           round(exp(round(sum(tf * nllu)::BIGINT / sum(tf)::BIGINT
+                           / 1000000.0, 6)), 2) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring with add-one smoothing — the
+    conditional upgrade of text_unigram_logprob: score each doc by the
+    mean -ln P(w2|w1) under corpus counts, P = (c(w1,w2)+1)/(c(w1·)+V).
+    A doc of corpus-common words in an UNCOMMON order now scores badly
+    (word-salad detection), which the unigram model cannot see.
+
+    Numerics: every ln argument is a ratio of exact BIGINTs evaluated
+    in double on identical operands, rounded ONCE to micro-nats; the
+    per-doc fold is integer. Plan: bigrams come from an in-row
+    arrays_zip of two slices (no self-join), the (doc, w1, w2) tf
+    aggregate shuffles compact counts, corpus conditionals are two
+    SUM windows over the tf table (partition (w1,w2) and (w1) — counts
+    move, never tokens), V is a 1-row broadcast. The LM is never
+    materialized on the driver."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("l")
+    )
+    n = F.size("l")
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("l"), 1, n - 1).alias("w1"),
+                F.slice(F.col("l"), 2, n - 1).alias("w2"),
+            )
+        ).alias("pair"),
+    )
+    tf = bg.groupBy(
+        "doc_id",
+        F.col("pair.w1").alias("w1"),
+        F.col("pair.w2").alias("w2"),
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.agg(F.count_distinct("w2").alias("v"))
+    wb = Window.partitionBy("w1", "w2")
+    wp = Window.partitionBy("w1")
+    nllu = F.round(
+        -F.log(
+            (F.sum("tf").over(wb) + 1)
+            / (F.sum("tf").over(wp) + F.col("v")).cast("double")
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("bigint")
+    scored = tf.crossJoin(F.broadcast(vocab)).select(
+        "doc_id", "tf", nllu.alias("nllu")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("nllu")).alias("s"),
+    )
+    avg = F.round(F.col("s") / F.col("n_bigrams") / F.lit(1e6), 6)
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 2).alias("ppl"),
+    )
