@@ -191,8 +191,17 @@ def epoch_mix(
     e = F.lit(float(default_epochs))
     for src, rate in sorted(epochs.items()):
         e = F.when(F.col(source_col) == src, F.lit(float(rate))).otherwise(e)
+    # guard the zero-epoch source: sequence(0, -1) in Spark is the
+    # DESCENDING [0, -1], which would leak a phantom epoch — an empty
+    # array makes explode drop the row instead
+    n_ep = F.ceil(F.col("_e"))
     out = df.withColumn("_e", e).withColumn(
-        epoch_col, F.explode(F.sequence(F.lit(0), F.ceil(F.col("_e")) - 1))
+        epoch_col,
+        F.explode(
+            F.when(n_ep > 0, F.sequence(F.lit(0), n_ep - 1)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
     )
     keep = (F.col(epoch_col) < F.floor(F.col("_e"))) | (
         hash_bucket(F.col(id_col)) < F.round((F.col("_e") - F.floor(F.col("_e"))) * 256)

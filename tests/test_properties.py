@@ -292,3 +292,49 @@ def test_misra_gries_no_false_negatives_any_partitioning(keys, parts):
 
     truth = {key for key, c in Counter(keys).items() if c * denom >= n}
     assert truth <= cand
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from([f"src{i}" for i in range(6)]),
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_epoch_mix_row_counts_match_rates(spark, rates):
+    """epoch_mix emits floor(e) full copies of every doc plus a
+    fractional epoch whose size is the md5 rule's quantized fraction —
+    per source, row count == n*floor(e) + |{docs: bucket < round(frac*256)}|."""
+    import pandas as pd
+
+    from mie_spark.operators.sampling import epoch_mix, hash_bucket
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(120),
+            "source": [f"src{i % 6}" for i in range(120)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = epoch_mix(df, "doc_id", "source", rates, default_epochs=1.0)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    import math
+
+    for i in range(6):
+        src = f"src{i}"
+        e = float(rates.get(src, 1.0))
+        docs = [d for d in range(120) if d % 6 == i]
+        frac_cut = round((e - math.floor(e)) * 256)
+        want = len(docs) * math.floor(e) + sum(
+            1 for d in docs if buckets[d] < frac_cut
+        )
+        assert got.get(src, 0) == want, (src, e)

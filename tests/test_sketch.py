@@ -102,3 +102,20 @@ def test_stream_summary_merges_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert set(truth) <= cand  # no false negatives across batch cuts
+
+
+def test_heavy_hitters_empty_input(spark):
+    """Empty input: no candidates, no crash, empty result."""
+    empty = spark.createDataFrame([], schema="key long")
+    assert exact_heavy_hitters(empty, "key", denom=10).count() == 0
+
+
+def test_heavy_hitters_single_key(spark):
+    """One key holding 100% of rows must be reported with exact count."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"key": [7] * 50})).repartition(4)
+    out = exact_heavy_hitters(df, "key", denom=2).toPandas()
+    assert out["key"].tolist() == [7]
+    assert out["cnt"].tolist() == [50]
+    assert out["share"].tolist() == [1.0]
