@@ -95,6 +95,7 @@ HEADLINE = [
     "v_centroid_outliers",       # integer-exact per-label centroid distance top-3
     "samp_epoch_mix",            # epoch-repeat manifest, scan-fused keep rule
     "text_bigram_logprob",       # conditional-LM scoring, two windows over tf counts
+    "dedup_containment",         # asymmetric subset-dup, in-row direction flip
 ]
 
 

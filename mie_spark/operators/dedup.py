@@ -589,3 +589,92 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "bucket", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment C(src→dst) = |src∩dst| / |src| over
+    n-gram shingle sets — the subset-duplication detector: a short doc
+    embedded in a longer one scores ~1.0 here while its Jaccard stays
+    low (the union is dominated by the long doc). Same inverted-index
+    candidate generation as ngram_jaccard_pairs (pairs share ≥1
+    shingle or never materialize; optional hot-shingle df cap), but
+    each unordered candidate row is checked in BOTH directions in-row
+    (an explode of the two (src, dst) orientations — no second join),
+    and the cut is cross-multiplied to integers so the threshold can
+    never straddle a float boundary."""
+    docs = _doc_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    inv = docs.select("doc", F.explode("shingles").alias("sh")).select(
+        "doc", F.xxhash64("sh").alias("h")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("h")
+            .agg(F.countDistinct("doc").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("h")
+        )
+        inv = inv.join(F.broadcast(hot), "h", "left_anti")
+    a = inv.select(F.col("doc").alias("a_id"), "h")
+    b = inv.select(F.col("doc").alias("b_id"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = docs.select("doc", "n_sh")
+    common = common.join(
+        sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("a_n")),
+        "a_id",
+    ).join(
+        sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("b_n")),
+        "b_id",
+    )
+    # integer threshold as a rational p/q (quantized like hash_split's
+    # 1/256 rule would be overkill here — the caller passes a literal)
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    both = common.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("src_id"),
+                    F.col("b_id").alias("dst_id"),
+                    F.col("common"),
+                    F.col("a_n").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("src_id"),
+                    F.col("a_id").alias("dst_id"),
+                    F.col("common"),
+                    F.col("b_n").alias("n_src"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return (
+        both.filter(F.col("common") * q >= F.lit(p) * F.col("n_src"))
+        .withColumn(
+            "containment", F.round(F.col("common") / F.col("n_src"), 6)
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            "common",
+            # size() is int32; the oracle (and every other count here)
+            # is int64 — align for the exact-dtype drive
+            F.col("n_src").cast("long").alias("n_src"),
+            "containment",
+        )
+    )

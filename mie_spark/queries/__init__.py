@@ -157,10 +157,15 @@ _GRADE_FIRST = [
     # text_unigram_logprob (the bigram query exercises the same
     # micro-nat window machinery plus the conditional counts) to r7.
     "text_bigram_logprob",
+    # and the asymmetric containment detector; funded by deferring
+    # dedup_simhash_pairs (r1/r2-green, bit-replicated in pytest; the
+    # dedup family keeps exact/substring/semantic/fuzzy reps in-head
+    # and containment shares jaccard's inverted-index machinery) to r7.
+    "dedup_containment",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
-    # doctrine, corpus encode) changed in r5. 16 slots = every r04-era
+    # doctrine, corpus encode) changed in r5. 15 slots = every r04-era
     # query EXCEPT six rows-only entries (ev_approx_distinct,
     # mm_phash_pairs, v_ann_{lsh,ivf,pq}_topk, v_embed_corpus — their
     # exactness is digest/recall-pinned in pytest, so a rows-only
@@ -168,10 +173,9 @@ _GRADE_FIRST = [
     # queries (text_bpe_tokens ~ text_bpe_train green r5; v5_norms ~
     # v2_cosine_topk in-window; ev_unpivot ~ ev_pivot;
     # samp_temperature_mix ~ samp_hash_split/samp_stratified), and the
-    # twenty deferred above to fund the round-6 batches (each with its
-    # stated in-window sibling). Those thirty plus the r02-era 22 and
+    # twenty-one deferred above to fund the round-6 batches (each with its
+    # stated in-window sibling). Those thirty-one plus the r02-era 22 and
     # the r03 mm_* quartet are first in line for r7.
-    "dedup_simhash_pairs",
     "ev_hourly_agg",
     "ev_json_props",
     "mm_binary_meta",

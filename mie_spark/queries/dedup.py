@@ -592,3 +592,44 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.levenshtein("dirty_name", "clean_name") <= 1),
     )
     return matched.groupBy("clean_name").agg(F.count(F.lit(1)).alias("n_matched"))
+
+
+_CONTAINMENT_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+           ELSE []::VARCHAR[] END) AS s
+  FROM toks
+), inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+         any_value(a.n) AS n_src, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id, common::BIGINT AS common, n_src::BIGINT AS n_src,
+       round(common::DOUBLE / n_src, 6) AS containment
+FROM pairs
+WHERE common * 5 >= 4 * n_src
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric subset-duplication: docs whose shingle set is >= 80%
+    contained in another doc — the near-dup mode Jaccard misses when a
+    short doc is embedded in a long one (union-dominated denominator).
+    Same inverted-index candidate generation as dedup_ngram_jaccard;
+    both orientations of each unordered candidate are checked IN-ROW
+    (explode of two structs, no second join), integer cross-multiplied
+    cut (5*common >= 4*|src|). The oracle states it as the ordered
+    a<>b join; the Spark plan halves that join with a<b + the in-row
+    direction flip — identical pair list."""
+    from mie_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
