@@ -96,6 +96,7 @@ HEADLINE = [
     "samp_epoch_mix",            # epoch-repeat manifest, scan-fused keep rule
     "text_bigram_logprob",       # conditional-LM scoring, two windows over tf counts
     "dedup_containment",         # asymmetric subset-dup, in-row direction flip
+    "w_revenue_share",           # percent-of-total window over the nation aggregate
 ]
 
 

@@ -162,10 +162,14 @@ _GRADE_FIRST = [
     # dedup family keeps exact/substring/semantic/fuzzy reps in-head
     # and containment shares jaccard's inverted-index machinery) to r7.
     "dedup_containment",
+    # and the percent-of-total window; funded by deferring ev_hourly_agg
+    # (~ staying st_hourly_agg drains the identical windowed-agg plan
+    # through the streaming engine each round) to r7.
+    "w_revenue_share",
     # Then the r04-stale families (VERDICT r5 item #2): the vector /
     # text / events / streaming / sampling / multimodal queries last
     # driver-graded in r04, whose shared helpers (catalog, cents
-    # doctrine, corpus encode) changed in r5. 15 slots = every r04-era
+    # doctrine, corpus encode) changed in r5. 14 slots = every r04-era
     # query EXCEPT six rows-only entries (ev_approx_distinct,
     # mm_phash_pairs, v_ann_{lsh,ivf,pq}_topk, v_embed_corpus — their
     # exactness is digest/recall-pinned in pytest, so a rows-only
@@ -173,10 +177,9 @@ _GRADE_FIRST = [
     # queries (text_bpe_tokens ~ text_bpe_train green r5; v5_norms ~
     # v2_cosine_topk in-window; ev_unpivot ~ ev_pivot;
     # samp_temperature_mix ~ samp_hash_split/samp_stratified), and the
-    # twenty-one deferred above to fund the round-6 batches (each with its
-    # stated in-window sibling). Those thirty-one plus the r02-era 22 and
+    # twenty-two deferred above to fund the round-6 batches (each with its
+    # stated in-window sibling). Those thirty-two plus the r02-era 22 and
     # the r03 mm_* quartet are first in line for r7.
-    "ev_hourly_agg",
     "ev_json_props",
     "mm_binary_meta",
     "text_bm25_topk",

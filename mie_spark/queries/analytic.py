@@ -741,3 +741,69 @@ def a_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e4)
         ).alias("trimmed_mean"),
     )
+
+
+# --- percent-of-total window (ratio_to_report shape) ------------------------
+
+@query(
+    "w_revenue_share",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey, n.n_name AS nation,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+               AS units
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT r.r_name AS region, nat.nation,
+           ((nat.units + 50) // 100)::DOUBLE / 100 AS revenue,
+           ((2 * nat.units * 10000
+             + (sum(nat.units) OVER (PARTITION BY nat.n_regionkey))::BIGINT)
+            // (2 * (sum(nat.units) OVER (PARTITION BY nat.n_regionkey))::BIGINT))
+           / 10000.0 AS share
+    FROM nat JOIN region r ON nat.n_regionkey = r.r_regionkey
+    """,
+)
+def w_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total within a hierarchy level — the ratio_to_report
+    window shape (unordered SUM over a partition) the window family
+    did not yet cover: each nation's supplier revenue as a share of
+    its region. The share divides exact BIGINT unit sums via the
+    integer half-up 4-decimal identity (units >= 0), and the window
+    runs over the 25-row nation AGGREGATE, never the fact table — at
+    100 TB the only real cost is the one fact shuffle feeding the
+    aggregate; the percent-of-total pass is constant-size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_regionkey", F.col("n_name").alias("nation"))
+    )
+    r = load_table(spark, sf_dir, "region")
+    units = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    nat = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_regionkey", "nation")
+        .agg(units.alias("units"))
+    )
+    from mie_spark.queries.relational import int_div
+
+    w = Window.partitionBy("n_regionkey")
+    tot = F.sum("units").over(w)
+    share = (
+        F.floor(
+            (F.col("units").cast("decimal(38,0)") * 20000 + tot)
+            / (tot.cast("decimal(38,0)") * 2)
+        ).cast("long")
+        / F.lit(10000.0)
+    )
+    return (
+        nat.withColumn("revenue", int_div(F.col("units") + 50, 100).cast("double") / 100)
+        .withColumn("share", share)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region"), "nation", "revenue", "share")
+    )
