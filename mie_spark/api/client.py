@@ -562,6 +562,21 @@ class MieClient:
         )
         return rows[0].asDict() if rows else None
 
+    def find_decision_by_title(self, title: str) -> dict[str, Any] | None:
+        """Substring first match on decision title (reader.go:438-462:
+        `str_includes(title, ...)` + limit 1). Completes the reference's
+        find-trio alongside find_entity_by_name / find_fact_by_content;
+        orderBy(id) makes the limit-1 pick deterministic where Cozo's
+        unordered `:limit 1` is not."""
+        rows = (
+            self.store.table("mie_decision")
+            .filter(F.col("title").contains(title))
+            .orderBy("id")
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
     def list_nodes(
         self,
         node_type: str,

@@ -205,11 +205,18 @@ class OllamaLLMProvider:
         return got
 
     def _options(self, kw: dict) -> dict:
+        # all four sampling params generate()/chat() accept are forwarded
+        # (Ollama nests them under "options"); dropping top_p/stop here
+        # would make sampling silently differ from the other providers
         opts = {}
         if kw.get("max_tokens"):
             opts["num_predict"] = kw["max_tokens"]
         if kw.get("temperature"):
             opts["temperature"] = kw["temperature"]
+        if kw.get("top_p"):
+            opts["top_p"] = kw["top_p"]
+        if kw.get("stop"):
+            opts["stop"] = kw["stop"]
         return {"options": opts} if opts else {}
 
     def generate(self, prompt: str, model: str = "", **kw) -> GenerateResponse:

@@ -623,6 +623,14 @@ def ngram_containment_pairs(
             .select("h")
         )
         inv = inv.join(F.broadcast(hot), "h", "left_anti")
+        # the cap shrinks the shingle universe, so |src| must shrink with
+        # it: counting `common` over capped shingles against the FULL
+        # n_sh would silently deflate C(src->dst) below the documented
+        # |src∩dst|/|src| and drop near-threshold pairs. Both numerator
+        # and denominator are therefore measured over the capped set.
+        sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = docs.select("doc", "n_sh")
     a = inv.select(F.col("doc").alias("a_id"), "h")
     b = inv.select(F.col("doc").alias("b_id"), "h")
     common = (
@@ -631,7 +639,6 @@ def ngram_containment_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sizes = docs.select("doc", "n_sh")
     common = common.join(
         sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("a_n")),
         "a_id",

@@ -4,16 +4,21 @@ The reference's graph layer is relational adjacency (edge tables joined
 to node tables, pkg/memory/schema.go:97-132) and only ever does 1-hop
 traversals; multi-hop analytics (components, centrality) is the
 north-star extension. GraphFrames isn't available in this container, so
-the two classic vertex-centric algorithms are expressed directly as
-DataFrame fixpoint loops — which is also what GraphFrames compiles to.
+every algorithm here is expressed over the shared vertex-centric
+primitives in :mod:`mie_spark.operators.pregel` —
+``aggregate_messages`` (one superstep: triplet join → message → reduce
+by target) and ``pregel`` (superstep cadence + checkpoint hygiene +
+convergence halt) — the DataFrame re-expression of GraphX's API, which
+is also what GraphFrames compiles to.
 
 Scale stance (100 TB / 1000 executors):
 
-- Each iteration is one shuffle on the node id; the label/rank table is
+- Each superstep is one shuffle on the node id; the label/rank table is
   partitioned identically across iterations so the join co-locates.
 - ``localCheckpoint`` every iteration truncates the lineage: without
   it, plan size grows linearly and Catalyst re-analysis dominates after
-  ~20 rounds (the classic iterative-Spark failure mode).
+  ~20 rounds (the classic iterative-Spark failure mode). The cadence
+  lives in ``pregel``, not in each algorithm.
 - Connected components uses hash-min propagation PLUS pointer jumping
   (label-table self-join), which converges in O(log n) rounds on path
   graphs where plain propagation needs O(n) rounds.
@@ -26,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from mie_spark.operators.pregel import aggregate_messages, pregel
 
 
 def _undirect(edges: DataFrame) -> DataFrame:
@@ -59,46 +66,41 @@ def connected_components(
         labels = labels.unionByName(nodes.select("node")).distinct()
     labels = labels.withColumn("comp", F.col("node")).localCheckpoint()
 
-    for _ in range(max_iter):
+    def step(labels: DataFrame, _i: int) -> DataFrame:
         # 1-hop min over neighbors (sent along both edge directions)
-        nbr_min = (
-            adj.join(labels, adj.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
+        nbr_min = aggregate_messages(
+            adj, labels, to_dst=F.col("comp"), agg=[F.min("msg").alias("nbr_comp")]
         )
-        propagated = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
+        propagated = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                "comp"
+            ),
         )
         # pointer jumping: comp(u) := comp(comp(u))
         parents = propagated.select(
             F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
         )
-        jumped = (
-            propagated.join(parents, propagated.comp == parents.p_node, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("p_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .localCheckpoint()
+        return propagated.join(
+            parents, propagated.comp == parents.p_node, "left"
+        ).select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("p_comp", F.col("comp"))).alias(
+                "comp"
+            ),
         )
-        changed = (
-            jumped.alias("new")
-            .join(labels.alias("old"), "node")
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return (
+            new.alias("new")
+            .join(old.alias("old"), "node")
             .filter(F.col("new.comp") != F.col("old.comp"))
             .limit(1)
             .count()
+            == 0
         )
-        labels = jumped
-        if changed == 0:
-            break
+
+    labels = pregel(labels, step, max_iter, halt=converged)
     return labels.select("node", F.col("comp").alias("component"))
 
 
@@ -135,10 +137,16 @@ def bfs(
         # One eager materialization per hop (the frontier); the visited
         # set stays a lazy union of already-checkpointed frontiers, so
         # its lineage is depth-1 per element and never re-executes.
+        # aggregate_messages' groupBy IS the frontier dedup (same
+        # exchange as a distinct); the payload column is dropped.
         nxt = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
+            aggregate_messages(
+                edges,
+                frontier,
+                to_dst=F.lit(1),
+                agg=[F.count(F.lit(1)).alias("_m")],
+            )
+            .select("node")
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint()
@@ -191,29 +199,26 @@ def pagerank(
         return all_nodes.withColumn("rank", F.lit(0.0))
     ranks = all_nodes.withColumn("rank", F.lit(1.0 / n))
 
-    for _ in range(iterations):
-        contribs = (
-            edgesd.join(ranks, edgesd.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        contribs = aggregate_messages(
+            edgesd,
+            ranks,
+            to_dst=F.col("rank") / F.col("outdeg"),
+            agg=[F.sum("msg").alias("contrib")],
         )
-        ranks = (
-            all_nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-            )
-            # lazy checkpoint: lineage still truncates at materialization,
-            # but fixed-iteration loops need no per-round action (unlike
-            # CC's convergence check), so the whole loop runs as ONE job
-            # instead of one eager job per iteration.
-            .localCheckpoint(eager=False)
+        return all_nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
         )
-    return ranks
+
+    # lazy checkpoints: lineage still truncates at materialization, but
+    # fixed-iteration loops need no per-round action (unlike CC's
+    # convergence check), so the whole loop runs as ONE job instead of
+    # one eager job per iteration.
+    return pregel(ranks, step, iterations, eager=False)
 
 
 def chain_motif(
@@ -277,14 +282,11 @@ def sssp(
     )
     frontier = dist
     for _ in range(max_hops):
-        cand = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("w")).alias("nd"),
-            )
-            .groupBy("node")
-            .agg(F.min("nd").alias("nd"))
+        cand = aggregate_messages(
+            edges,
+            frontier,
+            to_dst=F.col("dist") + F.col("w"),
+            agg=[F.min("msg").alias("nd")],
         )
         merged = dist.join(cand, "node", "full_outer")
         # least() skips nulls: new node → nd, unimproved → dist
@@ -323,16 +325,20 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
 
     Returns the surviving nodes with their core degrees.
     """
+    def degrees(e: DataFrame) -> DataFrame:
+        # degree = count of a unit message sent along BOTH edge ends
+        # (no vertex state, so no state join)
+        return aggregate_messages(
+            e,
+            to_dst=F.lit(1),
+            to_src=F.lit(1),
+            agg=[F.count(F.lit(1)).alias("deg")],
+        )
+
     e = edges.select("src", "dst").localCheckpoint()
     n_edges = e.count()
     for _ in range(rounds):
-        deg = (
-            e.select(F.col("src").alias("node"))
-            .unionAll(e.select(F.col("dst").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        keep = deg.filter(F.col("deg") >= k).select("node")
+        keep = degrees(e).filter(F.col("deg") >= k).select("node")
         e2 = (
             e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
@@ -344,12 +350,7 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         if n2 == n_edges:
             break
         n_edges = n2
-    return (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    return degrees(e)
 
 
 def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
@@ -378,23 +379,25 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("label"))
-    for _ in range(rounds):
-        cand = (
-            adj.join(labels, adj.dst == labels.node)
-            .groupBy(F.col("src").alias("n"), "label")
+
+    def most_frequent(msgs: DataFrame) -> DataFrame:
+        """Custom reducer: per-node argmax label (count desc, label asc)
+        — not a single agg expression, hence the callable form."""
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("msg"))
+        return (
+            msgs.groupBy("node", "msg")
             .agg(F.count(F.lit(1)).alias("c"))
-        )
-        pick = (
-            cand.withColumn("rn", F.row_number().over(w))
+            .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select(F.col("n").alias("node"), F.col("label").alias("new_label"))
+            .select("node", F.col("msg").alias("new_label"))
         )
-        labels = (
-            labels.join(pick, "node", "left")
-            .select(
-                "node", F.coalesce("new_label", "label").alias("label")
-            )
-            .localCheckpoint()
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        pick = aggregate_messages(
+            adj, labels, to_src=F.col("label"), agg=most_frequent
         )
-    return labels
+        return labels.join(pick, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+
+    return pregel(labels, step, rounds)

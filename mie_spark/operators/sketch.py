@@ -98,13 +98,9 @@ def exact_heavy_hitters(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    share = (
-        F.floor(
-            (F.col("cnt").cast("decimal(38,0)") * 20000 + F.col("_total"))
-            / (F.col("_total").cast("decimal(38,0)") * 2)
-        ).cast("long")
-        / F.lit(10000.0)
-    )
+    from mie_spark.functions.numeric import share_half_up_4dp
+
+    share = share_half_up_4dp(F.col("cnt"), F.col("_total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * denom >= F.col("_total"))

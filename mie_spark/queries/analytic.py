@@ -790,17 +790,11 @@ def w_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_regionkey", "nation")
         .agg(units.alias("units"))
     )
-    from mie_spark.queries.relational import int_div
+    from mie_spark.queries.relational import int_div, share_half_up_4dp
 
     w = Window.partitionBy("n_regionkey")
     tot = F.sum("units").over(w)
-    share = (
-        F.floor(
-            (F.col("units").cast("decimal(38,0)") * 20000 + tot)
-            / (tot.cast("decimal(38,0)") * 2)
-        ).cast("long")
-        / F.lit(10000.0)
-    )
+    share = share_half_up_4dp(F.col("units"), tot)
     return (
         nat.withColumn("revenue", int_div(F.col("units") + 50, 100).cast("double") / 100)
         .withColumn("share", share)

@@ -19,7 +19,12 @@ from pyspark.sql.window import Window
 
 from mie_spark.operators.graph import bfs, connected_components, pagerank
 from mie_spark.queries import query
-from mie_spark.queries.relational import REVENUE_SQL, cents, revenue_col
+from mie_spark.queries.relational import (
+    REVENUE_SQL,
+    cents,
+    revenue_col,
+    share_half_up_4dp,
+)
 from mie_spark.sources import load_table
 
 def _ring_base(s: DataFrame, *extra_cols: str) -> DataFrame:
@@ -698,13 +703,7 @@ def g_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
     )
     union_sz = F.col("deg_a") + F.col("deg_b") - F.col("common")
-    jac = (
-        F.floor(
-            (F.col("common").cast("decimal(38,0)") * 20000 + union_sz)
-            / (union_sz.cast("decimal(38,0)") * 2)
-        ).cast("long")
-        / F.lit(10000.0)
-    )
+    jac = share_half_up_4dp(F.col("common"), union_sz)
     return (
         pairs.filter(
             (F.col("common") >= 2)

@@ -33,15 +33,10 @@ def cents(col: str) -> "F.Column":
     return F.round(F.col(col) * 100).cast("long")
 
 
-def int_div(x: "F.Column", d: int) -> "F.Column":
-    """Exact integer division of a non-negative long Column.
-
-    Spark's `/` on longs is DOUBLE division — floor(x / d) silently
-    loses exactness once x exceeds 2^53, where DuckDB's integer `//`
-    stays exact. Routing through decimal(38,0) keeps the quotient
-    exact for the full long range (the oracle-parity requirement for
-    the fixed-point revenue folds below)."""
-    return F.floor(x.cast("decimal(38,0)") / d).cast("long")
+# Canonical implementations live in functions/numeric.py (importable from
+# the operator layer too); re-exported here because query modules have
+# always pulled money-math helpers from this module.
+from mie_spark.functions.numeric import int_div, share_half_up_4dp  # noqa: E402,F401
 
 
 # revenue in integer fixed-point (companion to `cents`): sum of

@@ -324,13 +324,9 @@ def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("long").alias("bucket")
     )
     total = ev.agg(F.count(F.lit(1)).alias("_total"))
-    share = (
-        F.floor(
-            (F.col("cnt").cast("decimal(38,0)") * 20000 + F.col("_total"))
-            / (F.col("_total").cast("decimal(38,0)") * 2)
-        ).cast("long")
-        / F.lit(10000.0)
-    )
+    from mie_spark.functions.numeric import share_half_up_4dp
+
+    share = share_half_up_4dp(F.col("cnt"), F.col("_total"))
     return (
         ev.filter(F.col("bucket").isin(cand) if cand else F.lit(False))
         .groupBy("bucket")

@@ -1043,6 +1043,42 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe_bpe_vocab",
+    oracle=r"""
+    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ) GROUP BY w ORDER BY freq DESC, w LIMIT 500
+    """,
+)
+def pipe_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded sub-oracle for pipe_bpe_encode's DISTRIBUTED stage:
+    the word-frequency vocabulary the BPE trainer consumes (top-500 by
+    freq with a deterministic word tie-break). The trainer's sequential
+    merge loop stays rows-only by nature (merge k changes what merge
+    k+1 counts), but its *input* is plain SQL — grading it exactly
+    pins the corpus-scaling part of the pipeline, leaving only the
+    bounded driver-side recurrence to the pytest digests. Plan: one
+    map-side-combined aggregate + TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(500)
+    )
+
+
 @query("pipe_bpe_encode")
 def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer fit + apply in one pipeline: word-frequency
@@ -1221,10 +1257,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(F.col("cnt") * lnu(F.col("cnt"))).alias("s"),
     )
-    mean_half_up = F.floor(
-        (F.col("s").cast("decimal(38,0)") * 2 + F.col("n_chars_t"))
-        / (F.col("n_chars_t").cast("decimal(38,0)") * 2)
-    ).cast("long")
+    from mie_spark.queries.relational import int_div
+
+    mean_half_up = int_div(
+        F.col("s").cast("decimal(38,0)") * 2 + F.col("n_chars_t"),
+        F.col("n_chars_t").cast("decimal(38,0)") * 2,
+    )
     return agg.select(
         "doc_id",
         "n_chars_t",
@@ -1294,13 +1332,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("l")
     )
-    n = F.size("l")
+    # slice length clamped at 0: a doc tokenizing to zero tokens would
+    # otherwise request length -1, which is a runtime error in Spark
+    n = F.greatest(F.size("l") - 1, F.lit(0))
     bg = toks.select(
         "doc_id",
         F.explode(
             F.arrays_zip(
-                F.slice(F.col("l"), 1, n - 1).alias("w1"),
-                F.slice(F.col("l"), 2, n - 1).alias("w2"),
+                F.slice(F.col("l"), 1, n).alias("w1"),
+                F.slice(F.col("l"), 2, n).alias("w2"),
             )
         ).alias("pair"),
     )

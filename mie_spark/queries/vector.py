@@ -268,6 +268,45 @@ def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "v_mmr_pool",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    top AS (
+      -- rank on the UNROUNDED similarity like the Spark heap (see the
+      -- v2_cosine_topk oracle note on rounded-alias tie hazards)
+      SELECT vec_id, label,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC,
+                        vec_id) AS pool_rank,
+             round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS sim
+      FROM embeddings, q WHERE vec_id <> 0
+    )
+    SELECT vec_id, label, pool_rank, sim FROM top WHERE pool_rank <= 50
+    """,
+)
+def v_mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded sub-oracle for v_mmr_topk's DISTRIBUTED stage: the
+    exact top-50 cosine candidate pool (sim desc, vec_id tie-break)
+    that the bounded greedy MMR recurrence consumes. The greedy
+    selection itself is not SQL-expressible and stays digest-pinned;
+    grading the pool exactly means the only un-oracled surface left is
+    the ≤1024-row driver recurrence. Same no-shuffle heap plan as
+    v2_cosine_topk; the pool_rank window runs over 50 collected-side
+    rows, not the corpus."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    top = cosine_topk(emb, "embedding", _query_vec(spark, sf_dir), k=50)
+    w = Window.orderBy(F.col("sim").desc(), "vec_id")
+    return top.select(
+        "vec_id",
+        "label",
+        F.row_number().over(w).cast("long").alias("pool_rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
 @query("v_mmr_topk")
 def v_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: exact top-50 cosine candidate pool

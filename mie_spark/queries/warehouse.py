@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mie_spark.queries import query
-from mie_spark.queries.relational import REVENUE_SQL, cents, int_div, revenue_col
+from mie_spark.queries.relational import (
+    REVENUE_SQL,
+    cents,
+    int_div,
+    revenue_col,
+    share_half_up_4dp,
+)
 from mie_spark.sources import load_table
 
 
@@ -176,13 +182,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(units).alias("den"),
         )
     )
-    share = (
-        F.floor(
-            (F.col("num").cast("decimal(38,0)") * 20000 + F.col("den"))
-            / (F.col("den").cast("decimal(38,0)") * 2)
-        ).cast("long")
-        / F.lit(10000.0)
-    )
+    share = share_half_up_4dp(F.col("num"), F.col("den"))
     return flows.select("o_year", share.alias("mkt_share"))
 
 

@@ -158,6 +158,16 @@ def test_find_entity_case_insensitive(client):
     assert client.find_entity_by_name("POSTGRESQL")["id"] == eid
 
 
+def test_find_decision_by_title_substring(client):
+    """reader.go:438-462: str_includes on title, limit 1."""
+    did = client.store_decision("Adopt PostgreSQL for the core store", "rationale")
+    client.store_decision("Unrelated choice", "r2")
+    assert client.find_decision_by_title("PostgreSQL")["id"] == did
+    # full title matches too; substring semantics, not equality
+    assert client.find_decision_by_title("Adopt PostgreSQL for the core store")["id"] == did
+    assert client.find_decision_by_title("no such title") is None
+
+
 def test_export_import_roundtrip(client, spark):
     client.store_fact("exported fact", "general")
     client.store_entity("Exported", "other", "desc")

@@ -27,9 +27,10 @@ for t in ("region nation customer supplier part orders lineitem "
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 Q = E.queries(); O = E.oracle_sql()
+only = {n for n in os.environ.get("DRIVE_ONLY", "").split(",") if n}
 mismatch = []
 for name in Q:
-    if name not in O:
+    if name not in O or (only and name not in only):
         continue
     try:
         sp = Q[name](spark, SF).toPandas()
@@ -68,5 +69,8 @@ for name in Q:
     except Exception as exc:
         mismatch.append((name, [f"ERROR {exc}"]))
         print("ERR", name, str(exc)[:200], flush=True)
-print(f"checked {sum(1 for n in Q if n in O)} oracle queries, {len(mismatch)} flagged")
+print(
+    f"checked {sum(1 for n in Q if n in O and (not only or n in only))} "
+    f"oracle queries, {len(mismatch)} flagged"
+)
 sys.exit(1 if mismatch else 0)
