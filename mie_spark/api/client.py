@@ -77,6 +77,7 @@ class MieClient:
         embedder=None,
         embedding_dim: int = 4,
         snapshot_retention: int = 2,
+        merge_buckets: int = 16,
     ):
         self.spark = spark
         self.embedder = embedder or MockEmbeddingProvider(embedding_dim)
@@ -85,6 +86,7 @@ class MieClient:
             path,
             embedding_dim=embedding_dim,
             snapshot_retention=snapshot_retention,
+            merge_buckets=merge_buckets,
         )
 
     @classmethod

@@ -25,6 +25,19 @@ Engine mapping (SURVEY.md §1.5 — the reference opens CozoDB as `mem`,
                  files — re-open via table() for fresh reads (the same
                  contract as Delta's VACUUM horizon, just shorter).
 
+                 Snapshots are PARTITIONED by a stable key-hash bucket
+                 (``bkt=K`` subdirs, ``merge_buckets`` of them): a merge
+                 reads and rewrites ONLY the buckets the batch touches
+                 (partition pruning on the read, ``partitionBy`` on the
+                 write) and hard-links every untouched bucket's files
+                 from the previous snapshot — O(batch) I/O per commit
+                 instead of O(table), which is the difference between a
+                 usable and an unusable write path at 100 TB. Hard links
+                 keep each snapshot a self-contained full table, so the
+                 pointer flip, GC, pinning, time travel, and backup all
+                 work unchanged (deleting an old version only drops link
+                 counts, never shared file content).
+
 Upsert parity with CozoDB `:put` (writer.go:61-67 etc.): insert or
 replace whole row by key — idempotent with content-hash IDs.
 """
@@ -89,14 +102,25 @@ class MieStore:
         path: str | None = None,
         embedding_dim: int = DEFAULT_EMBEDDING_DIM,
         snapshot_retention: int = 2,
+        merge_buckets: int = 16,
     ):
         if snapshot_retention < 1:
             raise ValueError(
                 f"snapshot_retention must be >= 1, got {snapshot_retention}"
             )
+        if merge_buckets < 1:
+            raise ValueError(f"merge_buckets must be >= 1, got {merge_buckets}")
         self.spark = spark
         self.path = path
         self.embedding_dim = embedding_dim
+        # Bucket count for the partitioned-merge layout. Buckets are a
+        # stable hash of the key columns, so a row's bucket never moves;
+        # a merge batch touching B buckets rewrites B/merge_buckets of
+        # the table instead of all of it. Size it so one bucket's data
+        # fits an executor comfortably at the deployment's table size
+        # (16 is right for memory-graph scale; a lake deployment would
+        # use hundreds).
+        self.merge_buckets = merge_buckets
         # How many newest snapshot versions GC keeps per table (plus any
         # pinned versions). Default 2 = the historical contract (a lazy
         # reader survives exactly one commit); raise it so a reader
@@ -177,21 +201,60 @@ class MieStore:
             if stale not in pinned:
                 shutil.rmtree(os.path.join(tdir, stale), ignore_errors=True)
 
+    def _bkt(self, table: str):  # noqa: ANN202
+        """Stable key-hash bucket for the partitioned-merge layout: a
+        row's bucket is a pure function of its key columns, so it never
+        moves across rewrites and both sides of a merge agree on it."""
+        from pyspark.sql import functions as F
+
+        keys = key_columns(table)
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.merge_buckets)
+        ).cast("int")
+
     def _write_df(self, table: str, df: DataFrame) -> None:
-        """Spark-native snapshot write: the plan (typically current
-        snapshot anti-join ∪ new rows) executes distributed and streams
-        to the next version directory; nothing passes through the
-        driver."""
+        """Spark-native FULL snapshot write (first write, legacy-layout
+        upgrade, or full-coverage batch): the plan executes distributed
+        and streams to the next version directory partitioned by bucket;
+        nothing passes through the driver. Incremental merges go through
+        :meth:`_merge_and_write`, which rewrites only touched buckets."""
         snap, version = self._next_snapshot(table)
-        df.write.mode("overwrite").parquet(snap)
+        if "bkt" not in df.columns:
+            df = df.withColumn("bkt", self._bkt(table))
+        df.write.mode("overwrite").partitionBy("bkt").parquet(snap)
         self._commit_snapshot(table, version)
 
     def _has_parquet(self, snap: str) -> bool:
         # Spark writes no part files for an empty DataFrame — only
-        # _SUCCESS — and spark.read can't infer schema from that
+        # _SUCCESS — and spark.read can't infer schema from that.
+        # Walk: part files live inside bkt=K partition subdirs.
+        if not os.path.isdir(snap):
+            return False
         return any(
-            f.endswith(".parquet") for f in os.listdir(snap)
-        ) if os.path.isdir(snap) else False
+            f.endswith(".parquet") for _, _, fs in os.walk(snap) for f in fs
+        )
+
+    def _is_bucketed(self, snap: str) -> bool:
+        return any(d.startswith("bkt=") for d in os.listdir(snap))
+
+    def _link_untouched(self, prev: str, nxt: str, touched: list[int]) -> None:
+        """Carry every untouched bucket into the new snapshot by
+        hard-linking its part files — O(files) metadata ops, zero data
+        I/O. Hard links make each snapshot self-contained: GC of an old
+        version only decrements link counts, shared content survives."""
+        touched_dirs = {f"bkt={b}" for b in touched}
+        for d in os.listdir(prev):
+            if not d.startswith("bkt=") or d in touched_dirs:
+                continue
+            sdir, ddir = os.path.join(prev, d), os.path.join(nxt, d)
+            os.makedirs(ddir, exist_ok=True)
+            for fn in os.listdir(sdir):
+                if not fn.endswith(".parquet"):
+                    continue
+                try:
+                    os.link(os.path.join(sdir, fn), os.path.join(ddir, fn))
+                except OSError:  # cross-device fallback
+                    shutil.copy2(os.path.join(sdir, fn), os.path.join(ddir, fn))
 
     # -- reads ------------------------------------------------------------
 
@@ -303,16 +366,51 @@ class MieStore:
             return self._upsert_df_locked(table, df)
 
     def _merge_and_write(self, table: str, new: DataFrame) -> None:
-        """Current snapshot anti-join keys(new) ∪ new — ONE Spark plan,
-        executed by the snapshot write action. ``new`` must already be
-        key-unique and in canonical column order."""
+        """Bucket-pruned MERGE: current snapshot anti-join keys(new) ∪
+        new, restricted to the buckets the batch touches — ONE Spark
+        plan whose scan partition-prunes to the touched ``bkt=K`` dirs
+        and whose write produces only those dirs; untouched buckets are
+        hard-linked from the previous snapshot. O(batch) I/O per commit,
+        not O(table). ``new`` must already be key-unique and in
+        canonical column order. Falls back to a full (bucketed) rewrite
+        when the current snapshot predates the bucketed layout or the
+        batch touches every bucket anyway."""
+        from pyspark.sql import functions as F
+
+        schema = table_schema(table)
+        canon = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
         keys = key_columns(table)
-        cols = [f.name for f in table_schema(table)]
-        existing = self.table(table)
-        kept = existing.join(
-            new.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        new = new.withColumn("bkt", self._bkt(table))
+        snap = self._snapshot_dir(table)
+        if snap is None or not self._has_parquet(snap):
+            self._write_df(table, new)  # first write: all buckets are new
+            return
+        touched = sorted(
+            r["bkt"] for r in new.select("bkt").distinct().collect()
         )
-        self._write_df(table, kept.select(*cols).unionByName(new.select(*cols)))
+        if not touched:  # empty batch: nothing to merge
+            return
+        if not self._is_bucketed(snap) or len(touched) >= self.merge_buckets:
+            existing = self.spark.read.parquet(snap).select(*canon).withColumn(
+                "bkt", self._bkt(table)
+            )
+            kept = existing.join(
+                new.select(*keys).dropDuplicates(keys), keys, "left_anti"
+            )
+            self._write_df(table, kept.unionByName(new))
+            return
+        raw = self.spark.read.parquet(snap)
+        kept = (
+            raw.filter(F.col("bkt").isin(touched))  # partition pruning
+            .select(*canon, "bkt")
+            .join(new.select(*keys).dropDuplicates(keys), keys, "left_anti")
+        )
+        nsnap, version = self._next_snapshot(table)
+        kept.unionByName(new).write.mode("overwrite").partitionBy(
+            "bkt"
+        ).parquet(nsnap)
+        self._link_untouched(snap, nsnap, touched)
+        self._commit_snapshot(table, version)
 
     def _upsert_df_locked(self, table: str, df: DataFrame) -> int:
         keys = key_columns(table)
@@ -342,6 +440,7 @@ class MieStore:
     def _delete_rows_locked(self, table: str, key_values: list[tuple]) -> int:
         keys = key_columns(table)
         if self.path is not None:
+            from pyspark.sql import functions as F
             from pyspark.sql.types import StructType
 
             schema = table_schema(table)
@@ -349,10 +448,39 @@ class MieStore:
             doomed = self.spark.createDataFrame(
                 [tuple(kv) for kv in key_values], key_schema
             )
-            existing = self.table(table)
-            removed = existing.join(doomed, keys, "left_semi").count()
+            snap = self._snapshot_dir(table)
+            if snap is None or not self._has_parquet(snap):
+                return 0
+            if not self._is_bucketed(snap):
+                existing = self.table(table)
+                removed = existing.join(doomed, keys, "left_semi").count()
+                if removed:
+                    self._write_df(table, existing.join(doomed, keys, "left_anti"))
+                return removed
+            # bucket-pruned delete: only the doomed keys' buckets are
+            # scanned and rewritten; the rest hard-link across (same
+            # shape as _merge_and_write). A touched bucket losing ALL
+            # its rows simply produces no bkt dir — correct.
+            touched = sorted(
+                r["bkt"]
+                for r in doomed.withColumn("bkt", self._bkt(table))
+                .select("bkt")
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return 0
+            canon = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
+            raw = self.spark.read.parquet(snap)
+            scanned = raw.filter(F.col("bkt").isin(touched)).select(*canon, "bkt")
+            removed = scanned.join(doomed, keys, "left_semi").count()
             if removed:
-                self._write_df(table, existing.join(doomed, keys, "left_anti"))
+                nsnap, version = self._next_snapshot(table)
+                scanned.join(doomed, keys, "left_anti").write.mode(
+                    "overwrite"
+                ).partitionBy("bkt").parquet(nsnap)
+                self._link_untouched(snap, nsnap, touched)
+                self._commit_snapshot(table, version)
             return removed
         existing = self._read_pdf(table)
         if existing.empty:

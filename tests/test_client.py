@@ -598,3 +598,78 @@ def test_invalidate_fact_rejects_non_fact_ids(client):
         client.invalidate_fact(eid, fid)
     # no garbage row leaked into mie_fact
     assert client.get_node_by_id(eid)["name"] == "NotAFact"
+
+
+def _bucket_inodes(snap: str) -> dict[str, set[int]]:
+    import os
+
+    out: dict[str, set[int]] = {}
+    for d in os.listdir(snap):
+        if d.startswith("bkt="):
+            out[d] = {
+                os.stat(os.path.join(snap, d, f)).st_ino
+                for f in os.listdir(os.path.join(snap, d))
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The snapshot store's MERGE is bucket-pruned: an upsert batch
+    touching one key-hash bucket rewrites ONLY that bucket's files in
+    the new snapshot version; every other bucket is hard-linked (same
+    inode) from the previous version — O(batch) I/O, not O(table)."""
+    import os
+
+    from mie_spark.storage import MieStore
+
+    store = MieStore(
+        spark, path=str(tmp_path / "b"), embedding_dim=4, merge_buckets=8
+    )
+    store.upsert_rows(
+        "mie_fact",
+        [{"id": f"fact:{i}", "content": f"c{i}"} for i in range(200)],
+    )
+    v1 = store._snapshot_dir("mie_fact")
+    before = _bucket_inodes(v1)
+    assert len(before) > 1  # 200 hashed keys span several buckets
+
+    store.upsert_rows("mie_fact", [{"id": "fact:7", "content": "UPDATED"}])
+    v2 = store._snapshot_dir("mie_fact")
+    assert v2 != v1
+    after = _bucket_inodes(v2)
+    assert set(after) == set(before)  # full table, every bucket present
+    rewritten = [d for d in after if not (after[d] and after[d] <= before[d])]
+    linked = [d for d in after if after[d] and after[d] <= before[d]]
+    assert len(rewritten) == 1  # exactly the touched bucket
+    assert len(linked) == len(before) - 1  # all others carried by hard link
+
+    rows = {r["id"]: r["content"] for r in store.table("mie_fact").collect()}
+    assert len(rows) == 200
+    assert rows["fact:7"] == "UPDATED"
+    assert rows["fact:8"] == "c8"
+
+
+def test_bucketed_delete_prunes_and_preserves_rows(spark, tmp_path):
+    """delete_rows on the bucketed layout scans and rewrites only the
+    doomed keys' buckets; surviving rows in other buckets hard-link
+    across unchanged, and counts/reads stay exact."""
+    from mie_spark.storage import MieStore
+
+    store = MieStore(
+        spark, path=str(tmp_path / "d"), embedding_dim=4, merge_buckets=8
+    )
+    store.upsert_rows(
+        "mie_fact",
+        [{"id": f"fact:{i}", "content": f"c{i}"} for i in range(60)],
+    )
+    v1 = store._snapshot_dir("mie_fact")
+    before = _bucket_inodes(v1)
+    assert store.delete_rows("mie_fact", [("fact:3",), ("fact:44",)]) == 2
+    after = _bucket_inodes(store._snapshot_dir("mie_fact"))
+    linked = [d for d in after if after[d] and after[d] <= before[d]]
+    assert len(linked) >= len(before) - 2  # at most 2 buckets rewritten
+    ids = {r["id"] for r in store.table("mie_fact").collect()}
+    assert len(ids) == 58 and "fact:3" not in ids and "fact:44" not in ids
+    # deleting a missing key is a no-op commit-wise
+    assert store.delete_rows("mie_fact", [("fact:nope",)]) == 0
