@@ -97,6 +97,13 @@ HEADLINE = [
     "text_bigram_logprob",       # conditional-LM scoring, two windows over tf counts
     "dedup_containment",         # asymmetric subset-dup, in-row direction flip
     "w_revenue_share",           # percent-of-total window over the nation aggregate
+    # round-7 additions, benched from day one
+    "q11_important_stock",       # Q11 shape: part-value concentration, ReuseExchange threshold
+    "pipe_bpe_vocab",            # BPE trainer input vocab, agg + TakeOrderedAndProject
+    "v_mmr_pool",                # exact top-50 cosine pool (MMR stage 1), no-shuffle heap
+    "v_hamming_topk",            # binary-quantized Hamming scan + exact rerank
+    "v_matryoshka_topk",         # MRL truncated-prefix ranking, map-only
+    "g_ppr",                     # personalized PageRank over the pregel primitive
 ]
 
 

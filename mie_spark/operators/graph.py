@@ -221,6 +221,68 @@ def pagerank(
     return pregel(ranks, step, iterations, eager=False)
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleport lands on the ``sources`` set
+    (uniformly) instead of all nodes — the similarity-to-seed-set
+    ranking used for recommendation and local community scoring.
+    rank_0 = teleport; rank_{i+1}(v) = (1-d)*tele(v) + d*Σ_{u→v}
+    rank_i(u)/outdeg(u), tele(v) = 1/|S| for v ∈ S else 0.
+
+    Built from the same two calls as :func:`pagerank` — one
+    ``aggregate_messages`` superstep + the ``pregel`` runner with lazy
+    checkpoints — which is the point of the primitive: a new
+    vertex-centric algorithm is a new ``step`` closure, not a new loop.
+    The teleport vector is computed once (broadcast indicator join) and
+    reused every superstep."""
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    edgesd = (
+        edges.join(deg, deg.node == edges.src)
+        .select("src", "dst", "outdeg")
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    src = sources.select("node").distinct().withColumn("_t", F.lit(1.0))
+    ns = src.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank requires a non-empty source set")
+    base = (
+        all_nodes.join(F.broadcast(src), "node", "left")
+        .select("node", (F.coalesce("_t", F.lit(0.0)) / ns).alias("tele"))
+        .localCheckpoint()
+    )
+    ranks = base.select("node", F.col("tele").alias("rank"))
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        contribs = aggregate_messages(
+            edgesd,
+            ranks,
+            to_dst=F.col("rank") / F.col("outdeg"),
+            agg=[F.sum("msg").alias("contrib")],
+        )
+        return base.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("tele")
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    return pregel(ranks, step, iterations, eager=False)
+
+
 def chain_motif(
     edges: DataFrame,
     hops: int,

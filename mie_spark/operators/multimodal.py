@@ -6,15 +6,19 @@ sampling, feature extraction) runs in Arrow-batched `mapInPandas` so a
 100 TB corpus streams through Python in columnar batches, one partition
 per task, without ever collecting to the driver.
 
-Codec status: decoders for COMPRESSED media are stubbed (the container
-ships no JPEG/PNG/MP3/H.264 libraries): `decode_image_meta` parses a
-deterministic fake header and `decode_frames` raises
-NotImplementedError unless the fake codec is requested. Decoders for
-UNCOMPRESSED container formats are REAL — `parse_wav`/`decode_audio_meta`
-(RIFF/WAVE PCM16) and `parse_ppm`/`resize_ppm` (binary PPM P6) parse
-actual bytes with stdlib struct + numpy, no external codecs needed.
+Codec status (honesty boundary, narrowed round 7):
+- REAL with no codec library: `parse_wav`/`decode_audio_meta`
+  (RIFF/WAVE PCM16), `parse_ppm`/`resize_ppm` (binary PPM P6), and
+  compressed-image METADATA — `decode_image_meta(codec='header')`
+  parses actual PNG/JPEG/GIF headers (`sniff_image_meta`, pure stdlib).
+- REAL behind an optional dependency: `resize_images(codec='pil')`
+  decodes/resizes/re-encodes real compressed images when Pillow is
+  importable (driver-side probe; NotImplementedError otherwise).
+- STUBBED: pixel decode without Pillow, and video frame decode
+  (`decode_frames(codec='real')`) — no H.264 library ships anywhere we
+  target, so it stays a loud NotImplementedError.
 The Spark-side contract — schemas, batch iteration, partitioning — is
-identical across both and tested (tests/test_multimodal.py).
+identical across all modes and tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -56,12 +60,63 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def decode_image_meta(assets: DataFrame) -> DataFrame:
-    """'Decode' each payload into typed metadata via mapInPandas.
+def sniff_image_meta(raw: bytes) -> tuple[str, int, int] | None:
+    """REAL compressed-image metadata from the container header — pure
+    stdlib, no codec library: PNG IHDR (big-endian dims at offset 16),
+    JPEG SOFn segment walk, GIF logical-screen descriptor (little-
+    endian dims at offset 6). Returns (media_type, width, height), or
+    None when the payload is none of these formats. Pixel DECODING
+    still needs a codec (see resize_images codec='pil'); dimensions and
+    type — what a catalog/filter stage of a training pipeline actually
+    reads — do not."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n" and len(raw) >= 24:
+        return (
+            "image/png",
+            int.from_bytes(raw[16:20], "big"),
+            int.from_bytes(raw[20:24], "big"),
+        )
+    if raw[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(raw):
+            if raw[i] != 0xFF:
+                i += 1
+                continue
+            marker = raw[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(raw[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                # SOFn: [len][precision][height][width]
+                return (
+                    "image/jpeg",
+                    int.from_bytes(raw[i + 7 : i + 9], "big"),
+                    int.from_bytes(raw[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+        return None
+    if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+        return (
+            "image/gif",
+            int.from_bytes(raw[6:8], "little"),
+            int.from_bytes(raw[8:10], "little"),
+        )
+    return None
 
-    Real systems swap `_fake_decode` for PIL/ffmpeg; the Arrow batch
-    shape, output schema, and partition-preserving plan are identical.
+
+def decode_image_meta(assets: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode each payload into typed metadata via mapInPandas.
+
+    codec='header' parses REAL compressed-image headers (PNG/JPEG/GIF,
+    :func:`sniff_image_meta`); unrecognized payloads get media_type
+    'application/octet-stream' with null dimensions instead of failing
+    the batch — a 100 TB crawl always contains garbage bytes.
+    codec='fake' (default, the oracle-pinned mode) derives deterministic
+    dimensions from content length. Identical Arrow batch shape, output
+    schema, and partition-preserving plan either way.
     """
+    if codec not in ("fake", "header"):
+        raise ValueError(f"codec must be 'fake' or 'header', got {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -69,14 +124,27 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
         for pdf in it:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
+            if codec == "header":
+                sniffed = [sniff_image_meta(bytes(p)) for p in payloads]
+                media = [s[0] if s else "application/octet-stream" for s in sniffed]
+                width = pd.array(
+                    [s[1] if s else None for s in sniffed], dtype="Int32"
+                )
+                height = pd.array(
+                    [s[2] if s else None for s in sniffed], dtype="Int32"
+                )
+            else:
+                media = pdf["media_type"]
+                # deterministic fake dimensions derived from content
+                width = (n_bytes % 1920 + 16).astype("int32")
+                height = (n_bytes % 1080 + 16).astype("int32")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
+                    "media_type": media,
                     "n_bytes": n_bytes,
-                    # deterministic fake dimensions derived from content
-                    "width": (n_bytes % 1920 + 16).astype("int32"),
-                    "height": (n_bytes % 1080 + 16).astype("int32"),
+                    "width": width,
+                    "height": height,
                     "content_sha": payloads.map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
                     ),
@@ -140,14 +208,51 @@ def resize_images(
     assets: DataFrame, width: int = 224, height: int = 224, codec: str = "real"
 ) -> DataFrame:
     """Batch resize to a fixed (width, height) — the standard pre-
-    embedding normalization step. codec='real' errors loudly (no PIL in
-    this container); codec='fake' emits a deterministic byte payload of
-    exactly width*height//8 bytes derived from the source (cycle-padded
-    or truncated), so downstream batch-shape/size logic is exercised
-    with realistic per-row payload sizes."""
+    embedding normalization step.
+
+    codec='pil' is the REAL path: Pillow decodes each compressed
+    payload (JPEG/PNG/GIF/...), bilinear-resizes, and re-encodes as
+    PNG — gated on Pillow being importable (checked at the driver so
+    the failure is immediate, not a task-time stack trace). codec='fake'
+    emits a deterministic byte payload of exactly width*height//8 bytes
+    derived from the source (cycle-padded or truncated), so downstream
+    batch-shape/size logic is exercised with realistic per-row payload
+    sizes when no codec library is available."""
+    if codec == "pil":
+        try:
+            import PIL.Image  # noqa: F401 — driver-side availability probe
+        except ImportError as exc:
+            raise NotImplementedError(
+                "codec='pil' requires Pillow, which is not installed; "
+                "pass codec='fake' for the deterministic stub"
+            ) from exc
+
+        def pil_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in it:
+                out = []
+                for payload in pdf["payload"]:
+                    with Image.open(io.BytesIO(bytes(payload))) as im:
+                        resized = im.resize((width, height))
+                        buf = io.BytesIO()
+                        resized.save(buf, format="PNG")
+                        out.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "payload": out,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
+        return assets.mapInPandas(pil_batches, schema=RESIZED_SCHEMA)
     if codec != "fake":
         raise NotImplementedError(
-            "real image resize requires PIL/opencv, absent here; "
+            "real image resize requires Pillow (codec='pil'); "
             "pass codec='fake' for the deterministic stub"
         )
     target = max(width * height // 8, 1)

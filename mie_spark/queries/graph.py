@@ -711,3 +711,73 @@ def g_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cust_a", "cust_b", "common", "deg_a", "deg_b", jac.alias("jaccard"))
     )
+
+
+@query(
+    "g_ppr",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT s_suppkey AS u,
+             lead(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS nxt,
+             min(s_suppkey) OVER (PARTITION BY s_nationkey) AS mn
+      FROM supplier
+    ),
+    e AS (
+      SELECT u, v FROM (
+        SELECT u, coalesce(nxt, mn) AS v FROM base
+        UNION ALL
+        SELECT u, mn AS v FROM base WHERE u <> mn
+      ) t
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) t
+    ),
+    srcs AS (SELECT min(s_suppkey) AS node FROM supplier GROUP BY s_nationkey),
+    ns AS (SELECT count(*)::DOUBLE AS k FROM srcs),
+    tele AS (
+      SELECT node,
+             CASE WHEN node IN (SELECT node FROM srcs)
+                  THEN 1.0::DOUBLE / (SELECT k FROM ns) ELSE 0.0::DOUBLE END AS t
+      FROM nodes
+    ),
+    deg AS (SELECT u, count(*)::DOUBLE AS d FROM e GROUP BY u),
+    pr(iter, node, rank) AS (
+      SELECT 0, node, t FROM tele
+      UNION ALL
+      SELECT p.iter + 1, e.v AS node,
+             0.15::DOUBLE * min(tl.t) + 0.85::DOUBLE * sum(p.rank / deg.d)
+      FROM pr p
+      JOIN deg ON deg.u = p.node
+      JOIN e ON e.u = p.node
+      JOIN tele tl ON tl.node = e.v
+      WHERE p.iter < 8
+      GROUP BY p.iter, e.v
+    )
+    SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 8
+    """,
+)
+def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the same supplier ring graph as
+    g_pagerank, with teleport landing uniformly on the nation-minimum
+    hub set (the seed-set-similarity ranking recommenders run). The
+    algorithm is a NEW step closure over the shared
+    aggregate_messages/pregel primitive — same superstep shuffle
+    discipline, same lazy-checkpoint cadence as pagerank, zero new loop
+    code. Oracle replays the identical recurrence (init = teleport
+    vector, 8 rounds of 0.15*tele + 0.85*incoming) as a recursive CTE,
+    wrapped-unions per the DuckDB seed/step quirk noted on g_pagerank."""
+    from mie_spark.operators.graph import personalized_pagerank
+
+    s = load_table(spark, sf_dir, "supplier")
+    base = _ring_base(s)
+    ring = base.select("u", F.coalesce("nxt", "mn").alias("v"))
+    tomin = base.filter(F.col("u") != F.col("mn")).select("u", F.col("mn").alias("v"))
+    edges = ring.unionByName(tomin).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    srcs = s.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("node")).select("node")
+    ranks = personalized_pagerank(edges, srcs, iterations=8, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

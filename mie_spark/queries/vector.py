@@ -538,3 +538,138 @@ def v_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("label", "vec_id", "dist2")
     )
+
+
+# DuckDB-side explicit left-fold helpers: identical accumulation order
+# to the Spark expressions in mie_spark/functions/vectors.py (dot /
+# l2_norm fold left with a 0.0 seed), so float results match bit-for-bit
+# instead of relying on list_cosine_similarity's internal order.
+def _fold_dot(a: str, b: str, n: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n} + 1), "
+        f"i -> {a}[i] * {b}[i])), (a, b) -> a + b)"
+    )
+
+
+def _fold_cos(a: str, b: str, n: str) -> str:
+    return (
+        f"({_fold_dot(a, b, n)} / "
+        f"(sqrt({_fold_dot(a, a, n)}) * sqrt({_fold_dot(b, b, n)})))"
+    )
+
+
+def _pack_word_sql(vec: str, off: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 33), "
+        f"i -> CASE WHEN {vec}[{off} + i] > 0 THEN (1::BIGINT << (i - 1)) "
+        f"ELSE 0::BIGINT END)), (a, b) -> a | b)"
+    )
+
+
+@query(
+    "v_hamming_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS x
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    pk AS (
+      SELECT vec_id, label, x,
+             {_pack_word_sql('x', 0)} AS w0,
+             {_pack_word_sql('x', 32)} AS w1
+      FROM base
+    ),
+    qpk AS (
+      SELECT {_pack_word_sql('qe', 0)} AS qw0,
+             {_pack_word_sql('qe', 32)} AS qw1
+      FROM q
+    ),
+    cand AS (
+      SELECT vec_id, label, x,
+             (bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)))::BIGINT AS hamming
+      FROM pk, qpk
+      ORDER BY hamming, vec_id
+      LIMIT 100
+    ),
+    scored AS (
+      SELECT vec_id, label, hamming, {_fold_cos('x', 'qe', 'len(x)')} AS s
+      FROM cand, q
+    )
+    SELECT vec_id, label, hamming, round(s, 6) AS sim
+    FROM scored ORDER BY s DESC, vec_id LIMIT 10
+    """,
+)
+def v_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval: 1-bit sign codes packed into two
+    32-bit words (binary_quantize), Hamming-distance candidate scan
+    (xor + popcount — the 32x-compressed first pass a 100 TB vector
+    store actually scans), exact cosine rerank of the top-100 down to
+    10. Every stage is integer-or-identical-float exact, so the whole
+    two-stage pipeline hash-grades — unlike LSH/IVF whose bucketing is
+    pinned by recall floors instead. Plan: map-only pack+xor fused into
+    the scan, TakeOrderedAndProject candidate heap (no shuffle),
+    100-row exact rerank. Deterministic ties: (hamming, id) then
+    (cosine desc, id)."""
+    from mie_spark.operators.vector import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    top = hamming_topk(
+        emb, "embedding", _query_vec(spark, sf_dir), k=10, candidates=100
+    )
+    return top.select(
+        "vec_id", "label", "hamming", F.round("sim", 6).alias("sim")
+    )
+
+
+@query(
+    "v_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS x
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    scored AS (
+      SELECT vec_id, label,
+             {_fold_cos('x', 'qe', '16')} AS s16,
+             {_fold_cos('x', 'qe', 'len(x)')} AS sfull
+      FROM base, q
+    )
+    SELECT vec_id, label, round(s16, 6) AS sim_trunc, round(sfull, 6) AS sim_full
+    FROM scored ORDER BY s16 DESC, vec_id LIMIT 10
+    """,
+)
+def v_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) retrieval: rank on the first 16 of 64
+    dimensions — the truncate-and-renormalize trick nested-dimension
+    embedding models are trained for, which cuts first-pass scan
+    bandwidth 4x at 100 TB — and report the full-dimension similarity
+    alongside so the rank drift is visible. Cosine over the prefix IS
+    the renormalized form (both norms are prefix norms). Exactness:
+    identical left-fold float ops on both engines (explicit list_reduce
+    oracle, not list_cosine_similarity). Plan: map-only slice+fold
+    fused into the scan, TakeOrderedAndProject — no shuffle."""
+    from mie_spark.functions.vectors import cosine_sim
+
+    qv = _query_vec(spark, sf_dir)
+    trunc = 16
+    q16 = F.array(*[F.lit(float(x)) for x in qv[:trunc]])
+    qfull = F.array(*[F.lit(float(x)) for x in qv])
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    scored = emb.select(
+        "vec_id",
+        "label",
+        cosine_sim(F.slice(F.col("embedding"), 1, trunc), q16).alias("_s16"),
+        cosine_sim(F.col("embedding"), qfull).alias("_sfull"),
+    )
+    return (
+        scored.orderBy(F.col("_s16").desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.round("_s16", 6).alias("sim_trunc"),
+            F.round("_sfull", 6).alias("sim_full"),
+        )
+    )

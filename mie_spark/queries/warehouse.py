@@ -1,11 +1,11 @@
 """Warehouse analytics: the remaining classic TPC-H query shapes.
 
 Rounds 1-5 covered Q1/Q2/Q3/Q4/Q5/Q12/Q13/Q14/Q17/Q18; this module adds
-the rest: with it the repo expresses 21 of the 22 TPC-H query shapes
-(all but Q11, whose partsupp-only ps_supplycost*ps_availqty aggregate
-has no analog in this corpus) —
+the rest: with it the repo expresses all 22 TPC-H query shapes —
 bidirectional dimension pairing (Q7), conditional market-share ratio
 (Q8), multi-dim profit rollup (Q9), returned-item ranking (Q10),
+value-concentration scalar-threshold cut (Q11, over lineitem value
+since the corpus ships no partsupp — see its docstring),
 NOT-IN distinct-count census (Q16), OR-of-ANDs pushdown (Q19),
 EXISTS/NOT-EXISTS decorrelation (Q21), scalar-subquery anti-join
 (Q22), pure predicate scan (Q6), view + scalar-max reuse (Q15), and
@@ -686,4 +686,69 @@ def q20_red_part_specialists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "red_qty", "total_qty")
         .orderBy("s_name")
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS units
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_5'
+      GROUP BY l_partkey
+    ), t AS (
+      SELECT CAST(sum(units) AS BIGINT) AS total, count(*) AS ng FROM v
+    )
+    SELECT partkey, units AS value_units
+    FROM v, t
+    WHERE units * ng > 2 * total
+    ORDER BY value_units DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's plan shape over the columns the corpus has: the
+    canonical Q11 aggregates partsupp (supplycost*availqty per part for
+    one nation's suppliers, HAVING value > a scalar-subquery fraction of
+    the total). The corpus ships no partsupp table, so the value
+    measure is lineitem extendedprice*quantity per part restricted to
+    NATION_5's suppliers — same join graph (fact ⋈ supplier ⋈ nation
+    with the nation predicate pushed into a pre-pruned broadcast dim),
+    same group-then-scalar-threshold structure. The TPC-H FRACTION
+    literal is SF-dependent (0.0001/SF); the SF-independent analog is
+    'value > 2x the average part value', which keeps the scalar
+    aggregate subquery while staying selective at every graded SF
+    (162 rows at sf0.01, 1810 at sf0.1).
+
+    Exactness: per-part value in integer units (cents x integral qty,
+    BIGINT); the HAVING is cross-multiplied (units*ng > 2*total) so no
+    division reaches the comparison. Scale: one shuffle for the part
+    aggregate; the threshold is a 1-row broadcast aggregate of the SAME
+    grouped subtree (ReuseExchange, the q15/q20 pattern); suppliers of
+    one nation broadcast as a semi-join probe, so lineitem never
+    shuffles for the dim side.
+    Reference: SURVEY §2 warehouse suite; TPC-H spec Q11.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    supp = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    units_row = cents("l_extendedprice") * F.round("l_quantity").cast("long")
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(units_row).alias("units"))
+    )
+    tot = v.agg(F.sum("units").alias("total"), F.count(F.lit(1)).alias("ng"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("units") * F.col("ng") > 2 * F.col("total"))
+        .select("partkey", F.col("units").alias("value_units"))
+        .orderBy(F.col("value_units").desc(), "partkey")
     )

@@ -204,3 +204,82 @@ def test_phash_inline_parser_matches_module_parser(spark):
     )
     out = {r["asset_id"]: r["phash"] for r in image_phash(df).collect()}
     assert out[1] == out[2]
+
+
+# A real, valid 1x1 PNG (IHDR width=1 height=1); standard minimal file.
+_PNG_1x1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+    "0000000d49444154789c626001000000ffff03000006000557bfabd40000000049454e44ae426082"
+)
+# JPEG with a comment segment before SOF0 (height=42, width=69): the
+# sniffer must WALK segments, not assume SOF0 at a fixed offset.
+_JPEG_HDR = (
+    b"\xff\xd8"                      # SOI
+    b"\xff\xfe\x00\x04ab"            # COM segment, len 4
+    b"\xff\xc0\x00\x11\x08\x00\x2a\x00\x45\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"  # SOF0
+    b"\xff\xd9"                      # EOI
+)
+_GIF_HDR = b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"\x00" * 20
+
+
+def test_sniff_image_meta_real_headers():
+    from mie_spark.operators.multimodal import sniff_image_meta
+
+    assert sniff_image_meta(_PNG_1x1) == ("image/png", 1, 1)
+    assert sniff_image_meta(_JPEG_HDR) == ("image/jpeg", 69, 42)
+    assert sniff_image_meta(_GIF_HDR) == ("image/gif", 7, 9)
+    assert sniff_image_meta(b"not an image at all") is None
+
+
+def test_decode_image_meta_header_codec(spark):
+    """codec='header' reads REAL compressed-image dimensions via Spark;
+    unrecognized payloads degrade to octet-stream with null dims
+    instead of failing the batch."""
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_PNG_1x1), "x"),
+            (2, bytearray(_JPEG_HDR), "x"),
+            (3, bytearray(_GIF_HDR), "x"),
+            (4, bytearray(b"garbage"), "x"),
+        ],
+        ["asset_id", "payload", "media_type"],
+    )
+    out = {r["asset_id"]: r for r in decode_image_meta(df, codec="header").collect()}
+    assert (out[1]["media_type"], out[1]["width"], out[1]["height"]) == ("image/png", 1, 1)
+    assert (out[2]["width"], out[2]["height"]) == (69, 42)
+    assert (out[3]["width"], out[3]["height"]) == (7, 9)
+    assert out[4]["media_type"] == "application/octet-stream"
+    assert out[4]["width"] is None and out[4]["height"] is None
+    # content_sha still computed for every row (catalog invariant)
+    assert all(len(r["content_sha"]) == 64 for r in out.values())
+
+
+def test_resize_images_pil_real_bytes(spark):
+    """Real decode→resize→re-encode round-trip, gated on Pillow being
+    installed (skips cleanly where it is not)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (8, 6), color=(200, 10, 10)).save(buf, format="JPEG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "image/jpeg")],
+        ["asset_id", "payload", "media_type"],
+    )
+    rows = resize_images(df, width=4, height=4, codec="pil").collect()
+    assert rows[0]["width"] == 4 and rows[0]["height"] == 4
+    with PIL_Image.open(io.BytesIO(bytes(rows[0]["payload"]))) as im:
+        assert im.size == (4, 4) and im.format == "PNG"
+
+
+def test_resize_images_pil_errors_without_pillow(spark):
+    """Driver-side probe: the Pillow path fails immediately (not at
+    task time) when Pillow is absent."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        pytest.skip("Pillow installed here; the guard path is unreachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        resize_images(_assets(spark, 1), codec="pil")

@@ -533,3 +533,42 @@ def test_filtered_indexed_probe_matches_filtered_exact_on_probed_cells(spark, tm
     ).collect()
     assert len(part) == 10
     assert all(r["label"] in (1, 3, 7) for r in part)
+
+
+def test_binary_quantize_packs_sign_bits(spark):
+    from mie_spark.operators.vector import binary_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.0, 2.0])], ["vec_id", "v"]
+    )
+    row = binary_quantize(df, "v", dim=4).collect()[0]
+    # bits 0 and 3 set (strictly positive only): 0b1001 = 9
+    assert row["w0"] == 9
+
+
+def test_binary_quantize_64_dims_two_words(spark):
+    from mie_spark.operators.vector import binary_quantize
+
+    vec = [1.0] * 32 + [-1.0] * 31 + [1.0]  # all of word0, only bit 31 of word1
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "v"])
+    row = binary_quantize(df, "v", dim=64).collect()[0]
+    assert row["w0"] == 0xFFFFFFFF
+    assert row["w1"] == 1 << 31
+
+
+def test_hamming_topk_self_query_first(spark):
+    from mie_spark.operators.vector import hamming_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"l{i}", [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = hamming_topk(df, "embedding", rows[5][2], k=3, candidates=10).collect()
+    assert out[0]["vec_id"] == 5
+    assert out[0]["hamming"] == 0
+    assert abs(out[0]["sim"] - 1.0) < 1e-9
+    # hamming is a long on the Spark side (dtype doctrine)
+    assert isinstance(out[0]["hamming"], int)
