@@ -104,6 +104,9 @@ HEADLINE = [
     "v_hamming_topk",            # binary-quantized Hamming scan + exact rerank
     "v_matryoshka_topk",         # MRL truncated-prefix ranking, map-only
     "g_ppr",                     # personalized PageRank over the pregel primitive
+    "samp_weighted_k",           # Efraimidis-Spirakis weighted sample, scan-fused key
+    "ev_bitmap_distinct",        # bitmap-exact COUNT(DISTINCT), O(words) shuffle state
+    "ev_bitmap_overlap",         # exact audience intersection via bitmap AND
 ]
 
 

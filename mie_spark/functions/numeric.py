@@ -31,6 +31,11 @@ def int_div(x: Column, d) -> Column:
 
     `d` may be a Python int or a Column; both operands must be
     non-negative (pmod semantics — the doctrine everywhere in this repo).
+    Operands may exceed long range (they compute in decimal(38,0)), but
+    the QUOTIENT must fit in a long — the result is cast to long, and a
+    quotient past 2^63 wraps (non-ANSI) or errors (ANSI). Every caller
+    divides by at least the share/mean scale, keeping quotients in
+    range; pinned by tests/test_properties.py.
     """
     xd = x.cast("decimal(38,0)")
     dd = (F.lit(d) if isinstance(d, int) else d).cast("decimal(38,0)")

@@ -207,3 +207,40 @@ def epoch_mix(
         hash_bucket(F.col(id_col)) < F.round((F.col("_e") - F.floor(F.col("_e"))) * 256)
     )
     return out.filter(keep).drop("_e")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis-Spirakis A-Res scheme): each row draws a reproducible
+    uniform u from its id hash and ranks by u^(1/w) — equivalently by
+    ln(u)/w descending — so heavier rows win proportionally more often,
+    every re-run/retry/shard agrees on the sample, and no rand() state
+    exists anywhere. The standard way to draw a size-k corpus sample
+    biased toward long/high-quality documents.
+
+    u = (first 6 hex digits of md5(id) + 1) / 16^6 ∈ (0, 1] — the same
+    engine-portable md5 rule as hash_split, widened to 24 bits so key
+    collisions are rare; +1 keeps ln finite. Requires weight > 0 rows
+    (callers filter). Plan: per-row expression fused into the scan,
+    TakeOrderedAndProject heap for the cut — no shuffle, no global
+    window; the rank is assigned over the k survivors only."""
+    from pyspark.sql.window import Window
+
+    b = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    key = F.log((b + 1) / F.lit(float(16**6))) / F.col(weight_col).cast("double")
+    top = (
+        df.select(id_col, weight_col, key.alias("_k"))
+        .orderBy(F.col("_k").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_k").desc(), F.col(id_col))
+    return top.select(
+        id_col, weight_col, F.row_number().over(w).cast("long").alias("rk")
+    )

@@ -113,6 +113,11 @@ _GRADE_FIRST = [
     # ... and personalized PageRank, the first NEW algorithm composed
     # from the aggregate_messages/pregel primitive.
     "g_ppr",
+    # ... and the deterministic Efraimidis-Spirakis weighted sample and
+    # the bitmap-exact COUNT(DISTINCT), each hash-graded.
+    "samp_weighted_k",
+    "ev_bitmap_distinct",
+    "ev_bitmap_overlap",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -142,13 +147,11 @@ _GRADE_FIRST = [
     # funnel/hourly_agg/pivot/unpivot/retention/top_spenders/
     # value_percentiles, st_dedup_totals/st_sessionize,
     # pipe_decontaminate/dedup_clusters/training_manifest, v5_norms,
+    # samp_temperature_mix, samp_stratified, text_lang_id,
     # v_knn_join_nodes — is first in line for r8, with the six
     # rows-only r04 entries carrying the least slot signal).
     "dedup_simhash_pairs",
     "samp_hash_split",
-    "samp_stratified",
-    "samp_temperature_mix",
-    "text_lang_id",
 ]
 
 

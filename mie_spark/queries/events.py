@@ -1025,3 +1025,94 @@ def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("long").alias("bucket")
     )
     return exact_heavy_hitters(ev, "bucket", denom=200)
+
+
+@query(
+    "ev_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def ev_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per event type via distributed
+    bitmaps — the warehouse technique that replaces count(DISTINCT)'s
+    row-holding aggregate with fixed-width integer state: each user_id
+    maps to (word = id div 32, bit = id mod 32); a first map-combined
+    aggregate ORs the per-(type, word) bitmaps (32-bit words so no
+    shift ever reaches 63 — the same ANSI/DuckDB overflow boundary as
+    binary_quantize), a second sums popcounts. Shuffle state is
+    O(types x occupied words), not O(distinct ids) per group — the
+    Roaring-bitmap shape warehouses use for COUNT(DISTINCT) at scale.
+    The oracle is deliberately the INDEPENDENT formulation — a plain
+    count(DISTINCT) — so the bitmap identity itself is what gets
+    hash-graded. Exactness: pure integer ops end to end (ids are
+    non-negative in this corpus; a general operator would pmod the id
+    first — Spark's % is signed)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("user_id div 32").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+    )
+    words = ev.groupBy("event_type", "word").agg(
+        F.expr("bit_or(bit)").alias("bm")
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.expr("bit_count(bm)")).alias("n_users"))
+    )
+
+
+@query(
+    "ev_bitmap_overlap",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           (SELECT count(DISTINCT e1.user_id)
+            FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+            WHERE e1.event_type = p.type_a
+              AND e2.event_type = p.type_b)::BIGINT AS n_both
+    FROM pairs p
+    ORDER BY type_a, type_b
+    """,
+)
+def ev_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap census — |users(A) ∩ users(B)| for every event-
+    type pair — computed EXACTLY via bitmap intersection instead of a
+    self-join: per (type, word) 32-bit membership bitmaps (the
+    ev_bitmap_distinct layout) meet in a word-aligned equi-join, AND
+    together, and sum popcounts. The self-join the oracle runs touches
+    O(|A|x|B|) matched event rows per pair; the bitmap form touches
+    O(occupied words) — the audience-insights shape warehouses ship as
+    theta sketches, here exact because ids are dense. The oracle is the
+    independent naive formulation, so the bitmap algebra itself is
+    hash-graded. All pairs come from one bitmap table built once
+    (5 types → 10 pairs share the same aggregate)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("user_id div 32").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+    )
+    words = (
+        ev.groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+        .localCheckpoint(eager=False)
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "word", F.col("bm").alias("bm_a")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "word", F.col("bm").alias("bm_b")
+    )
+    return (
+        a.join(b, "word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.expr("bit_count(bm_a & bm_b)")).alias("n_both"))
+        .orderBy("type_a", "type_b")
+    )

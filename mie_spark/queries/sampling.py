@@ -276,3 +276,39 @@ def samp_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@query(
+    "samp_weighted_k",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT + 1)
+                / 16777216.0) / CAST(n_chars AS DOUBLE) AS k
+      FROM documents WHERE n_chars > 0
+    ),
+    top AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+      FROM t
+    )
+    SELECT doc_id, n_chars, rk FROM top WHERE rk <= 20
+    """,
+)
+def samp_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis via operators/sampling.weighted_sample_k):
+    a 20-doc corpus sample where selection probability scales with
+    n_chars — the standard biased-draw a mixing pipeline uses to favor
+    long documents while staying fully reproducible (uniform u comes
+    from the md5-of-id rule, no rand() state). Oracle replays the
+    identical key = ln((hash6+1)/16^6)/w ranking; the only float op
+    beyond IEEE arithmetic is ln over identical doubles, whose
+    cross-engine 1-ulp wiggle can flip an order only between keys
+    within ~4e-15 of each other — unreachable at corpus key spacing.
+    Plan: scan-fused key expression, TakeOrderedAndProject — the rank
+    window runs over the 20 survivors, never the corpus."""
+    from mie_spark.operators.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return weighted_sample_k(docs, "doc_id", "n_chars", k=20)

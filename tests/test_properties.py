@@ -338,3 +338,66 @@ def test_epoch_mix_row_counts_match_rates(spark, rates):
             1 for d in docs if buckets[d] < frac_cut
         )
         assert got.get(src, 0) == want, (src, e)
+
+
+def test_int_div_matches_python_floordiv_on_spark(spark):
+    """The pmod-based decimal int_div must equal Python's exact `//`
+    everywhere — including the region where the previous
+    floor(decimal/decimal) form was wrong: Spark rounds decimal
+    division HALF_UP to scale 6 BEFORE floor, so any quotient with
+    fractional part >= 0.9999995 floored one too high (ADVICE r6:
+    num=50, den=1000001 under the share formula). Cases cover that
+    boundary, exact multiples, +/-1 neighbours, and magnitudes past
+    2^53 where double division loses exactness."""
+    from mie_spark.functions.numeric import int_div
+    from pyspark.sql import functions as F
+
+    cases = [
+        (2000001, 2000002),          # the ADVICE counterexample (0.9999995)
+        (1999999999, 2000000000),    # deeper into the rounding window
+        (10**18 - 1, 10**18),        # fraction 0.999... at long range
+        (2**62 + 12345, 100),        # > 2^53: double division would drift
+        (999999999999999999, 7),
+        (0, 3),
+        (41, 7),
+        (42, 7),
+        (43, 7),
+        # decimal(38) INTERMEDIATE (2e21 numerator) with a long-range
+        # quotient — int_div's contract: operands may exceed long, the
+        # quotient itself must fit (it is cast to long)
+        (10**17 * 20000 + 1, 10**16),
+    ]
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal(x), Decimal(d)) for x, d in cases],
+        "x decimal(38,0), d decimal(38,0)",
+    )
+    got = [
+        r["q"]
+        for r in df.select(int_div(F.col("x"), F.col("d")).alias("q"))
+        .collect()
+    ]
+    assert got == [x // d for x, d in cases]
+
+
+def test_share_half_up_4dp_matches_reference_on_spark(spark):
+    """Spark-side share_half_up_4dp == the pure-integer half-up
+    reference pinned by test_half_up_share_identity — including the
+    counterexample where floor(decimal/decimal) read 1 instead of 0."""
+    from mie_spark.functions.numeric import share_half_up_4dp
+    from pyspark.sql import functions as F
+
+    cases = [(50, 1000001), (1, 3), (2, 3), (1, 2), (9999, 10000), (0, 5),
+             (10**12, 3 * 10**12), (1, 10**12)]
+    df = spark.createDataFrame([(n, d) for n, d in cases], "n long, d long")
+    got = [
+        r["s"]
+        for r in df.select(
+            share_half_up_4dp(F.col("n"), F.col("d")).alias("s")
+        ).collect()
+    ]
+    for (n, d), g in zip(cases, got):
+        q, r = divmod(n * 10000, d)
+        want = (q + (1 if 2 * r >= d else 0)) / 10000.0
+        assert g == want, (n, d, g, want)

@@ -119,3 +119,32 @@ def test_heavy_hitters_single_key(spark):
     assert out["key"].tolist() == [7]
     assert out["cnt"].tolist() == [50]
     assert out["share"].tolist() == [1.0]
+
+
+def test_weighted_sample_k_matches_python_reference(spark):
+    """weighted_sample_k's ln(md5-uniform)/w ranking replicated
+    independently in pure Python (hashlib + math.log) — same top-k ids
+    in the same order. Also pins the A-Res property that equal weights
+    reduce to the plain md5-uniform order used by fixed_k."""
+    import hashlib
+    import math
+
+    from mie_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+
+    def key(i: int, w: int) -> float:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        return math.log((b + 1) / 16**6) / float(w)
+
+    want = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:10]
+    got = weighted_sample_k(df, "doc_id", "w", k=10).collect()
+    assert [(r["doc_id"], r["w"]) for r in got] == want
+    assert [r["rk"] for r in got] == list(range(1, 11))
+
+    # equal weights: ranking collapses to md5-uniform order
+    eq = spark.createDataFrame([(i, 7) for i in range(50)], ["doc_id", "w"])
+    got_eq = [r["doc_id"] for r in weighted_sample_k(eq, "doc_id", "w", k=5).collect()]
+    want_eq = sorted(range(50), key=lambda i: (-key(i, 7), i))[:5]
+    assert got_eq == want_eq
