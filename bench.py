@@ -107,6 +107,7 @@ HEADLINE = [
     "samp_weighted_k",           # Efraimidis-Spirakis weighted sample, scan-fused key
     "ev_bitmap_distinct",        # bitmap-exact COUNT(DISTINCT), O(words) shuffle state
     "ev_bitmap_overlap",         # exact audience intersection via bitmap AND
+    "st_bitmap_distinct",        # foreachBatch-maintained bitmap distinct state
 ]
 
 

@@ -118,6 +118,7 @@ _GRADE_FIRST = [
     "samp_weighted_k",
     "ev_bitmap_distinct",
     "ev_bitmap_overlap",
+    "st_bitmap_distinct",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -147,11 +148,10 @@ _GRADE_FIRST = [
     # funnel/hourly_agg/pivot/unpivot/retention/top_spenders/
     # value_percentiles, st_dedup_totals/st_sessionize,
     # pipe_decontaminate/dedup_clusters/training_manifest, v5_norms,
-    # samp_temperature_mix, samp_stratified, text_lang_id,
+    # samp_temperature_mix, samp_stratified, samp_hash_split, text_lang_id,
     # v_knn_join_nodes — is first in line for r8, with the six
     # rows-only r04 entries carrying the least slot signal).
     "dedup_simhash_pairs",
-    "samp_hash_split",
 ]
 
 

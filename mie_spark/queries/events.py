@@ -1098,6 +1098,11 @@ def ev_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("user_id div 32").alias("word"),
         F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
     )
+    # lazy localCheckpoint: the bitmap table feeds BOTH sides of the
+    # self-join, and the per-side column renames defeat ReuseExchange
+    # (verified: without it the scan+aggregate subtree executes twice,
+    # 5 exchanges vs 2+checkpoint) — materializing it once is the
+    # cheaper plan and the honest one at scale
     words = (
         ev.groupBy("event_type", "word")
         .agg(F.expr("bit_or(bit)").alias("bm"))

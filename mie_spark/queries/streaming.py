@@ -335,3 +335,34 @@ def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * 200 >= F.col("_total"))
         .select("bucket", "cnt", share.alias("share"))
     )
+
+
+@query(
+    "st_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def st_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_bitmap_distinct: per-type distinct-user
+    bitmaps are MAINTAINED INCREMENTALLY by a foreachBatch job
+    (stream_bitmap_distinct — per-batch 32-bit-word bitmaps OR-merged
+    into a versioned parquet state with an atomic pointer commit), then
+    the drained state's popcounts are read back. Same independent
+    count(DISTINCT) oracle as the batch form — the hash proves the
+    incremental merge loses and double-counts nothing across
+    micro-batch boundaries; bit_or's idempotence is what makes replay
+    exactness free (pinned in tests/test_streaming.py)."""
+    import tempfile
+
+    from mie_spark.streaming import (
+        load_bitmap_distinct,
+        read_events_stream,
+        stream_bitmap_distinct,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="bm_state_")
+    stream = read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    stream_bitmap_distinct(stream, "event_type", "user_id", state_dir)
+    return load_bitmap_distinct(spark, state_dir, "event_type")

@@ -346,3 +346,50 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     counts = {r["start"].strftime("%H:%M"): r["n"] for r in sink.collect()}
     # hour-0 window: the 2 on-time events; the late event_id=4 dropped
     assert counts.get("00:00") == 2
+
+
+def test_bitmap_distinct_merges_and_replays_idempotently(spark, tmp_path):
+    """stream_bitmap_distinct across 4 one-file micro-batches must equal
+    the batch count(DISTINCT) — and re-running the ENTIRE stream into
+    the same state dir must leave every count unchanged: bitwise OR is
+    idempotent, which is why replay exactness needs no dedup ledger."""
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import (
+        load_bitmap_distinct,
+        stream_bitmap_distinct,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    src = str(tmp_path / "ev_split")
+    ev.repartition(4).write.parquet(src)
+
+    def run(state_dir: str) -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_type", "user_id")
+        )
+        stream_bitmap_distinct(stream, "event_type", "user_id", state_dir)
+
+    state_dir = str(tmp_path / "bm_state")
+    run(state_dir)
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in load_bitmap_distinct(spark, state_dir, "event_type").collect()
+    }
+    truth = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == truth
+
+    # full replay into the SAME state: every batch re-ORs, nothing moves
+    run(state_dir)
+    again = {
+        r["event_type"]: r["n_distinct"]
+        for r in load_bitmap_distinct(spark, state_dir, "event_type").collect()
+    }
+    assert again == truth
