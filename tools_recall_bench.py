@@ -27,6 +27,7 @@ from mie_spark.operators.vector import (
     ann_topk_lsh,
     ann_topk_pq,
     cosine_topk,
+    hamming_topk,
 )
 from mie_spark.sources import load_table
 
@@ -53,6 +54,9 @@ corpus.count()
 VARIANTS = {
     "lsh (8 planes, multi-probe)": lambda q, k: ann_topk_lsh(
         corpus, "embedding", q, k
+    ),
+    "hamming (1-bit, cand=100)": lambda q, k: hamming_topk(
+        corpus, "embedding", q, k, candidates=100
     ),
     "ivf (16 cells, probe 6)": lambda q, k: ann_topk_ivf(
         corpus, "embedding", q, k
