@@ -5,6 +5,8 @@ exhaust the round budget, cores of known membership)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mie_spark.operators.graph import kcore
 
 
@@ -86,3 +88,77 @@ def test_label_propagation_matches_python_reference(spark):
         for r in label_propagation(edges, rounds=4).collect()
     }
     assert out == labels
+
+
+def test_aggregate_messages_directions_and_reducers(spark):
+    """The GraphX-parity superstep primitive, exercised directly:
+    to_dst carries src state, to_src carries dst state, both-direction
+    unit messages count degree without a state join, and a callable
+    reducer sees the raw (node, msg) frame."""
+    from mie_spark.operators.pregel import aggregate_messages
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["node", "val"]
+    )
+    # to_dst: each target sums its senders' state
+    got = {
+        r["node"]: r["s"]
+        for r in aggregate_messages(
+            edges, verts, to_dst=F.col("val"), agg=[F.sum("msg").alias("s")]
+        ).collect()
+    }
+    assert got == {2: 10.0, 3: 30.0}
+    # to_src: each source sees its targets' state
+    got = {
+        r["node"]: r["s"]
+        for r in aggregate_messages(
+            edges, verts, to_src=F.col("val"), agg=[F.sum("msg").alias("s")]
+        ).collect()
+    }
+    assert got == {1: 50.0, 2: 30.0}
+    # both directions, no vertex join: undirected degree
+    deg = {
+        r["node"]: r["d"]
+        for r in aggregate_messages(
+            edges,
+            to_dst=F.lit(1),
+            to_src=F.lit(1),
+            agg=[F.count(F.lit(1)).alias("d")],
+        ).collect()
+    }
+    assert deg == {1: 2, 2: 2, 3: 2}
+    # callable reducer gets the raw message frame
+    mx = aggregate_messages(
+        edges,
+        verts,
+        to_dst=F.col("val"),
+        agg=lambda msgs: msgs.groupBy("node").agg(F.max("msg").alias("m")),
+    )
+    assert {r["node"]: r["m"] for r in mx.collect()} == {2: 10.0, 3: 20.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="to_dst/to_src"):
+        aggregate_messages(edges, verts, agg=[F.sum("msg").alias("s")])
+
+
+def test_pregel_runner_halt_and_rounds(spark):
+    """pregel runs exactly `rounds` supersteps without halt, and stops
+    early (returning the NEW state) when halt fires."""
+    from mie_spark.operators.pregel import pregel
+
+    v0 = spark.createDataFrame([(1, 0)], ["node", "x"])
+
+    def step(state, i):
+        return state.select("node", (F.col("x") + 1).alias("x"))
+
+    out = pregel(v0, step, 5)
+    assert out.collect()[0]["x"] == 5
+
+    out = pregel(
+        v0, step, 5, halt=lambda old, new: new.collect()[0]["x"] >= 2
+    )
+    assert out.collect()[0]["x"] == 2
