@@ -433,6 +433,41 @@ class MieStore:
         self._write_pdf(table, pdf)
         return df.count()
 
+    def compact(self, table: str) -> int:
+        """Rewrite the table's current snapshot with ONE file per
+        occupied bucket — the Delta OPTIMIZE analog for the bucketed
+        layout. Merges deliberately do NOT coalesce (multiple part
+        files per bucket preserve write parallelism and each rewrite
+        replaces them wholesale, so counts never accumulate); compact
+        is the explicit maintenance call for when a table's buckets
+        have fragmented below efficient scan size. Upgrades a
+        pre-bucketing snapshot to the bucketed layout as a side effect.
+        Returns the number of part files in the new snapshot. No-op
+        (returns 0) on an empty table."""
+        with self._write_lock:
+            snap = self._snapshot_dir(table)
+            if snap is None or not self._has_parquet(snap):
+                return 0
+            from pyspark.sql import functions as F
+
+            schema = table_schema(table)
+            canon = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
+            df = self.spark.read.parquet(snap).select(*canon).withColumn(
+                "bkt", self._bkt(table)
+            )
+            nsnap, version = self._next_snapshot(table)
+            # one task per bucket -> one file per bucket
+            df.repartition(self.merge_buckets, F.col("bkt")).write.mode(
+                "overwrite"
+            ).partitionBy("bkt").parquet(nsnap)
+            self._commit_snapshot(table, version)
+            return sum(
+                1
+                for _, _, fs in os.walk(nsnap)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
     def delete_rows(self, table: str, key_values: list[tuple]) -> int:
         with self._write_lock:
             return self._delete_rows_locked(table, key_values)

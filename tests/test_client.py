@@ -673,3 +673,34 @@ def test_bucketed_delete_prunes_and_preserves_rows(spark, tmp_path):
     assert len(ids) == 58 and "fact:3" not in ids and "fact:44" not in ids
     # deleting a missing key is a no-op commit-wise
     assert store.delete_rows("mie_fact", [("fact:nope",)]) == 0
+
+
+def test_compact_one_file_per_bucket(spark, tmp_path):
+    """compact() rewrites the current snapshot to one part file per
+    occupied bucket (the OPTIMIZE analog); reads are unchanged and the
+    versioned-commit contract holds (new version, old GC-eligible)."""
+    import os
+
+    from mie_spark.storage import MieStore
+
+    store = MieStore(
+        spark, path=str(tmp_path / "c"), embedding_dim=4, merge_buckets=4
+    )
+    for batch in range(3):  # several merges -> multiple files per bucket
+        store.upsert_rows(
+            "mie_fact",
+            [{"id": f"fact:{batch}-{i}", "content": "x"} for i in range(40)],
+        )
+    v_before = store._snapshot_dir("mie_fact")
+    n_files = store.compact("mie_fact")
+    v_after = store._snapshot_dir("mie_fact")
+    assert v_after != v_before
+    buckets = [d for d in os.listdir(v_after) if d.startswith("bkt=")]
+    assert n_files == len(buckets)  # exactly one file per occupied bucket
+    for d in buckets:
+        parts = [f for f in os.listdir(os.path.join(v_after, d)) if f.endswith(".parquet")]
+        assert len(parts) == 1
+    assert store.table("mie_fact").count() == 120
+    # empty table: no-op
+    empty = MieStore(spark, path=str(tmp_path / "e"), embedding_dim=4)
+    assert empty.compact("mie_fact") == 0
