@@ -443,7 +443,9 @@ class MieStore:
         have fragmented below efficient scan size. Upgrades a
         pre-bucketing snapshot to the bucketed layout as a side effect.
         Returns the number of part files in the new snapshot. No-op
-        (returns 0) on an empty table."""
+        (returns 0) on an empty table or the mem engine (no files)."""
+        if self.path is None:
+            return 0
         with self._write_lock:
             snap = self._snapshot_dir(table)
             if snap is None or not self._has_parquet(snap):

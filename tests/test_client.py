@@ -704,3 +704,5 @@ def test_compact_one_file_per_bucket(spark, tmp_path):
     # empty table: no-op
     empty = MieStore(spark, path=str(tmp_path / "e"), embedding_dim=4)
     assert empty.compact("mie_fact") == 0
+    # mem engine: no files to compact, graceful no-op
+    assert MieStore(spark, path=None, embedding_dim=4).compact("mie_fact") == 0
