@@ -82,6 +82,9 @@ def sniff_image_meta(raw: bytes) -> tuple[str, int, int] | None:
                 i += 1
                 continue
             marker = raw[i + 1]
+            if marker == 0xFF:
+                i += 1  # fill byte (the spec allows 0xFF padding runs)
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

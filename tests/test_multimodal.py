@@ -229,6 +229,12 @@ def test_sniff_image_meta_real_headers():
     assert sniff_image_meta(_JPEG_HDR) == ("image/jpeg", 69, 42)
     assert sniff_image_meta(_GIF_HDR) == ("image/gif", 7, 9)
     assert sniff_image_meta(b"not an image at all") is None
+    # 0xFF fill-byte padding before a segment (spec-legal) must not be
+    # misread as a segment header
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + _JPEG_HDR[2:]
+    assert sniff_image_meta(padded) == ("image/jpeg", 69, 42)
+    # truncated JPEG (no SOF before the bytes run out) degrades to None
+    assert sniff_image_meta(_JPEG_HDR[:6]) is None
 
 
 def test_decode_image_meta_header_codec(spark):
