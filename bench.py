@@ -108,6 +108,7 @@ HEADLINE = [
     "ev_bitmap_distinct",        # bitmap-exact COUNT(DISTINCT), O(words) shuffle state
     "ev_bitmap_overlap",         # exact audience intersection via bitmap AND
     "st_bitmap_distinct",        # foreachBatch-maintained bitmap distinct state
+    "pipe_funnel_census",        # 4-stage pipeline funnel, one shared lineage
 ]
 
 

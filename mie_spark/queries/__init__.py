@@ -119,6 +119,9 @@ _GRADE_FIRST = [
     "ev_bitmap_distinct",
     "ev_bitmap_overlap",
     "st_bitmap_distinct",
+    # ... and the end-to-end funnel census (clean -> decontaminate ->
+    # budget composed as ONE plan, per-stage survivors hash-graded).
+    "pipe_funnel_census",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -149,9 +152,9 @@ _GRADE_FIRST = [
     # value_percentiles, st_dedup_totals/st_sessionize,
     # pipe_decontaminate/dedup_clusters/training_manifest, v5_norms,
     # samp_temperature_mix, samp_stratified, samp_hash_split, text_lang_id,
+    # dedup_simhash_pairs,
     # v_knn_join_nodes — is first in line for r8, with the six
     # rows-only r04 entries carrying the least slot signal).
-    "dedup_simhash_pairs",
 ]
 
 

@@ -1374,3 +1374,108 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_nll"),
         F.round(F.exp(avg), 2).alias("ppl"),
     )
+
+
+@query(
+    "pipe_funnel_census",
+    oracle=_CLEAN_CORPUS_CTE
+    + r"""
+    , ftoks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ft
+      FROM documents
+    ),
+    sh8 AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ft) >= 8
+               THEN [ft[i] || ' ' || ft[i+1] || ' ' || ft[i+2] || ' ' || ft[i+3] || ' ' ||
+                     ft[i+4] || ' ' || ft[i+5] || ' ' || ft[i+6] || ' ' || ft[i+7]
+                     FOR i IN range(1, len(ft) - 6)]
+               ELSE []::VARCHAR[] END) AS s
+      FROM ftoks
+    ),
+    inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh8),
+    bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id < 100),
+    contam AS (
+      SELECT DISTINCT i.doc_id FROM inv i JOIN bench b ON i.shingle = b.shingle
+      WHERE i.doc_id >= 100
+    ),
+    decon AS (
+      SELECT * FROM deduped
+      WHERE doc_id >= 100
+        AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    budgeted AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                                        ORDER BY md5(doc_id::VARCHAR), doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM decon
+      ) WHERE cum - n_tokens < 500
+    )
+    SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs,
+           sum(len(ft))::BIGINT AS n_tokens FROM ftoks
+    UNION ALL
+    SELECT '1_clean', count(*)::BIGINT, sum(n_tokens)::BIGINT FROM deduped
+    UNION ALL
+    SELECT '2_decontaminated', count(*)::BIGINT, sum(n_tokens)::BIGINT FROM decon
+    UNION ALL
+    SELECT '3_budgeted', count(*)::BIGINT, sum(n_tokens)::BIGINT FROM budgeted
+    """,
+)
+def pipe_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data prep pipeline as one composed plan, with
+    a per-stage survivor census — the funnel report every corpus build
+    publishes: raw corpus → clean (lang gate + rule quality + exact
+    fingerprint dedup, the shared _clean_corpus stage) → benchmark
+    decontamination (drop the bench stand-in docs AND any doc sharing
+    an 8-token shingle with them, the pipe_decontaminate rule) →
+    per-source token budget (md5-ordered take-until-crossing, the
+    samp_token_budget rule at 500 tokens).
+
+    Every stage reuses the exact rule its standalone query grades, so
+    the composition — not new logic — is what this hash checks: stage
+    counts and token sums must agree with DuckDB replaying the same
+    four-CTE chain. Plan: the census is four aggregates over one shared
+    lineage; shuffles are the dedup window, the shingle semi-join
+    (bench side broadcast), and the budget window — each inherited
+    from its stage, nothing added by the composition."""
+    from pyspark.sql.window import Window
+
+    from mie_spark.operators.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(token_count(F.col("text")).cast("long").alias("n"))
+    clean = _clean_corpus(docs)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), 8)).alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") < 100).select("shingle").distinct()
+    contam = (
+        sh.filter(F.col("doc_id") >= 100)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = clean.filter(F.col("doc_id") >= 100).join(contam, "doc_id", "left_anti")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    budgeted = decon.withColumn(
+        "cum", F.sum("n_tokens").over(w).cast("long")
+    ).filter(F.col("cum") - F.col("n_tokens") < 500)
+
+    def census(df: DataFrame, stage: str, tok_col: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).cast("long").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    return (
+        census(raw, "0_raw", "n")
+        .unionByName(census(clean, "1_clean", "n_tokens"))
+        .unionByName(census(decon, "2_decontaminated", "n_tokens"))
+        .unionByName(census(budgeted, "3_budgeted", "n_tokens"))
+    )
