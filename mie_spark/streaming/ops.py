@@ -807,13 +807,34 @@ def stream_bitmap_distinct(
                     F.expr("coalesce(bm_a, 0L) | coalesce(bm_b, 0L)").alias("bm"),
                 )
             )
-        nxt = os.path.join(state_dir, f"v{batch_id}")
-        bm.write.mode("overwrite").parquet(nxt)
+        # monotonic version numbers, NOT batch_id: a replayed/restarted
+        # stream restarts batch ids at 0, which would both overwrite
+        # the live version dir and sort OLDEST in the GC order below
+        # (deleting the current state it just committed)
         os.makedirs(state_dir, exist_ok=True)
+        existing = [
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        nxt = os.path.join(state_dir, f"v{max(existing, default=0) + 1}")
+        bm.write.mode("overwrite").parquet(nxt)
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(nxt)
         os.replace(tmp, pointer)  # atomic commit, MieStore pattern
+        # GC: each version is a FULL state copy, so an unbounded stream
+        # would otherwise accumulate one per micro-batch. Keep the 2
+        # newest (current + the one a lazy reader may still hold) —
+        # the MieStore snapshot-retention contract.
+        import shutil
+
+        versions = sorted(
+            (d for d in os.listdir(state_dir) if d.startswith("v") and d[1:].isdigit()),
+            key=lambda d: int(d[1:]),
+        )
+        for stale in versions[:-2]:
+            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
 
     foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
 

@@ -393,3 +393,8 @@ def test_bitmap_distinct_merges_and_replays_idempotently(spark, tmp_path):
         for r in load_bitmap_distinct(spark, state_dir, "event_type").collect()
     }
     assert again == truth
+    # state GC: versions are full copies, only the 2 newest survive
+    import os
+
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) <= 2
