@@ -8,13 +8,17 @@ per task, without ever collecting to the driver.
 
 Codec status (honesty boundary, narrowed round 7):
 - REAL with no codec library: `parse_wav`/`decode_audio_meta`
-  (RIFF/WAVE PCM16), `parse_ppm`/`resize_ppm` (binary PPM P6), and
+  (RIFF/WAVE PCM16), `parse_ppm`/`resize_ppm` (binary PPM P6),
   compressed-image METADATA — `decode_image_meta(codec='header')`
-  parses actual PNG/JPEG/GIF headers (`sniff_image_meta`, pure stdlib).
+  parses actual PNG/JPEG/GIF headers (`sniff_image_meta`) — and full
+  PNG PIXEL decode/encode/resize (`parse_png`/`png_from_array`/
+  `resize_png`: zlib IDAT + all five scanline filters, stdlib+numpy —
+  DEFLATE is the only compression PNG has, and Python ships it).
 - REAL behind an optional dependency: `resize_images(codec='pil')`
-  decodes/resizes/re-encodes real compressed images when Pillow is
+  handles JPEG (and everything else Pillow reads) when Pillow is
   importable (driver-side probe; NotImplementedError otherwise).
-- STUBBED: pixel decode without Pillow, and video frame decode
+- STUBBED: JPEG pixel decode without Pillow (a DCT codec is not
+  reimplementable responsibly here), and video frame decode
   (`decode_frames(codec='real')`) — no H.264 library ships anywhere we
   target, so it stays a loud NotImplementedError.
 The Spark-side contract — schemas, batch iteration, partitioning — is
@@ -745,3 +749,144 @@ def synthetic_ppm_corpus(
         ]
     )
     return docs.select(F.col(id_col)).mapInPandas(batches, schema=schema)
+
+
+def parse_png(raw: bytes):
+    """REAL PNG decoder with NOTHING but the stdlib + numpy: IDAT
+    chunks are zlib streams of filtered scanlines; this walks the chunk
+    list, inflates, and reverses all five per-row filters (None / Sub /
+    Up / Average / Paeth, PNG spec §9). Supports the overwhelmingly
+    common web shapes — 8-bit grayscale (color type 0), RGB (2) and
+    RGBA (6), non-interlaced. Palette (3) and 16-bit depths raise with
+    the reason. Returns (width, height, H x W x channels uint8 array).
+
+    This is the same honesty move as parse_wav/parse_ppm: the
+    compressed-codec boundary for PNG is just DEFLATE, which Python
+    ships — so pixel decode is real here with no optional dependency,
+    and only JPEG pixel decode still needs Pillow (resize_images
+    codec='pil')."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(raw):
+        (length,), ctype = struct.unpack(">I", raw[pos : pos + 4]), raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+            if color not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG color type {color} (gray/RGB/RGBA only)"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            channels = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR or IDAT)")
+    d = zlib.decompressobj()  # tolerant of sync-flush-terminated streams
+    flat = np.frombuffer(d.decompress(idat) + d.flush(), dtype=np.uint8)
+    stride = width * channels
+    if flat.size != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = flat.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + up) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                above = up[x]
+                ul = up[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + above) // 2
+                else:  # Paeth
+                    p = left + above - ul
+                    pa, pb, pc = abs(p - left), abs(p - above), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (above if pb <= pc else ul)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return width, height, out.reshape(height, width, channels)
+
+
+def png_from_array(img) -> bytes:  # noqa: ANN001
+    """Minimal PNG encoder (filter 0 scanlines, one zlib IDAT) for
+    8-bit gray / RGB / RGBA numpy arrays — the round-trip partner of
+    :func:`parse_png`, stdlib-only like it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL compressed-image resize with no optional dependency: PNG in
+    (parse_png: inflate + unfilter) → nearest-neighbor gather → PNG out
+    (png_from_array). Same mapInPandas shape as resize_ppm; at 100 TB
+    this is the normalize-before-embed pass running directly on crawl
+    bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"asset_id": [], "payload": [], "width": [], "height": []}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, img = parse_png(bytes(payload))
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = img[ys][:, xs]
+                out["asset_id"].append(asset_id)
+                out["payload"].append(png_from_array(resized))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)

@@ -289,3 +289,102 @@ def test_resize_images_pil_errors_without_pillow(spark):
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         resize_images(_assets(spark, 1), codec="pil")
+
+
+def _filter_png(img, ftype: int) -> bytes:
+    """Encode a PNG whose EVERY scanline uses filter `ftype` — the
+    forward-filter inverse of parse_png's unfilter, per PNG spec §9."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    rows = img.reshape(h, w * ch).astype(np.int32)
+    scan = b""
+    for y in range(h):
+        cur, up = rows[y], (rows[y - 1] if y else np.zeros(w * ch, dtype=np.int32))
+        line = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            ul = up[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up[x]
+            elif ftype == 3:
+                pred = (left + up[x]) // 2
+            else:
+                p = left + up[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up[x] if pb <= pc else ul)
+            line[x] = (cur[x] - pred) & 0xFF
+        scan += bytes([ftype]) + line.astype(np.uint8).tobytes()
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
+def test_parse_png_roundtrip_and_all_filters():
+    """parse_png reverses every PNG filter type (None/Sub/Up/Average/
+    Paeth) bit-exactly, for gray, RGB and RGBA — proven by forward-
+    filtering a reference image per spec and demanding the original
+    back. png_from_array round-trips its own output."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import parse_png, png_from_array
+
+    rng = np.random.default_rng(11)
+    for shape in [(6, 5), (6, 5, 3), (6, 5, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = img[:, :, None] if img.ndim == 2 else img
+        w, h, back = parse_png(png_from_array(img))
+        assert (w, h) == (5, 6) and np.array_equal(back, ref)
+        for ftype in range(5):
+            w, h, back = parse_png(_filter_png(img, ftype))
+            assert np.array_equal(back, ref), (shape, ftype)
+
+
+def test_parse_png_rejects_unsupported():
+    import pytest as _pytest
+
+    from mie_spark.operators.multimodal import parse_png
+
+    with _pytest.raises(ValueError, match="signature"):
+        parse_png(b"JFIF not png")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_png(b"\x89PNG\r\n\x1a\n")
+
+
+def test_resize_png_spark_roundtrip(spark):
+    """resize_png: real PNG decode -> nearest-neighbor -> PNG re-encode
+    through mapInPandas; output payloads decode to the target size with
+    pixels gathered from the source."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import parse_png, png_from_array, resize_png
+
+    rng = np.random.default_rng(5)
+    imgs = {i: rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8) for i in (1, 2)}
+    df = spark.createDataFrame(
+        [(i, bytearray(png_from_array(m))) for i, m in imgs.items()],
+        ["asset_id", "payload"],
+    )
+    rows = {r["asset_id"]: r for r in resize_png(df, out_w=3, out_h=4).collect()}
+    for i, m in imgs.items():
+        w, h, back = parse_png(bytes(rows[i]["payload"]))
+        assert (w, h) == (3, 4)
+        ys, xs = (np.arange(4) * 8) // 4, (np.arange(3) * 6) // 3
+        assert np.array_equal(back, m[ys][:, xs])
