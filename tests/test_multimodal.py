@@ -388,3 +388,117 @@ def test_resize_png_spark_roundtrip(spark):
         assert (w, h) == (3, 4)
         ys, xs = (np.arange(4) * 8) // 4, (np.arange(3) * 6) // 3
         assert np.array_equal(back, m[ys][:, xs])
+
+
+def _gif_bytes(frames, palette, transparent_on=None):
+    """Minimal GIF89a encoder for tests: global palette, one image
+    block per full-size frame, 'uncompressed' LZW (min code size 8,
+    CLEAR emitted every 250 literals so the code width stays 9 bits),
+    optional transparency GCE before the chosen frame index."""
+    import numpy as np
+
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = frames[0].shape
+
+    def lzw(idx_stream):
+        codes = []
+        run = 0
+        codes.append(256)  # initial CLEAR
+        for v in idx_stream:
+            if run == 250:
+                codes.append(256)
+                run = 0
+            codes.append(int(v))
+            run += 1
+        codes.append(257)  # END
+        buf, acc, nbits = bytearray(), 0, 0
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            buf.append(acc & 0xFF)
+        return bytes(buf)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    gct = np.zeros((256, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out += gct.tobytes()
+    for fi, frame in enumerate(frames):
+        if transparent_on is not None and fi == transparent_on[0]:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent_on[1], 0])
+        out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0])
+        out += bytes([8])  # LZW min code size
+        data = lzw(frame.flatten())
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_parse_gif_frames_and_transparency():
+    """Real LZW decode: frames composite in order; a transparent index
+    in frame 2 leaves frame 1's pixels showing through."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import parse_gif
+
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    f0 = np.full((4, 6), 1, dtype=np.uint8)        # all red
+    f1 = np.full((4, 6), 2, dtype=np.uint8)        # all green
+    f1[0, :] = 3                                   # top row: transparent idx 3
+    raw = _gif_bytes([f0, f1], palette, transparent_on=(1, 3))
+    w, h, frames = parse_gif(raw)
+    assert (w, h) == (6, 4) and len(frames) == 2
+    assert (frames[0] == [255, 0, 0]).all()
+    assert (frames[1][1:] == [0, 255, 0]).all()
+    # transparent top row shows the PREVIOUS frame's red
+    assert (frames[1][0] == [255, 0, 0]).all()
+
+
+def test_parse_gif_long_stream_exercises_clear_codes():
+    """>250 pixels forces the encoder's re-CLEAR path and the decoder's
+    dictionary reset; decode must survive and reproduce exactly."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import parse_gif
+
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    f = rng.integers(0, 256, size=(20, 30), dtype=np.uint8)
+    w, h, frames = parse_gif(_gif_bytes([f], palette))
+    assert (w, h) == (30, 20)
+    assert np.array_equal(frames[0], palette[f])
+
+
+def test_decode_frames_gif_spark(spark):
+    """decode_frames(codec='gif'): real compressed-container frame
+    sampling through mapInPandas; sampled frames come back as PNGs
+    that decode to the composited GIF frames."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import decode_frames, parse_gif, parse_png
+
+    rng = np.random.default_rng(4)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 256, size=(5, 4), dtype=np.uint8) for _ in range(5)]
+    raw = _gif_bytes(frames, palette)
+    df = spark.createDataFrame([(1, bytearray(raw))], ["asset_id", "payload"])
+    rows = sorted(
+        decode_frames(df, every_n=2, codec="gif").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]  # frames 0, 2, 4
+    _, _, truth = parse_gif(raw)
+    for r, want in zip(rows, truth[::2]):
+        _w, _h, img = parse_png(bytes(r["frame_bytes"]))
+        assert np.array_equal(img, want)
