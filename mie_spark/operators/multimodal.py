@@ -111,6 +111,12 @@ def sniff_image_meta(raw: bytes) -> tuple[str, int, int] | None:
             int.from_bytes(raw[6:8], "little"),
             int.from_bytes(raw[8:10], "little"),
         )
+    if raw[:2] == b"P6":
+        try:  # reuse the comment/whitespace-aware PPM header parse
+            w, h, _img = parse_ppm(raw)
+            return ("image/x-portable-pixmap", w, h)
+        except Exception:
+            return None
     return None
 
 

@@ -235,6 +235,9 @@ def test_sniff_image_meta_real_headers():
     assert sniff_image_meta(padded) == ("image/jpeg", 69, 42)
     # truncated JPEG (no SOF before the bytes run out) degrades to None
     assert sniff_image_meta(_JPEG_HDR[:6]) is None
+    # PPM rides the real parse_ppm header path
+    ppm, _ = _ppm_bytes(w=16, h=16)
+    assert sniff_image_meta(ppm) == ("image/x-portable-pixmap", 16, 16)
 
 
 def test_decode_image_meta_header_codec(spark):
