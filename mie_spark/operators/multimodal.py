@@ -26,6 +26,14 @@ Codec status (honesty boundary, narrowed round 7):
   target, so it stays a loud NotImplementedError.
 The Spark-side contract — schemas, batch iteration, partitioning — is
 identical across all modes and tested (tests/test_multimodal.py).
+
+Worker-pickling note: `image_phash` inlines its PPM parser so its
+closure ships by value (it must run even where mie_spark is not
+importable on python workers); the PNG/GIF codecs instead reference
+the module-level parse functions and therefore assume the package is
+on the workers' import path — the standard `spark-submit --py-files`
+/ cluster-install contract every other mie_spark operator already
+relies on.
 """
 
 from __future__ import annotations
