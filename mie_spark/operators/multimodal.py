@@ -16,7 +16,9 @@ Codec status (honesty boundary, narrowed round 7):
   DEFLATE is the only compression PNG has, and Python ships it).
 - REAL behind an optional dependency: `resize_images(codec='pil')`
   handles JPEG (and everything else Pillow reads) when Pillow is
-  importable (driver-side probe; NotImplementedError otherwise).
+  importable (driver-side probe; NotImplementedError otherwise);
+  `resize_images(codec='auto')` dispatches per payload — PNG/PPM/GIF
+  through the stdlib codecs, the rest through Pillow when present.
 - REAL, also stdlib-only: animated-GIF frame extraction —
   `parse_gif` (LZW + block walk + transparency compositing) behind
   `decode_frames(codec='gif')`, each sampled frame re-encoded as PNG.
@@ -252,14 +254,73 @@ def resize_images(
     """Batch resize to a fixed (width, height) — the standard pre-
     embedding normalization step.
 
-    codec='pil' is the REAL path: Pillow decodes each compressed
-    payload (JPEG/PNG/GIF/...), bilinear-resizes, and re-encodes as
-    PNG — gated on Pillow being importable (checked at the driver so
-    the failure is immediate, not a task-time stack trace). codec='fake'
-    emits a deterministic byte payload of exactly width*height//8 bytes
-    derived from the source (cycle-padded or truncated), so downstream
-    batch-shape/size logic is exercised with realistic per-row payload
-    sizes when no codec library is available."""
+    codec='auto' dispatches per payload on the sniffed format: PNG,
+    PPM and GIF (first composited frame) resize through the stdlib-only
+    codecs in this module; JPEG and anything else falls through to
+    Pillow when importable, and otherwise raises naming the formats it
+    could not decode — a crawl-shaped mixed-format batch resizes with
+    whatever is actually available, loudly. codec='pil' forces
+    everything through Pillow (JPEG/PNG/GIF/..., bilinear, PNG
+    re-encode) — gated on Pillow being importable (checked at the
+    driver so the failure is immediate, not a task-time stack trace).
+    codec='fake' emits a deterministic byte payload of exactly
+    width*height//8 bytes derived from the source (cycle-padded or
+    truncated), so downstream batch-shape/size logic is exercised with
+    realistic per-row payload sizes when no codec library is
+    available. All modes re-encode output as PNG except 'fake'."""
+    if codec == "auto":
+        try:
+            import PIL.Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def auto_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import numpy as np
+
+            def nearest(img):  # noqa: ANN001, ANN202
+                ys = (np.arange(height) * img.shape[0]) // height
+                xs = (np.arange(width) * img.shape[1]) // width
+                return img[ys][:, xs]
+
+            for pdf in it:
+                out = {"asset_id": [], "payload": [], "width": [], "height": []}
+                for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                    raw = bytes(payload)
+                    kind = sniff_image_meta(raw)
+                    media = kind[0] if kind else None
+                    if media == "image/png":
+                        _w, _h, img = parse_png(raw)
+                        resized = nearest(img)
+                    elif media == "image/x-portable-pixmap":
+                        _w, _h, img = parse_ppm(raw)
+                        resized = nearest(img)
+                    elif media == "image/gif":
+                        _w, _h, frames = parse_gif(raw)
+                        resized = nearest(frames[0])
+                    elif have_pil:
+                        from PIL import Image
+
+                        with Image.open(io.BytesIO(raw)) as im:
+                            resized = np.asarray(
+                                im.convert("RGB").resize((width, height))
+                            )
+                    else:
+                        raise NotImplementedError(
+                            f"cannot decode {media or 'unrecognized'} payload "
+                            f"(asset {asset_id}) without Pillow; stdlib codecs "
+                            "cover png/ppm/gif only"
+                        )
+                    out["asset_id"].append(asset_id)
+                    out["payload"].append(png_from_array(resized))
+                    out["width"].append(width)
+                    out["height"].append(height)
+                yield pd.DataFrame(out)
+
+        return assets.mapInPandas(auto_batches, schema=RESIZED_SCHEMA)
     if codec == "pil":
         try:
             import PIL.Image  # noqa: F401 — driver-side availability probe

@@ -505,3 +505,60 @@ def test_decode_frames_gif_spark(spark):
     for r, want in zip(rows, truth[::2]):
         _w, _h, img = parse_png(bytes(r["frame_bytes"]))
         assert np.array_equal(img, want)
+
+
+def test_resize_images_auto_dispatch(spark):
+    """codec='auto': PNG, PPM and GIF payloads in one batch resize
+    through the stdlib codecs; the outputs are PNGs at the target size
+    whose pixels are the nearest-neighbor gathers of each source."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import (
+        parse_gif,
+        parse_png,
+        parse_ppm,
+        png_from_array,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(6)
+    png_src = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    ppm_raw, ppm_img = _ppm_bytes(w=10, h=12)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    gif_idx = rng.integers(0, 256, size=(7, 9), dtype=np.uint8)
+    gif_raw = _gif_bytes([gif_idx], palette)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png_from_array(png_src))),
+            (2, bytearray(ppm_raw)),
+            (3, bytearray(gif_raw)),
+        ],
+        ["asset_id", "payload"],
+    )
+    rows = {r["asset_id"]: r for r in resize_images(df, 4, 5, codec="auto").collect()}
+
+    def want(img):
+        ys = (np.arange(5) * img.shape[0]) // 5
+        xs = (np.arange(4) * img.shape[1]) // 4
+        return img[ys][:, xs]
+
+    for aid, src in ((1, png_src), (2, ppm_img), (3, palette[gif_idx])):
+        w, h, back = parse_png(bytes(rows[aid]["payload"]))
+        assert (w, h) == (4, 5)
+        assert np.array_equal(back, want(src)), aid
+
+
+def test_resize_images_auto_unknown_without_pillow_errors(spark):
+    import pytest as _pytest
+
+    try:
+        import PIL.Image  # noqa: F401
+
+        _pytest.skip("Pillow installed; the no-decoder path is unreachable")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(1, bytearray(b"mystery bytes"))], ["asset_id", "payload"])
+    with _pytest.raises(Exception, match="without Pillow"):
+        from mie_spark.operators.multimodal import resize_images
+
+        resize_images(df, 4, 4, codec="auto").collect()
