@@ -562,3 +562,48 @@ def test_resize_images_auto_unknown_without_pillow_errors(spark):
         from mie_spark.operators.multimodal import resize_images
 
         resize_images(df, 4, 4, codec="auto").collect()
+
+
+def test_png_gif_edge_sizes():
+    """Degenerate shapes a crawl will contain: 1x1, single-row, and
+    single-column images round-trip through both stdlib codecs."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import parse_gif, parse_png, png_from_array
+
+    rng = np.random.default_rng(13)
+    for shape in [(1, 1, 3), (1, 9, 3), (9, 1, 3), (1, 1), (2, 2, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = img[:, :, None] if img.ndim == 2 else img
+        w, h, back = parse_png(png_from_array(img))
+        assert (h, w) == ref.shape[:2] and np.array_equal(back, ref), shape
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    for hw in [(1, 1), (1, 7), (7, 1)]:
+        f = rng.integers(0, 256, size=hw, dtype=np.uint8)
+        w, h, frames = parse_gif(_gif_bytes([f], palette))
+        assert (h, w) == hw and np.array_equal(frames[0], palette[f])
+
+
+def test_sniffer_and_decoders_never_crash_on_garbage():
+    """Random bytes (including ones that start with each magic prefix)
+    must never raise out of the sniffer; the strict decoders may reject
+    them with any ordinary exception (ValueError / zlib.error /
+    IndexError on truncation) but must always return control — no
+    hangs, no interpreter-level failures — with a printable message."""
+    import random
+
+    from mie_spark.operators.multimodal import parse_gif, parse_png, sniff_image_meta
+
+    rng = random.Random(21)
+    prefixes = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a", b"P6 "]
+    for trial in range(300):
+        raw = rng.choice(prefixes) + bytes(
+            rng.getrandbits(8) for _ in range(rng.randrange(0, 64))
+        )
+        out = sniff_image_meta(raw)  # must not raise
+        assert out is None or (isinstance(out, tuple) and len(out) == 3)
+        for dec in (parse_png, parse_gif):
+            try:
+                dec(raw)
+            except Exception as e:  # noqa: BLE001 — the property IS catchability
+                assert str(e) != ""
