@@ -853,8 +853,8 @@ def parse_png(raw: bytes):
     list, inflates, and reverses all five per-row filters (None / Sub /
     Up / Average / Paeth, PNG spec §9). Supports the overwhelmingly
     common web shapes — 8-bit grayscale (color type 0), RGB (2) and
-    RGBA (6), non-interlaced. Palette (3) and 16-bit depths raise with
-    the reason. Returns (width, height, H x W x channels uint8 array).
+    RGBA (6), both non-interlaced and Adam7-interlaced. Palette (3)
+    and 16-bit depths raise with the reason. Returns (width, height, H x W x channels uint8 array).
 
     This is the same honesty move as parse_wav/parse_ppm: the
     compressed-codec boundary for PNG is just DEFLATE, which Python
@@ -883,8 +883,8 @@ def parse_png(raw: bytes):
                 raise ValueError(
                     f"unsupported PNG color type {color} (gray/RGB/RGBA only)"
                 )
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
             channels = {0: 1, 2: 3, 6: 4}[color]
         elif ctype == b"IDAT":
             idat += data
@@ -895,6 +895,37 @@ def parse_png(raw: bytes):
         raise ValueError("truncated PNG (missing IHDR or IDAT)")
     d = zlib.decompressobj()  # tolerant of sync-flush-terminated streams
     flat = np.frombuffer(d.decompress(idat) + d.flush(), dtype=np.uint8)
+    if interlace == 0:
+        img = _png_unfilter(flat, height, width, channels)
+        return width, height, img.reshape(height, width, channels)
+    # Adam7: the stream is 7 concatenated sub-images, each filtered
+    # independently; decoded pixels scatter onto the canvas at the
+    # pass's (x0, y0, dx, dy) lattice. Empty passes contribute nothing.
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos2 = 0
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        n = ph * (pw * channels + 1)
+        sub = _png_unfilter(flat[pos2 : pos2 + n], ph, pw, channels)
+        pos2 += n
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    if pos2 != flat.size:
+        raise ValueError("PNG interlaced payload size mismatch")
+    return width, height, out
+
+
+def _png_unfilter(flat, height, width, channels):  # noqa: ANN001, ANN202
+    """Reverse the five PNG scanline filters over one (sub-)image whose
+    serialized form is `height` rows of [filter byte + width*channels
+    samples]. Returns (height, width*channels) uint8."""
+    import numpy as np
+
     stride = width * channels
     if flat.size != height * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
@@ -926,7 +957,7 @@ def parse_png(raw: bytes):
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
-    return width, height, out.reshape(height, width, channels)
+    return out
 
 
 def png_from_array(img) -> bytes:  # noqa: ANN001

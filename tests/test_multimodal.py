@@ -607,3 +607,71 @@ def test_sniffer_and_decoders_never_crash_on_garbage():
                 dec(raw)
             except Exception as e:  # noqa: BLE001 — the property IS catchability
                 assert str(e) != ""
+
+
+def _adam7_png(img):
+    """Forward Adam7 interlacer per spec (filter-0 sub-scanlines) —
+    the encoder partner of parse_png's interlaced path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    scan = b""
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)):
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            scan += b"\x00" + row.tobytes()
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
+def test_parse_png_adam7_interlaced():
+    """Adam7: forward-interlace a reference image per spec (7 passes of
+    filter-0 sub-scanlines), and demand parse_png scatter it back
+    bit-exactly — including sizes where some passes are empty."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import parse_png
+
+    rng = np.random.default_rng(17)
+    for shape in [(9, 11, 3), (3, 2, 4), (1, 1, 3), (16, 16)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = img[:, :, None] if img.ndim == 2 else img
+        w, h, back = parse_png(_adam7_png(img))
+        assert (h, w) == ref.shape[:2] and np.array_equal(back, ref), shape
+
+
+def test_adam7_bytes_decode_identically_in_pillow():
+    """Cross-engine conformance: the Adam7 files our test encoder
+    produces (and parse_png reads) must decode to the same pixels in an
+    independent implementation. Skips where Pillow is absent."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from mie_spark.operators.multimodal import png_from_array
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    with PIL_Image.open(io.BytesIO(png_from_array(img))) as im:
+        assert np.array_equal(np.asarray(im.convert("RGB")), img)
+    with PIL_Image.open(io.BytesIO(_adam7_png(img))) as im:
+        assert np.array_equal(np.asarray(im.convert("RGB")), img)
