@@ -852,9 +852,10 @@ def parse_png(raw: bytes):
     chunks are zlib streams of filtered scanlines; this walks the chunk
     list, inflates, and reverses all five per-row filters (None / Sub /
     Up / Average / Paeth, PNG spec §9). Supports the overwhelmingly
-    common web shapes — 8-bit grayscale (color type 0), RGB (2) and
-    RGBA (6), both non-interlaced and Adam7-interlaced. Palette (3)
-    and 16-bit depths raise with the reason. Returns (width, height, H x W x channels uint8 array).
+    common web shapes — 8-bit grayscale (color type 0), RGB (2),
+    palette (3, PLTE-mapped to RGB; tRNS transparency raises) and
+    RGBA (6), both non-interlaced and Adam7-interlaced. 16-bit depths
+    raise with the reason. Returns (width, height, H x W x channels uint8 array).
 
     This is the same honesty move as parse_wav/parse_ppm: the
     compressed-codec boundary for PNG is just DEFLATE, which Python
@@ -869,6 +870,7 @@ def parse_png(raw: bytes):
     if raw[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG (bad signature)")
     pos, width = 8, None
+    palette = None
     idat = b""
     while pos + 8 <= len(raw):
         (length,), ctype = struct.unpack(">I", raw[pos : pos + 4]), raw[pos + 4 : pos + 8]
@@ -879,13 +881,25 @@ def parse_png(raw: bytes):
             )
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
-            if color not in (0, 2, 6):
+            if color not in (0, 2, 3, 6):
                 raise ValueError(
-                    f"unsupported PNG color type {color} (gray/RGB/RGBA only)"
+                    f"unsupported PNG color type {color} "
+                    "(gray/RGB/palette/RGBA only)"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
-            channels = {0: 1, 2: 3, 6: 4}[color]
+            channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            # for palette images transparency changes what the pixels
+            # MEAN (an alpha channel we don't emit) — refuse; for
+            # gray/RGB it marks one color as transparent, which is
+            # presentation metadata the decoded samples don't depend on
+            if color == 3:
+                raise ValueError(
+                    "palette PNG with tRNS transparency not supported"
+                )
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -893,14 +907,29 @@ def parse_png(raw: bytes):
         pos += 12 + length  # len + type + data + crc
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR or IDAT)")
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG without a PLTE chunk")
     d = zlib.decompressobj()  # tolerant of sync-flush-terminated streams
     flat = np.frombuffer(d.decompress(idat) + d.flush(), dtype=np.uint8)
+    if color == 3:
+        # decode the 1-byte index plane, then map through PLTE to RGB
+        if interlace == 0:
+            idx = _png_unfilter(flat, height, width, 1).reshape(height, width)
+        else:
+            idx = _parse_adam7(flat, height, width, 1)[:, :, 0]
+        return width, height, palette[idx]
     if interlace == 0:
         img = _png_unfilter(flat, height, width, channels)
         return width, height, img.reshape(height, width, channels)
-    # Adam7: the stream is 7 concatenated sub-images, each filtered
-    # independently; decoded pixels scatter onto the canvas at the
-    # pass's (x0, y0, dx, dy) lattice. Empty passes contribute nothing.
+    return width, height, _parse_adam7(flat, height, width, channels)
+
+
+def _parse_adam7(flat, height, width, channels):  # noqa: ANN001, ANN202
+    """Adam7: the stream is 7 concatenated sub-images, each filtered
+    independently; decoded pixels scatter onto the canvas at the
+    pass's (x0, y0, dx, dy) lattice. Empty passes contribute nothing."""
+    import numpy as np
+
     out = np.zeros((height, width, channels), dtype=np.uint8)
     pos2 = 0
     for x0, y0, dx, dy in (
@@ -917,7 +946,7 @@ def parse_png(raw: bytes):
         out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
     if pos2 != flat.size:
         raise ValueError("PNG interlaced payload size mismatch")
-    return width, height, out
+    return out
 
 
 def _png_unfilter(flat, height, width, channels):  # noqa: ANN001, ANN202

@@ -675,3 +675,37 @@ def test_adam7_bytes_decode_identically_in_pillow():
         assert np.array_equal(np.asarray(im.convert("RGB")), img)
     with PIL_Image.open(io.BytesIO(_adam7_png(img))) as im:
         assert np.array_equal(np.asarray(im.convert("RGB")), img)
+
+
+def test_parse_png_palette():
+    """Color type 3: the index plane maps through PLTE to RGB; works
+    interlaced too; tRNS raises rather than mis-rendering."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mie_spark.operators.multimodal import parse_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    rng = np.random.default_rng(29)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 7), dtype=np.uint8)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    raw = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", palette.tobytes())
+           + chunk(b"IDAT", zlib.compress(scan))
+           + chunk(b"IEND", b""))
+    w, h, img = parse_png(raw)
+    assert (w, h) == (7, 5) and np.array_equal(img, palette[idx])
+
+    with_trns = raw.replace(chunk(b"IEND", b""),
+                            chunk(b"tRNS", b"\x00") + chunk(b"IEND", b""))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tRNS"):
+        parse_png(with_trns)
