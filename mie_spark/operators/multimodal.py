@@ -6,26 +6,28 @@ sampling, feature extraction) runs in Arrow-batched `mapInPandas` so a
 100 TB corpus streams through Python in columnar batches, one partition
 per task, without ever collecting to the driver.
 
-Codec status (honesty boundary, narrowed round 7):
+Codec status (honesty boundary, closed for images in round 7):
 - REAL with no codec library: `parse_wav`/`decode_audio_meta`
   (RIFF/WAVE PCM16), `parse_ppm`/`resize_ppm` (binary PPM P6),
   compressed-image METADATA — `decode_image_meta(codec='header')`
-  parses actual PNG/JPEG/GIF headers (`sniff_image_meta`) — and full
+  parses actual PNG/JPEG/GIF headers (`sniff_image_meta`) — full
   PNG PIXEL decode/encode/resize (`parse_png`/`png_from_array`/
-  `resize_png`: zlib IDAT + all five scanline filters, stdlib+numpy —
-  DEFLATE is the only compression PNG has, and Python ships it).
-- REAL behind an optional dependency: `resize_images(codec='pil')`
-  handles JPEG (and everything else Pillow reads) when Pillow is
-  importable (driver-side probe; NotImplementedError otherwise);
-  `resize_images(codec='auto')` dispatches per payload — PNG/PPM/GIF
-  through the stdlib codecs, the rest through Pillow when present.
-- REAL, also stdlib-only: animated-GIF frame extraction —
-  `parse_gif` (LZW + block walk + transparency compositing) behind
-  `decode_frames(codec='gif')`, each sampled frame re-encoded as PNG.
-- STUBBED: JPEG pixel decode without Pillow (a DCT codec is not
-  reimplementable responsibly here), and true video frame decode
-  (`decode_frames(codec='real')`) — no H.264 library ships anywhere we
-  target, so it stays a loud NotImplementedError.
+  `resize_png`: zlib IDAT + all five scanline filters, stdlib+numpy),
+  animated-GIF frame extraction (`parse_gif`, stdlib LZW, behind
+  `decode_frames(codec='gif')`), and BASELINE JPEG pixel
+  decode/encode (operators/jpeg.py: Huffman + DCT are pure
+  arithmetic — `parse_jpeg` handles SOF0/SOF1, any chroma
+  subsampling, restart markers; `jpeg_from_array` encodes with
+  Annex-K tables). `resize_images(codec='auto')` dispatches
+  PNG/PPM/GIF/baseline-JPEG through these stdlib codecs.
+- REAL behind an optional dependency: progressive JPEG (SOF2) and
+  every other Pillow-readable format fall through to Pillow when it
+  is importable (`codec='pil'` forces that path; `codec='auto'`
+  falls back per payload); without Pillow they raise naming the
+  feature.
+- STUBBED: true video frame decode (`decode_frames(codec='real')`) —
+  no H.264 library ships anywhere we target, and a from-scratch
+  H.264 is out of scope, so it stays a loud NotImplementedError.
 The Spark-side contract — schemas, batch iteration, partitioning — is
 identical across all modes and tested (tests/test_multimodal.py).
 
@@ -82,10 +84,10 @@ def sniff_image_meta(raw: bytes) -> tuple[str, int, int] | None:
     stdlib, no codec library: PNG IHDR (big-endian dims at offset 16),
     JPEG SOFn segment walk, GIF logical-screen descriptor (little-
     endian dims at offset 6). Returns (media_type, width, height), or
-    None when the payload is none of these formats. Pixel DECODING
-    still needs a codec (see resize_images codec='pil'); dimensions and
-    type — what a catalog/filter stage of a training pipeline actually
-    reads — do not."""
+    None when the payload is none of these formats. (Pixel decoding
+    for all three formats is also real now — parse_png/parse_gif here,
+    parse_jpeg in operators/jpeg.py — but a catalog/filter stage only
+    needs this header pass.)"""
     if raw[:8] == b"\x89PNG\r\n\x1a\n" and len(raw) >= 24:
         return (
             "image/png",
@@ -255,11 +257,12 @@ def resize_images(
     embedding normalization step.
 
     codec='auto' dispatches per payload on the sniffed format: PNG,
-    PPM and GIF (first composited frame) resize through the stdlib-only
-    codecs in this module; JPEG and anything else falls through to
-    Pillow when importable, and otherwise raises naming the formats it
-    could not decode — a crawl-shaped mixed-format batch resizes with
-    whatever is actually available, loudly. codec='pil' forces
+    PPM, GIF (first composited frame) and baseline JPEG resize through
+    the stdlib-only codecs (this module + operators/jpeg.py);
+    progressive JPEG and anything else falls through to Pillow when
+    importable, and otherwise raises naming the formats it could not
+    decode — a crawl-shaped mixed-format batch resizes with whatever
+    is actually available, loudly. codec='pil' forces
     everything through Pillow (JPEG/PNG/GIF/..., bilinear, PNG
     re-encode) — gated on Pillow being importable (checked at the
     driver so the failure is immediate, not a task-time stack trace).
@@ -301,6 +304,22 @@ def resize_images(
                     elif media == "image/gif":
                         _w, _h, frames = parse_gif(raw)
                         resized = nearest(frames[0])
+                    elif media == "image/jpeg":
+                        from mie_spark.operators.jpeg import parse_jpeg
+
+                        try:
+                            _w, _h, img = parse_jpeg(raw)
+                            resized = nearest(img)
+                        except ValueError:
+                            # progressive/exotic JPEG: Pillow if present
+                            if not have_pil:
+                                raise
+                            from PIL import Image
+
+                            with Image.open(io.BytesIO(raw)) as im:
+                                resized = np.asarray(
+                                    im.convert("RGB").resize((width, height))
+                                )
                     elif have_pil:
                         from PIL import Image
 
@@ -312,7 +331,7 @@ def resize_images(
                         raise NotImplementedError(
                             f"cannot decode {media or 'unrecognized'} payload "
                             f"(asset {asset_id}) without Pillow; stdlib codecs "
-                            "cover png/ppm/gif only"
+                            "cover png/ppm/gif/baseline-jpeg only"
                         )
                     out["asset_id"].append(asset_id)
                     out["payload"].append(png_from_array(resized))
