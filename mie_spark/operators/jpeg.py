@@ -10,12 +10,14 @@ numpy, and both now are.
 
 Scope (deliberate):
 
-- DECODE (:func:`parse_jpeg`): baseline sequential DCT (SOF0) and
-  extended sequential (SOF1); 8-bit precision; 1-component grayscale
-  and 3-component YCbCr with any integer sampling factors (4:4:4,
-  4:2:2, 4:2:0, 4:1:1, ...); restart markers (DRI/RSTn); multiple
-  DQT/DHT segments, table redefinition between scans of different
-  images. Progressive (SOF2), arithmetic coding (SOF9+), 12-bit
+- DECODE (:func:`parse_jpeg`): baseline sequential DCT (SOF0),
+  extended sequential (SOF1), and PROGRESSIVE (SOF2: spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOB-run coding per T.81 Annex G); 8-bit precision;
+  1-component grayscale and 3-component YCbCr with any integer
+  sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...); restart
+  markers (DRI/RSTn); DHT/DQT redefinition between scans.
+  Arithmetic coding (SOF9+), hierarchical/lossless modes, 12-bit
   precision, and 4-component CMYK raise ``ValueError`` naming the
   feature — loud, not wrong.
 - ENCODE (:func:`jpeg_from_array`): baseline SOF0, Annex-K
@@ -271,10 +273,11 @@ def parse_jpeg(raw: bytes):
     (width, height, image) where image is (H, W, 3) uint8 RGB for
     3-component YCbCr files or (H, W, 1) uint8 for grayscale.
 
-    Supports SOF0/SOF1, 8-bit precision, arbitrary integer chroma
-    sampling factors, restart markers. Progressive (SOF2), arithmetic
-    entropy coding, hierarchical mode, 12-bit precision, and CMYK
-    raise ``ValueError`` naming the unsupported feature."""
+    Supports SOF0/SOF1 (sequential) and SOF2 (progressive), 8-bit
+    precision, arbitrary integer chroma sampling factors, restart
+    markers. Arithmetic entropy coding, hierarchical/lossless modes,
+    12-bit precision, and CMYK raise ``ValueError`` naming the
+    unsupported feature."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     qtables: dict[int, np.ndarray] = {}  # id -> 64 zigzag-order values
@@ -282,19 +285,25 @@ def parse_jpeg(raw: bytes):
     comps: list[dict] = []
     width = height = None
     restart_interval = 0
+    progressive = False
+    frame_ready = False  # progressive: coef arrays allocated
     pos = 2
-    while pos + 4 <= len(raw):
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = raw[pos + 1]
         if marker == 0xFF:  # fill byte
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and frame_ready:
+                return _reconstruct(comps, qtables, width, height)
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(raw):
+            break
         seg_len = struct.unpack(">H", raw[pos + 2 : pos + 4])[0]
         body = raw[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -321,7 +330,8 @@ def parse_jpeg(raw: bytes):
                 vals = list(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision} (only 8-bit)")
@@ -337,11 +347,6 @@ def parse_jpeg(raw: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             if any(c["h"] < 1 or c["v"] < 1 or c["h"] > 4 or c["v"] > 4 for c in comps):
                 raise ValueError("bad JPEG sampling factors")
-        elif marker == 0xC2:
-            raise ValueError(
-                "progressive JPEG (SOF2) not supported by the stdlib decoder; "
-                "install Pillow (resize_images codec='pil'/'auto' falls back)"
-            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF{marker - 0xC0}); "
@@ -352,57 +357,77 @@ def parse_jpeg(raw: bytes):
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if width is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not frame_ready:
+                _prep_frame(comps, width, height)
+                frame_ready = True
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError("non-interleaved JPEG scans not supported")
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]
-                scan_tables[cs] = (tdta >> 4, tdta & 15)
-            return _decode_scan(
-                raw,
-                pos + 2 + seg_len,
-                width,
-                height,
-                comps,
-                scan_tables,
-                qtables,
-                htables,
-                restart_interval,
+                match = [cc for cc in comps if cc["id"] == cs]
+                if not match:
+                    raise ValueError("JPEG scan references an unknown component")
+                scan_comps.append((match[0], tdta >> 4, tdta & 15))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError(
+                        "non-interleaved sequential JPEG scans not supported"
+                    )
+                _decode_sequential_scan(
+                    raw, pos + 2 + seg_len, comps, scan_comps, htables,
+                    restart_interval,
+                )
+                return _reconstruct(comps, qtables, width, height)
+            pos = _decode_progressive_scan(
+                raw, pos + 2 + seg_len, scan_comps, htables,
+                restart_interval, ss, se, ah, al,
             )
+            continue
         pos += 2 + seg_len
     raise ValueError("truncated JPEG (no SOS)")
 
 
-def _decode_scan(
-    raw: bytes,
-    data_pos: int,
-    width: int,
-    height: int,
-    comps: list[dict],
-    scan_tables: dict[int, tuple[int, int]],
-    qtables: dict[int, np.ndarray],
-    htables: dict,
-    restart_interval: int,
-):
+def _prep_frame(comps: list[dict], width: int, height: int) -> None:
+    """Allocate per-component coefficient planes on the MCU block grid
+    and record the geometry both scan kinds need."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (width + mcu_w - 1) // mcu_w
-    mcus_y = (height + mcu_h - 1) // mcu_h
-
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     for c in comps:
-        c["bw"] = mcus_x * c["h"]  # blocks per row in this component plane
+        c["bw"] = mcus_x * c["h"]  # blocks per row on the MCU grid
         c["bh"] = mcus_y * c["v"]
+        # block counts of the component's OWN pixel plane (what
+        # non-interleaved/progressive single-component scans cover)
+        px_w = (width * c["h"] + hmax - 1) // hmax
+        px_h = (height * c["v"] + vmax - 1) // vmax
+        c["nbx"] = (px_w + 7) // 8
+        c["nby"] = (px_h + 7) // 8
         c["coefs"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        td, ta = scan_tables[c["id"]]
+        c["pred"] = 0
+    comps[0]["_geom"] = (hmax, vmax, mcus_x, mcus_y)
+
+
+def _decode_sequential_scan(
+    raw: bytes,
+    data_pos: int,
+    comps: list[dict],
+    scan_comps: list[tuple[dict, int, int]],
+    htables: dict,
+    restart_interval: int,
+) -> None:
+    """Baseline/extended-sequential interleaved scan: fills every
+    component's coefficient plane in one MCU pass."""
+    for c, td, ta in scan_comps:
         dc = htables.get((0, td))
         ac = htables.get((1, ta))
         if dc is None or ac is None:
             raise ValueError("JPEG scan references an undefined Huffman table")
         c["dc_tab"], c["ac_tab"] = dc, ac
-        c["pred"] = 0
 
+    _hmax, _vmax, mcus_x, mcus_y = comps[0]["_geom"]
     reader = _BitReader(raw, data_pos)
     mcu_count = 0
     for my in range(mcus_y):
@@ -411,7 +436,7 @@ def _decode_scan(
                 reader.restart()
                 for c in comps:
                     c["pred"] = 0
-            for c in comps:
+            for c, _td, _ta in scan_comps:
                 for v in range(c["v"]):
                     for h in range(c["h"]):
                         block = c["coefs"][
@@ -438,7 +463,226 @@ def _decode_scan(
                             k += 1
             mcu_count += 1
 
-    # Everything after the bit loop is vectorized over all blocks.
+
+def _next_marker_pos(raw: bytes, pos: int) -> int:
+    """Advance past the entropy-coded data ending at/after ``pos`` to
+    the next real marker (skipping stuffed 0xFF00 bytes, fill bytes,
+    and any RSTn the scan loop did not consume)."""
+    while pos + 1 < len(raw):
+        if raw[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = raw[pos + 1]
+        if nxt in (0x00, 0xFF):
+            pos += 2 if nxt == 0x00 else 1
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            pos += 2
+            continue
+        return pos
+    return len(raw)
+
+
+def _decode_progressive_scan(
+    raw: bytes,
+    data_pos: int,
+    scan_comps: list[tuple[dict, int, int]],
+    htables: dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """One progressive scan (T.81 Annex G): either a DC scan (ss==0,
+    possibly interleaved over all components) or a single-component AC
+    scan over a spectral band [ss, se]; ah==0 is a first pass at
+    approximation al, ah>0 a one-bit refinement from ah to al.
+    Returns the stream position of the next marker."""
+    reader = _BitReader(raw, data_pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive JPEG DC scan with se != 0")
+        for c, td, _ta in scan_comps:
+            if ah == 0:
+                tab = htables.get((0, td))
+                if tab is None:
+                    raise ValueError("JPEG DC scan references an undefined table")
+                c["dc_tab"] = tab
+            c["pred"] = 0
+        _progressive_dc_pass(reader, scan_comps, restart_interval, ah, al)
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive JPEG AC scans must be single-component")
+        c, _td, ta = scan_comps[0]
+        tab = htables.get((1, ta))
+        if tab is None:
+            raise ValueError("JPEG AC scan references an undefined table")
+        _progressive_ac_pass(reader, c, tab, restart_interval, ss, se, ah, al)
+    return _next_marker_pos(raw, reader.pos)
+
+
+def _progressive_dc_pass(
+    reader: _BitReader,
+    scan_comps: list[tuple[dict, int, int]],
+    restart_interval: int,
+    ah: int,
+    al: int,
+) -> None:
+    comps = [c for c, _td, _ta in scan_comps]
+    _hmax, _vmax, mcus_x, mcus_y = _find_geom(comps)
+    interleaved = len(comps) > 1
+    p1 = 1 << al
+    mcu_count = 0
+    if interleaved:
+        iters = ((my, mx) for my in range(mcus_y) for mx in range(mcus_x))
+    else:
+        c = comps[0]
+        iters = ((by, bx) for by in range(c["nby"]) for bx in range(c["nbx"]))
+    for a, b in iters:
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            reader.restart()
+            for c in comps:
+                c["pred"] = 0
+        for c in comps:
+            if interleaved:
+                blocks = [
+                    c["coefs"][(a * c["v"] + v) * c["bw"] + (b * c["h"] + h)]
+                    for v in range(c["v"])
+                    for h in range(c["h"])
+                ]
+            else:
+                blocks = [c["coefs"][a * c["bw"] + b]]
+            for block in blocks:
+                if ah == 0:
+                    s = reader.decode_huff(c["dc_tab"])
+                    c["pred"] += _extend(reader.read_bits(s), s)
+                    block[0] = c["pred"] << al
+                elif reader.read_bits(1):
+                    block[0] |= p1
+        mcu_count += 1
+
+
+def _progressive_ac_pass(
+    reader: _BitReader,
+    c: dict,
+    ac_tab: dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    eobrun = 0
+    block_count = 0
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            if (
+                restart_interval
+                and block_count
+                and block_count % restart_interval == 0
+            ):
+                reader.restart()
+                eobrun = 0
+            block = c["coefs"][by * c["bw"] + bx]
+            if ah == 0:
+                eobrun = _first_ac_block(reader, ac_tab, block, ss, se, al, eobrun)
+            else:
+                eobrun = _refine_ac_block(reader, ac_tab, block, ss, se, al, eobrun)
+            block_count += 1
+
+
+def _first_ac_block(reader, ac_tab, block, ss, se, al, eobrun):  # noqa: ANN001, ANN202
+    """First AC pass over band [ss, se]: plain run/size coding plus
+    EOB-run codes (s==0, r<15: skip 2^r + bits(r) whole blocks)."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC coefficient overrun")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac_block(reader, ac_tab, block, ss, se, al, eobrun):  # noqa: ANN001, ANN202
+    """AC refinement pass (T.81 G.1.2.3, the correction-bit walk):
+    already-nonzero coefficients absorb one correction bit each as the
+    run skips over them; new coefficients appear as ±1<<al."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s:
+                # refinement scans may only introduce magnitude-1 bits
+                newval = p1 if reader.read_bits(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            while k <= se:
+                v = block[k]
+                if v:
+                    if reader.read_bits(1) and not v & p1:
+                        block[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eobrun:
+        while k <= se:
+            v = block[k]
+            if v and reader.read_bits(1) and not v & p1:
+                block[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _find_geom(comps: list[dict]):
+    """The frame geometry tuple lives on the first SOF component; DC
+    scans may present components in scan order, so search."""
+    for c in comps:
+        if "_geom" in c:
+            return c["_geom"]
+    # single-component scan of a non-first component: geometry is
+    # still derivable from any component's grid vs own-plane counts
+    c = comps[0]
+    return (1, 1, c["bw"], c["bh"])
+
+
+def _reconstruct(
+    comps: list[dict],
+    qtables: dict[int, np.ndarray],
+    width: int,
+    height: int,
+):
+    """Dequantize + de-zigzag + IDCT + upsample + color-convert the
+    accumulated coefficient planes — shared by the sequential and
+    progressive paths, vectorized over all blocks."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qtables.get(c["tq"])

@@ -16,15 +16,16 @@ Codec status (honesty boundary, closed for images in round 7):
   animated-GIF frame extraction (`parse_gif`, stdlib LZW, behind
   `decode_frames(codec='gif')`), and BASELINE JPEG pixel
   decode/encode (operators/jpeg.py: Huffman + DCT are pure
-  arithmetic — `parse_jpeg` handles SOF0/SOF1, any chroma
-  subsampling, restart markers; `jpeg_from_array` encodes with
-  Annex-K tables). `resize_images(codec='auto')` dispatches
-  PNG/PPM/GIF/baseline-JPEG through these stdlib codecs.
-- REAL behind an optional dependency: progressive JPEG (SOF2) and
-  every other Pillow-readable format fall through to Pillow when it
-  is importable (`codec='pil'` forces that path; `codec='auto'`
-  falls back per payload); without Pillow they raise naming the
-  feature.
+  arithmetic — `parse_jpeg` handles baseline SOF0/SOF1 AND
+  progressive SOF2, any chroma subsampling, restart markers;
+  `jpeg_from_array` encodes with Annex-K tables).
+  `resize_images(codec='auto')` dispatches PNG/PPM/GIF/JPEG through
+  these stdlib codecs.
+- REAL behind an optional dependency: exotic JPEG modes (arithmetic
+  coding, CMYK, 12-bit) and every other Pillow-readable format fall
+  through to Pillow when it is importable (`codec='pil'` forces that
+  path; `codec='auto'` falls back per payload); without Pillow they
+  raise naming the feature.
 - STUBBED: true video frame decode (`decode_frames(codec='real')`) —
   no H.264 library ships anywhere we target, and a from-scratch
   H.264 is out of scope, so it stays a loud NotImplementedError.
@@ -257,12 +258,13 @@ def resize_images(
     embedding normalization step.
 
     codec='auto' dispatches per payload on the sniffed format: PNG,
-    PPM, GIF (first composited frame) and baseline JPEG resize through
-    the stdlib-only codecs (this module + operators/jpeg.py);
-    progressive JPEG and anything else falls through to Pillow when
-    importable, and otherwise raises naming the formats it could not
-    decode — a crawl-shaped mixed-format batch resizes with whatever
-    is actually available, loudly. codec='pil' forces
+    PPM, GIF (first composited frame) and JPEG (baseline or
+    progressive) resize through the stdlib-only codecs (this module +
+    operators/jpeg.py); exotic JPEG modes and anything else falls
+    through to Pillow when importable, and otherwise raises naming
+    the formats it could not decode — a crawl-shaped mixed-format
+    batch resizes with whatever is actually available, loudly.
+    codec='pil' forces
     everything through Pillow (JPEG/PNG/GIF/..., bilinear, PNG
     re-encode) — gated on Pillow being importable (checked at the
     driver so the failure is immediate, not a task-time stack trace).
@@ -311,7 +313,8 @@ def resize_images(
                             _w, _h, img = parse_jpeg(raw)
                             resized = nearest(img)
                         except ValueError:
-                            # progressive/exotic JPEG: Pillow if present
+                            # exotic JPEG (arithmetic/CMYK/12-bit): Pillow
+                            # if present
                             if not have_pil:
                                 raise
                             from PIL import Image

@@ -68,9 +68,29 @@ def test_decode_matches_header_sniffer():
     assert media == "image/jpeg" and (sw, sh) == (w, h)
 
 
-def test_progressive_raises_loudly():
-    raw = (FIXTURES / "progressive_header.jpg").read_bytes()
-    with pytest.raises(ValueError, match="progressive"):
+def test_decode_real_world_progressive():
+    """A real progressive (SOF2) photo from an independent encoder:
+    720x477 YCbCr 4:2:2, ten spectral/approximation scans. The
+    spectral-selection + successive-approximation + EOB-run paths all
+    execute; the output must be a coherent photo (full tonal range,
+    photo-like gradient statistics), pinned by digest."""
+    raw = (FIXTURES / "progressive_422.jpg").read_bytes()
+    w, h, img = parse_jpeg(raw)
+    assert (w, h) == (720, 477)
+    assert img.shape == (477, 720, 3)
+    assert img.min() == 0 and img.max() == 255
+    # a misdecoded scan produces salt-and-pepper noise: mean |dx| of a
+    # real photo stays far below the ~85 of uniform noise
+    gx = np.abs(np.diff(img[:, :, 0].astype(int), axis=1)).mean()
+    assert gx < 30, gx
+    import hashlib
+
+    assert hashlib.sha256(img.tobytes()).hexdigest()[:16] == "5158c38d6e8df942"
+
+
+def test_truncated_progressive_raises():
+    raw = (FIXTURES / "progressive_truncated.jpg").read_bytes()
+    with pytest.raises(ValueError, match="truncated"):
         parse_jpeg(raw)
 
 
@@ -79,6 +99,15 @@ def test_garbage_raises():
         parse_jpeg(b"not a jpeg at all")
     with pytest.raises(ValueError):
         parse_jpeg(b"\xff\xd8\xff\xee\x00\x04ab")  # APP segment, then EOF
+
+
+def test_arithmetic_coding_raises_loudly():
+    # SOF9 (extended sequential, arithmetic): unsupported coding process
+    sof9 = (
+        b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="coding process"):
+        parse_jpeg(sof9)
 
 
 # ---------------------------------------------------------------- round trip
