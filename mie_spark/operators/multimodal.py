@@ -26,9 +26,15 @@ Codec status (honesty boundary, closed for images in round 7):
   through to Pillow when it is importable (`codec='pil'` forces that
   path; `codec='auto'` falls back per payload); without Pillow they
   raise naming the feature.
-- STUBBED: true video frame decode (`decode_frames(codec='real')`) —
-  no H.264 library ships anywhere we target, and a from-scratch
-  H.264 is out of scope, so it stays a loud NotImplementedError.
+- REAL video, stdlib-only: Motion-JPEG in RIFF/AVI —
+  `parse_avi_mjpeg`/`avi_from_jpeg_frames` walk/write the RIFF chunk
+  tree and every frame is a complete JPEG, decoded behind
+  `decode_frames(codec='mjpeg')`.
+- STUBBED: inter-frame video codecs (`decode_frames(codec='real')`,
+  H.264 and friends) — no av library ships anywhere we target, and a
+  from-scratch H.264 is out of scope, so it stays a loud
+  NotImplementedError (parse_avi_mjpeg likewise refuses AVIs whose
+  video stream is not MJPG, naming the compression it found).
 The Spark-side contract — schemas, batch iteration, partitioning — is
 identical across all modes and tested (tests/test_multimodal.py).
 
@@ -130,6 +136,16 @@ def sniff_image_meta(raw: bytes) -> tuple[str, int, int] | None:
             return ("image/x-portable-pixmap", w, h)
         except Exception:
             return None
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        # frame dims live in the avih chunk (dwWidth/dwHeight at +32)
+        i = raw.find(b"avih")
+        if i >= 0 and i + 48 <= len(raw):
+            return (
+                "video/x-msvideo",
+                int.from_bytes(raw[i + 40 : i + 44], "little"),
+                int.from_bytes(raw[i + 44 : i + 48], "little"),
+            )
+        return None
     return None
 
 
@@ -198,11 +214,15 @@ def decode_frames(assets: DataFrame, every_n: int = 64, codec: str = "real") -> 
     codec='gif' is REAL frame extraction from a compressed container —
     animated GIFs decode via the stdlib-only LZW path (:func:`parse_gif`),
     every_n selects every n-th composited frame, and each emitted frame
-    is a self-contained PNG (:func:`png_from_array`). codec='real'
-    (H.264 and friends) stays a loud NotImplementedError — no av
-    library ships anywhere we target. codec='fake' chunks the raw
-    bytes deterministically, exercising the 1→N fan-out plan shape
-    (mapInPandas yielding multiple rows per input) end-to-end.
+    is a self-contained PNG (:func:`png_from_array`). codec='mjpeg' is
+    REAL video decode — Motion-JPEG inside a RIFF/AVI container
+    (:func:`parse_avi_mjpeg`): every sampled ``00dc`` frame chunk is a
+    complete JPEG, decoded by the stdlib operators/jpeg.py codec and
+    re-emitted as PNG. codec='real' (H.264 and friends) stays a loud
+    NotImplementedError — no inter-frame video library ships anywhere
+    we target. codec='fake' chunks the raw bytes deterministically,
+    exercising the 1→N fan-out plan shape (mapInPandas yielding
+    multiple rows per input) end-to-end.
     """
     if codec == "gif":
 
@@ -218,11 +238,29 @@ def decode_frames(assets: DataFrame, every_n: int = 64, codec: str = "real") -> 
                 yield pd.DataFrame(out)
 
         return assets.mapInPandas(gif_batches, schema=FRAME_SCHEMA)
+    if codec == "mjpeg":
+
+        def mjpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from mie_spark.operators.jpeg import parse_jpeg
+
+            for pdf in it:
+                out = {"asset_id": [], "frame_idx": [], "frame_bytes": []}
+                for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                    _meta, jpegs = parse_avi_mjpeg(bytes(payload))
+                    for i, frame_jpeg in enumerate(jpegs[::every_n]):
+                        _w, _h, img = parse_jpeg(frame_jpeg)
+                        out["asset_id"].append(asset_id)
+                        out["frame_idx"].append(i)
+                        out["frame_bytes"].append(png_from_array(img))
+                yield pd.DataFrame(out)
+
+        return assets.mapInPandas(mjpeg_batches, schema=FRAME_SCHEMA)
     if codec != "fake":
         raise NotImplementedError(
-            "real video decoding requires codec libraries not present in "
-            "this environment; pass codec='gif' for animated GIFs or "
-            "codec='fake' for the deterministic stub"
+            "inter-frame video codecs (H.264 and friends) require "
+            "libraries not present in this environment; pass "
+            "codec='mjpeg' for Motion-JPEG AVI, codec='gif' for "
+            "animated GIFs, or codec='fake' for the deterministic stub"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1190,3 +1228,240 @@ def parse_gif(raw: bytes):
         frames.append(canvas.copy())
         transparent = None  # GCE applies to the next image block only
     return w, h, frames
+
+
+def parse_avi_mjpeg(raw: bytes):
+    """REAL video-container parse: RIFF/AVI with a Motion-JPEG video
+    stream — the one true video codec that is fully decodable with the
+    stdlib (every frame is a complete baseline JPEG; operators/jpeg.py
+    decodes it). Walks the RIFF chunk tree (hdrl for the stream
+    headers, movi for the frame chunks), verifies the video stream is
+    MJPG, and returns ((width, height, fps_num, fps_den, n_frames),
+    [jpeg_bytes, ...]) for the video stream's ``##dc`` chunks.
+
+    Raises ValueError on non-AVI payloads and on AVI files whose video
+    stream uses an inter-frame codec (H.264 etc.) — those need
+    libraries this environment does not ship, and pretending otherwise
+    would be the dishonesty this module's codec boundary exists to
+    avoid."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+
+    def walk(data, pos, end):  # noqa: ANN001, ANN202
+        """Yield (fourcc, list_type_or_None, body_start, body_end)."""
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc in (b"LIST", b"RIFF"):
+                yield fourcc, data[body_start : body_start + 4], body_start + 4, body_end
+            else:
+                yield fourcc, None, body_start, body_end
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    width = height = None
+    rate = scale = None
+    vid_stream = None
+    handler_ok = False
+    movi_span = None
+    stream_idx = -1
+    for fourcc, ltype, s, e in walk(raw, 12, len(raw)):
+        if fourcc == b"LIST" and ltype == b"hdrl":
+            for f2, l2, s2, e2 in walk(raw, s, e):
+                if f2 == b"avih":
+                    width, height = struct.unpack("<II", raw[s2 + 32 : s2 + 40])
+                elif f2 == b"LIST" and l2 == b"strl":
+                    stream_idx += 1
+                    for f3, _l3, s3, _e3 in walk(raw, s2, e2):
+                        if f3 == b"strh":
+                            fcc_type = raw[s3 : s3 + 4]
+                            fcc_handler = raw[s3 + 4 : s3 + 8]
+                            if fcc_type == b"vids":
+                                vid_stream = stream_idx
+                                handler_ok = fcc_handler.upper() in (
+                                    b"MJPG",
+                                    b"JPEG",
+                                )
+                                scale, rate = struct.unpack(
+                                    "<II", raw[s3 + 20 : s3 + 28]
+                                )
+                        elif f3 == b"strf" and stream_idx == vid_stream:
+                            # BITMAPINFOHEADER: biCompression at offset 16
+                            compression = raw[s3 + 16 : s3 + 20]
+                            if compression.upper() not in (b"MJPG", b"JPEG"):
+                                raise ValueError(
+                                    "AVI video stream is "
+                                    f"{compression!r}, not Motion-JPEG; "
+                                    "inter-frame codecs are not decodable "
+                                    "without external libraries"
+                                )
+        elif fourcc == b"LIST" and ltype == b"movi":
+            movi_span = (s, e)
+    if vid_stream is None:
+        raise ValueError("AVI has no video (vids) stream")
+    if not handler_ok:
+        raise ValueError("AVI video stream handler is not MJPG")
+    if movi_span is None:
+        raise ValueError("AVI has no movi chunk list")
+
+    want_dc = b"%02ddc" % vid_stream
+    want_db = b"%02ddb" % vid_stream
+    frames = []
+    for fourcc, ltype, s, e in walk(raw, movi_span[0], movi_span[1]):
+        if fourcc in (want_dc, want_db):
+            frames.append(raw[s:e])
+        elif fourcc == b"LIST" and ltype == b"rec ":
+            for f2, _l2, s2, e2 in walk(raw, s, e):
+                if f2 in (want_dc, want_db):
+                    frames.append(raw[s2:e2])
+    meta = (width, height, rate or 0, scale or 1, len(frames))
+    return meta, frames
+
+
+def avi_from_jpeg_frames(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal Motion-JPEG AVI writer — the round-trip partner of
+    :func:`parse_avi_mjpeg` (avih + one vids/MJPG strl + movi of 00dc
+    chunks + idx1). Every input must already be a complete JPEG (use
+    operators.jpeg.jpeg_from_array)."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpeg_frames)
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # microseconds per frame
+        max_bytes * fps,  # max bytes per second
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, max_bytes,  # total frames, initial, streams, buf size
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps,  # scale, rate -> fps frames per second
+        0, n, max_bytes, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for f in jpeg_frames:
+        offsets.append(len(movi_body))  # offset of the 00dc fourcc within movi
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        for off, f in zip(offsets, jpeg_frames)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthetic_mjpeg_corpus(
+    docs: DataFrame,
+    every: int = 20,
+    n_frames: int = 4,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic Motion-JPEG AVI corpus derived from the documents
+    table (one asset per doc_id divisible by ``every``): each asset is
+    an AVI of ``n_frames`` JPEG frames whose pixels are a pure
+    function of (doc_id, frame, x, y) — no RNG, so every digest
+    downstream is pinnable. The `every` stride keeps the Python-side
+    encode cost a small constant fraction of the corpus at ANY scale
+    factor (the real-corpus analog is 'videos are rare next to
+    text')."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mie_spark.operators.jpeg import jpeg_from_array
+
+        for pdf in it:
+            out = {"asset_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did % every:
+                    continue
+                yy, xx = np.mgrid[0:height, 0:width]
+                frames = [
+                    jpeg_from_array(
+                        np.stack(
+                            [
+                                (xx * 7 + t * 11 + did) % 256,
+                                (yy * 5 + t * 3 + did // 7) % 256,
+                                ((xx + yy) * 3 + t * 17 + did // 3) % 256,
+                            ],
+                            -1,
+                        ).astype(np.uint8),
+                        quality=88,
+                    )
+                    for t in range(n_frames)
+                ]
+                out["asset_id"].append(did)
+                out["payload"].append(
+                    avi_from_jpeg_frames(frames, width, height, fps=10)
+                )
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [StructField("asset_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def png_pixel_stats(frames: DataFrame) -> DataFrame:
+    """Decode each PNG frame payload and emit exact integer pixel
+    statistics — integers, not floats, so the output is bit-stable
+    across platforms (zlib-compressed byte LENGTHS are not; pixel SUMS
+    are)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"asset_id": [], "frame_idx": [], "px_sum": [], "width": [], "height": []}
+            for asset_id, idx, payload in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["frame_bytes"]
+            ):
+                w, h, img = parse_png(bytes(payload))
+                out["asset_id"].append(asset_id)
+                out["frame_idx"].append(idx)
+                out["px_sum"].append(int(np.sum(img, dtype=np.int64)))
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)

@@ -98,6 +98,37 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio(assets, codec="fake")
 
 
+@query("mm_mjpeg_frames")
+def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline end to end, no codec library anywhere: a
+    deterministic Motion-JPEG AVI corpus (synthetic_mjpeg_corpus —
+    every 20th doc_id becomes a 4-frame AVI, pixels a pure function of
+    (doc_id, frame, x, y)) → RIFF walk + per-frame JPEG decode
+    (decode_frames codec='mjpeg', operators/jpeg.py) → exact integer
+    pixel statistics per sampled frame (png_pixel_stats) → per-asset
+    rollup. Rows-only check (a DCT codec isn't SQL-expressible); the
+    full output digest is pinned in tests/test_rows_only_digests.py.
+    Scale shape: the 1/20 stride bounds Python-side codec cost to a
+    constant fraction of the corpus, frames fan out inside mapInPandas
+    without driver involvement, and the rollup shuffles only (asset_id,
+    int) rows — never pixels."""
+    from mie_spark.operators.multimodal import (
+        png_pixel_stats,
+        synthetic_mjpeg_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthetic_mjpeg_corpus(docs, every=20, n_frames=4)
+    frames = decode_frames(assets, every_n=2, codec="mjpeg")
+    stats = png_pixel_stats(frames)
+    return stats.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("px_sum").alias("px_sum_total"),
+        F.max("width").alias("frame_w"),
+        F.max("height").alias("frame_h"),
+    )
+
+
 @query("mm_phash_pairs")
 def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection, end to end and REAL: a

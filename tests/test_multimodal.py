@@ -709,3 +709,88 @@ def test_parse_png_palette():
 
     with _pytest.raises(ValueError, match="tRNS"):
         parse_png(with_trns)
+
+
+def _mjpeg_avi(n_frames=6, w=32, h=24, quality=92, fps=5):
+    import numpy as np
+
+    from mie_spark.operators.jpeg import jpeg_from_array
+    from mie_spark.operators.multimodal import avi_from_jpeg_frames
+
+    frames = []
+    for t in range(n_frames):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 8 + t * 10) % 230, (yy * 9) % 230, ((xx + yy) * 5 + t * 20) % 230],
+            -1,
+        ).astype(np.uint8)
+        frames.append(jpeg_from_array(img, quality=quality))
+    return frames, avi_from_jpeg_frames(frames, w, h, fps=fps)
+
+
+def test_avi_mjpeg_round_trip():
+    """The RIFF/AVI writer and parser are exact inverses on the frame
+    payloads, and the header metadata survives."""
+    from mie_spark.operators.multimodal import parse_avi_mjpeg
+
+    frames, avi = _mjpeg_avi()
+    (w, h, rate, scale, n), out = parse_avi_mjpeg(avi)
+    assert (w, h) == (32, 24)
+    assert (rate, scale) == (5, 1)
+    assert n == 6
+    assert out == frames  # byte-for-byte
+
+
+def test_avi_mjpeg_rejects_interframe_codecs():
+    import pytest as _pytest
+
+    from mie_spark.operators.multimodal import parse_avi_mjpeg
+
+    _frames, avi = _mjpeg_avi(n_frames=1)
+    bad = bytearray(avi)
+    i = bad.find(b"MJPG", bad.find(b"strf"))
+    bad[i : i + 4] = b"H264"
+    with _pytest.raises(ValueError, match="H264"):
+        parse_avi_mjpeg(bytes(bad))
+    with _pytest.raises(ValueError, match="RIFF"):
+        parse_avi_mjpeg(b"RIFFxxxxWAVEdata")
+
+
+def test_sniff_avi_dimensions():
+    from mie_spark.operators.multimodal import sniff_image_meta
+
+    _frames, avi = _mjpeg_avi(w=48, h=36)
+    assert sniff_image_meta(avi) == ("video/x-msvideo", 48, 36)
+
+
+def test_decode_frames_mjpeg(spark):
+    """codec='mjpeg': REAL video frame decode — every_n-th 00dc chunk
+    of a Motion-JPEG AVI decodes through the stdlib JPEG codec and
+    comes back as a PNG whose pixels match decoding the frame
+    directly."""
+    import numpy as np
+
+    from mie_spark.operators.jpeg import parse_jpeg
+    from mie_spark.operators.multimodal import decode_frames, parse_png
+
+    frames, avi = _mjpeg_avi(n_frames=7)
+    df = spark.createDataFrame([(1, bytearray(avi))], ["asset_id", "payload"])
+    rows = sorted(
+        decode_frames(df, every_n=3, codec="mjpeg").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]  # frames 0, 3, 6
+    for i, r in enumerate(rows):
+        _w, _h, want = parse_jpeg(frames[3 * i])
+        _w2, _h2, got = parse_png(bytes(r["frame_bytes"]))
+        assert np.array_equal(got, want), i
+
+
+def test_decode_frames_real_still_raises(spark):
+    import pytest as _pytest
+
+    from mie_spark.operators.multimodal import decode_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], ["asset_id", "payload"])
+    with _pytest.raises(NotImplementedError, match="codec='mjpeg'"):
+        decode_frames(df, codec="real")

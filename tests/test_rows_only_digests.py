@@ -32,6 +32,8 @@ PINNED = {
     "mm_frame_sample": "ba36dbce31b1d664",
     "mm_resize_features": "caa2002e249d8e80",
     "mm_audio_chunks": "0e9db5e96c1f8a17",
+    # real MJPEG-AVI pipeline: integer pixel sums, stable by design
+    "mm_mjpeg_frames": "74c8b7882071a333",
     # re-pinned when mmr_rerank stopped stringifying the label column
     # (label now carries the input's integer type; values unchanged)
     "v_mmr_topk": "b4da42aa821bee66",
