@@ -122,6 +122,10 @@ _GRADE_FIRST = [
     # ... and the end-to-end funnel census (clean -> decontaminate ->
     # budget composed as ONE plan, per-stage survivors hash-graded).
     "pipe_funnel_census",
+    # ... and the real-codec video pipeline (MJPEG-AVI walk + stdlib
+    # JPEG decode + integer pixel stats; rows-only by nature, digest-
+    # pinned in pytest).
+    "mm_mjpeg_frames",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -143,18 +147,20 @@ _GRADE_FIRST = [
     "g_pagerank",
     "g_sssp",
     "g_kcore",
-    "g_labelprop",
-    # Remaining slots: the oldest r04-stale hash-oracled entries, one
-    # per family where a sibling is already in-window (the rest of the
-    # r04 cohort — text_bpe_tokens/fingerprint/quality_filter/
-    # unigram_logprob/repeat_ngrams/token_histogram, ev_anomalies/
-    # funnel/hourly_agg/pivot/unpivot/retention/top_spenders/
-    # value_percentiles, st_dedup_totals/st_sessionize,
-    # pipe_decontaminate/dedup_clusters/training_manifest, v5_norms,
-    # samp_temperature_mix, samp_stratified, samp_hash_split, text_lang_id,
-    # dedup_simhash_pairs,
-    # v_knn_join_nodes — is first in line for r8, with the six
-    # rows-only r04 entries carrying the least slot signal).
+    # (g_labelprop, the 5th pregel-rewrite sibling, yielded its slot to
+    # the new mm_mjpeg_frames — four same-primitive siblings in-window
+    # carry the rewrite's driver evidence; labelprop heads the r8 queue.)
+    # Remaining r8 queue: g_labelprop, then the oldest r04-stale
+    # hash-oracled entries, one per family where a sibling is already
+    # in-window (the rest of the r04 cohort — text_bpe_tokens/
+    # fingerprint/quality_filter/unigram_logprob/repeat_ngrams/
+    # token_histogram, ev_anomalies/funnel/hourly_agg/pivot/unpivot/
+    # retention/top_spenders/value_percentiles, st_dedup_totals/
+    # st_sessionize, pipe_decontaminate/dedup_clusters/
+    # training_manifest, v5_norms, samp_temperature_mix,
+    # samp_stratified, samp_hash_split, text_lang_id,
+    # dedup_simhash_pairs, v_knn_join_nodes — with the six rows-only
+    # r04 entries carrying the least slot signal).
 ]
 
 
