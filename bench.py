@@ -109,6 +109,10 @@ HEADLINE = [
     "ev_bitmap_overlap",         # exact audience intersection via bitmap AND
     "st_bitmap_distinct",        # foreachBatch-maintained bitmap distinct state
     "pipe_funnel_census",        # 4-stage pipeline funnel, one shared lineage
+    "g_hits",                    # HITS, bidirectional pregel messages, 8 rounds
+    "text_pmi_collocations",     # PMI collocation mining over bigram tf table
+    "ev_session_paths",          # first-5-events path census, one user shuffle
+    "ev_rfm",                    # RFM quartile scores, integer bucket rule
 ]
 
 

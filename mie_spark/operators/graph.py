@@ -463,3 +463,56 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         )
 
     return pregel(labels, step, rounds)
+
+
+def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over directed (src,dst)
+    edges, simultaneous (Jacobi) update: auth_{i+1}(v) = Σ_{u→v}
+    hub_i(u) and hub_{i+1}(u) = Σ_{u→v} auth_i(v), BOTH read round-i
+    state — the power iterations on AᵀA and AAᵀ run in lockstep.
+    Per-round normalization is deliberately deferred: with doubles the
+    scores stay far inside range for any bounded iteration count, so
+    one L1 normalization at the end yields the same direction without
+    needing a global scalar inside the loop (which would force an
+    action per superstep). Returns (node, hub, auth), each unit-L1.
+
+    Same skeleton as :func:`pagerank`: one ``aggregate_messages``
+    superstep (here sending a 2-field struct both ways: hub flows
+    src→dst into auth, auth flows dst→src into hub) + the ``pregel``
+    runner with lazy checkpoints. One superstep = the two
+    triplet-join shuffles + one node-keyed reduce; state is 3 columns
+    per node, never materialized on the driver."""
+    edgesd = (
+        edges.select("src", "dst").repartition(F.col("src")).localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = all_nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        msgs = aggregate_messages(
+            edgesd,
+            state,
+            to_dst=F.struct(F.col("hub").alias("a"), F.lit(0.0).alias("h")),
+            to_src=F.struct(F.lit(0.0).alias("a"), F.col("auth").alias("h")),
+            agg=[F.sum("msg.a").alias("auth"), F.sum("msg.h").alias("hub")],
+        )
+        return all_nodes.join(msgs, "node", "left").select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+
+    out = pregel(state, step, iterations, eager=False)
+    norms = out.agg(F.sum("hub").alias("hn"), F.sum("auth").alias("an"))
+    return out.crossJoin(F.broadcast(norms)).select(
+        "node",
+        (F.col("hub") / F.col("hn")).alias("hub"),
+        (F.col("auth") / F.col("an")).alias("auth"),
+    )

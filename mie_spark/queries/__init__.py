@@ -73,10 +73,11 @@ _GRADE_FIRST = [
     # exact integral-quotient int_div) changed under all of them since
     # they were last graded; the builder re-proves them each round at
     # sf0.01+sf0.1, but the driver's row is the contract.
-    "s2_point_lookup",
-    "f2_substring_match",
-    "f3_disjunction",
-    "f4_case_insensitive",
+    # (s2_point_lookup / f2 / f3 / f4 yielded their slots to the four
+    # queries ADDED this round — new code always outranks stale-but-
+    # unchanged code for driver evidence; the four are pure predicate
+    # scans with zero exposure to the helpers that changed since r02,
+    # and they head the r8 queue.)
     "a4_groupby_metrics",
     "o1_order_limit_offset",
     "o5_first_match",
@@ -126,6 +127,14 @@ _GRADE_FIRST = [
     # JPEG decode + integer pixel stats; rows-only by nature, digest-
     # pinned in pytest).
     "mm_mjpeg_frames",
+    # ... and the four late-round additions: HITS (the pregel
+    # primitive's first bidirectional-message algorithm), PMI
+    # collocation mining, user-journey path census, and RFM
+    # segmentation with explicit integer quartile rules.
+    "g_hits",
+    "text_pmi_collocations",
+    "ev_session_paths",
+    "ev_rfm",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -150,7 +159,9 @@ _GRADE_FIRST = [
     # (g_labelprop, the 5th pregel-rewrite sibling, yielded its slot to
     # the new mm_mjpeg_frames — four same-primitive siblings in-window
     # carry the rewrite's driver evidence; labelprop heads the r8 queue.)
-    # Remaining r8 queue: g_labelprop, then the oldest r04-stale
+    # Remaining r8 queue: s2_point_lookup, f2_substring_match,
+    # f3_disjunction, f4_case_insensitive (displaced above),
+    # g_labelprop, then the oldest r04-stale
     # hash-oracled entries, one per family where a sibling is already
     # in-window (the rest of the r04 cohort — text_bpe_tokens/
     # fingerprint/quality_filter/unigram_logprob/repeat_ngrams/

@@ -1121,3 +1121,147 @@ def ev_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("bit_count(bm_a & bm_b)")).alias("n_both"))
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "ev_session_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first five events (total order
+    (ts, event_id), so ties can never reorder across engines) joined
+    into a '>'-separated path, then a path census ranked by audience
+    size. The product-analytics "common paths" report.
+
+    Plan: ONE user_id shuffle serves the row_number window; the
+    per-user path is built in-row (sort_array over (rn, type) structs →
+    transform → concat_ws — no second ordered aggregation), and the
+    path census groups ~|users| tiny strings. At 100 TB the heavy
+    events table is touched once; everything after the first window is
+    proportional to users, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "ev_rfm",
+    oracle="""
+    WITH ref AS (
+      SELECT max(CAST(ts AS DATE)) AS d0 FROM events
+      WHERE event_type = 'purchase'
+    ),
+    base AS (
+      SELECT user_id,
+             date_diff('day', max(CAST(ts AS DATE)), (SELECT d0 FROM ref))
+               ::BIGINT AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS mon_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_users FROM base),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+             row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+             row_number() OVER (ORDER BY mon_cents DESC, user_id) AS rm
+      FROM base
+    )
+    SELECT user_id, recency_days, frequency, mon_cents,
+           4 - ((rr - 1) * 4) // (SELECT n_users FROM n) AS r_score,
+           4 - ((rf - 1) * 4) // (SELECT n_users FROM n) AS f_score,
+           4 - ((rm - 1) * 4) // (SELECT n_users FROM n) AS m_score
+    FROM ranked
+    """,
+)
+def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events — the classic lifecycle-marketing scoring table.
+    Quartile scores use an EXPLICIT integer rule on a totally-ordered
+    row_number (score = 4 - ((rank-1)*4) div n, user_id tiebreak)
+    instead of ntile(), so bucket-boundary semantics are the same
+    arithmetic on both engines rather than two implementations'
+    edge-case conventions. Monetary is exact cents (the ev_top_spenders
+    doctrine); recency is an integer day difference against the corpus
+    max purchase date.
+
+    Plan: one user_id aggregate over the filtered scan, then three
+    global-order windows over the |users|-row aggregate (tiny — the
+    single-partition window warning applies to |users| rows, never
+    events; at 100 TB the per-metric ranking would repartitionByRange
+    on the metric and add per-partition offsets, the same pattern as
+    samp_shuffle_shards)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ref = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    base = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("mon_cents"),
+    )
+    base = base.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff("d0", "last_d").cast("long").alias("recency_days"),
+        "frequency",
+        "mon_cents",
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n_users"))
+    rr = Window.orderBy("recency_days", "user_id")
+    rf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    rm = Window.orderBy(F.col("mon_cents").desc(), "user_id")
+    ranked = base.select(
+        "*",
+        F.row_number().over(rr).alias("rr"),
+        F.row_number().over(rf).alias("rf"),
+        F.row_number().over(rm).alias("rm"),
+    ).crossJoin(F.broadcast(n))
+    score = lambda r: (F.lit(4) - F.expr(f"(({r} - 1) * 4) div n_users")).alias(
+        f"{r[1]}_score"
+    )
+    return ranked.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "mon_cents",
+        score("rr"),
+        score("rf"),
+        score("rm"),
+    )

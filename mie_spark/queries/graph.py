@@ -781,3 +781,79 @@ def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = s.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("node")).select("node")
     ranks = personalized_pagerank(edges, srcs, iterations=8, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "g_hits",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT s_suppkey AS u,
+             lead(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS nxt,
+             min(s_suppkey) OVER (PARTITION BY s_nationkey) AS mn
+      FROM supplier
+    ),
+    e AS (
+      SELECT u, v FROM (
+        SELECT u, coalesce(nxt, mn) AS v FROM base
+        UNION ALL
+        SELECT u, mn AS v FROM base WHERE u <> mn
+      ) t
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) t
+    ),
+    d AS (
+      SELECT sender, receiver, fwd FROM (
+        SELECT u AS sender, v AS receiver, 1 AS fwd FROM e
+        UNION ALL
+        SELECT v AS sender, u AS receiver, 0 AS fwd FROM e
+      ) t
+    ),
+    hs(iter, node, hub, auth) AS (
+      SELECT 0, node, 1.0::DOUBLE, 1.0::DOUBLE FROM nodes
+      UNION ALL
+      SELECT h.iter + 1, d.receiver AS node,
+             sum(CASE WHEN d.fwd = 0 THEN h.auth ELSE 0.0::DOUBLE END),
+             sum(CASE WHEN d.fwd = 1 THEN h.hub ELSE 0.0::DOUBLE END)
+      FROM hs h JOIN d ON d.sender = h.node
+      WHERE h.iter < 8
+      GROUP BY h.iter, d.receiver
+    ),
+    fin AS (SELECT node, hub, auth FROM hs WHERE iter = 8),
+    nrm AS (SELECT sum(hub) AS hn, sum(auth) AS an FROM fin)
+    SELECT node, round(hub / nrm.hn, 6) AS hub, round(auth / nrm.an, 6) AS auth
+    FROM fin CROSS JOIN nrm
+    """,
+)
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the supplier ring graph — the
+    link-analysis complement of g_pagerank (authority = pointed at by
+    good hubs, hub = points at good authorities), 8 simultaneous-update
+    rounds, one L1 normalization at the end. Third algorithm composed
+    from the shared aggregate_messages/pregel primitive with zero new
+    loop code; the first to exercise the primitive's BIDIRECTIONAL
+    message path (struct messages both ways in one superstep). The
+    oracle replays the identical recurrence as a recursive CTE with a
+    direction-tagged edge union (one recursive reference), wrapped
+    unions per the DuckDB seed/step quirk noted on g_pagerank."""
+    from mie_spark.operators.graph import hits
+
+    s = load_table(spark, sf_dir, "supplier")
+    # ring + nation-min shortcut (the g_ppr graph): the pure cycle has
+    # in-degree 1 everywhere, where HITS is degenerately uniform — the
+    # shortcut edges give the hubs/authorities something to rank.
+    base = _ring_base(s)
+    ring = base.select("u", F.coalesce("nxt", "mn").alias("v"))
+    tomin = base.filter(F.col("u") != F.col("mn")).select(
+        "u", F.col("mn").alias("v")
+    )
+    edges = ring.unionByName(tomin).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    out = hits(edges, iterations=8)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )

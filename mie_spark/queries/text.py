@@ -1479,3 +1479,99 @@ def pipe_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(decon, "2_decontaminated", "n_tokens"))
         .unionByName(census(budgeted, "3_budgeted", "n_tokens"))
     )
+
+
+# --- PMI collocation mining -------------------------------------------------
+
+@query(
+    "text_pmi_collocations",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    bg AS (SELECT unnest(list_zip(l[:-2], l[2:])) AS pair FROM toks),
+    tf AS (
+      SELECT pair[1] AS w1, pair[2] AS w2, count(*)::BIGINT AS c12
+      FROM bg GROUP BY 1, 2
+    ),
+    nn AS (SELECT sum(c12)::BIGINT AS n FROM tf),
+    m AS (
+      SELECT w1, w2, c12,
+             (sum(c12) OVER (PARTITION BY w1))::BIGINT AS c1,
+             (sum(c12) OVER (PARTITION BY w2))::BIGINT AS c2
+      FROM tf
+    )
+    SELECT w1, w2, c12,
+           CAST(round(ln((c12 * nn.n)::DOUBLE / (c1 * c2)::DOUBLE)
+                      * 1000000.0, 0) AS BIGINT) AS pmi_micro
+    FROM m CROSS JOIN nn
+    WHERE c12 >= 20
+    ORDER BY pmi_micro DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    phrase-discovery pass (think "new york", "machine learning") that
+    tokenizer-vocab and phrase-aware chunking pipelines run over a
+    corpus: PMI(w1,w2) = ln( c(w1,w2)·N / (c(w1·)·c(·w2)) ), ranked
+    over bigrams seen >= 20 times.
+
+    Numerics: the ln argument is one IEEE division of two exact BIGINT
+    products (ANSI-safe: c12·N <= N², far below 2^63 at any graded SF),
+    evaluated on identical operands by both engines and rounded ONCE to
+    micro-nats — the doctrine every LM/entropy query here follows.
+
+    Plan: bigrams are an in-row arrays_zip (no self-join); the corpus
+    tf aggregate shuffles (w1, w2, count) — bounded by bigram TYPES,
+    never token instances; the marginals are two window sums over that
+    compact tf table and N is a 1-row broadcast. TakeOrderedAndProject
+    caps the result at 50. At 100 TB the heavy text is read once,
+    map-side combined, and everything downstream is vocab-sized."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.lower(F.col("text"))).alias("l"))
+    n = F.greatest(F.size("l") - 1, F.lit(0))
+    bg = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("l"), 1, n).alias("w1"),
+                F.slice(F.col("l"), 2, n).alias("w2"),
+            )
+        ).alias("pair")
+    )
+    tf = bg.groupBy(
+        F.col("pair.w1").alias("w1"), F.col("pair.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("c12"))
+    nn = tf.agg(F.sum("c12").alias("n"))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    m = tf.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(w1w).alias("c1"),
+        F.sum("c12").over(w2w).alias("c2"),
+    )
+    pmi_micro = (
+        F.round(
+            F.log(
+                (F.col("c12") * F.col("n"))
+                / (F.col("c1") * F.col("c2")).cast("double")
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("pmi_micro")
+    )
+    return (
+        m.crossJoin(F.broadcast(nn))
+        .filter(F.col("c12") >= 20)
+        .select("w1", "w2", "c12", pmi_micro)
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -162,3 +162,33 @@ def test_pregel_runner_halt_and_rounds(spark):
         v0, step, 5, halt=lambda old, new: new.collect()[0]["x"] >= 2
     )
     assert out.collect()[0]["x"] == 2
+
+
+def test_hits_hand_computed(spark):
+    """HITS on a 3-node graph, one simultaneous round, against hand
+    arithmetic: edges 1->2, 2->3, 3->1, 1->3 with hub=auth=1 init.
+    Round 1: auth = in-sum of hubs = (1,1,2); hub = out-sum of auths =
+    (2,1,1). L1-normalized: auth (.25,.25,.5), hub (.5,.25,.25)."""
+    from mie_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    out = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, 1).collect()}
+    assert out == {1: (0.5, 0.25), 2: (0.25, 0.25), 3: (0.25, 0.5)}
+
+
+def test_hits_pure_cycle_is_uniform(spark):
+    """On a pure cycle every node has in/out degree 1, so hubs and
+    authorities stay uniform at any iteration count — the degeneracy
+    that made g_hits use the ring+shortcut graph."""
+    import pytest
+
+    from mie_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    for r in hits(edges, 3).collect():
+        assert r["hub"] == pytest.approx(1 / 3)
+        assert r["auth"] == pytest.approx(1 / 3)
