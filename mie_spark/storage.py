@@ -44,6 +44,7 @@ replace whole row by key — idempotent with content-hash IDs.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import threading
@@ -65,6 +66,55 @@ from mie_spark.schemas import (
 def now_s() -> int:
     """Unix seconds (writer.go:47)."""
     return int(time.time())
+
+
+# Per-snapshot zone-map sidecar: {relative part file -> {column ->
+# [min, max]}}, collected from parquet FOOTER statistics (no data
+# read). The Delta/Iceberg file-stats analog for the snapshot layout.
+ZONES_FILE = "_ZONES.json"
+
+
+def _file_zone_stats(path: str) -> dict[str, list]:
+    """Column min/max for one parquet file from its footer row-group
+    statistics — a metadata-only read (~KB), never the data pages.
+    Only top-level primitive columns with full stats coverage are
+    emitted: a column missing stats in ANY row group is omitted
+    (absence always means "cannot prune this file on this column",
+    which is the safe direction). Values are kept JSON-native
+    (int/float/str/bool); anything else is dropped."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    zones: dict[str, list] = {}
+    poisoned: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in poisoned:  # nested leaf: skip
+                continue
+            st = col.statistics
+            mn = st.min if st is not None and st.has_min_max else None
+            mx = st.max if st is not None and st.has_min_max else None
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    mn = None
+            ok = all(
+                isinstance(v, (int, float, str, bool)) and v == v
+                for v in (mn, mx)
+            )
+            if not ok:
+                poisoned.add(name)
+                zones.pop(name, None)
+                continue
+            if name in zones:
+                zones[name] = [min(zones[name][0], mn), max(zones[name][1], mx)]
+            else:
+                zones[name] = [mn, mx]
+    return zones
 
 
 def _py_native(value: Any, dtype) -> Any:  # noqa: ANN001
@@ -222,6 +272,7 @@ class MieStore:
         if "bkt" not in df.columns:
             df = df.withColumn("bkt", self._bkt(table))
         df.write.mode("overwrite").partitionBy("bkt").parquet(snap)
+        self._write_zone_manifest(snap, self._snapshot_dir(table))
         self._commit_snapshot(table, version)
 
     def _has_parquet(self, snap: str) -> bool:
@@ -255,6 +306,110 @@ class MieStore:
                     os.link(os.path.join(sdir, fn), os.path.join(ddir, fn))
                 except OSError:  # cross-device fallback
                     shutil.copy2(os.path.join(sdir, fn), os.path.join(ddir, fn))
+
+    # -- zone maps (file-level data skipping) -----------------------------
+
+    def _write_zone_manifest(self, snap: str, prev: str | None = None) -> None:
+        """Collect per-file column min/max into the snapshot's
+        ``_ZONES.json`` sidecar, BEFORE the pointer flip commits it.
+        Files carried over from the previous snapshot by hard link keep
+        their stats without a re-read (detected by inode identity at
+        the same relative path), so an incremental merge pays footer
+        reads only for the files it actually wrote — the same
+        commit-time stats collection Delta/Iceberg do, minus the
+        transaction log. At lake scale the footer walk would move into
+        the write tasks; here the driver-side walk is O(files) metadata
+        I/O and touches no data pages."""
+        prev_manifest: dict[str, dict] = {}
+        if prev is not None:
+            p = os.path.join(prev, ZONES_FILE)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    prev_manifest = json.load(fh)
+        manifest: dict[str, dict] = {}
+        for root, _, fs in os.walk(snap):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, snap)
+                if rel in prev_manifest and prev is not None:
+                    prev_file = os.path.join(prev, rel)
+                    try:
+                        if os.path.samefile(prev_file, full):  # hard link
+                            manifest[rel] = prev_manifest[rel]
+                            continue
+                    except OSError:
+                        pass
+                manifest[rel] = _file_zone_stats(full)
+        tmp = os.path.join(snap, ZONES_FILE + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(snap, ZONES_FILE))
+
+    def zones(self, table: str) -> dict[str, dict] | None:
+        """The current snapshot's zone manifest (None when the table is
+        empty, on the mem engine, or for pre-zone-map snapshots)."""
+        if self.path is None:
+            return None
+        snap = self._snapshot_dir(table)
+        if snap is None:
+            return None
+        p = os.path.join(snap, ZONES_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def scan_pruned(
+        self, table: str, ranges: dict[str, tuple[Any, Any]]
+    ) -> DataFrame:
+        """Zone-map-pruned scan: read ONLY the part files whose
+        ``[min,max]`` zones can intersect every ``col: (lo, hi)`` range
+        (inclusive bounds; ``None`` leaves that side open), then apply
+        the same ranges as a residual filter so the result is exactly
+        ``table(name)`` filtered — pruning is a physical optimization,
+        never a semantics change. A file with no stats for a column is
+        always kept (safe direction). Complements bucket pruning:
+        buckets serve key point-lookups, zones serve range predicates
+        on NON-key columns (created_at, confidence, ...), which is the
+        dominant scan shape at lake scale. Falls back to the full scan
+        when no manifest exists."""
+        from pyspark.sql import functions as F
+
+        schema = table_schema(table)
+        canon = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
+
+        def residual(df: DataFrame) -> DataFrame:
+            for col, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+            return df
+
+        manifest = self.zones(table)
+        if manifest is None:
+            return residual(self.table(table))
+        snap = self._snapshot_dir(table)
+        keep = []
+        for rel, fz in manifest.items():
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                z = fz.get(col)
+                if z is None:
+                    continue  # no stats: cannot prune on this column
+                zmin, zmax = z
+                if (hi is not None and zmin > hi) or (
+                    lo is not None and zmax < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(os.path.join(snap, rel))
+        if not keep:
+            return self.spark.createDataFrame([], schema)
+        return residual(self.spark.read.parquet(*keep).select(*canon))
 
     # -- reads ------------------------------------------------------------
 
@@ -410,6 +565,7 @@ class MieStore:
             "bkt"
         ).parquet(nsnap)
         self._link_untouched(snap, nsnap, touched)
+        self._write_zone_manifest(nsnap, snap)
         self._commit_snapshot(table, version)
 
     def _upsert_df_locked(self, table: str, df: DataFrame) -> int:
@@ -433,7 +589,7 @@ class MieStore:
         self._write_pdf(table, pdf)
         return df.count()
 
-    def compact(self, table: str) -> int:
+    def compact(self, table: str, cluster_by: tuple[str, ...] = ()) -> int:
         """Rewrite the table's current snapshot with ONE file per
         occupied bucket — the Delta OPTIMIZE analog for the bucketed
         layout. Merges deliberately do NOT coalesce (multiple part
@@ -443,7 +599,17 @@ class MieStore:
         have fragmented below efficient scan size. Upgrades a
         pre-bucketing snapshot to the bucketed layout as a side effect.
         Returns the number of part files in the new snapshot. No-op
-        (returns 0) on an empty table or the mem engine (no files)."""
+        (returns 0) on an empty table or the mem engine (no files).
+
+        ``cluster_by`` is the OPTIMIZE ZORDER analog: range-partition
+        and sort the rewrite by the given NON-key columns so each part
+        file covers a narrow value band and the zone-map sidecar
+        (:meth:`scan_pruned`) can skip files on range predicates.
+        Clustering trades file count for skippability: every range
+        task writes into each bucket dir it holds rows for, so the
+        snapshot has up to ``merge_buckets`` files per bucket instead
+        of one — the standard layout tension between hash bucketing
+        (key lookups) and value clustering (range scans)."""
         if self.path is None:
             return 0
         with self._write_lock:
@@ -458,10 +624,15 @@ class MieStore:
                 "bkt", self._bkt(table)
             )
             nsnap, version = self._next_snapshot(table)
-            # one task per bucket -> one file per bucket
-            df.repartition(self.merge_buckets, F.col("bkt")).write.mode(
-                "overwrite"
-            ).partitionBy("bkt").parquet(nsnap)
+            if cluster_by:
+                arranged = df.repartitionByRange(
+                    self.merge_buckets, *[F.col(c) for c in cluster_by]
+                ).sortWithinPartitions(*cluster_by)
+            else:
+                # one task per bucket -> one file per bucket
+                arranged = df.repartition(self.merge_buckets, F.col("bkt"))
+            arranged.write.mode("overwrite").partitionBy("bkt").parquet(nsnap)
+            self._write_zone_manifest(nsnap, snap)
             self._commit_snapshot(table, version)
             return sum(
                 1
@@ -517,6 +688,7 @@ class MieStore:
                     "overwrite"
                 ).partitionBy("bkt").parquet(nsnap)
                 self._link_untouched(snap, nsnap, touched)
+                self._write_zone_manifest(nsnap, snap)
                 self._commit_snapshot(table, version)
             return removed
         existing = self._read_pdf(table)
