@@ -113,6 +113,7 @@ HEADLINE = [
     "text_pmi_collocations",     # PMI collocation mining over bigram tf table
     "ev_session_paths",          # first-5-events path census, one user shuffle
     "ev_rfm",                    # RFM quartile scores, integer bucket rule
+    "dedup_url_canon",           # crawl URL canonicalization, map-only + one agg
 ]
 
 

@@ -79,7 +79,6 @@ _GRADE_FIRST = [
     # scans with zero exposure to the helpers that changed since r02,
     # and they head the r8 queue.)
     "a4_groupby_metrics",
-    "o1_order_limit_offset",
     "o5_first_match",
     "u1_union_distinct",
     "u2_pair_dedup",
@@ -135,6 +134,9 @@ _GRADE_FIRST = [
     "text_pmi_collocations",
     "ev_session_paths",
     "ev_rfm",
+    # ... and URL-canonicalization dedup (the crawl first pass; the
+    # canonicalizer itself is what the hash grades).
+    "dedup_url_canon",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -160,7 +162,8 @@ _GRADE_FIRST = [
     # the new mm_mjpeg_frames — four same-primitive siblings in-window
     # carry the rewrite's driver evidence; labelprop heads the r8 queue.)
     # Remaining r8 queue: s2_point_lookup, f2_substring_match,
-    # f3_disjunction, f4_case_insensitive (displaced above),
+    # f3_disjunction, f4_case_insensitive, o1_order_limit_offset
+    # (displaced above),
     # g_labelprop, then the oldest r04-stale
     # hash-oracled entries, one per family where a sibling is already
     # in-window (the rest of the r04 cohort — text_bpe_tokens/

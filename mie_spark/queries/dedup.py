@@ -633,3 +633,209 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+
+@query(
+    "dedup_url_canon",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             lower(source) || '.example.com' AS h,
+             '/docs/' || (doc_id // 4)::VARCHAR AS bp,
+             'a=1&b=' || ((doc_id // 4) % 7)::VARCHAR AS q,
+             doc_id % 4 AS v,
+             (doc_id // 4)::VARCHAR AS p
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id,
+             CASE v
+               WHEN 0 THEN 'https://' || h || bp || '?' || q
+               WHEN 1 THEN 'HTTPS://' || upper(h) || ':443' || bp
+                           || '?b=' || ((doc_id // 4) % 7)::VARCHAR
+                           || '&a=1#sec-' || p
+               WHEN 2 THEN 'https://' || h || bp || '/?' || q
+                           || '&utm_source=feed'
+               ELSE 'https://' || h || ':443' || bp
+                    || '?utm_campaign=x&' || q
+             END AS url
+      FROM raw
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             string_split(url, '#')[1] AS no_frag
+      FROM urls
+    ),
+    split1 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(no_frag, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(no_frag, '^[A-Za-z]+://', '') AS rest
+      FROM parts
+    ),
+    split2 AS (
+      SELECT *, string_split(rest, '/')[1] AS hostport,
+             substr(rest, length(string_split(rest, '/')[1]) + 1) AS pathq
+      FROM split1
+    ),
+    split3 AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'https'
+                  THEN regexp_replace(lower(hostport), ':443$', '')
+                  WHEN scheme = 'http'
+                  THEN regexp_replace(lower(hostport), ':80$', '')
+                  ELSE lower(hostport) END AS host,
+             CASE WHEN strpos(pathq, '?') > 0
+                  THEN substr(pathq, 1, strpos(pathq, '?') - 1)
+                  ELSE pathq END AS path0,
+             CASE WHEN strpos(pathq, '?') > 0
+                  THEN substr(pathq, strpos(pathq, '?') + 1)
+                  ELSE '' END AS qs
+      FROM split2
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host
+             || CASE WHEN path0 = '' THEN '/'
+                     WHEN length(path0) > 1 AND path0 LIKE '%/'
+                     THEN substr(path0, 1, length(path0) - 1)
+                     ELSE path0 END
+             || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+      FROM (
+        SELECT *,
+               list_aggregate(
+                 list_sort(list_filter(string_split(qs, '&'),
+                           x -> x <> '' AND NOT starts_with(x, 'utm_'))),
+                 'string_agg', '&') AS cq
+        FROM split3
+      ) t
+    )
+    SELECT canon_url,
+           count(*) AS n_variants,
+           count(DISTINCT url) AS n_raw_forms,
+           min(doc_id) AS keeper_doc
+    FROM canon
+    GROUP BY canon_url
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first dedup pass of every web
+    crawl: the same resource fetched as `HTTPS://HOST:443/x?b=2&a=1#f`,
+    `.../x/?a=1&b=2&utm_source=feed`, etc. collapses to one canonical
+    form (lowercase scheme+host, default port stripped, fragment
+    dropped, trailing slash trimmed, utm_* tracking params removed,
+    remaining params sorted). Variant URLs are derived
+    deterministically from doc_id (4 variants per group of 4 docs) on
+    BOTH engines; the canonicalizer is implemented independently on
+    each — Spark as pure JVM column expressions (regexp/split/
+    array_sort/array_join, whole-stage codegen, NO udf), DuckDB as its
+    list/regex analogs — so the hash grades the canonicalization
+    semantics themselves.
+
+    Plan: map-only derive+canonicalize fused into the scan, ONE
+    groupBy over canonical strings (map-side combined), HAVING on the
+    count. At 100 TB this is the textbook shuffle-light dedup: the
+    shuffle carries (canon_url, partial counts), never raw page
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = (F.col("doc_id") / 4).cast("long")  # doc_id >= 0: floor == trunc
+    pv = F.col("doc_id") % 4
+    h = F.concat(F.lower("source"), F.lit(".example.com"))
+    bp = F.concat(F.lit("/docs/"), p.cast("string"))
+    q = F.concat(F.lit("a=1&b="), (p % 7).cast("string"))
+    url = (
+        F.when(pv == 0, F.concat(F.lit("https://"), h, bp, F.lit("?"), q))
+        .when(
+            pv == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper(h),
+                F.lit(":443"),
+                bp,
+                F.lit("?b="),
+                (p % 7).cast("string"),
+                F.lit("&a=1#sec-"),
+                p.cast("string"),
+            ),
+        )
+        .when(
+            pv == 2,
+            F.concat(
+                F.lit("https://"), h, bp, F.lit("/?"), q, F.lit("&utm_source=feed")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), h, F.lit(":443"), bp, F.lit("?utm_campaign=x&"), q
+            )
+        )
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    no_frag = F.element_at(F.split(F.col("url"), "#"), 1)
+    base = base.withColumn("no_frag", no_frag)
+    base = base.withColumn(
+        "scheme", F.lower(F.regexp_extract("no_frag", "^([A-Za-z]+)://", 1))
+    ).withColumn("rest", F.regexp_replace("no_frag", "^[A-Za-z]+://", ""))
+    base = base.withColumn(
+        "hostport", F.element_at(F.split(F.col("rest"), "/", 2), 1)
+    ).withColumn("pathq", F.expr("substr(rest, length(hostport) + 1)"))
+    host = F.when(
+        F.col("scheme") == "https",
+        F.regexp_replace(F.lower("hostport"), ":443$", ""),
+    ).when(
+        F.col("scheme") == "http",
+        F.regexp_replace(F.lower("hostport"), ":80$", ""),
+    ).otherwise(F.lower("hostport"))
+    qpos = F.instr("pathq", "?")
+    base = (
+        base.withColumn("host", host)
+        .withColumn(
+            "path0",
+            F.when(qpos > 0, F.expr("substr(pathq, 1, instr(pathq, '?') - 1)"))
+            .otherwise(F.col("pathq")),
+        )
+        .withColumn(
+            "qs",
+            F.when(qpos > 0, F.expr("substr(pathq, instr(pathq, '?') + 1)"))
+            .otherwise(F.lit("")),
+        )
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.col("qs"), "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    path_c = (
+        F.when(F.col("path0") == "", F.lit("/"))
+        .when(
+            (F.length("path0") > 1) & F.col("path0").endswith("/"),
+            F.expr("substr(path0, 1, length(path0) - 1)"),
+        )
+        .otherwise(F.col("path0"))
+    )
+    canon = base.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            path_c,
+            F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+        ).alias("canon_url"),
+    )
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.count_distinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )
