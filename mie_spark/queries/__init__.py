@@ -137,6 +137,10 @@ _GRADE_FIRST = [
     # ... and URL-canonicalization dedup (the crawl first pass; the
     # canonicalizer itself is what the hash grades).
     "dedup_url_canon",
+    # ... and the LSH bucketing sub-oracle: v_ann_lsh_topk's signature/
+    # multi-probe stage graded exactly (same move as pipe_bpe_vocab /
+    # v_mmr_pool), leaving only its recall-pinned final top-k ungraded.
+    "v_lsh_buckets",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -157,14 +161,14 @@ _GRADE_FIRST = [
     "g_connected_components",
     "g_pagerank",
     "g_sssp",
-    "g_kcore",
-    # (g_labelprop, the 5th pregel-rewrite sibling, yielded its slot to
-    # the new mm_mjpeg_frames — four same-primitive siblings in-window
-    # carry the rewrite's driver evidence; labelprop heads the r8 queue.)
+    # (g_labelprop and g_kcore, the other pregel-rewrite siblings,
+    # yielded their slots to the new mm_mjpeg_frames and v_lsh_buckets
+    # — three same-primitive siblings in-window carry the rewrite's
+    # driver evidence; both head the r8 queue.)
     # Remaining r8 queue: s2_point_lookup, f2_substring_match,
     # f3_disjunction, f4_case_insensitive, o1_order_limit_offset
     # (displaced above),
-    # g_labelprop, then the oldest r04-stale
+    # g_labelprop, g_kcore, then the oldest r04-stale
     # hash-oracled entries, one per family where a sibling is already
     # in-window (the rest of the r04 cohort — text_bpe_tokens/
     # fingerprint/quality_filter/unigram_logprob/repeat_ngrams/

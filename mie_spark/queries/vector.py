@@ -138,6 +138,78 @@ def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
 
 
+def _lsh_bucket_oracle() -> str:
+    """v_ann_lsh_topk's bucketing stage as SQL: the seed-42 hyperplanes
+    are module constants (dim 64, 4 planes — exactly what the ANN query
+    uses), so DuckDB can recompute every vector's signature AND the
+    query's, then the Hamming distance that defines the multi-probe
+    set. Same inline-literal technique as dedup_semantic's SRP oracle;
+    the sign margins (measured min |dot| = 8e-4 at sf0.01, 6e-6 at
+    sf0.1) sit >= 8 orders above the engines' float-fold divergence
+    (~1e-15 on unit-scale 64-term dots), so the bit pattern is stable."""
+    from mie_spark.operators.vector import _planes
+
+    planes = _planes(None, "", 4, dim=64)  # type: ignore[arg-type]
+
+    def bits(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {p}::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+    WITH q AS (
+      SELECT ({bits('embedding::DOUBLE[]')})::BIGINT AS qsig
+      FROM embeddings WHERE vec_id = 0
+    ),
+    b AS (
+      SELECT vec_id, ({bits('embedding::DOUBLE[]')})::BIGINT AS sig
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, sig,
+           bit_count(xor(sig, q.qsig))::BIGINT AS hd,
+           bit_count(xor(sig, q.qsig)) <= 1 AS probed
+    FROM b CROSS JOIN q
+    """
+
+
+@query("v_lsh_buckets", oracle=_lsh_bucket_oracle())
+def v_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded sub-oracle for v_ann_lsh_topk (the same technique
+    that gave pipe_bpe_encode and v_mmr_topk their graded stages): the
+    ANN query's APPROXIMATION structure — every vector's 4-bit
+    sign-pattern signature, its Hamming distance to the query
+    signature, and the multi-probe membership (hd <= 1) that decides
+    which vectors the ANN scan may see at all — is deterministic given
+    the seed-42 hyperplanes, so it grades exactly even though the
+    final top-k is recall-graded. Combined with the recall-floor
+    pytest, the only un-hash-graded part of the LSH path left is the
+    exact cosine rerank, which v2_cosine_topk grades on its own.
+
+    Plan shape: the signature is 4 fused dot-product expressions over
+    the scan (JVM, whole-stage codegen), the query signature is one
+    driver-side 64-float fold — map-only, zero shuffles, the same
+    pushable-signature form the materialized index writes out."""
+    from mie_spark.operators.vector import _hyperplane_signature, _planes
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    planes = _planes(None, "", 4, dim=64)  # type: ignore[arg-type]
+    qv = _query_vec(spark, sf_dir)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(qv, p)) >= 0:
+            qsig |= 1 << i
+    sig = _hyperplane_signature(F.col("embedding"), planes).cast("long")
+    hd = F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig)))
+    return emb.select("vec_id", sig.alias("sig")).select(
+        "vec_id",
+        "sig",
+        hd.cast("long").alias("hd"),
+        (hd <= 1).alias("probed"),
+    )
+
+
 # --- V1-analog: IVF-cell approximate top-k (no SQL oracle: ANN) --------------
 
 @query("v_ann_ivf_topk")
