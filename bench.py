@@ -114,6 +114,8 @@ HEADLINE = [
     "ev_session_paths",          # first-5-events path census, one user shuffle
     "ev_rfm",                    # RFM quartile scores, integer bucket rule
     "dedup_url_canon",           # crawl URL canonicalization, map-only + one agg
+    "v_lsh_buckets",             # hyperplane signatures + multi-probe set, map-only
+    "text_gopher_rules",         # Gopher quality rule table, fused map-only scan
 ]
 
 

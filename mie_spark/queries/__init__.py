@@ -141,6 +141,9 @@ _GRADE_FIRST = [
     # multi-probe stage graded exactly (same move as pipe_bpe_vocab /
     # v_mmr_pool), leaving only its recall-pinned final top-k ungraded.
     "v_lsh_buckets",
+    # ... and the Gopher rule-table quality signals (raw metrics +
+    # per-rule integer-cut flags in one fused map-only projection).
+    "text_gopher_rules",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -149,7 +152,10 @@ _GRADE_FIRST = [
     "q8_market_share",
     "w_revenue_share",
     "ev_heavy_hitters",
-    "st_heavy_hitters",
+    # (st_heavy_hitters yielded its slot to the new text_gopher_rules:
+    # ev_heavy_hitters exercises the same rewritten sketch/threshold
+    # helpers; the streaming variant heads the r8 queue with the other
+    # displaced entries.)
     "g_copurchase_jaccard",
     "text_char_entropy",
     "text_bigram_logprob",

@@ -1575,3 +1575,116 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+# --- Gopher-style quality rule table (per-doc signals + flags) ---------------
+
+@query(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_symbols,
+             len(toks)::BIGINT AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))::BIGINT
+               AS sum_word_len,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+               AS alpha_words,
+             len(list_filter(toks, x -> x IN ('the','be','to','of','and',
+                                              'that','have','with')))::BIGINT
+               AS stopword_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, sum_word_len,
+           round(sum_word_len::DOUBLE / n_words, 6) AS mean_word_len,
+           n_symbols::BIGINT AS n_symbols, alpha_words, stopword_hits,
+           (n_words BETWEEN 50 AND 100000) AS flag_word_count,
+           (sum_word_len BETWEEN 3 * n_words AND 10 * n_words)
+             AS flag_mean_word_len,
+           (10 * n_symbols <= n_words) AS flag_symbol_ratio,
+           (5 * alpha_words >= 4 * n_words) AS flag_alpha_ratio,
+           (stopword_hits >= 2) AS flag_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND sum_word_len BETWEEN 3 * n_words AND 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 5 * alpha_words >= 4 * n_words
+            AND stopword_hits >= 2) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-table quality filter (Rae et al. 2021, App. A —
+    the public rule set RedPajama-v2/Dolma ship as per-doc "quality
+    signals"): emit the RAW signals alongside each rule's verdict, not
+    just the gate, so downstream mixes can re-threshold without
+    re-scanning the corpus. Rules over this corpus (no newlines, so the
+    line-level bullet/ellipsis rules are vacuous and omitted):
+    50 <= words <= 100k; mean word length in [3, 10]; symbol-to-word
+    ratio ('#' + '...') <= 0.1; >= 80% words alphabetic; >= 2 stopword
+    occurrences from Gopher's 8-word list (occurrence count, the
+    RedPajama-v2 reading — this corpus has at most one DISTINCT member).
+
+    Every flag is a cross-multiplied integer comparison (3n <= s <=
+    10n, 10*sym <= n, 5*alpha >= 4n) so no rule can straddle a float
+    boundary between engines; the only float is the reported
+    round(int/int, 6) mean, inside the 6-decimal safe band (verify
+    skill doctrine). One scan, all signals fused into a single
+    projection — whole-stage codegen, zero shuffles, the per-shard
+    map pass a 100 TB quality sweep actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    ell_cnt = F.expr(
+        "(length(text) - length(replace(text, '...', ''))) div 3"
+    )
+    toks = tokens(text)
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_word_len"),
+        (hash_cnt + ell_cnt).cast("long").alias("n_symbols"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: x.isin(
+                    "the", "be", "to", "of", "and", "that", "have", "with"
+                ),
+            )
+        )
+        .cast("long")
+        .alias("stopword_hits"),
+    )
+    n, s = F.col("n_words"), F.col("sum_word_len")
+    f_wc = (n >= 50) & (n <= 100000)
+    f_mwl = (s >= 3 * n) & (s <= 10 * n)
+    f_sym = 10 * F.col("n_symbols") <= n
+    f_alpha = 5 * F.col("alpha_words") >= 4 * n
+    f_sw = F.col("stopword_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        F.round(s / n, 6).alias("mean_word_len"),
+        "n_symbols",
+        "alpha_words",
+        "stopword_hits",
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_alpha.alias("flag_alpha_ratio"),
+        f_sw.alias("flag_stopwords"),
+        (f_wc & f_mwl & f_sym & f_alpha & f_sw).alias("keep"),
+    )

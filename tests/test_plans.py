@@ -338,3 +338,14 @@ def test_char_entropy_shuffles_counts_not_chars(spark):
     assert len(schemas) == 1
     assert set(schemas[0]) <= {"doc_id", "text"}
     assert exchange_count(df) == 2
+
+
+def test_gopher_rules_map_only_pruned_scan(spark):
+    """text_gopher_rules: every signal and flag fuses into one
+    projection over the scan — zero exchanges, and the scan reads only
+    (doc_id, text)."""
+    df = QUERIES["text_gopher_rules"](spark, SF)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    assert set(schemas[0]) <= {"doc_id", "text"}
+    assert exchange_count(df) == 0
