@@ -144,6 +144,10 @@ _GRADE_FIRST = [
     # ... and the Gopher rule-table quality signals (raw metrics +
     # per-rule integer-cut flags in one fused map-only projection).
     "text_gopher_rules",
+    # ... and the embed job, upgraded from rows-only to hash-graded
+    # this round (the djb2 mock replayed exactly in the oracle) — a
+    # brand-new oracle only the driver's row can certify.
+    "v_embed_corpus",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -166,15 +170,15 @@ _GRADE_FIRST = [
     # closes the loop.
     "g_connected_components",
     "g_pagerank",
-    "g_sssp",
-    # (g_labelprop and g_kcore, the other pregel-rewrite siblings,
-    # yielded their slots to the new mm_mjpeg_frames and v_lsh_buckets
-    # — three same-primitive siblings in-window carry the rewrite's
-    # driver evidence; both head the r8 queue.)
+    # (g_labelprop, g_kcore, and g_sssp, the other pregel-rewrite
+    # siblings, yielded their slots to the new mm_mjpeg_frames,
+    # v_lsh_buckets, and the upgraded v_embed_corpus — two
+    # same-primitive siblings in-window carry the rewrite's driver
+    # evidence; the three displaced head the r8 queue.)
     # Remaining r8 queue: s2_point_lookup, f2_substring_match,
     # f3_disjunction, f4_case_insensitive, o1_order_limit_offset
     # (displaced above),
-    # g_labelprop, g_kcore, then the oldest r04-stale
+    # g_labelprop, g_kcore, g_sssp, then the oldest r04-stale
     # hash-oracled entries, one per family where a sibling is already
     # in-window (the rest of the r04 cohort — text_bpe_tokens/
     # fingerprint/quality_filter/unigram_logprob/repeat_ngrams/

@@ -295,16 +295,60 @@ def v_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("v_embed_corpus")
+# v_embed_corpus upgrade (r7): the mock provider is pure djb2 over
+# unicode codepoints — DuckDB can recompute it bit-for-bit (HUGEINT
+# mod-2^64 fold; component/normalize arithmetic replayed in Python's
+# exact evaluation order so every double is IEEE-identical), so the
+# embed job grades by hash instead of rows-only. Corpus is ASCII;
+# DuckDB's string_split(text, '') is per-codepoint there, matching
+# Python's str iteration. The l2_norm is recomputed from the
+# NORMALIZED vector exactly as the Spark side does (left fold from
+# 0.0), not assumed 1.0.
+_M64 = "18446744073709551616::HUGEINT"
+
+_EMBED_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(5381::HUGEINT,
+             list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
+           (a, b) -> (a * 33 + b) % {_M64}
+         ) AS hv
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+         [ (((hv + i * 7919) % {_M64}) % 10000)::DOUBLE / 10000.0 * 2.0 - 1.0
+           FOR i IN range(0, 8) ] AS v
+  FROM h
+), nrm AS (
+  SELECT doc_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS n0
+  FROM raw
+), u AS (
+  SELECT doc_id, list_transform(v, x -> x / n0) AS uv FROM nrm
+)
+SELECT doc_id, 8::INT AS dim,
+       round(sqrt(list_reduce(list_prepend(0.0, list_transform(uv, x -> x * x)),
+                              (a, b) -> a + b)), 6) AS l2_norm,
+       round(uv[1], 6) AS c0
+FROM u
+"""
+
+
+@query("v_embed_corpus", oracle=_EMBED_ORACLE)
 def v_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch embedding generation over the documents corpus (reference
     V5 at pipeline scale, embedding.go:572-613): the provider runs
     inside an Arrow-batched pandas UDF, one batch per call — swap the
     deterministic mock for an HTTP/ONNX provider and the plan is the
-    production embed job. Rows-only (the djb2-based mock is engine-
-    side); determinism and unit-norm are pinned in tests. Returns the
-    vector dimension and norm per doc, not the raw vectors, to keep the
-    driver's hash small and schema stable."""
+    production embed job. Hash-graded since r7: the djb2 mock is a
+    pure function of the text, so the oracle replays it (mod-2^64
+    HUGEINT fold + the exact normalize order) and every emitted value
+    compares exactly; determinism and unit-norm stay pinned in tests.
+    Returns the vector dimension, norm, and first component per doc,
+    not the raw vectors, to keep the driver's hash small and schema
+    stable."""
     from pyspark.sql.functions import pandas_udf
 
     from mie_spark.embedding import make_worker_embed
