@@ -41,23 +41,52 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_meta")
+@query(
+    "mm_decode_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'image/fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           (octet_length(encode(text)) % 1920 + 16)::INT AS width,
+           (octet_length(encode(text)) % 1080 + 16)::INT AS height,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode to typed metadata (stubbed codec; real
-    schema/partitioning). Rows-only driver check."""
+    """Arrow-batched decode to typed metadata. The fake codec's output
+    is a pure function of the payload bytes (length-derived dims +
+    sha256), so since r7 the oracle recomputes it exactly — what the
+    hash certifies is the mapInPandas plumbing itself: batch schema,
+    Arrow dtype mapping (Int32 dims), and 1:1 row preservation. The
+    'header'/real-codec mode shares this exact plan and batch shape."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_meta(attach_binary_payload(docs))
 
 
-@query("mm_frame_sample")
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           (octet_length(encode(text)) + 63) // 64 AS n_frames,
+           octet_length(encode(text)) AS total_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame fan-out via mapInPandas (fake codec), aggregated to
-    per-asset frame counts so the output stays small at any scale."""
+    per-asset frame counts so the output stays small at any scale.
+    Hash-graded since r7: the fake codec chunks the raw bytes at
+    stride 64, so n_frames = ceil(n_bytes/64) and the chunk lengths
+    sum back to n_bytes — the oracle certifies the fan-out emitted
+    every chunk exactly once (multi-row-per-input mapInPandas is the
+    easiest place to silently drop or duplicate a tail row)."""
     docs = load_table(spark, sf_dir, "documents")
     frames = decode_frames(attach_binary_payload(docs), every_n=64, codec="fake")
     return frames.groupBy("asset_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
-        F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
+        F.sum(F.octet_length("frame_bytes")).cast("long").alias("total_bytes"),
     )
 
 
