@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_url_canon",           # crawl URL canonicalization, map-only + one agg
     "v_lsh_buckets",             # hyperplane signatures + multi-probe set, map-only
     "text_gopher_rules",         # Gopher quality rule table, fused map-only scan
+    "ev_sliding_distinct",       # trailing-7d exact distinct via bitmap fan-out
 ]
 
 

@@ -148,6 +148,10 @@ _GRADE_FIRST = [
     # this round (the djb2 mock replayed exactly in the oracle) — a
     # brand-new oracle only the driver's row can certify.
     "v_embed_corpus",
+    # ... and the trailing-7-day exact rolling distinct (the bitmap
+    # family's sliding-window shape, graded against the naive
+    # BETWEEN-join oracle).
+    "ev_sliding_distinct",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -169,16 +173,17 @@ _GRADE_FIRST = [
     # item #6) — plans verified identical locally; the driver row
     # closes the loop.
     "g_connected_components",
-    "g_pagerank",
-    # (g_labelprop, g_kcore, and g_sssp, the other pregel-rewrite
-    # siblings, yielded their slots to the new mm_mjpeg_frames,
-    # v_lsh_buckets, and the upgraded v_embed_corpus — two
-    # same-primitive siblings in-window carry the rewrite's driver
-    # evidence; the three displaced head the r8 queue.)
+    # (g_labelprop, g_kcore, g_sssp, and g_pagerank, the other
+    # pregel-rewrite siblings, yielded their slots to the new
+    # mm_mjpeg_frames, v_lsh_buckets, ev_sliding_distinct, and the
+    # upgraded v_embed_corpus — pregel driver evidence stays strong
+    # in-window via g_connected_components plus g_ppr and g_hits,
+    # both NEW algorithms composed on the same primitive; the four
+    # displaced head the r8 queue.)
     # Remaining r8 queue: s2_point_lookup, f2_substring_match,
     # f3_disjunction, f4_case_insensitive, o1_order_limit_offset
     # (displaced above),
-    # g_labelprop, g_kcore, g_sssp, then the oldest r04-stale
+    # g_labelprop, g_kcore, g_sssp, g_pagerank, then the oldest r04-stale
     # hash-oracled entries, one per family where a sibling is already
     # in-window (the rest of the r04 cohort — text_bpe_tokens/
     # fingerprint/quality_filter/unigram_logprob/repeat_ngrams/

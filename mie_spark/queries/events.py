@@ -1265,3 +1265,57 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("rf"),
         score("rm"),
     )
+
+
+# --- sliding-window exact distinct (bitmap family, trailing window) ----------
+
+@query(
+    "ev_sliding_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT e.user_id)::BIGINT AS n_users
+    FROM days d
+    JOIN du e ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def ev_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT distinct users per day — the rolling-DAU/
+    WAU census — via the bitmap family's state instead of re-counting
+    ids per window: per-(day, word) 32-bit membership bitmaps build
+    once (ev_bitmap_distinct's layout), then each bitmap row FANS OUT
+    to the <= 7 window-end days it serves (explode of a 7-day
+    sequence + broadcast semi-join against observed days) and OR-merges
+    per (end-day, word). Every window's count is exact; total state is
+    O(days x occupied words), and no user_id ever crosses the wire
+    more than once per active day — where the naive form reshuffles
+    the full (day x user) set once per window it appears in. The
+    oracle IS that naive form (a BETWEEN self-join + count DISTINCT),
+    so the fan-out/merge identity itself is what the hash grades."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("user_id div 32").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+    )
+    words = ev.groupBy("day", "word").agg(F.expr("bit_or(bit)").alias("bm"))
+    days = words.select(F.col("day").alias("t_day")).distinct()
+    fan = words.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("t_day"),
+        "word",
+        "bm",
+    )
+    merged = (
+        fan.join(F.broadcast(days), "t_day")
+        .groupBy("t_day", "word")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+    )
+    return (
+        merged.groupBy("t_day")
+        .agg(F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_users"))
+        .select(F.date_format("t_day", "yyyy-MM-dd").alias("day"), "n_users")
+    )

@@ -349,3 +349,14 @@ def test_gopher_rules_map_only_pruned_scan(spark):
     assert len(schemas) == 1
     assert set(schemas[0]) <= {"doc_id", "text"}
     assert exchange_count(df) == 0
+
+
+def test_sliding_distinct_bitmap_fanout(spark):
+    """ev_sliding_distinct: user ids shuffle ONCE (into day-word
+    bitmaps); the 7-day fan-out joins broadcast against observed days;
+    bounded exchanges, pruned scan."""
+    df = QUERIES["ev_sliding_distinct"](spark, SF)
+    schemas = read_schemas(df)
+    assert all(set(s) <= {"ts", "user_id"} for s in schemas)
+    assert broadcast_join_count(df) == 1
+    assert exchange_count(df) <= 4
