@@ -117,6 +117,7 @@ HEADLINE = [
     "v_lsh_buckets",             # hyperplane signatures + multi-probe set, map-only
     "text_gopher_rules",         # Gopher quality rule table, fused map-only scan
     "ev_sliding_distinct",       # trailing-7d exact distinct via bitmap fan-out
+    "a_assoc_rules",             # basket rules: window supports, in-row pairs
 ]
 
 

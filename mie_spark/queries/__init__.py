@@ -152,6 +152,9 @@ _GRADE_FIRST = [
     # family's sliding-window shape, graded against the naive
     # BETWEEN-join oracle).
     "ev_sliding_distinct",
+    # ... and k=2 market-basket association rules (support/confidence/
+    # lift, every cut cross-multiplied BIGINT).
+    "a_assoc_rules",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
@@ -165,7 +168,10 @@ _GRADE_FIRST = [
     # helpers; the streaming variant heads the r8 queue with the other
     # displaced entries.)
     "g_copurchase_jaccard",
-    "text_char_entropy",
+    # (text_char_entropy yielded its slot to the new a_assoc_rules:
+    # text_bigram_logprob carries the same micro-nat ln doctrine PLUS
+    # the slice-guard fix unique to it; char_entropy heads the r8
+    # queue.)
     "text_bigram_logprob",
     "dedup_containment",
     # Also changed THIS round: the five iterative graph queries now

@@ -801,3 +801,145 @@ def w_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(F.col("r_name").alias("region"), "nation", "revenue", "share")
     )
+
+
+# --- market-basket association rules -----------------------------------------
+
+@query(
+    "a_assoc_rules",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT count(DISTINCT o)::BIGINT AS n_tx FROM e),
+    supp AS (SELECT p, count(*)::BIGINT AS n_p FROM e GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS n_ab
+      FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 2
+    ),
+    dirs AS (
+      SELECT pa AS ante, pb AS cons, n_ab FROM pairs
+      UNION ALL
+      SELECT pb AS ante, pa AS cons, n_ab FROM pairs
+    )
+    SELECT d.ante, d.cons, d.n_ab, sa.n_p AS n_ante, sc.n_p AS n_cons,
+           (d.n_ab * 20000 + sa.n_p) // (2 * sa.n_p) / 10000.0 AS conf,
+           (d.n_ab * n.n_tx * 20000 + sa.n_p * sc.n_p)
+             // (2 * sa.n_p * sc.n_p) / 10000.0 AS lift
+    FROM dirs d
+    JOIN supp sa ON sa.p = d.ante
+    JOIN supp sc ON sc.p = d.cons
+    CROSS JOIN n
+    WHERE 10 * d.n_ab >= sa.n_p
+      AND d.n_ab * n.n_tx > sa.n_p * sc.n_p
+    """,
+)
+def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (the Apriori/FP-growth output
+    shape at k=2): item-pair rules ante=>cons over order baskets with
+    support >= 2 transactions, confidence >= 0.1, lift > 1. Every cut
+    is cross-multiplied BIGINT (10*n_ab >= n_ante <=> conf >= 0.1;
+    n_ab*N > n_ante*n_cons <=> lift > 1) and the reported conf/lift
+    are integer half-up 4dp, so no threshold or output can straddle a
+    float boundary between engines.
+
+    Scale shape: TPC-H baskets are naturally bounded (<= 7 lines), so
+    in-row pair generation from a per-order collect_list is map-side
+    after ONE order-keyed shuffle — C(7,2) = 21 pair rows per order,
+    linear in lineitem. Item supports ride the same exploded stream;
+    the support table joins back as a BROADCAST (it is |parts| rows —
+    a dimension, not a fact; at a scale where it stopped fitting,
+    AQE's shuffle join takes over with the same semantics). The
+    transaction count N is a 1-row broadcast. A general-corpus caller
+    would cap basket width like dedup's shingle-df cap; the cap is not
+    needed here and not applied."""
+    from mie_spark.queries.relational import share_half_up_4dp
+    from pyspark.sql.window import Window as W
+
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    # copurchase's no-join-back shape: item support rides each edge via
+    # ONE part-keyed window, baskets collect (p, n_p) structs, and the
+    # in-row pair explode carries both supports — the rule stream never
+    # joins back to a support table. The transaction count is a 1-row
+    # broadcast from a separate 1-column scan (cheaper than forcing the
+    # basket subtree to be consumed twice, which Catalyst will not
+    # collapse to one exchange).
+    e = e.withColumn("n_p", F.count(F.lit(1)).over(W.partitionBy("p")))
+    baskets = e.groupBy("o").agg(
+        F.collect_list(F.struct("p", "n_p")).alias("items")
+    )
+    n_tx = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tx"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "items",
+                            lambda a: F.transform(
+                                F.col("items"),
+                                lambda b: F.struct(
+                                    a["p"].alias("pa"),
+                                    b["p"].alias("pb"),
+                                    a["n_p"].alias("n_a"),
+                                    b["n_p"].alias("n_b"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda s: s["pa"] < s["pb"],
+                )
+            ).alias("pr")
+        )
+        .groupBy(
+            F.col("pr.pa").alias("pa"),
+            F.col("pr.pb").alias("pb"),
+            F.col("pr.n_a").alias("n_a"),
+            F.col("pr.n_b").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    dirs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("ante"),
+                    F.col("pb").alias("cons"),
+                    F.col("n_ab"),
+                    F.col("n_a").alias("n_ante"),
+                    F.col("n_b").alias("n_cons"),
+                ),
+                F.struct(
+                    F.col("pb").alias("ante"),
+                    F.col("pa").alias("cons"),
+                    F.col("n_ab"),
+                    F.col("n_b").alias("n_ante"),
+                    F.col("n_a").alias("n_cons"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.ante", "d.cons", "d.n_ab", "d.n_ante", "d.n_cons")
+    rules = dirs.crossJoin(F.broadcast(n_tx)).filter(
+        (10 * F.col("n_ab") >= F.col("n_ante"))
+        & (F.col("n_ab") * F.col("n_tx") > F.col("n_ante") * F.col("n_cons"))
+    )
+    return rules.select(
+        "ante",
+        "cons",
+        "n_ab",
+        "n_ante",
+        "n_cons",
+        share_half_up_4dp(F.col("n_ab"), F.col("n_ante")).alias("conf"),
+        share_half_up_4dp(
+            F.col("n_ab") * F.col("n_tx"), F.col("n_ante") * F.col("n_cons")
+        ).alias("lift"),
+    )

@@ -360,3 +360,19 @@ def test_sliding_distinct_bitmap_fanout(spark):
     assert all(set(s) <= {"ts", "user_id"} for s in schemas)
     assert broadcast_join_count(df) == 1
     assert exchange_count(df) <= 4
+
+
+def test_assoc_rules_no_join_back(spark):
+    """a_assoc_rules: supports ride the edges via one part window and
+    the in-row pair explode — no join back to a support table. Two
+    scans total (the second reads only l_orderkey for the transaction
+    count); bounded exchanges; the only join is the 1-row broadcast."""
+    df = QUERIES["a_assoc_rules"](spark, SF)
+    schemas = read_schemas(df)
+    assert len(schemas) == 2
+    assert sorted(map(set, schemas), key=len) == [
+        {"l_orderkey"},
+        {"l_orderkey", "l_partkey"},
+    ]
+    assert broadcast_join_count(df) == 1
+    assert exchange_count(df) <= 6
