@@ -118,6 +118,7 @@ HEADLINE = [
     "text_gopher_rules",         # Gopher quality rule table, fused map-only scan
     "ev_sliding_distinct",       # trailing-7d exact distinct via bitmap fan-out
     "a_assoc_rules",             # basket rules: window supports, in-row pairs
+    "g_random_walks",            # md5-deterministic bipartite walk corpus
 ]
 
 

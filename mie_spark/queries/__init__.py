@@ -155,13 +155,18 @@ _GRADE_FIRST = [
     # ... and k=2 market-basket association rules (support/confidence/
     # lift, every cut cross-multiplied BIGINT).
     "a_assoc_rules",
+    # ... and the deterministic random-walk corpus (graph-embedding
+    # sampling; md5 argmin hops replayed exactly by the oracle).
+    "g_random_walks",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
     # medium), plus the bigram slice guard and the containment operator
     # whose cap semantics changed. All r06-green, but on the OLD code.
     "q8_market_share",
-    "w_revenue_share",
+    # (w_revenue_share yielded its slot to the new g_random_walks:
+    # q8_market_share exercises the same share_half_up_4dp rewrite;
+    # w_revenue_share heads the r8 queue.)
     "ev_heavy_hitters",
     # (st_heavy_hitters yielded its slot to the new text_gopher_rules:
     # ev_heavy_hitters exercises the same rewritten sketch/threshold

@@ -857,3 +857,96 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
     )
+
+
+# --- deterministic random-walk corpus (graph-ML sampling) --------------------
+
+@query(
+    "g_random_walks",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    s0 AS (SELECT DISTINCT c FROM e WHERE c % 50 = 0),
+    s1 AS (
+      SELECT e.c, arg_min(e.p, md5('s1:' || e.c || ':' || e.p)) AS p1
+      FROM e JOIN s0 USING (c) GROUP BY e.c
+    ),
+    s2 AS (
+      SELECT s1.c, s1.p1,
+             arg_min(e.c, md5('s2:' || s1.p1 || ':' || e.c)) AS c2
+      FROM s1 JOIN e ON e.p = s1.p1 GROUP BY s1.c, s1.p1
+    ),
+    s3 AS (
+      SELECT s2.c, s2.p1, s2.c2,
+             arg_min(e.p, md5('s3:' || s2.c2 || ':' || e.p)) AS p3
+      FROM s2 JOIN e ON e.c = s2.c2 GROUP BY s2.c, s2.p1, s2.c2
+    )
+    SELECT c AS start_c, p1, c2, p3 FROM s3
+    """,
+)
+def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the customer-part
+    co-purchase bipartite graph — the sampling pass graph-embedding
+    pipelines (DeepWalk/node2vec/Pixie) run before training: from each
+    sampled start customer, walk c -> p1 -> c2 -> p3, each hop chosen
+    by argmin md5(step, src, dst) over the out-neighbors. The md5 key
+    makes the walk a PURE FUNCTION of the graph (reproducible shards,
+    resumable jobs, and a DuckDB-replayable oracle) while distributing
+    choice uniformly like a seeded RNG would.
+
+    Scale shape: each hop is one equi-join on the frontier key plus a
+    map-combined arg-min aggregate — per-walk state is one row, never
+    a collected neighbor list, so a hot node (10^6 out-edges) costs
+    one combine pass instead of a memory spike. The edge table is
+    localCheckpoint-ed once (the pregel convention) so the three hops
+    reuse the materialized edges instead of re-running the
+    orders x lineitem join per step. Walk length and start-sampling
+    rate are the two knobs; at 100 TB both scale the corpus linearly
+    — the plan shape is constant in walk length."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def hop_key(step: str, src, dst) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                ":", F.lit(step), src.cast("string"), dst.cast("string")
+            )
+        )
+
+    starts = e.select("c").distinct().filter(F.col("c") % 50 == 0)
+    s1 = (
+        starts.join(e, "c")
+        .groupBy("c")
+        .agg(F.min_by("p", hop_key("s1", F.col("c"), F.col("p"))).alias("p1"))
+    )
+    # each hop joins a RENAMED copy of the edge table — self-join
+    # lineage makes bare column references ambiguous
+    e2 = e.select(F.col("p").alias("p_in"), F.col("c").alias("c_out"))
+    s2 = (
+        s1.join(e2, F.col("p1") == F.col("p_in"))
+        .groupBy("c", "p1")
+        .agg(
+            F.min_by(
+                "c_out", hop_key("s2", F.col("p1"), F.col("c_out"))
+            ).alias("c2")
+        )
+    )
+    e3 = e.select(F.col("c").alias("c_in"), F.col("p").alias("p_out"))
+    s3 = (
+        s2.join(e3, F.col("c2") == F.col("c_in"))
+        .groupBy("c", "p1", "c2")
+        .agg(
+            F.min_by(
+                "p_out", hop_key("s3", F.col("c2"), F.col("p_out"))
+            ).alias("p3")
+        )
+    )
+    return s3.select(F.col("c").alias("start_c"), "p1", "c2", "p3")
