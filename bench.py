@@ -119,6 +119,7 @@ HEADLINE = [
     "ev_sliding_distinct",       # trailing-7d exact distinct via bitmap fan-out
     "a_assoc_rules",             # basket rules: window supports, in-row pairs
     "g_random_walks",            # md5-deterministic bipartite walk corpus
+    "w_distribution_stats",      # percent_rank/cume_dist/nth_value, shared sort
 ]
 
 

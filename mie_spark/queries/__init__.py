@@ -95,7 +95,10 @@ _GRADE_FIRST = [
     "j6_union_join_single_pass",
     "g_bfs_hops",
     "g_chain_motif",
-    "mm_audio_chunks",
+    # (mm_audio_chunks yielded its slot to the new w_distribution_stats
+    # — its driver row is rows-only (PCM fake, digest-pinned in pytest)
+    # and thus the weakest slot signal in the stale head; it heads the
+    # r8 queue with the other displaced entries.)
     "mm_decode_meta",
     "mm_frame_sample",
     "mm_resize_features",
@@ -158,6 +161,10 @@ _GRADE_FIRST = [
     # ... and the deterministic random-walk corpus (graph-embedding
     # sampling; md5 argmin hops replayed exactly by the oracle).
     "g_random_walks",
+    # ... and the distribution windows (percent_rank/cume_dist/
+    # nth_value — rank ratios emitted integer-half-up after the
+    # 640-denominator tie lesson, builtins gated by an exact filter).
+    "w_distribution_stats",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6

@@ -943,3 +943,102 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ab") * F.col("n_tx"), F.col("n_ante") * F.col("n_cons")
         ).alias("lift"),
     )
+
+
+# --- distribution windows: percent_rank / cume_dist / nth_value --------------
+
+@query(
+    "w_distribution_stats",
+    oracle="""
+    WITH r AS (
+      SELECT n.n_name AS nation, c.c_custkey,
+             round(c.c_acctbal, 2) AS bal,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY n.n_name) AS nn,
+             nth_value(c.c_acctbal, 2) OVER
+               (PARTITION BY n.n_name
+                ORDER BY c.c_acctbal DESC, c.c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS sb
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WINDOW w AS (PARTITION BY n.n_name
+                   ORDER BY c.c_acctbal DESC, c.c_custkey)
+    )
+    SELECT nation, c_custkey, bal,
+           CASE WHEN nn = 1 THEN 0.0
+                ELSE ((rn - 1) * 2000000 + (nn - 1))
+                       // (2 * (nn - 1)) / 1000000.0 END AS pct_rank,
+           (rn * 2000000 + nn) // (2 * nn) / 1000000.0 AS cume,
+           round(sb, 2) AS second_bal
+    FROM r
+    """,
+)
+def w_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows per nation: percent_rank and
+    cume_dist of every customer balance plus the nation 2nd-highest
+    balance (nth_value over the FULL partition frame — the default
+    running frame would return NULL until row 2).
+
+    Numeric stance — a doctrine lesson caught at sf0.1: cume_dist is
+    rn/nn, and a group of nn = 640 = 2^7*5 rows puts 41/640 EXACTLY on
+    the 7th-decimal tie 0.0640625 (any denominator dividing 10^7 but
+    not 10^6 does this — powers of two make such ties reachable at
+    small group sizes, not just the 2*10^6*5^6 worst case). Spark
+    rounds the shortest decimal repr HALF_UP (0.064063), DuckDB rounds
+    the binary double (0.064062). So both ratios are EMITTED via the
+    integer half-up formula over (row_number, count) — exact on both
+    engines under the total (bal desc, custkey) order — while the
+    built-ins percent_rank()/cume_dist() are still exercised: a
+    sanity filter keeps only rows where they agree with the integer
+    formula to 1e-9, so a regression in either builtin would flag as
+    a row-count mismatch. One customer-keyed shuffle, nation dim
+    broadcast — all windows share the sort."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("nation")
+    from mie_spark.queries.relational import int_div
+
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.col("c_acctbal"),
+        )
+        .select(
+            "nation",
+            "c_custkey",
+            "bal",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wp).cast("long").alias("nn"),
+            F.percent_rank().over(w).alias("_pr"),
+            F.cume_dist().over(w).alias("_cd"),
+            F.round(F.nth_value("c_acctbal", 2).over(wf), 2).alias(
+                "second_bal"
+            ),
+        )
+    )
+    rn, nn = F.col("rn"), F.col("nn")
+    pct = F.when(nn == 1, F.lit(0.0)).otherwise(
+        int_div((rn - 1) * 2000000 + (nn - 1), 2 * (nn - 1)) / F.lit(1e6)
+    )
+    cume = int_div(rn * 2000000 + nn, 2 * nn) / F.lit(1e6)
+    return (
+        base.filter(
+            (F.abs(F.col("_pr") * (nn - 1) - (rn - 1)) < 1e-9)
+            & (F.abs(F.col("_cd") * nn - rn) < 1e-9)
+        )
+        .select(
+            "nation",
+            "c_custkey",
+            "bal",
+            pct.alias("pct_rank"),
+            cume.alias("cume"),
+            "second_bal",
+        )
+    )
