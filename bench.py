@@ -120,6 +120,7 @@ HEADLINE = [
     "a_assoc_rules",             # basket rules: window supports, in-row pairs
     "g_random_walks",            # md5-deterministic bipartite walk corpus
     "w_distribution_stats",      # percent_rank/cume_dist/nth_value, shared sort
+    "st_sliding_distinct",       # streaming rolling-WAU: day bitmaps + fan-out
 ]
 
 

@@ -101,7 +101,10 @@ _GRADE_FIRST = [
     # r8 queue with the other displaced entries.)
     "mm_decode_meta",
     "mm_frame_sample",
-    "mm_resize_features",
+    # (mm_resize_features yielded its slot to the new
+    # st_sliding_distinct for the same reason as mm_audio_chunks: its
+    # driver row is rows-only (blake2b fake, digest-pinned); the two
+    # upgraded mm_* rows above now carry the family's hash evidence.)
     # New THIS round, windowed immediately (the standing r5 lesson):
     # the Q11 shape (completing 22/22 TPC-H) and the two hash-graded
     # sub-oracles that shrink the rows-only surface (VERDICT item #7).
@@ -165,6 +168,9 @@ _GRADE_FIRST = [
     # nth_value — rank ratios emitted integer-half-up after the
     # 640-denominator tie lesson, builtins gated by an exact filter).
     "w_distribution_stats",
+    # ... and the streaming rolling-WAU twin (day-keyed foreachBatch
+    # bitmap state composed with the trailing-window fan-out merge).
+    "st_sliding_distinct",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6

@@ -366,3 +366,61 @@ def st_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).select("event_type", "user_id")
     stream_bitmap_distinct(stream, "event_type", "user_id", state_dir)
     return load_bitmap_distinct(spark, state_dir, "event_type")
+
+
+@query(
+    "st_sliding_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT e.user_id)::BIGINT AS n_users
+    FROM days d
+    JOIN du e ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def st_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_sliding_distinct (rolling-WAU): the same
+    foreachBatch bitmap state as st_bitmap_distinct, keyed by DAY
+    instead of event type — micro-batches OR into per-(day, word)
+    bitmaps, so late or replayed events land idempotently in their
+    day's bitmap and the trailing window never needs re-aggregation of
+    raw ids. The readback applies ev_sliding_distinct's fan-out merge
+    (each bitmap row serves its <= 7 window-end days) over the drained
+    state. Same naive BETWEEN-join oracle as the batch form — the hash
+    proves the incremental day-bitmap state composes with the window
+    merge across micro-batch boundaries."""
+    import tempfile
+
+    from mie_spark.streaming import (
+        load_bitmap_state,
+        read_events_stream,
+        stream_bitmap_distinct,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="bm_slide_state_")
+    stream = read_events_stream(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    stream_bitmap_distinct(stream, "day", "user_id", state_dir)
+    words = load_bitmap_state(spark, state_dir)
+    days = words.select(F.col("day").alias("t_day")).distinct()
+    fan = words.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("t_day"),
+        "word",
+        "bm",
+    )
+    merged = (
+        fan.join(F.broadcast(days), "t_day")
+        .groupBy("t_day", "word")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+    )
+    return (
+        merged.groupBy("t_day")
+        .agg(F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_users"))
+        .select(F.date_format("t_day", "yyyy-MM-dd").alias("day"), "n_users")
+    )

@@ -855,3 +855,16 @@ def load_bitmap_distinct(
     return state.groupBy(group_col).agg(
         F.sum(F.expr("bit_count(bm)")).alias("n_distinct")
     )
+
+
+def load_bitmap_state(spark: SparkSession, state_dir: str) -> "DataFrame":
+    """The RAW committed bitmap state (group, word, bm) — for readbacks
+    that post-process bitmaps before counting (e.g. the trailing-window
+    OR-merge of st_sliding_distinct) instead of a straight popcount."""
+    import os
+
+    pointer = os.path.join(state_dir, "_CURRENT")
+    if not os.path.exists(pointer):
+        raise FileNotFoundError(f"no bitmap state committed under {state_dir}")
+    with open(pointer) as fh:
+        return spark.read.parquet(fh.read().strip())
