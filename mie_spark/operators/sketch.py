@@ -106,3 +106,58 @@ def exact_heavy_hitters(
         .filter(F.col("cnt") * denom >= F.col("_total"))
         .select(key_col, "cnt", share.alias("share"))
     )
+
+
+# --- trailing-window exact distinct via membership bitmaps -------------------
+
+
+def day_bitmap_words(df: DataFrame, day_col: str, id_col: str) -> DataFrame:
+    """Per-(day, word) 32-bit membership bitmaps — the shared state
+    layout of the bitmap-distinct family (32-bit words keep every
+    shift <= 31, inside both engines' ANSI overflow bound; ids must be
+    non-negative, Spark's % is signed). One map-combined aggregate:
+    ids cross the wire once per active day."""
+    return (
+        df.select(
+            F.col(day_col).alias("day"),
+            F.expr(f"{id_col} div 32").alias("word"),
+            F.expr(f"shiftleft(1L, CAST({id_col} % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+    )
+
+
+def sliding_distinct_counts(words: DataFrame, window_days: int = 7) -> DataFrame:
+    """Exact trailing-``window_days`` distinct counts per observed day
+    from a (day, word, bm) bitmap table: each bitmap row FANS OUT to
+    the <= window_days window-end days it serves (a day-sequence
+    explode + broadcast semi-join against observed days), OR-merges
+    per (end-day, word), and popcounts. State O(days x occupied
+    words); widening the window scales only the fan-out constant —
+    the naive form reshuffles the (day x id) set once per covering
+    window. Used by ev_sliding_distinct (batch) and
+    st_sliding_distinct (streaming readback)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = words.select(F.col("day").alias("t_day")).distinct()
+    fan = words.select(
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("t_day"),
+        "word",
+        "bm",
+    )
+    merged = (
+        fan.join(F.broadcast(days), "t_day")
+        .groupBy("t_day", "word")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+    )
+    return (
+        merged.groupBy("t_day")
+        .agg(F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_users"))
+        .withColumnRenamed("t_day", "day")
+    )

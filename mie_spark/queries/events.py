@@ -1295,27 +1295,17 @@ def ev_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full (day x user) set once per window it appears in. The
     oracle IS that naive form (a BETWEEN self-join + count DISTINCT),
     so the fan-out/merge identity itself is what the hash grades."""
+    from mie_spark.operators.sketch import (
+        day_bitmap_words,
+        sliding_distinct_counts,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
-        F.date_trunc("day", "ts").alias("day"),
-        F.expr("user_id div 32").alias("word"),
-        F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        F.date_trunc("day", "ts").alias("day"), "user_id"
     )
-    words = ev.groupBy("day", "word").agg(F.expr("bit_or(bit)").alias("bm"))
-    days = words.select(F.col("day").alias("t_day")).distinct()
-    fan = words.select(
-        F.explode(
-            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
-        ).alias("t_day"),
-        "word",
-        "bm",
+    counts = sliding_distinct_counts(
+        day_bitmap_words(ev, "day", "user_id"), window_days=7
     )
-    merged = (
-        fan.join(F.broadcast(days), "t_day")
-        .groupBy("t_day", "word")
-        .agg(F.expr("bit_or(bm)").alias("bm"))
-    )
-    return (
-        merged.groupBy("t_day")
-        .agg(F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_users"))
-        .select(F.date_format("t_day", "yyyy-MM-dd").alias("day"), "n_users")
+    return counts.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users"
     )

@@ -400,27 +400,16 @@ def st_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_bitmap_distinct,
     )
 
+    from mie_spark.operators.sketch import sliding_distinct_counts
+
     state_dir = tempfile.mkdtemp(prefix="bm_slide_state_")
     stream = read_events_stream(spark, sf_dir).select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     )
     stream_bitmap_distinct(stream, "day", "user_id", state_dir)
-    words = load_bitmap_state(spark, state_dir)
-    days = words.select(F.col("day").alias("t_day")).distinct()
-    fan = words.select(
-        F.explode(
-            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
-        ).alias("t_day"),
-        "word",
-        "bm",
+    counts = sliding_distinct_counts(
+        load_bitmap_state(spark, state_dir), window_days=7
     )
-    merged = (
-        fan.join(F.broadcast(days), "t_day")
-        .groupBy("t_day", "word")
-        .agg(F.expr("bit_or(bm)").alias("bm"))
-    )
-    return (
-        merged.groupBy("t_day")
-        .agg(F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_users"))
-        .select(F.date_format("t_day", "yyyy-MM-dd").alias("day"), "n_users")
+    return counts.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users"
     )

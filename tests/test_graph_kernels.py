@@ -192,3 +192,35 @@ def test_hits_pure_cycle_is_uniform(spark):
     for r in hits(edges, 3).collect():
         assert r["hub"] == pytest.approx(1 / 3)
         assert r["auth"] == pytest.approx(1 / 3)
+
+
+def test_random_walks_deterministic_and_shuffle_invariant(spark):
+    """g_random_walks must be a PURE function of the graph: two runs at
+    different shuffle-partition settings produce the identical walk
+    set (the md5-argmin hop rule is order-independent by construction —
+    this pins that no nondeterministic tie-break leaked in), and every
+    hop follows an actual edge."""
+    from mie_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in QUERIES["g_random_walks"](spark, sf).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = {tuple(r) for r in QUERIES["g_random_walks"](spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and a
+    edges = {
+        (r["c"], r["p"])
+        for r in spark.sql(
+            f"""SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM parquet.`{sf}/orders.parquet` o
+            JOIN parquet.`{sf}/lineitem.parquet` l
+              ON l.l_orderkey = o.o_orderkey"""
+        ).collect()
+    }
+    for start_c, p1, c2, p3 in a:
+        assert (start_c, p1) in edges
+        assert (c2, p1) in edges
+        assert (c2, p3) in edges

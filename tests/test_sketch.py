@@ -148,3 +148,47 @@ def test_weighted_sample_k_matches_python_reference(spark):
     got_eq = [r["doc_id"] for r in weighted_sample_k(eq, "doc_id", "w", k=5).collect()]
     want_eq = sorted(range(50), key=lambda i: (-key(i, 7), i))[:5]
     assert got_eq == want_eq
+
+
+def test_sliding_distinct_window_semantics_and_word_boundaries(spark):
+    """Crafted frame pinning the trailing-window contract: counts are
+    reported only for OBSERVED days; a user counts toward every
+    window-end day within window_days of their activity; ids 0/31/32/64
+    cross 32-bit word boundaries (each must occupy the right word, and
+    popcounts must sum across words, not clobber)."""
+    import datetime as dt
+
+    from mie_spark.operators.sketch import (
+        day_bitmap_words,
+        sliding_distinct_counts,
+    )
+
+    d = lambda s: dt.datetime(2026, 1, int(s))
+    rows = [
+        (d(1), 0),   # word 0, bit 0
+        (d(1), 31),  # word 0, bit 31
+        (d(1), 32),  # word 1, bit 0
+        (d(5), 64),  # word 2
+        (d(10), 0),  # repeat id on a later day
+    ]
+    df = spark.createDataFrame(rows, ["day", "user_id"])
+    got = {
+        r["day"].strftime("%m-%d"): r["n_users"]
+        for r in sliding_distinct_counts(
+            day_bitmap_words(df, "day", "user_id"), window_days=7
+        ).collect()
+    }
+    # observed days only: 01, 05, 10 (02-04, 06-09 never appear)
+    # day 01 window [Dec 26..01]: users {0,31,32} = 3
+    # day 05 window [Dec 30..05]: users {0,31,32,64} = 4
+    # day 10 window [Jan 04..10]: users {64, 0} = 2 (day-01 trio aged out)
+    assert got == {"01-01": 3, "01-05": 4, "01-10": 2}
+
+
+def test_sliding_distinct_rejects_bad_window(spark):
+    import pytest as _pytest
+
+    from mie_spark.operators.sketch import sliding_distinct_counts
+
+    with _pytest.raises(ValueError):
+        sliding_distinct_counts(None, window_days=0)
