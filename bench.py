@@ -121,6 +121,7 @@ HEADLINE = [
     "g_random_walks",            # md5-deterministic bipartite walk corpus
     "w_distribution_stats",      # percent_rank/cume_dist/nth_value, shared sort
     "st_sliding_distinct",       # streaming rolling-WAU: day bitmaps + fan-out
+    "ev_stickiness",             # DAU/WAU ratio: one bitmap build, two widths
 ]
 
 

@@ -89,7 +89,9 @@ _GRADE_FIRST = [
     "w_rank_per_group",
     "w_lag_monthly_delta",
     "a_cube_orders",
-    "a_grouping_sets",
+    # (a_grouping_sets yielded its slot to the new ev_stickiness:
+    # a_cube_orders re-proves the same grouping-set expansion + cents
+    # helpers; grouping_sets heads the r8 queue.)
     "j3_edge_attr_traversal",
     "j4_reverse_traversal",
     "j6_union_join_single_pass",
@@ -171,6 +173,9 @@ _GRADE_FIRST = [
     # ... and the streaming rolling-WAU twin (day-keyed foreachBatch
     # bitmap state composed with the trailing-window fan-out merge).
     "st_sliding_distinct",
+    # ... and DAU/WAU stickiness (one bitmap build, two window widths,
+    # integer half-up ratio).
+    "ev_stickiness",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6

@@ -1309,3 +1309,57 @@ def ev_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users"
     )
+
+
+@query(
+    "ev_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT e.user_id)::BIGINT AS wau
+      FROM days d
+      JOIN du e ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           (dau.dau * 20000 + wau.wau) // (2 * wau.wau) / 10000.0
+             AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau ON wau.day = d.day
+    """,
+)
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the product-analytics engagement
+    staple — composed from ONE bitmap build at two window widths:
+    window_days=1 gives exact DAU, window_days=7 gives rolling WAU
+    (sliding_distinct_counts both times, same per-(day, word) state),
+    and the ratio is integer half-up 4dp so it can never straddle a
+    float boundary. DAU <= WAU by construction (same bitmaps OR-merge
+    monotonically), so stickiness is always in (0, 1]."""
+    from mie_spark.operators.sketch import (
+        day_bitmap_words,
+        sliding_distinct_counts,
+    )
+    from mie_spark.queries.relational import share_half_up_4dp
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    words = day_bitmap_words(ev, "day", "user_id")
+    dau = sliding_distinct_counts(words, window_days=1).withColumnRenamed(
+        "n_users", "dau"
+    )
+    wau = sliding_distinct_counts(words, window_days=7).withColumnRenamed(
+        "n_users", "wau"
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            share_half_up_4dp(F.col("dau"), F.col("wau")).alias("stickiness"),
+        )
+    )
