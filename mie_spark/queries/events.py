@@ -1347,7 +1347,13 @@ def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     )
-    words = day_bitmap_words(ev, "day", "user_id")
+    # the bitmap table is tiny (days x occupied words) and consumed by
+    # FOUR subtrees (two widths x {fan, days-broadcast}) — checkpoint it
+    # once so the events scan runs once, not per consumer (the pregel
+    # convention, same as g_random_walks' edge table)
+    words = day_bitmap_words(ev, "day", "user_id").localCheckpoint(
+        eager=False
+    )
     dau = sliding_distinct_counts(words, window_days=1).withColumnRenamed(
         "n_users", "dau"
     )
