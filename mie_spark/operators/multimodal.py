@@ -136,6 +136,14 @@ def sniff_image_meta(raw: bytes) -> tuple[str, int, int] | None:
             return ("image/x-portable-pixmap", w, h)
         except Exception:
             return None
+    if raw[:2] == b"BM" and len(raw) >= 26:
+        # BITMAPINFOHEADER: int32 LE width at 18, int32 LE height at 22
+        # (height is SIGNED — negative means top-down row order)
+        return (
+            "image/bmp",
+            int.from_bytes(raw[18:22], "little", signed=True),
+            abs(int.from_bytes(raw[22:26], "little", signed=True)),
+        )
     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
         # frame dims live in the avih chunk (dwWidth/dwHeight at +32)
         i = raw.find(b"avih")
@@ -340,6 +348,9 @@ def resize_images(
                         resized = nearest(img)
                     elif media == "image/x-portable-pixmap":
                         _w, _h, img = parse_ppm(raw)
+                        resized = nearest(img)
+                    elif media == "image/bmp":
+                        _w, _h, img = parse_bmp(raw)
                         resized = nearest(img)
                     elif media == "image/gif":
                         _w, _h, frames = parse_gif(raw)
@@ -641,6 +652,78 @@ def parse_ppm(raw: bytes):
     if pixels.size != width * height * 3:
         raise ValueError("truncated PPM raster")
     return width, height, pixels.reshape(height, width, 3)
+
+
+def parse_bmp(raw: bytes):
+    """Uncompressed BMP (BI_RGB, 24/32-bit BITMAPINFOHEADER) decoder →
+    (width, height, HxWx3 uint8 array). Handles both bottom-up
+    (positive biHeight, the common case) and top-down (negative
+    biHeight) row orders, and the 4-byte scanline alignment 24-bit
+    rows carry. Crawl corpora still contain plenty of BMPs — this
+    keeps them on the stdlib+numpy path next to PPM/PNG/GIF/JPEG."""
+    import numpy as np
+
+    if raw[:2] != b"BM" or len(raw) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(raw[10:14], "little")
+    hdr_size = int.from_bytes(raw[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width = int.from_bytes(raw[18:22], "little", signed=True)
+    height_s = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = int.from_bytes(raw[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) BMP supported, got {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported, got {bpp}")
+    if width <= 0 or height_s == 0:
+        raise ValueError("degenerate BMP dimensions")
+    height = abs(height_s)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + stride * height
+    if len(raw) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(
+        raw[data_off : data_off + stride * height], dtype=np.uint8
+    ).reshape(height, stride)[:, : width * bytes_pp]
+    img = rows.reshape(height, width, bytes_pp)[:, :, :3][:, :, ::-1]  # BGR→RGB
+    if height_s > 0:  # bottom-up storage → flip to top-down
+        img = img[::-1]
+    return width, height, np.ascontiguousarray(img)
+
+
+def bmp_from_array(img) -> bytes:  # noqa: ANN001
+    """24-bit BI_RGB BMP encoder (the parse_bmp inverse): BGR bottom-up
+    rows padded to 4 bytes — the export path for tools that only take
+    BMP, and the fixture generator for the decoder's tests."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected HxWx3 uint8 array")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    size = 54 + stride * h
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + raster.tobytes()
 
 
 AUDIO_META_SCHEMA = StructType(

@@ -794,3 +794,59 @@ def test_decode_frames_real_still_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], ["asset_id", "payload"])
     with _pytest.raises(NotImplementedError, match="codec='mjpeg'"):
         decode_frames(df, codec="real")
+
+
+def test_bmp_roundtrip_padding_and_row_orders():
+    """bmp_from_array -> parse_bmp is the identity, including a width
+    whose 3-byte rows need 4-byte padding (w=3: stride 12 vs 9); a
+    hand-built TOP-DOWN (negative biHeight) variant decodes to the
+    same pixels; the sniffer reports BMP dims; garbage rejects."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mie_spark.operators.multimodal import (
+        bmp_from_array,
+        parse_bmp,
+        sniff_image_meta,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    raw = bmp_from_array(img)
+    w, h, back = parse_bmp(raw)
+    assert (w, h) == (3, 5)
+    assert np.array_equal(back, img)
+    assert sniff_image_meta(raw) == ("image/bmp", 3, 5)
+
+    # top-down variant: negate biHeight and reverse raster row order
+    stride = (3 * 3 + 3) & ~3
+    hdr = bytearray(raw[:54])
+    hdr[22:26] = (-5).to_bytes(4, "little", signed=True)
+    body = raw[54:]
+    rows = [body[i * stride : (i + 1) * stride] for i in range(5)]
+    td = bytes(hdr) + b"".join(reversed(rows))
+    w2, h2, back2 = parse_bmp(td)
+    assert (w2, h2) == (3, 5)
+    assert np.array_equal(back2, img)
+
+    with _pytest.raises(ValueError):
+        parse_bmp(b"BM" + b"\x00" * 60)  # zero dims / bad header
+    with _pytest.raises(ValueError):
+        parse_bmp(raw[:40])  # truncated
+
+
+def test_resize_auto_dispatches_bmp(spark):
+    """A BMP payload resizes through the stdlib path in codec='auto'
+    (no Pillow in this container — a dispatch gap would raise)."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import bmp_from_array, resize_images
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp_from_array(img)), "image/bmp")],
+        ["asset_id", "payload", "media_type"],
+    )
+    row = resize_images(df, 2, 3, codec="auto").collect()[0]
+    assert (row["width"], row["height"]) == (2, 3)
+    assert len(row["payload"]) > 0
