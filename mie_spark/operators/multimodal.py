@@ -622,6 +622,35 @@ def parse_wav(raw: bytes):
     return sample_rate, n_channels, pcm
 
 
+def wav_from_array(samples, sample_rate: int = 16_000) -> bytes:  # noqa: ANN001
+    """RIFF/WAVE PCM16 mono encoder (the parse_wav inverse): floats in
+    [-1, 1] clip-quantize to int16 little-endian — the export path for
+    audio chunk pipelines, and the fixture generator for the decoder's
+    tests."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim != 1:
+        raise ValueError("expected a 1-D mono sample array")
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    pcm = np.clip(np.rint(a * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
 def parse_ppm(raw: bytes):
     """Binary PPM (P6) decoder → (width, height, HxWx3 uint8 array).
     Handles '#' comments and arbitrary whitespace in the header."""

