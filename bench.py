@@ -122,6 +122,7 @@ HEADLINE = [
     "w_distribution_stats",      # percent_rank/cume_dist/nth_value, shared sort
     "st_sliding_distinct",       # streaming rolling-WAU: day bitmaps + fan-out
     "ev_stickiness",             # DAU/WAU ratio: one bitmap build, two widths
+    "g_mis",                     # Luby MIS, 3 pregel rounds, hash-graded
 ]
 
 

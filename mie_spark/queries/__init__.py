@@ -80,7 +80,8 @@ _GRADE_FIRST = [
     # and they head the r8 queue.)
     "a4_groupby_metrics",
     "o5_first_match",
-    "u1_union_distinct",
+    # (u1_union_distinct yielded its slot to the new g_mis: u2/u4 keep
+    # the set-op family in-window; u1 heads the r8 queue.)
     "u2_pair_dedup",
     "u4_intersect_customers",
     "q4_order_priority",
@@ -176,6 +177,10 @@ _GRADE_FIRST = [
     # ... and DAU/WAU stickiness (one bitmap build, two window widths,
     # integer half-up ratio).
     "ev_stickiness",
+    # ... and Luby MIS — the pregel primitive's first fully
+    # hash-graded iterative run (3 fixed rounds, both phases unrolled
+    # in the oracle).
+    "g_mis",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6

@@ -950,3 +950,77 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s3.select(F.col("c").alias("start_c"), "p1", "c2", "p3")
+
+
+# --- maximal independent set (Luby, deterministic priorities) ----------------
+
+
+def _mis_oracle(rounds: int = 3) -> str:
+    """Unrolled Luby oracle over the planted graph: per round,
+    MATERIALIZED CTEs replay phase 1 (join the set when (md5(r:node),
+    node) is strictly below every undecided neighbor's) and phase 2
+    (neighbors of new members drop out) — ROW() comparison matches
+    Spark's struct ordering, md5-of-varchar matches F.md5 byte for
+    byte (both hash UTF-8)."""
+    s = _PLANTED_EDGES_CTE + """,
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ),
+    s0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, 0 AS status FROM sym
+    )"""
+    cur = "s0"
+    for i in range(rounds):
+        s += f""",
+    m1_{i} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             min(ROW(md5('{i}:' || e.src::VARCHAR), e.src)) AS minp
+      FROM sym e JOIN {cur} st ON st.node = e.src
+      WHERE st.status = 0
+      GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT st.node,
+             CASE WHEN st.status <> 0 THEN st.status
+                  WHEN m.minp IS NULL
+                    OR ROW(md5('{i}:' || st.node::VARCHAR), st.node) < m.minp
+                    THEN 1
+                  ELSE 0 END AS status
+      FROM {cur} st LEFT JOIN m1_{i} m ON m.node = st.node
+    ),
+    m2_{i} AS MATERIALIZED (
+      SELECT e.dst AS node, max(1) AS near_mis
+      FROM sym e JOIN a{i} st ON st.node = e.src
+      WHERE st.status = 1
+      GROUP BY e.dst
+    ),
+    s{i + 1} AS MATERIALIZED (
+      SELECT st.node,
+             CASE WHEN st.status = 0 AND m.near_mis = 1 THEN 2
+                  ELSE st.status END AS status
+      FROM a{i} st LEFT JOIN m2_{i} m ON m.node = st.node
+    )"""
+        cur = f"s{i + 1}"
+    return s + f"""
+    SELECT node, status::BIGINT AS status FROM {cur}
+    """
+
+
+@query("g_mis", oracle=_mis_oracle(rounds=3))
+def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set (Luby) over the planted-density doc
+    graph, THREE fixed rounds graded exactly: the oracle unrolls both
+    phases of each round (priority argmin among undecided neighbors;
+    out-propagation from new members), so the hash proves the pregel
+    loop's message/reduce/update cadence — including how ties, nulls
+    (no undecided neighbor), and the round budget interact — is
+    bit-identical to the spec. Nodes still undecided after the budget
+    report status 0 (part of the graded contract, the same
+    bounded-round stance as g_kcore). MIS itself is the scheduling /
+    conflict-free-batching primitive (pick a set of mutually
+    non-conflicting items per wave)."""
+    from mie_spark.operators.graph import luby_mis
+    from mie_spark.queries.graph import _planted_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return luby_mis(_planted_edges(docs), rounds=3, statuses=True)

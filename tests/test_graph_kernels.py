@@ -224,3 +224,33 @@ def test_random_walks_deterministic_and_shuffle_invariant(spark):
         assert (start_c, p1) in edges
         assert (c2, p1) in edges
         assert (c2, p3) in edges
+
+
+def test_luby_mis_independent_maximal_deterministic(spark):
+    """Luby MIS on crafted graphs: the result must be INDEPENDENT (no
+    edge inside the set), MAXIMAL (every out-node has a MIS neighbor),
+    and deterministic (md5 priorities — two runs identical). Triangle:
+    exactly one member. Star: either the center alone or all leaves."""
+    from mie_spark.operators.graph import luby_mis
+
+    def check(pairs):
+        e = _edges(spark, pairs)
+        res = {r["node"]: r["in_mis"] for r in luby_mis(e).collect()}
+        res2 = {r["node"]: r["in_mis"] for r in luby_mis(e).collect()}
+        assert res == res2  # deterministic
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        mis = {n for n, m in res.items() if m}
+        for a, b in pairs:  # independence
+            assert not (a in mis and b in mis)
+        for n in adj:  # maximality
+            if n not in mis:
+                assert adj[n] & mis, f"node {n} has no MIS neighbor"
+        return mis
+
+    assert len(check([(1, 2), (2, 3), (1, 3)])) == 1  # triangle
+    check([(0, i) for i in range(1, 6)])  # star
+    check([(i, i + 1) for i in range(1, 8)])  # path
+    check([(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)])  # two triangles + bridge
