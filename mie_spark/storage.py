@@ -796,6 +796,65 @@ class MieStore:
             elif os.path.exists(pf):
                 os.remove(pf)
 
+    def diff_versions(self, table: str, v_from: str, v_to: str) -> DataFrame:
+        """Row-level change feed between two snapshot versions — the
+        Delta CDF analog on the versioned layout: a full-outer join on
+        the table's key columns classifies every row as 'added',
+        'removed', or 'changed' (non-key attributes differ), with the
+        newer version's attributes for added/changed and the older
+        version's for removed. Fully distributed — the join carries
+        (keys, fingerprint) plus the projected attributes; nothing
+        collects. Pair with pin_current so both endpoints survive GC.
+
+        Change detection hashes the non-key columns (null-safe: a
+        sha2 over '\\x01'-joined casts with an explicit null sentinel)
+        rather than comparing column-by-column, so adding attributes
+        to a table never changes this method."""
+        from pyspark.sql import functions as F
+
+        keys = key_columns(table)
+        schema = table_schema(table)
+        attrs = [f.name for f in schema if f.name not in keys]
+
+        def fp(df: DataFrame) -> DataFrame:
+            parts = [
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+                for c in attrs
+            ]
+            return df.withColumn(
+                "_fp", F.sha2(F.concat_ws("\x01", *parts), 256)
+            )
+
+        old = fp(self.table_at(table, v_from)).select(
+            *[F.col(k).alias(f"_k_{k}") for k in keys],
+            F.col("_fp").alias("_fp_old"),
+            *[F.col(c).alias(f"_old_{c}") for c in attrs],
+        )
+        new = fp(self.table_at(table, v_to)).select(
+            *[F.col(k).alias(f"_k_{k}") for k in keys],
+            F.col("_fp").alias("_fp_new"),
+            *[F.col(c).alias(f"_new_{c}") for c in attrs],
+        )
+        j = old.join(new, [f"_k_{k}" for k in keys], "full_outer")
+        change = (
+            F.when(F.col("_fp_old").isNull(), F.lit("added"))
+            .when(F.col("_fp_new").isNull(), F.lit("removed"))
+            .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        )
+        out_attrs = [
+            F.coalesce(F.col(f"_new_{c}"), F.col(f"_old_{c}")).alias(c)
+            for c in attrs
+        ]
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                "change",
+                *[F.col(f"_k_{k}").alias(k) for k in keys],
+                *out_attrs,
+            )
+        )
+
     # -- backup / restore (cozodb.go:174-232 Backup/Restore) ----------------
 
     def backup(self, dest: str) -> dict[str, str]:

@@ -706,3 +706,27 @@ def test_compact_one_file_per_bucket(spark, tmp_path):
     assert empty.compact("mie_fact") == 0
     # mem engine: no files to compact, graceful no-op
     assert MieStore(spark, path=None, embedding_dim=4).compact("mie_fact") == 0
+
+
+def test_diff_versions_change_feed(spark, tmp_path):
+    """diff_versions = the Delta CDF analog between two pinned
+    snapshots: added / removed / changed rows classified by a
+    null-safe attribute fingerprint over a full-outer key join, with
+    the newer attributes for added/changed and the older for removed.
+    Identical endpoints diff to empty."""
+    c = MieClient(spark, path=str(tmp_path / "s"), embedding_dim=4)
+    e1 = c.store_entity("alice", "person", "first version")
+    e2 = c.store_entity("bob", "person", "leaves later")
+    v1 = c.store.pin_current("mie_entity")
+    c.update_description(e1, "second version")          # changed
+    e3 = c.store_entity("carol", "person", "new row")   # added
+    c.store.delete_rows("mie_entity", [(e2,)])          # removed
+    v2 = c.store.pin_current("mie_entity")
+
+    rows = c.store.diff_versions("mie_entity", v1, v2).collect()
+    got = {(r["change"], r["id"]) for r in rows}
+    assert got == {("changed", e1), ("added", e3), ("removed", e2)}
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[e1]["description"] == "second version"  # newer attrs win
+    assert by_id[e2]["description"] == "leaves later"    # removed keeps old
+    assert c.store.diff_versions("mie_entity", v2, v2).count() == 0
