@@ -214,7 +214,12 @@ _GRADE_FIRST = [
     # in-window via g_connected_components plus g_ppr and g_hits,
     # both NEW algorithms composed on the same primitive; the four
     # displaced head the r8 queue.)
-    # Remaining r8 queue: s2_point_lookup, f2_substring_match,
+    # Remaining r8 queue — HEAD (changed late-r7, after this round's
+    # grading window was already full): ev_markov_transitions,
+    # pipe_dataset_card, pipe_quality_buckets (ratio emissions
+    # rewritten to integer half-up after the power-of-2x5 rounding-tie
+    # lesson; both-SF builder drives green on the new form). Then:
+    # s2_point_lookup, f2_substring_match,
     # f3_disjunction, f4_case_insensitive, o1_order_limit_offset
     # (displaced above),
     # g_labelprop, g_kcore, g_sssp, g_pagerank, then the oldest r04-stale

@@ -781,8 +781,10 @@ def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT prev_type, event_type AS next_type,
            count(*) AS n,
-           round(count(*)::DOUBLE
-                 / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+           (count(*)::BIGINT * 2000000
+              + (sum(count(*)) OVER (PARTITION BY prev_type))::BIGINT)
+             // (2 * (sum(count(*)) OVER (PARTITION BY prev_type))::BIGINT)
+             / 1000000.0 AS p
     FROM seq
     WHERE prev_type IS NOT NULL
     GROUP BY prev_type, event_type
@@ -796,9 +798,15 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the row-normalizing window runs on that tiny aggregate — the
     heavy data is touched exactly once.
 
-    The probability is one IEEE division of two exact counts, rounded
-    identically on both engines.
+    The probability is emitted via the integer half-up 6dp formula
+    (r7 hardening): the denominator is a per-prev-type TOTAL that can
+    land on 2^7*5^k values at scale (16000, 80000, ...), exactly the
+    power-of-2-times-5 class where round(n/total, 6) straddles a
+    7th-decimal tie between the engines (the w_distribution_stats
+    lesson — see the verify skill's doctrine note).
     """
+    from mie_spark.queries.relational import int_div
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -808,13 +816,12 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     row_total = Window.partitionBy("prev_type")
+    tot = F.sum("n").over(row_total)
     return counts.select(
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(row_total), 6).alias(
-            "p"
-        ),
+        (int_div(F.col("n") * 2000000 + tot, 2 * tot) / F.lit(1e6)).alias("p"),
     )
 
 

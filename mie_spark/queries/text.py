@@ -17,6 +17,7 @@ from mie_spark.operators.text import (
     tokens,
     type_token_ratio,
 )
+from mie_spark.functions.numeric import int_div
 from mie_spark.queries import query
 from mie_spark.sources import load_table
 
@@ -735,8 +736,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.tier, d.source,
            count(*) AS n_docs,
            sum(t.n_tokens)::BIGINT AS total_tokens,
-           round(sum(t.s)::BIGINT / sum(t.n_tokens)::BIGINT / 1000000.0, 6)
-             AS mean_nll
+           (2 * sum(t.s)::BIGINT + sum(t.n_tokens)::BIGINT)
+             // (2 * sum(t.n_tokens)::BIGINT) / 1000000.0 AS mean_nll
     FROM tiered t JOIN documents d USING (doc_id)
     GROUP BY t.tier, d.source
     """,
@@ -781,11 +782,15 @@ def pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.round(
-                F.sum("s").cast("bigint")
-                / F.sum("n_tokens").cast("bigint")
-                / F.lit(1e6),
-                6,
+            # integer half-up in micro-nats (r7 hardening: round() of
+            # s/n/1e6 can straddle a 7th-decimal tie when n reduces
+            # into the 2^7*5^k class — the w_distribution_stats lesson)
+            (
+                int_div(
+                    2 * F.sum("s").cast("bigint") + F.sum("n_tokens").cast("bigint"),
+                    2 * F.sum("n_tokens").cast("bigint"),
+                )
+                / F.lit(1e6)
             ).alias("mean_nll"),
         )
     )
@@ -805,12 +810,14 @@ def pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(len(toks))::BIGINT AS total_tokens,
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT fp) AS n_unique,
-           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
-           round(sum(len(toks))::BIGINT::DOUBLE / count(*), 6) AS mean_tokens,
-           round(sum(CASE WHEN len(toks) BETWEEN 30 AND 1000
-                          AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.25
-                     THEN 1 ELSE 0 END)::BIGINT::DOUBLE / count(*), 6)
-             AS quality_pass_rate
+           ((count(*) - count(DISTINCT fp))::BIGINT * 2000000 + count(*))
+             // (2 * count(*)) / 1000000.0 AS dup_rate,
+           (sum(len(toks))::BIGINT * 2000000 + count(*))
+             // (2 * count(*)) / 1000000.0 AS mean_tokens,
+           (sum(CASE WHEN len(toks) BETWEEN 30 AND 1000
+                     AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.25
+                THEN 1 ELSE 0 END)::BIGINT * 2000000 + count(*))
+             // (2 * count(*)) / 1000000.0 AS quality_pass_rate
     FROM t
     GROUP BY source
     """,
@@ -821,8 +828,11 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule-gate pass rate — computed in ONE grouped pass over the corpus
     (every metric is an aggregate over per-row expressions, so the scan
     happens once and the shuffle carries |sources| rows of partial
-    aggregates). Ratios are single IEEE divisions of exact integers,
-    rounded identically on both engines."""
+    aggregates). All three ratios are emitted via the integer half-up
+    6dp formula (r7 hardening): the denominator is a per-source DOC
+    COUNT, which can land on the 2^7*5^k tie class (640, 3200, ...)
+    where round(int/int, 6) diverges between the engines — the
+    w_distribution_stats lesson."""
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     n_tok = token_count(text)
@@ -840,16 +850,28 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         F.count_distinct("lang").alias("n_langs"),
         F.count_distinct("fp").alias("n_unique"),
-        F.round(
-            F.lit(1.0) - F.count_distinct("fp").cast("double") / F.count(F.lit(1)),
-            6,
+        (
+            int_div(
+                (F.count(F.lit(1)) - F.count_distinct("fp")) * 2000000
+                + F.count(F.lit(1)),
+                2 * F.count(F.lit(1)),
+            )
+            / F.lit(1e6)
         ).alias("dup_rate"),
-        F.round(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 6).alias(
-            "mean_tokens"
-        ),
-        F.round(F.sum("passes").cast("double") / F.count(F.lit(1)), 6).alias(
-            "quality_pass_rate"
-        ),
+        (
+            int_div(
+                F.sum("n_toks") * 2000000 + F.count(F.lit(1)),
+                2 * F.count(F.lit(1)),
+            )
+            / F.lit(1e6)
+        ).alias("mean_tokens"),
+        (
+            int_div(
+                F.sum("passes") * 2000000 + F.count(F.lit(1)),
+                2 * F.count(F.lit(1)),
+            )
+            / F.lit(1e6)
+        ).alias("quality_pass_rate"),
     )
 
 
