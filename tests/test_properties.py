@@ -401,3 +401,78 @@ def test_share_half_up_4dp_matches_reference_on_spark(spark):
         q, r = divmod(n * 10000, d)
         want = (q + (1 if 2 * r >= d else 0)) / 10000.0
         assert g == want, (n, d, g, want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # day offset
+            st.integers(min_value=0, max_value=100),  # user id (word edges)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=12, deadline=None)
+def test_sliding_distinct_matches_bruteforce(spark, events, window_days):
+    """sliding_distinct_counts == brute force on arbitrary (day, user)
+    frames and window widths: observed days only, trailing-window
+    membership, duplicates collapse, word boundaries (ids span several
+    32-bit words) — the randomized twin of the crafted-frame test."""
+    import datetime as dt
+
+    from mie_spark.operators.sketch import (
+        day_bitmap_words,
+        sliding_distinct_counts,
+    )
+
+    base = dt.datetime(2026, 3, 1)
+    rows = [(base + dt.timedelta(days=d), u) for d, u in events]
+    df = spark.createDataFrame(rows, ["day", "user_id"])
+    got = {
+        r["day"]: r["n_users"]
+        for r in sliding_distinct_counts(
+            day_bitmap_words(df, "day", "user_id"), window_days=window_days
+        ).collect()
+    }
+    days = sorted({d for d, _ in rows})
+    want = {
+        d: len(
+            {u for dd, u in rows if d - dt.timedelta(days=window_days - 1) <= dd <= d}
+        )
+        for d in days
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_luby_mis_invariants_on_random_graphs(spark, pairs):
+    """On arbitrary small graphs (self-loops excluded, duplicates and
+    both orientations allowed), luby_mis must return an INDEPENDENT and
+    MAXIMAL set once converged — the two defining invariants, checked
+    against the raw edge list rather than any reference
+    implementation."""
+    from mie_spark.operators.graph import luby_mis
+
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    res = {r["node"]: r["in_mis"] for r in luby_mis(e, rounds=20).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    mis = {n for n, m in res.items() if m}
+    for a, b in pairs:
+        assert not (a in mis and b in mis), (a, b)
+    for n in adj:
+        assert n in mis or (adj[n] & mis), n
