@@ -123,6 +123,7 @@ HEADLINE = [
     "st_sliding_distinct",       # streaming rolling-WAU: day bitmaps + fan-out
     "ev_stickiness",             # DAU/WAU ratio: one bitmap build, two widths
     "g_mis",                     # Luby MIS, 3 pregel rounds, hash-graded
+    "ev_kmv_distinct",           # KMV bottom-k sketch, estimate hash-graded
 ]
 
 

@@ -87,7 +87,9 @@ _GRADE_FIRST = [
     "q4_order_priority",
     "q14_promo_revenue_share",
     "q18_large_volume_orders",
-    "w_rank_per_group",
+    # (w_rank_per_group yielded its slot to the new ev_kmv_distinct:
+    # w_distribution_stats exercises the same rank-window +
+    # broadcast-nation shape and more; it heads the r8 queue.)
     "w_lag_monthly_delta",
     "a_cube_orders",
     # (a_grouping_sets yielded its slot to the new ev_stickiness:
@@ -181,6 +183,10 @@ _GRADE_FIRST = [
     # hash-graded iterative run (3 fixed rounds, both phases unrolled
     # in the oracle).
     "g_mis",
+    # ... and the KMV bottom-k sketch whose ESTIMATE hash-grades
+    # exactly (deterministic md5 hash space + integer half-up
+    # estimator) — the hash-graded sibling of the rows-only HLL.
+    "ev_kmv_distinct",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6

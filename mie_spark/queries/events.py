@@ -1376,3 +1376,79 @@ def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             share_half_up_4dp(F.col("dau"), F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@query(
+    "ev_kmv_distinct",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hu
+      FROM du
+    ),
+    r AS (
+      SELECT event_type, hu,
+             row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type,
+           any_value(n)::BIGINT AS n_exact,
+           max(CASE WHEN rn = 64 THEN hu END)::BIGINT AS kth_hash,
+           CASE WHEN any_value(n) < 64 THEN any_value(n)::BIGINT
+                ELSE ((145241087982838153216
+                         + max(CASE WHEN rn = 64 THEN hu END))
+                      // (2 * max(CASE WHEN rn = 64 THEN hu END)))::BIGINT
+           END AS est_users
+    FROM r GROUP BY event_type
+    """,
+)
+def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64 — the
+    mergeable bottom-k sketch (Bar-Yossef et al.; the theta-sketch
+    core): keep the k smallest hash values per group; estimate
+    (k-1)/u where u is the k-th minimum as a fraction of the hash
+    space, or the exact count when fewer than k values exist. Unlike
+    HLL (ev_approx_distinct, rows-only), the KMV ESTIMATE itself
+    hash-grades exactly: the hash is a deterministic 60-bit md5
+    prefix, the k-th minimum is a pure function of the data, and the
+    estimate is emitted via the integer half-up formula
+    ((2*(k-1)*2^60 + kth) div (2*kth), decimal-exact on both engines
+    — 2*63*2^60 = 145241087982838153216 exceeds a long, so int_div's
+    decimal(38,0) path and DuckDB's HUGEINT literal carry it).
+
+    Scale: per group the sketch state is k longs (map-combinable
+    bottom-k; mergeable by union-then-bottom-k), vs the bitmap
+    family's O(distinct/32) words — the trade a 100 TB census makes
+    when groups have billions of members. n_exact rides along for the
+    accuracy story (~±1/sqrt(k) ≈ 12% at k=64)."""
+    from mie_spark.queries.relational import int_div
+
+    k = 64
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hu = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("event_type").orderBy("hu")
+    wp = Window.partitionBy("event_type")
+    r = du.select("event_type", hu.alias("hu")).select(
+        "event_type",
+        "hu",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    kth = F.max(F.when(F.col("rn") == k, F.col("hu")))
+    n = F.any_value(F.col("n"))
+    est = F.when(n < k, n.cast("long")).otherwise(
+        int_div(F.lit(2 * (k - 1)).cast("decimal(38,0)") * F.lit(2**60).cast("decimal(38,0)") + kth, 2 * kth)
+    )
+    return r.groupBy("event_type").agg(
+        n.cast("long").alias("n_exact"),
+        kth.cast("long").alias("kth_hash"),
+        est.alias("est_users"),
+    )
