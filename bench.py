@@ -124,6 +124,7 @@ HEADLINE = [
     "ev_stickiness",             # DAU/WAU ratio: one bitmap build, two widths
     "g_mis",                     # Luby MIS, 3 pregel rounds, hash-graded
     "ev_kmv_distinct",           # KMV bottom-k sketch, estimate hash-graded
+    "ev_kmv_overlap",            # theta-sketch intersection over type pairs
 ]
 
 

@@ -85,7 +85,9 @@ _GRADE_FIRST = [
     "u2_pair_dedup",
     "u4_intersect_customers",
     "q4_order_priority",
-    "q14_promo_revenue_share",
+    # (q14_promo_revenue_share yielded its slot to the new
+    # ev_kmv_overlap: q8_market_share re-proves the same ratio-of-sums
+    # share doctrine; q14 heads the r8 queue.)
     "q18_large_volume_orders",
     # (w_rank_per_group yielded its slot to the new ev_kmv_distinct:
     # w_distribution_stats exercises the same rank-window +
@@ -185,8 +187,10 @@ _GRADE_FIRST = [
     "g_mis",
     # ... and the KMV bottom-k sketch whose ESTIMATE hash-grades
     # exactly (deterministic md5 hash space + integer half-up
-    # estimator) — the hash-graded sibling of the rows-only HLL.
+    # estimator) — the hash-graded sibling of the rows-only HLL —
+    # plus its theta-intersection set algebra over type pairs.
     "ev_kmv_distinct",
+    "ev_kmv_overlap",
     # Changed THIS round: every query whose output flows through the
     # rewritten exact integral-quotient helpers (int_div /
     # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6

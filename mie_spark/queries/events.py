@@ -1452,3 +1452,140 @@ def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         kth.cast("long").alias("kth_hash"),
         est.alias("est_users"),
     )
+
+
+@query(
+    "ev_kmv_overlap",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hu
+      FROM du
+    ),
+    r AS (
+      SELECT event_type, hu,
+             row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    sk AS (SELECT event_type, hu, rn, n FROM r WHERE rn <= 64),
+    th AS (
+      SELECT event_type,
+             CASE WHEN any_value(n) >= 64
+                  THEN max(CASE WHEN rn = 64 THEN hu END)
+                  ELSE 1152921504606846976 END AS theta
+      FROM sk GROUP BY event_type
+    ),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             least(a.theta, b.theta) AS theta
+      FROM th a JOIN th b ON a.event_type < b.event_type
+    ),
+    j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, a.hu
+      FROM sk a JOIN sk b ON a.hu = b.hu AND a.event_type < b.event_type
+    ),
+    c AS (
+      SELECT j.type_a, j.type_b, count(*) AS d
+      FROM j JOIN pr ON pr.type_a = j.type_a AND pr.type_b = j.type_b
+      WHERE j.hu < pr.theta
+      GROUP BY 1, 2
+    )
+    SELECT pr.type_a, pr.type_b, pr.theta::BIGINT AS theta,
+           coalesce(c.d, 0)::BIGINT AS d_common,
+           CASE WHEN pr.theta >= 1152921504606846976
+                THEN coalesce(c.d, 0)::BIGINT
+                ELSE ((2 * coalesce(c.d, 0)::HUGEINT * 1152921504606846976
+                         + pr.theta) // (2 * pr.theta))::BIGINT
+           END AS est_common
+    FROM pr LEFT JOIN c USING (type_a, type_b)
+    """,
+)
+def ev_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the theta-sketch intersection: for
+    every event-type pair, clip both bottom-64 sketches to the shared
+    threshold theta = min(theta_a, theta_b), count surviving common
+    hash values (strictly below theta, the standard KMV rule), and
+    scale by theta's fraction of the hash space. Everything after the
+    per-type bottom-k is sketch-sized (types x 64 rows) — the whole
+    pair analysis never revisits the data, which is the reason
+    warehouses keep sketches next to their rollups. Like
+    ev_kmv_distinct, the estimate hash-grades exactly (deterministic
+    hash space, integer half-up scaling, exact-count branch when a
+    side kept everything); ev_bitmap_overlap holds the exact truth
+    for the accuracy story."""
+    from mie_spark.queries.relational import int_div
+
+    k, space = 64, 2**60
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hu = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy("hu")
+    wp = Window.partitionBy("event_type")
+    sk = (
+        du.select("event_type", hu.alias("hu"))
+        .select(
+            "event_type",
+            "hu",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        .filter(F.col("rn") <= k)
+    )
+    th = sk.groupBy("event_type").agg(
+        F.when(
+            F.any_value("n") >= k,
+            F.max(F.when(F.col("rn") == k, F.col("hu"))),
+        )
+        .otherwise(F.lit(space))
+        .alias("theta")
+    )
+    pr = (
+        th.alias("a")
+        .join(th.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.least(F.col("a.theta"), F.col("b.theta")).alias("theta"),
+        )
+    )
+    j = (
+        sk.alias("a")
+        .join(
+            sk.alias("b"),
+            (F.col("a.hu") == F.col("b.hu"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.hu").alias("hu"),
+        )
+    )
+    c = (
+        j.join(pr, ["type_a", "type_b"])
+        .filter(F.col("hu") < F.col("theta"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d = F.coalesce(F.col("d"), F.lit(0)).cast("long")
+    est = F.when(F.col("theta") >= space, d).otherwise(
+        int_div(
+            F.lit(2).cast("decimal(38,0)") * d * F.lit(space).cast("decimal(38,0)")
+            + F.col("theta"),
+            2 * F.col("theta"),
+        )
+    )
+    return pr.join(c, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        F.col("theta").cast("long").alias("theta"),
+        d.alias("d_common"),
+        est.alias("est_common"),
+    )
