@@ -811,6 +811,83 @@ class MieClient:
             out[table] = [r.asDict() for r in self.store.table(table).collect()]
         return out
 
+    def export_graph(
+        self,
+        node_types: list[str] | None = None,
+        include_embeddings: bool = False,
+    ) -> dict[str, Any]:
+        """`ExportGraph` parity (client.go:245-247, reader.go:707-779;
+        ExportOptions/ExportData shapes at tools/client.go:240-257):
+        a VERSIONED export of the selected node types with per-type
+        stats — empty/None node_types means all five, unknown names
+        are ignored exactly like the reference's switch. Edges ride
+        along under 'relationships' (the ExportData field the
+        reference populates from the edge tables), filtered to those
+        whose endpoint types were both selected; include_embeddings
+        adds each selected type's embedding table. export_json stays
+        the flat everything-dump the CLI round-trips."""
+        # exact ExportData JSON field names (tools/client.go:251-255)
+        plural = {
+            "fact": "facts",
+            "decision": "decisions",
+            "entity": "entities",
+            "event": "events",
+            "topic": "topics",
+        }
+        chosen = [t for t in (node_types or list(plural)) if t in plural]
+        out: dict[str, Any] = {
+            "version": "1",
+            "exported_at": now_s(),
+            "stats": {},
+        }
+        for nt in chosen:
+            rows = [
+                r.asDict() for r in self.store.table(f"mie_{nt}").collect()
+            ]
+            out[plural[nt]] = rows
+            out["stats"][plural[nt]] = len(rows)
+        prefixes = {
+            "mie_invalidates": ("fact", "fact"),
+            "mie_decision_topic": ("decision", "topic"),
+            "mie_decision_entity": ("decision", "entity"),
+            "mie_event_decision": ("event", "decision"),
+            "mie_fact_entity": ("fact", "entity"),
+            "mie_fact_topic": ("fact", "topic"),
+            "mie_entity_topic": ("entity", "topic"),
+        }
+        rels: dict[str, list[dict[str, Any]]] = {}
+        for table, (a, b) in prefixes.items():
+            if a in chosen and b in chosen:
+                rels[table] = [
+                    r.asDict() for r in self.store.table(table).collect()
+                ]
+        if rels:
+            out["relationships"] = rels
+        if include_embeddings:
+            emb: dict[str, list[dict[str, Any]]] = {}
+            for table, key in EMBEDDING_TABLES.items():
+                nt = key.removesuffix("_id")
+                if nt in chosen:
+                    emb[table] = [
+                        r.asDict() for r in self.store.table(table).collect()
+                    ]
+            out["embeddings"] = emb
+        return out
+
+    # Reference-named aliases for drop-in parity — the reference exposes
+    # the same traversals under these names (GetRelatedEntities
+    # reader.go:464; GetRelatedFacts reader.go:586, itself an alias of
+    # GetFactsAboutEntity; IncrementCounter client.go:250-292, which our
+    # store implements atomically).
+    def get_related_entities(self, fact_id: str) -> list[dict[str, Any]]:
+        return self.get_entities_for_fact(fact_id)
+
+    def get_related_facts(self, entity_id: str) -> list[dict[str, Any]]:
+        return self.get_facts_for_entity(entity_id)
+
+    def increment_counter(self, key: str) -> int:
+        return self.store.meta_increment(key)
+
     def import_json(self, data: dict[str, list[dict[str, Any]]]) -> int:
         """Re-store imported nodes: IDs re-derive from content and
         embeddings regenerate, exactly like the reference import

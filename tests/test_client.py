@@ -730,3 +730,34 @@ def test_diff_versions_change_feed(spark, tmp_path):
     assert by_id[e1]["description"] == "second version"  # newer attrs win
     assert by_id[e2]["description"] == "leaves later"    # removed keeps old
     assert c.store.diff_versions("mie_entity", v2, v2).count() == 0
+
+
+def test_export_graph_options_and_aliases(spark, tmp_path):
+    """ExportGraph parity (client.go:245, reader.go:707; ExportOptions
+    tools/client.go:240): node-type filtering, per-type stats, edge
+    tables only when both endpoint types are selected, embeddings
+    opt-in — plus the reference-named traversal/counter aliases."""
+    c = MieClient(spark, path=str(tmp_path / "s"), embedding_dim=4)
+    eid = c.store_entity("acme", "company", "a company")
+    fid = c.store_fact("acme ships widgets", "general")
+    c.add_relationship("mie_fact_entity", fid, eid)
+
+    full = c.export_graph()
+    assert full["version"] == "1" and "exported_at" in full
+    assert full["stats"]["facts"] == 1 and full["stats"]["entities"] == 1
+    assert {r["id"] for r in full["facts"]} == {fid}
+    assert len(full["relationships"]["mie_fact_entity"]) == 1
+
+    only_facts = c.export_graph(node_types=["fact", "bogus"])
+    assert "entities" not in only_facts and "facts" in only_facts
+    # edges need BOTH endpoint types selected: fact-entity drops out,
+    # the fact->fact invalidation table (both endpoints facts) stays
+    assert set(only_facts["relationships"]) == {"mie_invalidates"}
+
+    with_emb = c.export_graph(node_types=["fact"], include_embeddings=True)
+    assert len(with_emb["embeddings"]["mie_fact_embedding"]) == 1
+
+    assert [r["id"] for r in c.get_related_entities(fid)] == [eid]
+    assert [r["id"] for r in c.get_related_facts(eid)] == [fid]
+    assert c.increment_counter("custom_counter") == 1
+    assert c.increment_counter("custom_counter") == 2
