@@ -367,3 +367,55 @@ def test_sssp_hop_bound_truncates(spark):
     s = spark.createDataFrame([(0,)], ["node"])
     got = {r["node"]: r["dist"] for r in sssp(e, s, max_hops=3).collect()}
     assert got == {0: 0, 1: 10, 2: 20, 3: 30}
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Pins the runtime skew path SCALE.md leans on: a 90%-hot-key
+    sort-merge join under AQE must execute with the hot partition
+    SPLIT (SortMergeJoin(skew=true) + an 'AQEShuffleRead ... skewed'
+    reader in the FINAL adaptive plan) and still return exactly the
+    plain-join row count. Thresholds are lowered because local test
+    volumes never reach the 256 MB production default — the knobs,
+    not the mechanism, are what changes at 100 TB. NOTE: the final
+    plan must be read from the SAME DataFrame that ran (count()
+    builds a separate query execution whose plan stays
+    isFinalPlan=false)."""
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(0, 500000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        b = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = a.join(b, "k")
+        rows = len(j.collect())
+        # 450k hot rows (k=0 joins once) + 200 cold ids under 2000 x 1
+        assert rows == 450000 + 200
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan.splitlines()[0]
+        assert "skew=true" in plan
+        assert "skewed" in plan  # the AQEShuffleRead split reader
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
