@@ -826,7 +826,16 @@ class MieClient:
         whose endpoint types were both selected; include_embeddings
         adds each selected type's embedding table. export_json stays
         the flat everything-dump the CLI round-trips."""
-        # exact ExportData JSON field names (tools/client.go:251-255)
+        # exact ExportData JSON field names (tools/client.go:251-255);
+        # ExportedAt serializes as an RFC3339 UTC string in the
+        # reference (reader.go:710), not unix seconds — derive it from
+        # the same now_s() clock so tests can freeze time one place.
+        import datetime as _dt
+
+        exported_at = (
+            _dt.datetime.fromtimestamp(now_s(), tz=_dt.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ")
+        )
         plural = {
             "fact": "facts",
             "decision": "decisions",
@@ -837,7 +846,7 @@ class MieClient:
         chosen = [t for t in (node_types or list(plural)) if t in plural]
         out: dict[str, Any] = {
             "version": "1",
-            "exported_at": now_s(),
+            "exported_at": exported_at,
             "stats": {},
         }
         for nt in chosen:

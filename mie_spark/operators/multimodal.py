@@ -138,10 +138,15 @@ def sniff_image_meta(raw: bytes) -> tuple[str, int, int] | None:
             return None
     if raw[:2] == b"BM" and len(raw) >= 26:
         # BITMAPINFOHEADER: int32 LE width at 18, int32 LE height at 22
-        # (height is SIGNED — negative means top-down row order)
+        # (height is SIGNED — negative means top-down row order; width
+        # must be positive: parse_bmp rejects w <= 0, so the sniff
+        # agrees with the decoder on validity — ADVICE r7)
+        bmp_w = int.from_bytes(raw[18:22], "little", signed=True)
+        if bmp_w <= 0:
+            return None
         return (
             "image/bmp",
-            int.from_bytes(raw[18:22], "little", signed=True),
+            bmp_w,
             abs(int.from_bytes(raw[22:26], "little", signed=True)),
         )
     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":

@@ -1397,7 +1397,7 @@ def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            any_value(n)::BIGINT AS n_exact,
            max(CASE WHEN rn = 64 THEN hu END)::BIGINT AS kth_hash,
            CASE WHEN any_value(n) < 64 THEN any_value(n)::BIGINT
-                ELSE ((145241087982838153216
+                ELSE ((145268109580462718976
                          + max(CASE WHEN rn = 64 THEN hu END))
                       // (2 * max(CASE WHEN rn = 64 THEN hu END)))::BIGINT
            END AS est_users
@@ -1415,7 +1415,7 @@ def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, the k-th minimum is a pure function of the data, and the
     estimate is emitted via the integer half-up formula
     ((2*(k-1)*2^60 + kth) div (2*kth), decimal-exact on both engines
-    — 2*63*2^60 = 145241087982838153216 exceeds a long, so int_div's
+    — 2*63*2^60 = 145268109580462718976 exceeds a long, so int_div's
     decimal(38,0) path and DuckDB's HUGEINT literal carry it).
 
     Scale: per group the sketch state is k longs (map-combinable

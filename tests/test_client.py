@@ -744,6 +744,13 @@ def test_export_graph_options_and_aliases(spark, tmp_path):
 
     full = c.export_graph()
     assert full["version"] == "1" and "exported_at" in full
+    # ExportedAt is an RFC3339 UTC string in the reference
+    # (reader.go:710), not unix seconds (ADVICE r7)
+    import re
+
+    assert re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", full["exported_at"]
+    ), full["exported_at"]
     assert full["stats"]["facts"] == 1 and full["stats"]["entities"] == 1
     assert {r["id"] for r in full["facts"]} == {fid}
     assert len(full["relationships"]["mie_fact_entity"]) == 1

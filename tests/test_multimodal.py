@@ -834,6 +834,15 @@ def test_bmp_roundtrip_padding_and_row_orders():
     with _pytest.raises(ValueError):
         parse_bmp(raw[:40])  # truncated
 
+    # negative biWidth: parse_bmp rejects it, so the sniffer must not
+    # report it as a valid BMP either (ADVICE r7 — they agreed on
+    # height but disagreed on width validity)
+    neg_w = bytearray(raw)
+    neg_w[18:22] = (-3).to_bytes(4, "little", signed=True)
+    assert sniff_image_meta(bytes(neg_w)) is None
+    with _pytest.raises(ValueError):
+        parse_bmp(bytes(neg_w))
+
 
 def test_resize_auto_dispatches_bmp(spark):
     """A BMP payload resizes through the stdlib path in codec='auto'

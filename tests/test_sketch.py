@@ -228,3 +228,23 @@ def test_kmv_estimate_within_bounds_and_exact_branch():
     se = n / math.sqrt(k - 2)
     assert abs(est - n) < 4 * se, (est, n, se)
     assert len({h(u) for u in range(40)}) == 40  # < k -> exact by rule
+
+
+def test_kmv_oracle_constant_matches_spark_formula():
+    """ADVICE r7: the ev_kmv_distinct DuckDB oracle precomputes
+    2*(k-1)*2^60 as a HUGEINT literal while the Spark side builds it
+    from F.lit(2*(k-1)) * F.lit(2**60). A transcription error in the
+    literal silently breaks estimate parity once a group's k-th
+    minimum is small enough (>= ~2,700 distinct members at k=64) —
+    below the radar of small-SF drives. Pin literal == formula."""
+    from mie_spark.queries import ORACLES
+
+    k = 64
+    expected = 2 * (k - 1) * 2 ** 60
+    assert expected == 145268109580462718976  # = 126 * 2^60
+    assert str(expected) in ORACLES["ev_kmv_distinct"], (
+        "ev_kmv_distinct oracle must embed 2*(k-1)*2^60 = "
+        f"{expected} verbatim"
+    )
+    # and no stale divergent literal survives anywhere in the oracle
+    assert "145241087982838153216" not in ORACLES["ev_kmv_distinct"]
