@@ -19,6 +19,7 @@ import logging
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -207,7 +208,6 @@ def _similarity_self_join_blocked(
     """
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -326,7 +326,6 @@ def _band_signatures(
     (_hyperplane_signature) evaluates n_bands × n_buckets dot-product
     expressions per row — fine for the 8 planes of a single ANN probe,
     ~100× too slow for the 144+ planes a banded self-join wants."""
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -415,7 +414,6 @@ def train_ivf_centroids(
     recompute is posexplode → groupBy(cell, pos) → avg, one shuffle per
     iteration. Only the (n_centroids × dim) centroid matrix ever reaches
     the driver, so the training loop scales to any table size."""
-    import numpy as np
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -502,7 +500,6 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     of lambda evaluation per row was ~100× slower than the matmul.
     Defined as a closure so cloudpickle ships it by value to workers
     that don't have this package importable."""
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.asarray(centroids, dtype=np.float64)
@@ -763,7 +760,6 @@ def train_pq_codebooks(
     — (sample_rows × dim) floats, size-independent of the table — and
     the codebook tensor is m × k_codes × (dim/m), a few KB. Init is
     evenly spaced sample rows, so training is bit-reproducible."""
-    import numpy as np
 
     rows = df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
     mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
@@ -802,7 +798,6 @@ def _pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     stores. Arrow-batched; one matmul per subspace per batch. Closure,
     not module function: cloudpickle ships it by value (workers may not
     have this package on PYTHONPATH)."""
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
@@ -834,7 +829,6 @@ def _pq_adc_score(codes: Column, query_vec: Sequence[float], codebooks) -> Colum
     dot(q_unit subspace j, codebook[j][c]). The (m × k_codes) lookup
     table is built once on the driver; scoring a batch is one fancy-
     index + row-sum over the uint8 code matrix — no vectors read."""
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(query_vec, dtype=np.float64)
@@ -1007,25 +1001,27 @@ def mmr_rerank(
     2. BOUNDED: greedy MMR selection needs the argmax over remaining
        candidates of ``lam*rel - (1-lam)*max_sim_to_selected`` after
        EVERY pick — an inherently sequential k-step recurrence over the
-       pool×pool cosine matrix. pool is capped (≤1024), so this is a
-       driver-side numpy computation on ≤ a few MB, the same
-       cap-bounded escape hatch as the blocked similarity join — it
-       does NOT grow with corpus size.
+       pool×pool cosine matrix. pool is capped (≤1024), so the matrix
+       is ≤ a few MB: the recurrence runs in ONE single-partition
+       ``mapInPandas`` task directly downstream of the pool, making the
+       whole operator one plan / one job — no collect →
+       createDataFrame round-trip through the driver (that second job
+       submission was measurably slow on loaded drivers). The bounded
+       phase still does NOT grow with corpus size.
 
     Deterministic: float ties broken by ascending id. Returns
     (id, label, rank, rel, mmr) with rank 1..k in selection order.
     """
     if pool > 1024:
         raise ValueError(f"pool={pool} exceeds the bounded-driver cap (1024)")
-    import numpy as np
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = (
+    pooled = (
         df.withColumn("sim", cosine_sim(F.col(vec_col), q))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(pool)
         .select(id_col, *([label_col] if label_col else []), "sim", vec_col)
-        .collect()
+        .coalesce(1)
     )
     # id AND label types copied from the input schema: ids are opaque
     # here like everywhere else in this module (string "fact:..." keys
@@ -1040,39 +1036,57 @@ def mmr_rerank(
         + (f"{label_col} {label_ddl}, " if label_col else "")
         + "rank long, rel double, mmr double"
     )
-    if not cand:
-        spark = df.sparkSession
-        return spark.createDataFrame([], out_schema)
-    ids = [r[id_col] for r in cand]
-    labels = [r[label_col] if label_col else None for r in cand]
-    rel = np.array([r["sim"] for r in cand], dtype=np.float64)
-    V = np.array([list(r[vec_col]) for r in cand], dtype=np.float64)
-    norms = np.linalg.norm(V, axis=1)
-    norms[norms == 0.0] = 1.0
-    V = V / norms[:, None]
-    S = V @ V.T
-    n = len(ids)
-    selected: list[tuple[int, float]] = []  # (candidate index, mmr score)
-    max_sim = np.full(n, -np.inf)
-    remaining = np.ones(n, dtype=bool)
-    for step in range(min(k, n)):
-        score = rel.copy() if step == 0 else lam * rel - (1.0 - lam) * max_sim
-        score[~remaining] = -np.inf
-        # argmax with ascending-id tie-break: numpy argmax takes the
-        # first (lowest index) maximum, and candidates are stored in
-        # (sim desc, id asc) order, so equal scores resolve to lower id
-        best = int(np.argmax(score))
-        selected.append((best, float(score[best])))
-        remaining[best] = False
-        max_sim = np.maximum(max_sim, S[:, best])
-    rows = [
-        (ids[i],)
-        + ((labels[i],) if label_col else ())
-        + (rank + 1, round(float(rel[i]), 6), round(mmr, 6))
-        for rank, (i, mmr) in enumerate(selected)
-    ]
-    spark = df.sparkSession
-    return spark.createDataFrame(rows, out_schema)
+    _id, _label, _vec, _lam, _k = id_col, label_col, vec_col, lam, k
+
+    def _greedy(batches):  # one partition == the whole ≤pool-row pool
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        # re-pin (sim desc, id asc) inside the task: ids are unique so
+        # the keys are total — the recurrence does not depend on how
+        # Arrow batched the limit's output
+        pdf = pdf.sort_values(
+            ["sim", _id], ascending=[False, True], ignore_index=True
+        )
+        ids = pdf[_id].tolist()
+        labels = pdf[_label].tolist() if _label else None
+        rel = pdf["sim"].to_numpy(dtype=np.float64)
+        V = np.array([list(v) for v in pdf[_vec]], dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        V = V / norms[:, None]
+        S = V @ V.T
+        n = len(ids)
+        selected: list[tuple[int, float]] = []  # (candidate idx, score)
+        max_sim = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        for step in range(min(_k, n)):
+            score = (
+                rel.copy()
+                if step == 0
+                else _lam * rel - (1.0 - _lam) * max_sim
+            )
+            score[~remaining] = -np.inf
+            # argmax with ascending-id tie-break: numpy argmax takes
+            # the first (lowest index) maximum, and candidates are in
+            # (sim desc, id asc) order, so ties resolve to lower id
+            best = int(np.argmax(score))
+            selected.append((best, float(score[best])))
+            remaining[best] = False
+            max_sim = np.maximum(max_sim, S[:, best])
+        out = {
+            _id: [ids[i] for i, _ in selected],
+            **({_label: [labels[i] for i, _ in selected]} if _label else {}),
+            "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+            "rel": [round(float(rel[i]), 6) for i, _ in selected],
+            "mmr": [round(m, 6) for _, m in selected],
+        }
+        yield pd.DataFrame(out)
+
+    return pooled.mapInPandas(_greedy, schema=out_schema)
 
 
 def append_ann_ivf_index(
