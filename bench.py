@@ -1,8 +1,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+TWO JSON lines — the full per-query detail first, then a compact
+summary LAST:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": N,
+     "worst": {...top-10 slowest...}, "over_2x_baseline": {...}}
+
+Two lines because the capture that records this output keeps only the
+TAIL of stdout: with ~90 headline queries the single detail line grew
+past the capture window and rounds 6-7 recorded `parsed: null`,
+losing the total. The compact final line is a few hundred bytes — it
+always survives clipping, and it carries the headline total plus the
+per-query >2x-vs-BASELINE flags, which are the two facts the official
+record must keep. The detail line right above survives in full when
+the window allows (it is the last-but-one line).
 
 `value` is the total wall-clock over the headline set, where each
 query's contribution is the MEDIAN of 3 back-to-back executions (full
@@ -172,6 +184,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -181,10 +194,61 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "runs_per_query": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
-        )
+        ),
+        flush=True,
     )
+    worst = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "runs_per_query": runs,
+        "worst": worst,
+    }
+    baseline = _baseline_rows()
+    if baseline:
+        matched = {
+            n: baseline[n] for n in timings if n in baseline and baseline[n] > 0
+        }
+        if matched:
+            summary["baseline_matched_n"] = len(matched)
+            summary["vs_baseline"] = round(
+                sum(timings[n] for n in matched) / sum(matched.values()), 3
+            )
+            summary["over_2x_baseline"] = {
+                n: round(timings[n] / matched[n], 2)
+                for n in matched
+                if timings[n] > 2 * matched[n]
+            }
+    print(json.dumps(summary), flush=True)
+
+
+def _baseline_rows() -> dict[str, float]:
+    """Parse `| name | secs | note |` rows out of BASELINE.md (best
+    effort — bench must keep working if the file moves or reformats)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    rows: dict[str, float] = {}
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                parts = [p.strip() for p in line.strip().strip("|").split("|")]
+                if len(parts) >= 2:
+                    # some rows annotate the name: `q1_pricing_summary
+                    # (A1/A4 wide agg)` — the query name is token one
+                    name = parts[0].split(" ", 1)[0].split("(", 1)[0]
+                    try:
+                        rows[name] = float(parts[1])
+                    except ValueError:
+                        continue
+    except OSError:
+        return {}
+    return rows
 
 
 if __name__ == "__main__":
