@@ -137,6 +137,9 @@ HEADLINE = [
     "g_mis",                     # Luby MIS, 3 pregel rounds, hash-graded
     "ev_kmv_distinct",           # KMV bottom-k sketch, estimate hash-graded
     "ev_kmv_overlap",            # theta-sketch intersection over type pairs
+    # round-8 additions, benched from day one
+    "mm_png_stats",              # real PNG encode+decode, closed-form oracle
+    "ev_hll_accuracy",           # HLL estimate 5%-bound flag, hash-graded
 ]
 
 

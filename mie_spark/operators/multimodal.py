@@ -1559,6 +1559,60 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
+def synthetic_png_corpus(
+    docs: DataFrame, id_col: str = "doc_id", every: int = 10
+) -> DataFrame:
+    """Deterministic REAL-PNG corpus whose pixel values are pure
+    integer functions of the asset id — every ``every``-th document
+    becomes an RGB image with
+
+        width  = 8 + doc_id % 9      (8..16)
+        height = 8 + doc_id % 7      (8..14)
+        v(y, x, c) = (doc_id*31 + y*7 + x*3 + c*11) % 256
+
+    encoded through the stdlib PNG encoder (:func:`png_from_array` —
+    real zlib IDAT, real CRCs). Because the pixels are closed-form, a
+    SQL oracle can recompute any integer statistic of the DECODED
+    image without a codec — which is what lets an mm_* query grade
+    the real encode→decode round-trip by hash instead of by digest
+    pin. The ``every`` stride bounds Python-side codec cost to a
+    fixed fraction of the corpus, same as synthetic_mjpeg_corpus."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 8 + i % 7
+                v = (
+                    i * 31
+                    + 7 * np.arange(h, dtype=np.int64)[:, None, None]
+                    + 3 * np.arange(w, dtype=np.int64)[None, :, None]
+                    + 11 * np.arange(3, dtype=np.int64)[None, None, :]
+                ) % 256
+                ids.append(i)
+                payloads.append(png_from_array(v.astype(np.uint8)))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    # the stride filter stays in the JVM plan (pushable, prunable) —
+    # only selected rows cross the Arrow boundary
+    return (
+        docs.select(F.col(id_col))
+        .filter(F.col(id_col) % every == 0)
+        .mapInPandas(batches, schema=schema)
+    )
+
+
 def png_pixel_stats(frames: DataFrame) -> DataFrame:
     """Decode each PNG frame payload and emit exact integer pixel
     statistics — integers, not floats, so the output is bit-stable

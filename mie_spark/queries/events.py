@@ -299,6 +299,37 @@ def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_hll_accuracy",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_exact,
+           true AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def ev_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded accuracy sub-oracle for ev_approx_distinct (the
+    rows-only HLL): the raw sketch ESTIMATE is engine-specific, but
+    the exact distinct count and the claim |estimate − exact| ≤ 5% ×
+    exact are SQL-expressible — so this projection grades, by hash,
+    that the HLL++ pipeline runs AND lands within 5 standard errors
+    of truth per group (rsd = 1%). Same move as v_lsh_buckets /
+    pipe_bpe_vocab: carve the verifiable stage out of a
+    non-SQL-expressible operator so the driver sees a hash row, not
+    just a row count. The bound check is integer arithmetic
+    (|approx−exact|·20 ≤ exact), immune to float-tie drift."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.count_distinct("user_id")
+    return ev.groupBy("event_type").agg(
+        exact.alias("n_exact"),
+        (
+            F.abs(approx - exact) * F.lit(20) <= exact
+        ).alias("within_bound"),
+    )
+
+
+@query(
     "ev_multi_rollup",
     oracle="""
     WITH e AS (

@@ -90,12 +90,25 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_resize_features")
+@query(
+    "mm_resize_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           8::BIGINT AS dim,
+           true AS unit_norm_ok
+    FROM documents
+    """,
+)
 def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resize → feature-extract → per-asset summary: the full multimodal
     pre-embedding pipeline (deterministic fake codec), ending in the
-    array<float> column the vector operators consume. Rows-only check
-    (hash-based features aren't SQL-expressible)."""
+    array<float> column the vector operators consume. Hash-graded since
+    r8 via the property projection (the blake2b feature VALUES aren't
+    SQL-expressible — those stay pinned in tests/test_multimodal.py):
+    the oracle certifies strict 1:1 row preservation through BOTH
+    mapInPandas stages, the requested output dimensionality, and the
+    unit-norm contract of every emitted vector — the same
+    within-bound-as-hash move as ev_hll_accuracy / v_lsh_buckets."""
     from mie_spark.operators.multimodal import (
         attach_binary_payload,
         extract_features,
@@ -106,25 +119,66 @@ def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = attach_binary_payload(docs)
     resized = resize_images(assets, width=64, height=64, codec="fake")
     feats = extract_features(resized, dim=8)
+    sq_norm = F.aggregate(
+        "features",
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
     return feats.select(
         "asset_id",
-        F.size("features").alias("dim"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").cast("long").alias("dim"),
+        (F.abs(sq_norm - F.lit(1.0)) < F.lit(1e-3)).alias("unit_norm_ok"),
     )
 
 
-@query("mm_audio_chunks")
+@query(
+    "mm_audio_chunks",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             octet_length(encode(text)) // 2 AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT asset_id, n,
+             CASE WHEN n = 0 THEN 0
+                  WHEN n <= 480000 THEN 1
+                  ELSE (n - 480000 + 463999) // 464000 + 1 END AS n_chunks
+      FROM d
+    ),
+    x AS (
+      SELECT asset_id, n,
+             unnest(generate_series(0, n_chunks - 1)) AS i
+      FROM c
+    )
+    SELECT asset_id,
+           i::INT AS chunk_idx,
+           (i * 464000 * 1000 // 16000)::BIGINT AS start_ms,
+           ((i * 464000 + least(480000, n - i * 464000)) * 1000 // 16000)::BIGINT
+             AS end_ms,
+           least(480000, n - i * 464000)::INT AS n_samples
+    FROM x
+    """,
+)
 def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio windowing plumbing (rows-only: the PCM interpretation of
-    the fake payload is engine-side; chunk boundary math and
-    determinism are pinned in tests/test_multimodal.py). Each document
-    payload chunks into overlapping 30s/1s-overlap windows at 16 kHz —
-    the fan-out that feeds transcription/embedding UDFs at scale."""
+    """Audio windowing: each document payload (16-bit mono PCM at
+    16 kHz) chunks into overlapping 30s/1s-overlap windows — the
+    fan-out that feeds transcription/embedding UDFs at scale.
+    Hash-graded since r8: every chunk boundary is pure integer
+    arithmetic over the byte length (samples_per_chunk = 480000,
+    hop = 464000; the walk emits until start+chunk covers the signal),
+    so the oracle replays the complete fan-out row-for-row — start/end
+    timestamps, sample counts, and the zero-chunks-for-empty-payload
+    edge. Only the RMS energy reading (a float sqrt, engine-side) is
+    excluded from the graded projection; it stays value-pinned in
+    tests/test_multimodal.py."""
     from mie_spark.operators.multimodal import chunk_audio
 
     docs = load_table(spark, sf_dir, "documents")
     assets = attach_binary_payload(docs)
-    return chunk_audio(assets, codec="fake")
+    return chunk_audio(assets, codec="fake").select(
+        "asset_id", "chunk_idx", "start_ms", "end_ms", "n_samples"
+    )
 
 
 @query("mm_mjpeg_frames")
@@ -156,6 +210,94 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("width").alias("frame_w"),
         F.max("height").alias("frame_h"),
     )
+
+
+@query(
+    "mm_png_stats",
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id AS asset_id,
+             8 + doc_id % 9 AS w,
+             8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    px AS (
+      SELECT asset_id, w, h,
+             unnest(generate_series(0, w * h * 3 - 1)) AS p
+      FROM sel
+    ),
+    v AS (
+      SELECT asset_id, w, h, p,
+             (asset_id * 31 + (p // (w * 3)) * 7
+              + ((p % (w * 3)) // 3) * 3 + (p % 3) * 11) % 256 AS val
+      FROM px
+    )
+    SELECT asset_id,
+           any_value(w)::INT AS width,
+           any_value(h)::INT AS height,
+           sum(val)::BIGINT AS px_sum,
+           sum(val * (p % 251))::BIGINT AS px_weighted
+    FROM v GROUP BY asset_id
+    """,
+)
+def mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec path, hash-graded end to end (VERDICT r7 #7 —
+    mm_mjpeg_frames exercises a real pipeline but is ungradable; this
+    is its gradable twin): a deterministic synthetic PNG corpus
+    (synthetic_png_corpus — closed-form integer pixels, REAL zlib
+    IDAT + CRC encode via png_from_array) → stdlib parse_png decode →
+    exact integer pixel statistics. The oracle recomputes the decoded
+    image's statistics from the closed form alone, so the hash
+    certifies the full encode→decode round-trip: chunk walk, zlib
+    inflate, scanline unfilter, row-major (y, x, c) layout — px_sum
+    catches value corruption, the position-weighted sum catches
+    transposed dims / reordered channels that a plain sum would miss.
+    Scale: the 1/10 stride bounds codec cost to a constant fraction of
+    the corpus; pixels never shuffle (per-asset stats reduce inside
+    the same task); output is one short row per sampled asset."""
+    from mie_spark.operators.multimodal import (
+        parse_png,
+        synthetic_png_corpus,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthetic_png_corpus(docs, every=10)
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("px_sum", LongType()),
+            StructField("px_weighted", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "width", "height", "px_sum", "px_weighted")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, img = parse_png(bytes(payload))
+                flat = img.reshape(-1).astype(np.int64)
+                out["asset_id"].append(int(asset_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(flat.sum()))
+                out["px_weighted"].append(
+                    int((flat * (np.arange(flat.size) % 251)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=schema)
 
 
 @query("mm_phash_pairs")

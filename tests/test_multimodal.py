@@ -887,3 +887,76 @@ def test_wav_roundtrip_and_odd_length_padding():
 
     with _pytest.raises(ValueError):
         wav_from_array(np.zeros((2, 2)))
+
+
+def test_synthetic_png_corpus_closed_form_roundtrip(spark):
+    """mm_png_stats' foundation: the synthetic corpus emits REAL PNGs
+    (magic, zlib IDAT, CRC-valid chunks) whose decoded pixels match
+    the documented closed form v(y,x,c) = (id*31 + y*7 + x*3 + c*11)
+    % 256 exactly — so the query's DuckDB oracle is entitled to
+    recompute decoded statistics without a codec."""
+    import numpy as np
+
+    from mie_spark.operators.multimodal import (
+        parse_png,
+        synthetic_png_corpus,
+    )
+    from mie_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = synthetic_png_corpus(docs, every=10).limit(5).collect()
+    assert rows
+    for r in rows:
+        i = r["asset_id"]
+        assert i % 10 == 0
+        raw = bytes(r["payload"])
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, img = parse_png(raw)
+        assert (w, h) == (8 + i % 9, 8 + i % 7)
+        expect = (
+            i * 31
+            + 7 * np.arange(h, dtype=np.int64)[:, None, None]
+            + 3 * np.arange(w, dtype=np.int64)[None, :, None]
+            + 11 * np.arange(3, dtype=np.int64)[None, None, :]
+        ) % 256
+        assert np.array_equal(img.astype(np.int64), expect)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        synthetic_png_corpus(docs, every=0)
+
+
+def test_mm_png_stats_weighted_sum_catches_layout_drift(spark):
+    """The px_weighted column exists to catch decoders that return the
+    right VALUES in the wrong ORDER (transposed dims, swapped
+    channels) — verify it actually distinguishes the true layout from
+    a transposed one on a non-square image."""
+    import numpy as np
+
+    from mie_spark.queries import QUERIES
+
+    out = {r["asset_id"]: r for r in QUERIES["mm_png_stats"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert out
+    # find a non-square image and recompute both orders
+    for i, r in out.items():
+        w, h = r["width"], r["height"]
+        if w == h:
+            continue
+        v = (
+            i * 31
+            + 7 * np.arange(h, dtype=np.int64)[:, None, None]
+            + 3 * np.arange(w, dtype=np.int64)[None, :, None]
+            + 11 * np.arange(3, dtype=np.int64)[None, None, :]
+        ) % 256
+        flat = v.reshape(-1)
+        wsum = int((flat * (np.arange(flat.size) % 251)).sum())
+        flat_t = v.transpose(1, 0, 2).reshape(-1)
+        wsum_t = int((flat_t * (np.arange(flat_t.size) % 251)).sum())
+        assert r["px_weighted"] == wsum
+        assert wsum != wsum_t, "weighted sum must be layout-sensitive"
+        break
+    else:
+        raise AssertionError("corpus produced no non-square image")

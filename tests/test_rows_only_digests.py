@@ -30,8 +30,10 @@ PINNED = {
     "mm_binary_meta": "05b816ebb71a096a",
     "mm_decode_meta": "1e2dea2c5853f7a7",
     "mm_frame_sample": "ba36dbce31b1d664",
-    "mm_resize_features": "caa2002e249d8e80",
-    "mm_audio_chunks": "0e9db5e96c1f8a17",
+    # mm_resize_features / mm_audio_chunks left this table in r8 when
+    # they gained hash-graded oracles (property projection / integer
+    # chunk-walk replay); their engine-side values (blake2b features,
+    # RMS hex) stay pinned in tests/test_multimodal.py
     # real MJPEG-AVI pipeline: integer pixel sums, stable by design
     "mm_mjpeg_frames": "74c8b7882071a333",
     # re-pinned when mmr_rerank stopped stringifying the label column
