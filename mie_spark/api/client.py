@@ -293,12 +293,15 @@ class MieClient:
     ) -> None:
         """Flip valid=false on the old fact and — when a superseding
         fact is given — insert the invalidation edge (writer.go:230-261).
-        Ordered fact-first so a failure between the two leaves a
-        conservative state (fact already invalid, edge missing —
-        retry-safe; SURVEY §7 risk). ``new_fact_id=None`` invalidates
-        without a replacement: NO edge is written (a self-loop edge
-        claiming the fact supersedes itself would corrupt the
-        invalidation chain and every export carrying it)."""
+        Both writes land in ONE multi-table transaction
+        (store.atomic_upsert_rows): the manifest rename commits fact
+        update and edge insert together, so readers can never observe
+        the fact flipped without its edge or vice versa — closing the
+        SURVEY §7 risk-register window the previous ordered-two-MERGE
+        form documented. ``new_fact_id=None`` invalidates without a
+        replacement: NO edge is written (a self-loop edge claiming the
+        fact supersedes itself would corrupt the invalidation chain
+        and every export carrying it)."""
         # both ids must be fact ids: get_node_by_id dispatches on the
         # prefix, so an entity/decision id would otherwise fetch a row
         # of the WRONG table and upsert it into mie_fact as garbage
@@ -310,18 +313,16 @@ class MieClient:
             raise KeyError(f"fact not found: {old_fact_id}")
         old["valid"] = False
         old["updated_at"] = now_s()
-        self.store.upsert_rows("mie_fact", [old])
+        updates: dict[str, list[dict]] = {"mie_fact": [old]}
         if new_fact_id is not None and new_fact_id != old_fact_id:
-            self.store.upsert_rows(
-                "mie_invalidates",
-                [
-                    {
-                        "new_fact_id": new_fact_id,
-                        "old_fact_id": old_fact_id,
-                        "reason": reason,
-                    }
-                ],
-            )
+            updates["mie_invalidates"] = [
+                {
+                    "new_fact_id": new_fact_id,
+                    "old_fact_id": old_fact_id,
+                    "reason": reason,
+                }
+            ]
+        self.store.atomic_upsert_rows(updates)
 
     def update_description(self, node_id: str, description: str) -> None:
         """RMW description update for entity/event/topic (writer.go:313-362)."""

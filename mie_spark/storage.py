@@ -73,6 +73,15 @@ def now_s() -> int:
 # read). The Delta/Iceberg file-stats analog for the snapshot layout.
 ZONES_FILE = "_ZONES.json"
 
+# Store-level multi-table transaction manifest: {table -> version}.
+# Its atomic rename is the single commit point for a cross-table
+# write — readers resolve a table's current version as max(per-table
+# pointer, manifest entry), so either EVERY listed table's new version
+# is visible or none is. After commit the per-table pointers roll
+# forward and the manifest is removed; a crash in between is repaired
+# by _recover_txn on the next open (roll-forward, never roll-back).
+TXN_FILE = "_TXN_CURRENT"
+
 
 def _file_zone_stats(path: str) -> dict[str, list]:
     """Column min/max for one parquet file from its footer row-group
@@ -186,6 +195,7 @@ class MieStore:
         self._write_lock = threading.RLock()
         if path:
             os.makedirs(path, exist_ok=True)
+            self._recover_txn()
         self.ensure_schema()
 
     # -- schema ---------------------------------------------------------
@@ -204,11 +214,61 @@ class MieStore:
     def _snapshot_dir(self, table: str) -> str | None:
         assert self.path is not None
         pointer = os.path.join(self.path, table, "_CURRENT")
-        if not os.path.exists(pointer):
+        version = None
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                version = fh.read().strip()
+        # a committed-but-not-yet-rolled-forward transaction outranks
+        # the per-table pointer: the manifest rename IS the commit
+        # point, so every listed table must serve its manifest version
+        # the instant the rename lands (all-or-nothing visibility)
+        txn_v = self._txn_manifest().get(table)
+        if txn_v is not None and os.path.isdir(
+            os.path.join(self.path, table, txn_v)
+        ):
+            if version is None or int(txn_v[1:]) > int(version[1:]):
+                version = txn_v
+        if version is None:
             return None
-        with open(pointer) as fh:
-            version = fh.read().strip()
         return os.path.join(self.path, table, version)
+
+    def _txn_manifest(self) -> dict[str, str]:
+        """The committed multi-table transaction, if one is mid-roll-
+        forward ({} otherwise). Best-effort read: a torn tmp file never
+        exists at this path (os.replace is atomic), but guard anyway."""
+        assert self.path is not None
+        p = os.path.join(self.path, TXN_FILE)
+        if not os.path.exists(p):
+            return {}
+        try:
+            with open(p) as fh:
+                m = json.load(fh)
+            return m if isinstance(m, dict) else {}
+        except (json.JSONDecodeError, OSError):
+            return {}
+
+    def _recover_txn(self) -> None:
+        """Roll FORWARD a committed transaction whose per-table pointer
+        flips were interrupted by a crash: the manifest rename already
+        made every listed version visible (see _snapshot_dir), so
+        recovery finishes the flips and clears the manifest. A crash
+        BEFORE the manifest rename left nothing visible — orphan
+        snapshot dirs are overwritten by the next write at the same
+        version number."""
+        manifest = self._txn_manifest()
+        if not manifest:
+            return
+        for table, version in sorted(manifest.items()):
+            if not os.path.isdir(os.path.join(self.path, table, version)):
+                continue  # defensive: never commit a missing snapshot
+            pointer = os.path.join(self.path, table, "_CURRENT")
+            current = None
+            if os.path.exists(pointer):
+                with open(pointer) as fh:
+                    current = fh.read().strip()
+            if current is None or int(version[1:]) > int(current[1:]):
+                self._commit_snapshot(table, version)
+        os.remove(os.path.join(self.path, TXN_FILE))
 
     def _read_pdf(self, table: str) -> pd.DataFrame:
         """Mem-engine read (driver pandas). On-disk reads go through
@@ -262,18 +322,25 @@ class MieStore:
             F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.merge_buckets)
         ).cast("int")
 
-    def _write_df(self, table: str, df: DataFrame) -> None:
+    def _write_df(
+        self, table: str, df: DataFrame, defer_commit: bool = False
+    ) -> str:
         """Spark-native FULL snapshot write (first write, legacy-layout
         upgrade, or full-coverage batch): the plan executes distributed
         and streams to the next version directory partitioned by bucket;
         nothing passes through the driver. Incremental merges go through
-        :meth:`_merge_and_write`, which rewrites only touched buckets."""
+        :meth:`_merge_and_write`, which rewrites only touched buckets.
+        ``defer_commit=True`` leaves the snapshot invisible (no pointer
+        flip) for the multi-table transaction path; returns the
+        version either way."""
         snap, version = self._next_snapshot(table)
         if "bkt" not in df.columns:
             df = df.withColumn("bkt", self._bkt(table))
         df.write.mode("overwrite").partitionBy("bkt").parquet(snap)
         self._write_zone_manifest(snap, self._snapshot_dir(table))
-        self._commit_snapshot(table, version)
+        if not defer_commit:
+            self._commit_snapshot(table, version)
+        return version
 
     def _has_parquet(self, snap: str) -> bool:
         # Spark writes no part files for an empty DataFrame — only
@@ -477,24 +544,32 @@ class MieStore:
         with self._write_lock:
             return self._upsert_rows_locked(table, rows)
 
+    def _rows_to_df(self, table: str, rows: list[dict[str, Any]]):
+        """Dict rows → (key-unique DataFrame in canonical order, n).
+        Intra-batch dedup (last write wins, like sequential :put)
+        happens driver-side while the rows are still a dict list —
+        cheaper than a window over the batch."""
+        schema = table_schema(table)
+        cols = [f.name for f in schema]
+        keys = key_columns(table)
+        by_key = {tuple(r.get(k) for k in keys): r for r in rows}
+        new = self.spark.createDataFrame(
+            [
+                tuple(_py_native(r.get(c), f.dataType) for c, f in zip(cols, schema))
+                for r in by_key.values()
+            ],
+            schema,
+        )
+        return new, len(by_key)
+
     def _upsert_rows_locked(self, table: str, rows: list[dict[str, Any]]) -> int:
         schema = table_schema(table)
         cols = [f.name for f in schema]
         keys = key_columns(table)
         if self.path is not None:
-            # intra-batch dedup (last write wins, like sequential :put)
-            # happens driver-side while the rows are still a dict list —
-            # cheaper than a window over the batch
-            by_key = {tuple(r.get(k) for k in keys): r for r in rows}
-            new = self.spark.createDataFrame(
-                [
-                    tuple(_py_native(r.get(c), f.dataType) for c, f in zip(cols, schema))
-                    for r in by_key.values()
-                ],
-                schema,
-            )
+            new, n = self._rows_to_df(table, rows)
             self._merge_and_write(table, new)
-            return len(by_key)
+            return n
         new = pd.DataFrame(rows)
         missing = set(cols) - set(new.columns)
         for col in missing:
@@ -520,7 +595,93 @@ class MieStore:
         with self._write_lock:
             return self._upsert_df_locked(table, df)
 
-    def _merge_and_write(self, table: str, new: DataFrame) -> None:
+    def atomic_upsert_rows(
+        self, updates: dict[str, list[dict[str, Any]]]
+    ) -> dict[str, int]:
+        """Multi-table TRANSACTIONAL upsert: either every table's batch
+        becomes visible or none does (closes SURVEY §7's last risk-
+        register item — invalidate_fact's two ordered MERGEs had a
+        documented window where readers saw the fact flipped but the
+        edge missing).
+
+        Disk engine protocol (write-ahead roll-forward, the manifest
+        rename is the commit point):
+
+        1. PREPARE — write every table's next snapshot with the pointer
+           flip deferred; nothing is visible yet. A crash here leaves
+           only orphan version dirs that the next write overwrites.
+        2. COMMIT — one atomic ``os.replace`` of the {table: version}
+           manifest to ``_TXN_CURRENT``. Readers resolve a table's
+           current version as max(pointer, manifest entry), so this
+           single rename makes ALL the new versions visible at once.
+        3. ROLL FORWARD — flip each per-table pointer (+ GC), then
+           remove the manifest. A crash mid-way is repaired by
+           _recover_txn on the next open; readers in the window still
+           see the committed state via the manifest.
+
+        Mem engine: build every table's merged frame first, then
+        assign all under the lock — an exception during the build
+        mutates nothing. Returns per-table written-row counts."""
+        updates = {t: rows for t, rows in updates.items() if rows}
+        if not updates:
+            return {}
+        with self._write_lock:
+            if self.path is None:
+                built: dict[str, pd.DataFrame] = {}
+                counts: dict[str, int] = {}
+                for table, rows in sorted(updates.items()):
+                    keys = key_columns(table)
+                    cols = [f.name for f in table_schema(table)]
+                    new = pd.DataFrame(rows)
+                    for col in set(cols) - set(new.columns):
+                        new[col] = None
+                    new = new[cols]
+                    existing = self._read_pdf(table)
+                    if existing.empty:
+                        out = new
+                    else:
+                        merged_keys = new[keys].apply(tuple, axis=1)
+                        mask = (
+                            existing[keys]
+                            .apply(tuple, axis=1)
+                            .isin(set(merged_keys))
+                        )
+                        out = pd.concat(
+                            [existing[~mask], new], ignore_index=True
+                        )
+                    out = out.drop_duplicates(subset=keys, keep="last")
+                    built[table] = out
+                    counts[table] = len(
+                        {tuple(r.get(k) for k in keys) for r in rows}
+                    )
+                for table, out in built.items():  # all-or-nothing assign
+                    self._write_pdf(table, out)
+                return counts
+            # 1. PREPARE: invisible snapshots
+            versions: dict[str, str] = {}
+            counts = {}
+            for table, rows in sorted(updates.items()):
+                new, n = self._rows_to_df(table, rows)
+                v = self._merge_and_write(table, new, defer_commit=True)
+                counts[table] = n
+                if v is not None:
+                    versions[table] = v
+            if not versions:
+                return counts
+            # 2. COMMIT: one atomic manifest rename
+            tmp = os.path.join(self.path, TXN_FILE + ".tmp")
+            with open(tmp, "w") as fh:
+                json.dump(versions, fh)
+            os.replace(tmp, os.path.join(self.path, TXN_FILE))
+            # 3. ROLL FORWARD: pointer flips + GC, then clear manifest
+            for table, version in versions.items():
+                self._commit_snapshot(table, version)
+            os.remove(os.path.join(self.path, TXN_FILE))
+            return counts
+
+    def _merge_and_write(
+        self, table: str, new: DataFrame, defer_commit: bool = False
+    ) -> str | None:
         """Bucket-pruned MERGE: current snapshot anti-join keys(new) ∪
         new, restricted to the buckets the batch touches — ONE Spark
         plan whose scan partition-prunes to the touched ``bkt=K`` dirs
@@ -538,13 +699,13 @@ class MieStore:
         new = new.withColumn("bkt", self._bkt(table))
         snap = self._snapshot_dir(table)
         if snap is None or not self._has_parquet(snap):
-            self._write_df(table, new)  # first write: all buckets are new
-            return
+            # first write: all buckets are new
+            return self._write_df(table, new, defer_commit=defer_commit)
         touched = sorted(
             r["bkt"] for r in new.select("bkt").distinct().collect()
         )
         if not touched:  # empty batch: nothing to merge
-            return
+            return None
         if not self._is_bucketed(snap) or len(touched) >= self.merge_buckets:
             existing = self.spark.read.parquet(snap).select(*canon).withColumn(
                 "bkt", self._bkt(table)
@@ -552,8 +713,9 @@ class MieStore:
             kept = existing.join(
                 new.select(*keys).dropDuplicates(keys), keys, "left_anti"
             )
-            self._write_df(table, kept.unionByName(new))
-            return
+            return self._write_df(
+                table, kept.unionByName(new), defer_commit=defer_commit
+            )
         raw = self.spark.read.parquet(snap)
         kept = (
             raw.filter(F.col("bkt").isin(touched))  # partition pruning
@@ -566,7 +728,9 @@ class MieStore:
         ).parquet(nsnap)
         self._link_untouched(snap, nsnap, touched)
         self._write_zone_manifest(nsnap, snap)
-        self._commit_snapshot(table, version)
+        if not defer_commit:
+            self._commit_snapshot(table, version)
+        return version
 
     def _upsert_df_locked(self, table: str, df: DataFrame) -> int:
         keys = key_columns(table)

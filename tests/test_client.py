@@ -768,3 +768,152 @@ def test_export_graph_options_and_aliases(spark, tmp_path):
     assert [r["id"] for r in c.get_related_facts(eid)] == [fid]
     assert c.increment_counter("custom_counter") == 1
     assert c.increment_counter("custom_counter") == 2
+
+
+def _fact_rows(store, table="mie_fact"):
+    return {
+        r["id"]: r["content"] for r in store.table(table).collect()
+    }
+
+
+def test_atomic_upsert_crash_before_commit_leaves_old_state(spark, tmp_path):
+    """Multi-table transaction, crash injected AFTER table 1's snapshot
+    is prepared but BEFORE the manifest rename (the commit point): a
+    fresh store on the same path must see the OLD state of BOTH tables
+    — no half-applied write, and the interrupted version numbers are
+    safely reused by the next write."""
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "txn1")
+    store = MieStore(spark, path=path, embedding_dim=4)
+    store.upsert_rows("mie_fact", [{"id": "fact:1", "content": "old"}])
+    store.upsert_rows(
+        "mie_invalidates",
+        [{"new_fact_id": "fact:0", "old_fact_id": "fact:z", "reason": "seed"}],
+    )
+
+    calls = {"n": 0}
+    orig = store._merge_and_write
+
+    def crashing(table, new, defer_commit=False):
+        out = orig(table, new, defer_commit=defer_commit)
+        calls["n"] += 1
+        if calls["n"] >= 2:  # both snapshots prepared, commit imminent
+            raise RuntimeError("injected crash before manifest rename")
+        return out
+
+    store._merge_and_write = crashing
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        store.atomic_upsert_rows(
+            {
+                "mie_fact": [{"id": "fact:1", "content": "NEW"}],
+                "mie_invalidates": [
+                    {
+                        "new_fact_id": "fact:9",
+                        "old_fact_id": "fact:1",
+                        "reason": "supersede",
+                    }
+                ],
+            }
+        )
+
+    reader = MieStore(spark, path=path, embedding_dim=4)
+    assert _fact_rows(reader)["fact:1"] == "old"
+    edges = reader.table("mie_invalidates").collect()
+    assert {(r["new_fact_id"], r["old_fact_id"]) for r in edges} == {
+        ("fact:0", "fact:z")
+    }
+    # the orphan prepared snapshots must not poison later writes
+    reader.upsert_rows("mie_fact", [{"id": "fact:2", "content": "later"}])
+    assert set(_fact_rows(reader)) == {"fact:1", "fact:2"}
+
+
+def test_atomic_upsert_crash_after_commit_rolls_forward(spark, tmp_path):
+    """Crash injected AFTER the manifest rename but BEFORE any per-table
+    pointer flip: the transaction is committed, so readers — both one
+    that only consults the manifest-aware read path and a fresh store
+    that runs recovery — must see the NEW state of BOTH tables. Readers
+    never observe fact-flipped-but-edge-missing."""
+    import os
+
+    from mie_spark.storage import TXN_FILE, MieStore
+
+    path = str(tmp_path / "txn2")
+    store = MieStore(spark, path=path, embedding_dim=4)
+    store.upsert_rows("mie_fact", [{"id": "fact:1", "content": "old"}])
+
+    orig = store._commit_snapshot
+
+    def no_flip(table, version):
+        raise RuntimeError("injected crash before pointer flips")
+
+    store._commit_snapshot = no_flip
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        store.atomic_upsert_rows(
+            {
+                "mie_fact": [{"id": "fact:1", "content": "NEW"}],
+                "mie_invalidates": [
+                    {
+                        "new_fact_id": "fact:9",
+                        "old_fact_id": "fact:1",
+                        "reason": "supersede",
+                    }
+                ],
+            }
+        )
+    store._commit_snapshot = orig
+
+    # manifest survived the crash = the commit point landed
+    assert os.path.exists(os.path.join(path, TXN_FILE))
+    # the crashed store itself already serves the committed state
+    # (manifest-aware read path), atomically for BOTH tables
+    assert _fact_rows(store)["fact:1"] == "NEW"
+    assert store.table("mie_invalidates").count() == 1
+
+    # a fresh open rolls the pointers forward and clears the manifest
+    reader = MieStore(spark, path=path, embedding_dim=4)
+    assert not os.path.exists(os.path.join(path, TXN_FILE))
+    assert _fact_rows(reader)["fact:1"] == "NEW"
+    edges = reader.table("mie_invalidates").collect()
+    assert [(r["new_fact_id"], r["old_fact_id"]) for r in edges] == [
+        ("fact:9", "fact:1")
+    ]
+
+
+def test_atomic_upsert_mem_engine_all_or_nothing(spark):
+    """Mem engine: a bad batch (schema violation in table 2) must leave
+    table 1 untouched — the build phase completes for every table
+    before any assignment happens."""
+    from mie_spark.storage import MieStore
+
+    store = MieStore(spark, path=None, embedding_dim=4)
+    store.upsert_rows("mie_fact", [{"id": "fact:1", "content": "old"}])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        store.atomic_upsert_rows(
+            {
+                "mie_fact": [{"id": "fact:1", "content": "NEW"}],
+                "no_such_table": [{"id": "x"}],
+            }
+        )
+    assert _fact_rows(store)["fact:1"] == "old"
+
+    out = store.atomic_upsert_rows(
+        {
+            "mie_fact": [{"id": "fact:1", "content": "NEW"}],
+            "mie_invalidates": [
+                {
+                    "new_fact_id": "fact:9",
+                    "old_fact_id": "fact:1",
+                    "reason": "supersede",
+                }
+            ],
+        }
+    )
+    assert out == {"mie_fact": 1, "mie_invalidates": 1}
+    assert _fact_rows(store)["fact:1"] == "NEW"
