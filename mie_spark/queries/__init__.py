@@ -66,183 +66,94 @@ def _load_all() -> None:
 # rows first, (2) queries added this round, (3) queries whose code or
 # shared helpers changed this round, (4) oldest remaining stale rows.
 _GRADE_FIRST = [
-    # Round 7 rotation (VERDICT r6 item #1). Head: the 26 stalest
-    # driver rows — every query whose last CORRECTNESS row is r02-era
-    # (22 relational/window/set-op/graph entries) or r03-era (the mm_*
-    # codec quartet). Shared helpers (catalog, cents doctrine, the new
-    # exact integral-quotient int_div) changed under all of them since
-    # they were last graded; the builder re-proves them each round at
-    # sf0.01+sf0.1, but the driver's row is the contract.
-    # (s2_point_lookup / f2 / f3 / f4 yielded their slots to the four
-    # queries ADDED this round — new code always outranks stale-but-
-    # unchanged code for driver evidence; the four are pure predicate
-    # scans with zero exposure to the helpers that changed since r02,
-    # and they head the r8 queue.)
-    "a4_groupby_metrics",
-    "o5_first_match",
-    # (u1_union_distinct yielded its slot to the new g_mis: u2/u4 keep
-    # the set-op family in-window; u1 heads the r8 queue.)
-    "u2_pair_dedup",
-    "u4_intersect_customers",
-    "q4_order_priority",
-    # (q14_promo_revenue_share yielded its slot to the new
-    # ev_kmv_overlap: q8_market_share re-proves the same ratio-of-sums
-    # share doctrine; q14 heads the r8 queue.)
-    "q18_large_volume_orders",
-    # (w_rank_per_group yielded its slot to the new ev_kmv_distinct:
-    # w_distribution_stats exercises the same rank-window +
-    # broadcast-nation shape and more; it heads the r8 queue.)
-    "w_lag_monthly_delta",
-    "a_cube_orders",
-    # (a_grouping_sets yielded its slot to the new ev_stickiness:
-    # a_cube_orders re-proves the same grouping-set expansion + cents
-    # helpers; grouping_sets heads the r8 queue.)
-    "j3_edge_attr_traversal",
-    "j4_reverse_traversal",
-    "j6_union_join_single_pass",
-    "g_bfs_hops",
-    "g_chain_motif",
-    # (mm_audio_chunks yielded its slot to the new w_distribution_stats
-    # — its driver row is rows-only (PCM fake, digest-pinned in pytest)
-    # and thus the weakest slot signal in the stale head; it heads the
-    # r8 queue with the other displaced entries.)
-    "mm_decode_meta",
-    "mm_frame_sample",
-    # (mm_resize_features yielded its slot to the new
-    # st_sliding_distinct for the same reason as mm_audio_chunks: its
-    # driver row is rows-only (blake2b fake, digest-pinned); the two
-    # upgraded mm_* rows above now carry the family's hash evidence.)
-    # New THIS round, windowed immediately (the standing r5 lesson):
-    # the Q11 shape (completing 22/22 TPC-H) and the two hash-graded
-    # sub-oracles that shrink the rows-only surface (VERDICT item #7).
-    "q11_important_stock",
-    "pipe_bpe_vocab",
-    "v_mmr_pool",
-    # ... and the two new hash-exact vector retrieval pipelines
-    # (binary-quantized Hamming scan + exact rerank; Matryoshka
-    # truncated-prefix ranking).
-    "v_hamming_topk",
-    "v_matryoshka_topk",
-    # ... and personalized PageRank, the first NEW algorithm composed
-    # from the aggregate_messages/pregel primitive.
-    "g_ppr",
-    # ... and the deterministic Efraimidis-Spirakis weighted sample and
-    # the bitmap-exact COUNT(DISTINCT), each hash-graded.
-    "samp_weighted_k",
-    "ev_bitmap_distinct",
-    "ev_bitmap_overlap",
-    "st_bitmap_distinct",
-    # ... and the end-to-end funnel census (clean -> decontaminate ->
-    # budget composed as ONE plan, per-stage survivors hash-graded).
-    "pipe_funnel_census",
-    # ... and the real-codec video pipeline (MJPEG-AVI walk + stdlib
-    # JPEG decode + integer pixel stats; rows-only by nature, digest-
-    # pinned in pytest).
-    "mm_mjpeg_frames",
-    # ... and the four late-round additions: HITS (the pregel
-    # primitive's first bidirectional-message algorithm), PMI
-    # collocation mining, user-journey path census, and RFM
-    # segmentation with explicit integer quartile rules.
-    "g_hits",
-    "text_pmi_collocations",
-    "ev_session_paths",
-    "ev_rfm",
-    # ... and URL-canonicalization dedup (the crawl first pass; the
-    # canonicalizer itself is what the hash grades).
-    "dedup_url_canon",
-    # ... and the LSH bucketing sub-oracle: v_ann_lsh_topk's signature/
-    # multi-probe stage graded exactly (same move as pipe_bpe_vocab /
-    # v_mmr_pool), leaving only its recall-pinned final top-k ungraded.
-    "v_lsh_buckets",
-    # ... and the Gopher rule-table quality signals (raw metrics +
-    # per-rule integer-cut flags in one fused map-only projection).
-    "text_gopher_rules",
-    # ... and the embed job, upgraded from rows-only to hash-graded
-    # this round (the djb2 mock replayed exactly in the oracle) — a
-    # brand-new oracle only the driver's row can certify.
-    "v_embed_corpus",
-    # ... and the trailing-7-day exact rolling distinct (the bitmap
-    # family's sliding-window shape, graded against the naive
-    # BETWEEN-join oracle).
-    "ev_sliding_distinct",
-    # ... and k=2 market-basket association rules (support/confidence/
-    # lift, every cut cross-multiplied BIGINT).
-    "a_assoc_rules",
-    # ... and the deterministic random-walk corpus (graph-embedding
-    # sampling; md5 argmin hops replayed exactly by the oracle).
-    "g_random_walks",
-    # ... and the distribution windows (percent_rank/cume_dist/
-    # nth_value — rank ratios emitted integer-half-up after the
-    # 640-denominator tie lesson, builtins gated by an exact filter).
-    "w_distribution_stats",
-    # ... and the streaming rolling-WAU twin (day-keyed foreachBatch
-    # bitmap state composed with the trailing-window fan-out merge).
-    "st_sliding_distinct",
-    # ... and DAU/WAU stickiness (one bitmap build, two window widths,
-    # integer half-up ratio).
-    "ev_stickiness",
-    # ... and Luby MIS — the pregel primitive's first fully
-    # hash-graded iterative run (3 fixed rounds, both phases unrolled
-    # in the oracle).
-    "g_mis",
-    # ... and the KMV bottom-k sketch whose ESTIMATE hash-grades
-    # exactly (deterministic md5 hash space + integer half-up
-    # estimator) — the hash-graded sibling of the rows-only HLL —
-    # plus its theta-intersection set algebra over type pairs.
+    # Round 8 rotation (VERDICT r7 item #2, executed exactly as queued
+    # at the r7 list's tail): 50 slots, ALL hash-oracled — the
+    # rows-only entries (mm_mjpeg_frames etc.) left the window because
+    # a rows-only slot carries zero driver signal; their digests live
+    # in pytest. Priority rule unchanged: (1) changed code with no
+    # driver row on the new form, (2) new this round, (3) stalest
+    # remaining rows.
+    #
+    # Head: the three late-r7 rounding-hardened emissions — their
+    # ratio outputs were rewritten to integer half-up AFTER the r7
+    # window froze, so the driver has never graded the shipping form.
+    "ev_markov_transitions",
+    "pipe_dataset_card",
+    "pipe_quality_buckets",
+    # Changed THIS round: the KMV estimator's oracle constant was
+    # corrected (ADVICE r7 — 2*(k-1)*2^60 was mistranscribed; the
+    # divergence bites above ~2,700 distinct members), and the two
+    # mm_* entries were UPGRADED from rows-only to hash-graded
+    # (integer chunk-walk replay; 1:1 + dim + unit-norm property).
     "ev_kmv_distinct",
-    "ev_kmv_overlap",
-    # Changed THIS round: every query whose output flows through the
-    # rewritten exact integral-quotient helpers (int_div /
-    # share_half_up_4dp replace floor(decimal/decimal), ADVICE r6
-    # medium), plus the bigram slice guard and the containment operator
-    # whose cap semantics changed. All r06-green, but on the OLD code.
-    "q8_market_share",
-    # (w_revenue_share yielded its slot to the new g_random_walks:
-    # q8_market_share exercises the same share_half_up_4dp rewrite;
-    # w_revenue_share heads the r8 queue.)
-    "ev_heavy_hitters",
-    # (st_heavy_hitters yielded its slot to the new text_gopher_rules:
-    # ev_heavy_hitters exercises the same rewritten sketch/threshold
-    # helpers; the streaming variant heads the r8 queue with the other
-    # displaced entries.)
-    "g_copurchase_jaccard",
-    # (text_char_entropy yielded its slot to the new a_assoc_rules:
-    # text_bigram_logprob carries the same micro-nat ln doctrine PLUS
-    # the slice-guard fix unique to it; char_entropy heads the r8
-    # queue.)
-    "text_bigram_logprob",
-    "dedup_containment",
-    # Also changed THIS round: the five iterative graph queries now
-    # expressed over the aggregate_messages/pregel primitive (VERDICT
-    # item #6) — plans verified identical locally; the driver row
-    # closes the loop.
-    "g_connected_components",
-    # (g_labelprop, g_kcore, g_sssp, and g_pagerank, the other
-    # pregel-rewrite siblings, yielded their slots to the new
-    # mm_mjpeg_frames, v_lsh_buckets, ev_sliding_distinct, and the
-    # upgraded v_embed_corpus — pregel driver evidence stays strong
-    # in-window via g_connected_components plus g_ppr and g_hits,
-    # both NEW algorithms composed on the same primitive; the four
-    # displaced head the r8 queue.)
-    # Remaining r8 queue — HEAD (changed late-r7, after this round's
-    # grading window was already full): ev_markov_transitions,
-    # pipe_dataset_card, pipe_quality_buckets (ratio emissions
-    # rewritten to integer half-up after the power-of-2x5 rounding-tie
-    # lesson; both-SF builder drives green on the new form). Then:
-    # s2_point_lookup, f2_substring_match,
-    # f3_disjunction, f4_case_insensitive, o1_order_limit_offset
-    # (displaced above),
-    # g_labelprop, g_kcore, g_sssp, g_pagerank, then the oldest r04-stale
-    # hash-oracled entries, one per family where a sibling is already
-    # in-window (the rest of the r04 cohort — text_bpe_tokens/
-    # fingerprint/quality_filter/unigram_logprob/repeat_ngrams/
-    # token_histogram, ev_anomalies/funnel/hourly_agg/pivot/unpivot/
-    # retention/top_spenders/value_percentiles, st_dedup_totals/
-    # st_sessionize, pipe_decontaminate/dedup_clusters/
-    # training_manifest, v5_norms, samp_temperature_mix,
-    # samp_stratified, samp_hash_split, text_lang_id,
-    # dedup_simhash_pairs, v_knn_join_nodes — with the six rows-only
-    # r04 entries carrying the least slot signal).
+    "mm_audio_chunks",
+    "mm_resize_features",
+    # New THIS round, windowed immediately (the standing r5 lesson):
+    # the real-PNG-codec round-trip graded against a closed-form
+    # pixel oracle (VERDICT item #7), and the HLL accuracy sub-oracle
+    # (VERDICT item #6).
+    "mm_png_stats",
+    "ev_hll_accuracy",
+    # The four pregel-rewritten graph queries: rewritten over the
+    # shared aggregate_messages primitive in r7, driver-graded only on
+    # the pre-rewrite form (CC/PPR/HITS/MIS carried the primitive's
+    # in-window evidence; these four get their own rows now).
+    "g_labelprop",
+    "g_kcore",
+    "g_sssp",
+    "g_pagerank",
+    # The r02-era survivors — the stalest driver rows in the registry
+    # (pure predicate/order/set-op scans, unchanged since r02, but the
+    # driver's row is the contract and theirs is six rounds old).
+    "s2_point_lookup",
+    "f2_substring_match",
+    "f3_disjunction",
+    "f4_case_insensitive",
+    "o1_order_limit_offset",
+    "u1_union_distinct",
+    "q14_promo_revenue_share",
+    "w_rank_per_group",
+    "w_revenue_share",
+    "a_grouping_sets",
+    "st_heavy_hitters",
+    "text_char_entropy",
+    # The r04-stale cohort (VERDICT item #4), in full — 26 entries, so
+    # after this round every one of them has a fresh row and the
+    # every-row-at-most-2-rounds-old target is met a round early.
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_quality_filter",
+    "text_unigram_logprob",
+    "text_repeat_ngrams",
+    "text_token_histogram",
+    "ev_anomalies",
+    "ev_funnel",
+    "ev_hourly_agg",
+    "ev_pivot",
+    "ev_unpivot",
+    "ev_retention",
+    "ev_top_spenders",
+    "ev_value_percentiles",
+    "st_dedup_totals",
+    "st_sessionize",
+    "pipe_decontaminate",
+    "pipe_dedup_clusters",
+    "pipe_training_manifest",
+    "v5_norms",
+    "samp_temperature_mix",
+    "samp_stratified",
+    "samp_hash_split",
+    "text_lang_id",
+    "dedup_simhash_pairs",
+    "v_knn_join_nodes",
+    # r9 queue — HEAD: any query whose code changes in the rest of r8
+    # (new queries always window immediately), then the r05-era rows
+    # (s1_scan_projection, s7_raw_sql, f6_range_revenue,
+    # a1_stats_single_pass, a3_multi_table_counts, o3_topk,
+    # u3_except_customers, q1_pricing_summary), then the r06 cohort
+    # (j1_two_hop_traversal, v2_cosine_topk, v3_similarity_self_join,
+    # dedup/text/event entries first graded that round), then the r07
+    # mass (28 entries) as they age past two rounds.
 ]
 
 
