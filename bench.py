@@ -140,6 +140,8 @@ HEADLINE = [
     # round-8 additions, benched from day one
     "mm_png_stats",              # real PNG encode+decode, closed-form oracle
     "ev_hll_accuracy",           # HLL estimate 5%-bound flag, hash-graded
+    "mm_mjpeg_accuracy",         # JPEG reconstruction error vs closed form
+    "ev_cms_topk",               # Count-Min sketch, estimates hash-graded
 ]
 
 

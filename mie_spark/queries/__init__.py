@@ -90,10 +90,15 @@ _GRADE_FIRST = [
     "mm_resize_features",
     # New THIS round, windowed immediately (the standing r5 lesson):
     # the real-PNG-codec round-trip graded against a closed-form
-    # pixel oracle (VERDICT item #7), and the HLL accuracy sub-oracle
-    # (VERDICT item #6).
+    # pixel oracle (VERDICT item #7), the HLL accuracy sub-oracle
+    # (VERDICT item #6), the MJPEG-pipeline accuracy sub-oracle
+    # (JPEG's bounded reconstruction error as a hash-checked flag over
+    # the closed-form pre-encode sums), and the Count-Min sketch whose
+    # estimates + one-sided overcounts hash-grade exactly.
     "mm_png_stats",
     "ev_hll_accuracy",
+    "mm_mjpeg_accuracy",
+    "ev_cms_topk",
     # The four pregel-rewritten graph queries: rewritten over the
     # shared aggregate_messages primitive in r7, driver-graded only on
     # the pre-rewrite form (CC/PPR/HITS/MIS carried the primitive's
@@ -125,12 +130,16 @@ _GRADE_FIRST = [
     "text_quality_filter",
     "text_unigram_logprob",
     "text_repeat_ngrams",
-    "text_token_histogram",
+    # (text_token_histogram yielded its slot to the new ev_cms_topk:
+    # five text-family siblings stay in-window; it heads the r9 queue
+    # with ev_unpivot.)
     "ev_anomalies",
     "ev_funnel",
     "ev_hourly_agg",
     "ev_pivot",
-    "ev_unpivot",
+    # (ev_unpivot yielded its slot to the new mm_mjpeg_accuracy:
+    # ev_pivot keeps the reshape family in-window; the melt twin heads
+    # the r9 queue.)
     "ev_retention",
     "ev_top_spenders",
     "ev_value_percentiles",
@@ -146,8 +155,9 @@ _GRADE_FIRST = [
     "text_lang_id",
     "dedup_simhash_pairs",
     "v_knn_join_nodes",
-    # r9 queue — HEAD: any query whose code changes in the rest of r8
-    # (new queries always window immediately), then the r05-era rows
+    # r9 queue — HEAD: ev_unpivot and text_token_histogram (displaced
+    # above by the two late-r8 additions), then any query whose code
+    # changes in the rest of r8, then the r05-era rows
     # (s1_scan_projection, s7_raw_sql, f6_range_revenue,
     # a1_stats_single_pass, a3_multi_table_counts, o3_topk,
     # u3_except_customers, q1_pricing_summary), then the r06 cohort

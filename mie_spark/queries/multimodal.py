@@ -213,6 +213,87 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_mjpeg_accuracy",
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id AS asset_id FROM documents WHERE doc_id % 20 = 0
+    ),
+    fr AS (
+      SELECT asset_id, unnest([0, 1]) AS frame_idx FROM sel
+    ),
+    px AS (
+      SELECT asset_id, frame_idx, frame_idx * 2 AS t,
+             unnest(generate_series(0, 255)) AS p
+      FROM fr
+    ),
+    v AS (
+      SELECT asset_id, frame_idx,
+             ((p % 16) * 7 + t * 11 + asset_id) % 256
+             + ((p // 16) * 5 + t * 3 + asset_id // 7) % 256
+             + (((p % 16) + (p // 16)) * 3 + t * 17 + asset_id // 3) % 256
+               AS val
+      FROM px
+    )
+    SELECT asset_id, frame_idx,
+           sum(val)::BIGINT AS orig_sum,
+           true AS within_tol
+    FROM v GROUP BY asset_id, frame_idx
+    """,
+)
+def mm_mjpeg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded accuracy sub-oracle for mm_mjpeg_frames (whose DCT
+    output is rows-only by nature): the MJPEG corpus pixels are a
+    closed form of (doc_id, frame, x, y), so the PRE-ENCODE pixel sum
+    is SQL-expressible even though the decoded sum is not — and JPEG
+    at quality 88 bounds the reconstruction error. The graded claim:
+    the full REAL pipeline (stdlib JPEG encode → AVI mux → RIFF walk →
+    stdlib JPEG decode) reproduces each sampled frame's pixel sum
+    within 2 units/sample (|decoded − original| ≤ 1536 over 768
+    samples; observed max 308 at sf0.1 — 5× headroom without being
+    vacuous). Same within-bound-as-hash move as ev_hll_accuracy; the
+    exact decoded values stay digest-pinned via mm_mjpeg_frames.
+    Scale: both sides of the comparison reduce per-frame inside the
+    scan tasks; the join carries (asset, frame) pairs only."""
+    from mie_spark.operators.multimodal import (
+        png_pixel_stats,
+        synthetic_mjpeg_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthetic_mjpeg_corpus(docs, every=20, n_frames=4)
+    frames = decode_frames(assets, every_n=2, codec="mjpeg")
+    decoded = png_pixel_stats(frames).select("asset_id", "frame_idx", "px_sum")
+
+    # closed-form original sums, entirely JVM-side: 256 positions x 2
+    # sampled frames per asset (p encodes (y, x) as y*16 + x)
+    base = docs.select(F.col("doc_id").alias("asset_id")).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    fr = base.withColumn(
+        "frame_idx", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).withColumn("t", F.col("frame_idx") * 2)
+    px = fr.withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(255))))
+    x, y = F.col("p") % 16, F.expr("p div 16")
+    t, a = F.col("t"), F.col("asset_id")
+    val = (
+        (x * 7 + t * 11 + a) % 256
+        + (y * 5 + t * 3 + F.expr("asset_id div 7")) % 256
+        + ((x + y) * 3 + t * 17 + F.expr("asset_id div 3")) % 256
+    )
+    orig = px.groupBy("asset_id", "frame_idx").agg(
+        F.sum(val).alias("orig_sum")
+    )
+    return orig.join(decoded, ["asset_id", "frame_idx"]).select(
+        "asset_id",
+        "frame_idx",
+        "orig_sum",
+        (F.abs(F.col("px_sum") - F.col("orig_sum")) <= F.lit(1536)).alias(
+            "within_tol"
+        ),
+    )
+
+
+@query(
     "mm_png_stats",
     oracle="""
     WITH sel AS (

@@ -248,3 +248,39 @@ def test_kmv_oracle_constant_matches_spark_formula():
     )
     # and no stale divergent literal survives anywhere in the oracle
     assert "145241087982838153216" not in ORACLES["ev_kmv_distinct"]
+
+
+def test_cms_estimate_one_sided_and_replayable(spark):
+    """ev_cms_topk's two contracts: (a) the CM estimate NEVER
+    undercounts (one-sided error — est >= true for every graded row),
+    and (b) the whole sketch is replayable in pure Python from the md5
+    hash definition, cell for cell (the property that entitles the
+    DuckDB oracle to grade the estimate exactly)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from mie_spark.queries import QUERIES
+    from mie_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["ev_cms_topk"](spark, sf).collect()
+    assert out
+    assert all(r["overcount"] >= 0 for r in out)
+    assert all(r["est_count"] == r["n_true"] + r["overcount"] for r in out)
+
+    truth = Counter(
+        r["user_id"]
+        for r in load_table(spark, sf, "events").select("user_id").collect()
+    )
+    cells = defaultdict(int)
+
+    def bucket(j, uid):
+        return int(hashlib.md5(f"{j}:{uid}".encode()).hexdigest()[:8], 16) % 256
+
+    for uid, n in truth.items():
+        for j in range(4):
+            cells[(j, bucket(j, uid))] += n
+    for r in out:
+        est = min(cells[(j, bucket(j, r["user_id"]))] for j in range(4))
+        assert est == r["est_count"], (r["user_id"], est, r["est_count"])
+        assert truth[r["user_id"]] == r["n_true"]
