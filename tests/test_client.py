@@ -917,3 +917,51 @@ def test_atomic_upsert_mem_engine_all_or_nothing(spark):
     )
     assert out == {"mie_fact": 1, "mie_invalidates": 1}
     assert _fact_rows(store)["fact:1"] == "NEW"
+
+
+def test_atomic_upsert_concurrent_writers_serialize(spark, tmp_path):
+    """Two threads race atomic_upsert_rows against the same store: the
+    write lock serializes them, both transactions land, and no rows
+    are lost (the lost-update anomaly unserialized writers would
+    produce on the read-snapshot -> merge -> commit cycle)."""
+    import threading
+
+    from mie_spark.storage import MieStore
+
+    store = MieStore(spark, path=str(tmp_path / "conc"), embedding_dim=4)
+    errs = []
+
+    def writer(tag):
+        try:
+            for i in range(3):
+                store.atomic_upsert_rows(
+                    {
+                        "mie_fact": [
+                            {"id": f"fact:{tag}-{i}", "content": tag}
+                        ],
+                        "mie_invalidates": [
+                            {
+                                "new_fact_id": f"fact:{tag}-{i}",
+                                "old_fact_id": f"fact:{tag}-{i - 1}",
+                                "reason": tag,
+                            }
+                        ],
+                    }
+                )
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    facts = {r["id"] for r in store.table("mie_fact").collect()}
+    assert facts == {f"fact:{t}-{i}" for t in ("a", "b") for i in range(3)}
+    assert store.table("mie_invalidates").count() == 6
+    import os
+
+    from mie_spark.storage import TXN_FILE
+
+    assert not os.path.exists(os.path.join(str(tmp_path / "conc"), TXN_FILE))

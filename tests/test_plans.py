@@ -376,3 +376,44 @@ def test_assoc_rules_no_join_back(spark):
     ]
     assert broadcast_join_count(df) == 1
     assert exchange_count(df) <= 6
+
+
+def test_mm_png_stats_scan_prunes_to_id(spark):
+    """The PNG corpus derives everything from doc_id — the documents
+    scan must read exactly that column (a text read here would drag
+    the whole corpus through the codec stage)."""
+    df = QUERIES["mm_png_stats"](spark, SF)
+    schemas = read_schemas(df)
+    assert any(set(s) == {"doc_id"} for s in schemas), schemas
+
+
+def test_mmr_topk_is_single_fused_plan(spark):
+    """r8: the MMR recurrence runs inside the same plan as the pool
+    (single-partition mapInPandas) — zero exchanges, no second job.
+    The old collect→createDataFrame form is unrepresentable here."""
+    df = QUERIES["v_mmr_topk"](spark, SF)
+    assert exchange_count(df) == 0
+
+
+def test_cms_counter_table_is_sketch_sized(spark):
+    """The CM sketch contract: after the one user_id aggregation,
+    every intermediate is sketch-sized. Pin the observable half —
+    counter cells <= d*w and estimates join back on (j, b) only."""
+    from pyspark.sql import functions as F
+
+    from mie_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j")
+    h = uc.select("user_id", "n", j).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
+                               F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 256,
+    )
+    counters = h.groupBy("j", "b").agg(F.sum("n").alias("c"))
+    assert counters.count() <= 4 * 256
