@@ -666,17 +666,74 @@ class MieStore:
                 counts[table] = n
                 if v is not None:
                     versions[table] = v
-            if not versions:
+            self._commit_txn(versions)
+            return counts
+
+    def _commit_txn(self, versions: dict[str, str]) -> None:
+        """Steps 2+3 of the transaction protocol: the atomic manifest
+        rename (commit point), then per-table pointer roll-forward and
+        manifest removal. Callers hold the write lock and have already
+        prepared every snapshot with defer_commit=True."""
+        if not versions:
+            return
+        tmp = os.path.join(self.path, TXN_FILE + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(versions, fh)
+        os.replace(tmp, os.path.join(self.path, TXN_FILE))  # COMMIT
+        for table, version in versions.items():
+            self._commit_snapshot(table, version)
+        os.remove(os.path.join(self.path, TXN_FILE))
+
+    def atomic_upsert_dfs(
+        self, updates: dict[str, DataFrame]
+    ) -> dict[str, int]:
+        """DataFrame form of :meth:`atomic_upsert_rows` — the streaming
+        foreachBatch sink shape: a micro-batch that lands rows in N
+        tables (e.g. nodes + their embeddings) commits them with ONE
+        manifest rename, so a reader never sees a node its embedding
+        hasn't reached (or a crash mid-batch expose half a batch).
+        Each input is localCheckpoint'ed once: the merge write and the
+        returned count both consume it, and an expensive lineage (a
+        mapInPandas embedding stage) must not execute twice."""
+        updates = dict(updates)
+        if not updates:
+            return {}
+        with self._write_lock:
+            counts: dict[str, int] = {}
+            if self.path is None:
+                built: dict[str, pd.DataFrame] = {}
+                for table, df in sorted(updates.items()):
+                    keys = key_columns(table)
+                    cols = [f.name for f in table_schema(table)]
+                    df = df.localCheckpoint()
+                    existing = self.table(table)
+                    kept = existing.join(
+                        df.select(*keys).dropDuplicates(keys),
+                        keys,
+                        "left_anti",
+                    )
+                    merged = kept.select(*cols).unionByName(
+                        df.dropDuplicates(keys).select(*cols)
+                    )
+                    built[table] = merged.toPandas()
+                    counts[table] = df.count()
+                for table, pdf in built.items():  # all-or-nothing assign
+                    self._write_pdf(table, pdf)
                 return counts
-            # 2. COMMIT: one atomic manifest rename
-            tmp = os.path.join(self.path, TXN_FILE + ".tmp")
-            with open(tmp, "w") as fh:
-                json.dump(versions, fh)
-            os.replace(tmp, os.path.join(self.path, TXN_FILE))
-            # 3. ROLL FORWARD: pointer flips + GC, then clear manifest
-            for table, version in versions.items():
-                self._commit_snapshot(table, version)
-            os.remove(os.path.join(self.path, TXN_FILE))
+            versions: dict[str, str] = {}
+            for table, df in sorted(updates.items()):
+                keys = key_columns(table)
+                cols = [f.name for f in table_schema(table)]
+                df = df.localCheckpoint()
+                v = self._merge_and_write(
+                    table,
+                    df.dropDuplicates(keys).select(*cols),
+                    defer_commit=True,
+                )
+                counts[table] = df.count()
+                if v is not None:
+                    versions[table] = v
+            self._commit_txn(versions)
             return counts
 
     def _merge_and_write(

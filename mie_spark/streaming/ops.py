@@ -569,7 +569,11 @@ def embed_and_upsert_stream(
     call per row, embeddings amortize over micro-batches, and
     idempotent upserts + checkpointed offsets give exactly-once — with
     the SAME eventual-consistency contract (search sees a node only
-    after its batch commits).
+    after its batch commits). Since r8 both tables land through ONE
+    multi-table transaction (store.atomic_upsert_dfs): the node row
+    and its embedding become visible together, strictly stronger than
+    the reference's async goroutine (where search can see a fact whose
+    embedding hasn't landed) — and a crash mid-batch exposes nothing.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -634,10 +638,13 @@ def embed_and_upsert_stream(
             F.lit(0).cast("long").alias("created_at"),
             F.lit(0).cast("long").alias("updated_at"),
         )
-        store.upsert_df("mie_fact", facts)
-        store.upsert_df(
-            "mie_fact_embedding",
-            embedded.select(F.col("id").alias("fact_id"), "embedding"),
+        store.atomic_upsert_dfs(
+            {
+                "mie_fact": facts,
+                "mie_fact_embedding": embedded.select(
+                    F.col("id").alias("fact_id"), "embedding"
+                ),
+            }
         )
 
     foreach_batch_upsert(stream_df, apply_batch, timeout_s=timeout_s)

@@ -965,3 +965,53 @@ def test_atomic_upsert_concurrent_writers_serialize(spark, tmp_path):
     from mie_spark.storage import TXN_FILE
 
     assert not os.path.exists(os.path.join(str(tmp_path / "conc"), TXN_FILE))
+
+
+def test_atomic_upsert_dfs_crash_exposes_neither_table(spark, tmp_path):
+    """DataFrame-transaction variant (the streaming micro-batch sink
+    shape): crash before the manifest rename leaves BOTH tables at
+    their old state — a reader can never see a fact whose embedding
+    batch didn't land."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "dftxn")
+    store = MieStore(spark, path=path, embedding_dim=4)
+    facts = spark.createDataFrame(
+        [("fact:a", "hello")], ["id", "content"]
+    ).select(
+        "id",
+        "content",
+        F.lit("general").alias("category"),
+        F.lit(0.8).cast("double").alias("confidence"),
+        F.lit("t").alias("source_agent"),
+        F.lit("").alias("source_conversation"),
+        F.lit(True).alias("valid"),
+        F.lit(0).cast("long").alias("created_at"),
+        F.lit(0).cast("long").alias("updated_at"),
+    )
+    embs = spark.createDataFrame(
+        [("fact:a", [0.1, 0.2, 0.3, 0.4])], "fact_id string, embedding array<float>"
+    )
+
+    orig = store._commit_txn
+    store._commit_txn = lambda versions: (_ for _ in ()).throw(
+        RuntimeError("injected crash before commit point")
+    )
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        store.atomic_upsert_dfs(
+            {"mie_fact": facts, "mie_fact_embedding": embs}
+        )
+    store._commit_txn = orig
+    reader = MieStore(spark, path=path, embedding_dim=4)
+    assert reader.table("mie_fact").count() == 0
+    assert reader.table("mie_fact_embedding").count() == 0
+
+    out = store.atomic_upsert_dfs(
+        {"mie_fact": facts, "mie_fact_embedding": embs}
+    )
+    assert out == {"mie_fact": 1, "mie_fact_embedding": 1}
+    assert reader.table("mie_fact").count() == 1
+    assert reader.table("mie_fact_embedding").count() == 1
