@@ -142,6 +142,8 @@ HEADLINE = [
     "ev_hll_accuracy",           # HLL estimate 5%-bound flag, hash-graded
     "mm_mjpeg_accuracy",         # JPEG reconstruction error vs closed form
     "ev_cms_topk",               # Count-Min sketch, estimates hash-graded
+    "ev_log_histogram",          # base-2 DDSketch histogram, integer-exact
+    "ev_quantile_bound",         # GK sketch rank-error bound, BIGINT flags
 ]
 
 

@@ -99,6 +99,14 @@ _GRADE_FIRST = [
     "ev_hll_accuracy",
     "mm_mjpeg_accuracy",
     "ev_cms_topk",
+    # ... and the integer-exact base-2 log histogram (the DDSketch /
+    # HdrHistogram shape, bucket = bin() bit length so no
+    # transcendental near a boundary) and the GK quantile-sketch
+    # rank-error bound (p ± 0.02 as cross-multiplied BIGINTs) — with
+    # these, every sketch family member grades exactly or by a graded
+    # accuracy flag.
+    "ev_log_histogram",
+    "ev_quantile_bound",
     # The four pregel-rewritten graph queries: rewritten over the
     # shared aggregate_messages primitive in r7, driver-graded only on
     # the pre-rewrite form (CC/PPR/HITS/MIS carried the primitive's
@@ -141,8 +149,11 @@ _GRADE_FIRST = [
     # ev_pivot keeps the reshape family in-window; the melt twin heads
     # the r9 queue.)
     "ev_retention",
-    "ev_top_spenders",
-    "ev_value_percentiles",
+    # (ev_top_spenders and ev_value_percentiles yielded their slots to
+    # the new ev_log_histogram / ev_quantile_bound — the quantile
+    # bound exercises the same values the percentile query reads, and
+    # four ev r04 siblings stay in-window; both head the r9 queue with
+    # ev_unpivot and text_token_histogram.)
     "st_dedup_totals",
     "st_sessionize",
     "pipe_decontaminate",
@@ -155,9 +166,10 @@ _GRADE_FIRST = [
     "text_lang_id",
     "dedup_simhash_pairs",
     "v_knn_join_nodes",
-    # r9 queue — HEAD: ev_unpivot and text_token_histogram (displaced
-    # above by the two late-r8 additions), then any query whose code
-    # changes in the rest of r8, then the r05-era rows
+    # r9 queue — HEAD: ev_unpivot, text_token_histogram,
+    # ev_top_spenders, ev_value_percentiles (displaced above by the
+    # four late-r8 additions), then any query whose code changes in
+    # the rest of r8, then the r05-era rows
     # (s1_scan_projection, s7_raw_sql, f6_range_revenue,
     # a1_stats_single_pass, a3_multi_table_counts, o3_topk,
     # u3_except_customers, q1_pricing_summary), then the r06 cohort

@@ -1707,3 +1707,113 @@ def ev_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+@query(
+    "ev_log_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value > 0
+    ),
+    b AS (
+      SELECT event_type, length(bin(cents)) AS bucket
+      FROM c WHERE cents < 4611686018427387904
+    )
+    SELECT event_type,
+           bucket::BIGINT AS bucket,
+           (2 ** (bucket - 1))::BIGINT AS lo_cents,
+           (2 ** bucket - 1)::BIGINT AS hi_cents,
+           count(*)::BIGINT AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def ev_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (base-2) value histogram — the DDSketch /
+    HdrHistogram shape, which is how latency and spend distributions
+    are kept at stream scale: O(log range) buckets per group,
+    mergeable by addition, relative-error-bounded quantile readout.
+    The bucket function is INTEGER-EXACT on both engines: bucket =
+    bit length of the integer cents (length of `bin(x)` — a string
+    op, no transcendental log2 whose 1-ulp drift could flip a
+    boundary at exact powers of two, per the round-7 doctrine), so
+    the full sketch hash-grades cell for cell. State: buckets ×
+    groups ≈ 17 × 5 rows here; still ≤ 64 per group if values spanned
+    the whole long range — the reason a 100 TB stream keeps this
+    instead of raw values."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("value") > 0).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # guard the shift cap explicitly: cents < 2^62 keeps every bucket
+    # <= 62, where shiftleft agrees across engines (DuckDB rejects
+    # 1<<63 as overflow, Spark wraps silently — round-7 doctrine). A
+    # corpus that actually exceeded it would need the top bucket
+    # widened to [2^62, max], not a bigger shift.
+    b = c.filter(F.col("cents") < F.lit(1 << 62)).select(
+        "event_type", F.length(F.bin("cents")).cast("long").alias("bucket")
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        "bucket",
+        # SQL shiftleft takes a column shift count; the python wrapper
+        # only accepts a literal int. buckets stay <= 63 by the bin()
+        # length of a positive long, inside the cross-engine shift cap
+        F.expr("shiftleft(1L, cast(bucket - 1 as int))").alias("lo_cents"),
+        (F.expr("shiftleft(1L, cast(bucket as int))") - 1).alias("hi_cents"),
+        "n",
+    )
+
+
+@query(
+    "ev_quantile_bound",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           true AS p50_rank_ok,
+           true AS p90_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def ev_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy sub-oracle for the quantile sketch (the documented
+    100 TB swap-in for ev_value_percentiles' exact percentiles):
+    approx_percentile's GK-sketch guarantee is RANK error ≤
+    1/accuracy, so the verifiable claim is rank-space, not
+    value-space — the fraction of values ≤ the p-th estimate must sit
+    within p ± 0.02 (10× the sketch's 1/1000 guarantee; observed
+    drift ≤ 0.001 at sf0.1). The flag is cross-multiplied BIGINT
+    (count·1000 vs bound·n), immune to float ties. Completes the
+    sketch family's grading story: MG, KMV, bitmap, CMS grade
+    exactly; HLL and GK grade by accuracy flag (ev_hll_accuracy /
+    here). Two passes over events by design — the estimate must be
+    judged against the data, not against itself."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 1000)
+        .alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.join(F.broadcast(ap), "event_type")
+    ranks = j.groupBy("event_type", "n").agg(
+        F.sum(
+            F.when(F.col("value") <= F.col("ap")[0], 1).otherwise(0)
+        ).alias("le50"),
+        F.sum(
+            F.when(F.col("value") <= F.col("ap")[1], 1).otherwise(0)
+        ).alias("le90"),
+    )
+    def rank_ok(le, p_mille):  # |rank/n - p| <= 0.02, in integers
+        return (F.col(le) * 1000 >= (p_mille - 20) * F.col("n")) & (
+            F.col(le) * 1000 <= (p_mille + 20) * F.col("n")
+        )
+    return ranks.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        rank_ok("le50", 500).alias("p50_rank_ok"),
+        rank_ok("le90", 900).alias("p90_rank_ok"),
+    )

@@ -284,3 +284,35 @@ def test_cms_estimate_one_sided_and_replayable(spark):
         est = min(cells[(j, bucket(j, r["user_id"]))] for j in range(4))
         assert est == r["est_count"], (r["user_id"], est, r["est_count"])
         assert truth[r["user_id"]] == r["n_true"]
+
+
+def test_log_histogram_buckets_match_python_bit_length(spark):
+    """ev_log_histogram's bucket function (length of bin(cents)) must
+    equal int.bit_length — the integer-exact DDSketch bucket — and the
+    histogram must tile: per type, sum(n) == count of positive-value
+    events, and every value's cents lands inside its bucket bounds."""
+    from collections import Counter
+
+    from mie_spark.queries import QUERIES
+    from mie_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["ev_log_histogram"](spark, sf).collect()
+    assert out
+    truth = Counter()
+    ev = load_table(spark, sf, "events").select("event_type", "value").collect()
+    n_pos = Counter()
+    for r in ev:
+        if r["value"] > 0:
+            cents = int(round(r["value"] * 100))
+            truth[(r["event_type"], cents.bit_length())] += 1
+            n_pos[r["event_type"]] += 1
+    got = {(r["event_type"], r["bucket"]): r["n"] for r in out}
+    assert got == dict(truth)
+    for r in out:
+        assert r["lo_cents"] == 1 << (r["bucket"] - 1)
+        assert r["hi_cents"] == (1 << r["bucket"]) - 1
+    per_type = Counter()
+    for r in out:
+        per_type[r["event_type"]] += r["n"]
+    assert per_type == n_pos
