@@ -144,6 +144,8 @@ HEADLINE = [
     "ev_cms_topk",               # Count-Min sketch, estimates hash-graded
     "ev_log_histogram",          # base-2 DDSketch histogram, integer-exact
     "ev_quantile_bound",         # GK sketch rank-error bound, BIGINT flags
+    "g_link_prediction",         # RA-index link prediction, in-row pairs
+    "ev_ordered_funnel",         # ordered funnel, chained in-row stage mins
 ]
 
 

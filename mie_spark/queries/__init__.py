@@ -107,6 +107,13 @@ _GRADE_FIRST = [
     # accuracy flag.
     "ev_log_histogram",
     "ev_quantile_bound",
+    # ... and the two late additions: Resource-Allocation link
+    # prediction (the score in exact integer micro-units — RA keeps
+    # the term rational where Adamic-Adar's ln(deg) would not) and the
+    # ORDERED funnel with per-stage conversion windows (chained
+    # conditional mins computed in-row, one user shuffle).
+    "g_link_prediction",
+    "ev_ordered_funnel",
     # The four pregel-rewritten graph queries: rewritten over the
     # shared aggregate_messages primitive in r7, driver-graded only on
     # the pre-rewrite form (CC/PPR/HITS/MIS carried the primitive's
@@ -142,7 +149,9 @@ _GRADE_FIRST = [
     # five text-family siblings stay in-window; it heads the r9 queue
     # with ev_unpivot.)
     "ev_anomalies",
-    "ev_funnel",
+    # (ev_funnel yielded its slot to ev_ordered_funnel — the ordered
+    # variant is the stronger funnel evidence; the unordered census
+    # joins the r9 queue.)
     "ev_hourly_agg",
     "ev_pivot",
     # (ev_unpivot yielded its slot to the new mm_mjpeg_accuracy:
@@ -162,14 +171,16 @@ _GRADE_FIRST = [
     "v5_norms",
     "samp_temperature_mix",
     "samp_stratified",
-    "samp_hash_split",
+    # (samp_hash_split yielded its slot to g_link_prediction — two
+    # sampling siblings stay in-window; it joins the r9 queue.)
     "text_lang_id",
     "dedup_simhash_pairs",
     "v_knn_join_nodes",
     # r9 queue — HEAD: ev_unpivot, text_token_histogram,
-    # ev_top_spenders, ev_value_percentiles (displaced above by the
-    # four late-r8 additions), then any query whose code changes in
-    # the rest of r8, then the r05-era rows
+    # ev_top_spenders, ev_value_percentiles, ev_funnel,
+    # samp_hash_split (displaced above by the six late-r8 additions),
+    # then any query whose code changes in the rest of r8, then the
+    # r05-era rows
     # (s1_scan_projection, s7_raw_sql, f6_range_revenue,
     # a1_stats_single_pass, a3_multi_table_counts, o3_topk,
     # u3_except_customers, q1_pricing_summary), then the r06 cohort
