@@ -146,6 +146,7 @@ HEADLINE = [
     "ev_quantile_bound",         # GK sketch rank-error bound, BIGINT flags
     "g_link_prediction",         # RA-index link prediction, in-row pairs
     "ev_ordered_funnel",         # ordered funnel, chained in-row stage mins
+    "st_txn_rollup",             # exactly-once txn streaming rollup
 ]
 
 

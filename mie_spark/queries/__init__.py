@@ -114,6 +114,12 @@ _GRADE_FIRST = [
     # conditional mins computed in-row, one user shuffle).
     "g_link_prediction",
     "ev_ordered_funnel",
+    # ... and the exactly-once transactional streaming rollup: each
+    # micro-batch's additive state AND its commit-ledger marker land
+    # behind ONE manifest rename (the hard non-idempotent case the
+    # bitmap twins dodge); the drained state must equal the one-shot
+    # batch rollup bit for bit.
+    "st_txn_rollup",
     # The four pregel-rewritten graph queries: rewritten over the
     # shared aggregate_messages primitive in r7, driver-graded only on
     # the pre-rewrite form (CC/PPR/HITS/MIS carried the primitive's
@@ -167,7 +173,8 @@ _GRADE_FIRST = [
     "st_sessionize",
     "pipe_decontaminate",
     "pipe_dedup_clusters",
-    "pipe_training_manifest",
+    # (pipe_training_manifest yielded its slot to st_txn_rollup — two
+    # pipe siblings stay in-window; it joins the r9 queue.)
     "v5_norms",
     "samp_temperature_mix",
     "samp_stratified",
@@ -178,7 +185,8 @@ _GRADE_FIRST = [
     "v_knn_join_nodes",
     # r9 queue — HEAD: ev_unpivot, text_token_histogram,
     # ev_top_spenders, ev_value_percentiles, ev_funnel,
-    # samp_hash_split (displaced above by the six late-r8 additions),
+    # samp_hash_split, pipe_training_manifest (displaced above by the
+    # seven late-r8 additions),
     # then any query whose code changes in the rest of r8, then the
     # r05-era rows
     # (s1_scan_projection, s7_raw_sql, f6_range_revenue,

@@ -413,3 +413,48 @@ def st_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users"
     )
+
+
+@query(
+    "st_txn_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           event_type,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_txn_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming rollup through the multi-table
+    transaction (stream_exactly_once_rollup): micro-batches of events
+    fold additive (hour, type) counters into the snapshot store, each
+    batch's merged state and its commit-ledger marker landing behind
+    ONE manifest rename — so a replayed batch no-ops and a mid-commit
+    crash exposes neither. Additive counters are the hard case the
+    bitmap twins dodge (bit_or is idempotent, addition is not); this
+    is the pattern that makes them safe. The drained state must equal
+    the one-shot batch rollup bit for bit — the hash proves no batch
+    was lost, duplicated, or half-applied across every micro-batch
+    boundary. Crash/replay injection lives in tests/test_streaming.py;
+    the maxFilesPerTrigger=1-style batching here comes from the file
+    source's natural splits."""
+    import tempfile
+
+    from mie_spark.storage import MieStore
+    from mie_spark.streaming import (
+        read_events_stream,
+        stream_exactly_once_rollup,
+    )
+
+    store = MieStore(
+        spark, path=tempfile.mkdtemp(prefix="txn_rollup_"), embedding_dim=4
+    )
+    stream = read_events_stream(spark, sf_dir).select(
+        "ts", "event_type", "value"
+    )
+    stream_exactly_once_rollup(stream, store, stream_id="st_txn_rollup")
+    return store.table("mie_rollup_hourly").select(
+        "hour", "event_type", "n", "value_cents"
+    )

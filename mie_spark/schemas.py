@@ -131,6 +131,30 @@ EMBEDDING_TABLES: dict[str, str] = {
 }
 
 
+# Auxiliary analytics-state tables (not part of the reference's graph
+# schema): table -> (schema, key columns). These back engine features
+# that need transactional keyed storage — e.g. the exactly-once
+# streaming rollup keeps its aggregate state AND its per-batch commit
+# ledger here so both land in ONE atomic_upsert_dfs commit.
+AUX_TABLES: dict[str, tuple[StructType, list[str]]] = {
+    "mie_rollup_hourly": (
+        StructType(
+            [
+                _s("hour"),
+                _s("event_type"),
+                _i("n"),
+                _i("value_cents"),
+            ]
+        ),
+        ["hour", "event_type"],
+    ),
+    "mie_stream_commits": (
+        StructType([_s("stream_id"), _i("batch_id"), _i("committed_at")]),
+        ["stream_id", "batch_id"],
+    ),
+}
+
+
 def edge_schema(table: str) -> StructType:
     keys, vals = EDGE_TABLES[table]
     return StructType([_s(c) for c in keys + vals])
@@ -145,6 +169,8 @@ def table_schema(table: str) -> StructType:
         return embedding_schema(EMBEDDING_TABLES[table])
     if table == "mie_meta":
         return META
+    if table in AUX_TABLES:
+        return AUX_TABLES[table][0]
     raise KeyError(f"unknown table {table!r}")
 
 
@@ -157,9 +183,14 @@ def key_columns(table: str) -> list[str]:
         return [EMBEDDING_TABLES[table]]
     if table == "mie_meta":
         return ["key"]
+    if table in AUX_TABLES:
+        return AUX_TABLES[table][1]
     raise KeyError(f"unknown table {table!r}")
 
 
 ALL_TABLES: list[str] = (
     list(NODE_TABLES) + list(EDGE_TABLES) + list(EMBEDDING_TABLES) + ["mie_meta"]
 )
+# AUX_TABLES are deliberately NOT in ALL_TABLES: reset/backup/export
+# operate on the reference-parity graph schema; analytics state is
+# owned by the feature that writes it.

@@ -58,6 +58,7 @@ from mie_spark.schemas import (
     DEFAULT_EMBEDDING_DIM,
     SCHEMA_VERSION,
     ALL_TABLES,
+    AUX_TABLES,
     key_columns,
     table_schema,
 )
@@ -485,7 +486,7 @@ class MieStore:
         On-disk: a lazy distributed parquet scan (filters push down,
         columns prune); the cast-select re-asserts the canonical schema
         so float/int widths survive round-trips through any writer."""
-        if name not in ALL_TABLES:
+        if name not in ALL_TABLES and name not in AUX_TABLES:
             raise KeyError(f"unknown table {name!r}")
         schema = table_schema(name)
         if self.path is not None:

@@ -753,6 +753,8 @@ __all__ = [
     "stream_append_ivf_index",
     "stream_heavy_hitters_summary",
     "load_heavy_hitter_candidates",
+    "make_rollup_apply",
+    "stream_exactly_once_rollup",
     "stream_dedup",
     "transform_state_profile",
     "windowed_counts",
@@ -875,3 +877,93 @@ def load_bitmap_state(spark: SparkSession, state_dir: str) -> "DataFrame":
         raise FileNotFoundError(f"no bitmap state committed under {state_dir}")
     with open(pointer) as fh:
         return spark.read.parquet(fh.read().strip())
+
+
+def make_rollup_apply(store: Any, stream_id: str = "rollup"):
+    """The foreachBatch function behind stream_exactly_once_rollup,
+    exposed so tests can drive it with explicit (batch_df, batch_id)
+    pairs — replaying a batch or injecting a crash mid-commit."""
+
+    def _apply(batch_df: "DataFrame", batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        already = (
+            store.table("mie_stream_commits")
+            .filter(
+                (F.col("stream_id") == stream_id)
+                & (F.col("batch_id") == batch_id)
+            )
+            .count()
+        )
+        if already:  # replayed batch (at-least-once delivery): no-op
+            return
+        delta = (
+            batch_df.select(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+                    "hour"
+                ),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .groupBy("hour", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("dn"),
+                F.sum("cents").alias("dc"),
+            )
+        )
+        cur = store.table("mie_rollup_hourly")
+        merged = delta.join(cur, ["hour", "event_type"], "left").select(
+            "hour",
+            "event_type",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.col("dn")).alias("n"),
+            (
+                F.coalesce(F.col("value_cents"), F.lit(0)) + F.col("dc")
+            ).alias("value_cents"),
+        )
+        from mie_spark.schemas import table_schema
+        from mie_spark.storage import now_s
+
+        marker = spark.createDataFrame(
+            [(stream_id, int(batch_id), now_s())],
+            schema=table_schema("mie_stream_commits"),
+        )
+        store.atomic_upsert_dfs(
+            {"mie_rollup_hourly": merged, "mie_stream_commits": marker}
+        )
+
+    return _apply
+
+
+def stream_exactly_once_rollup(
+    stream_df: "DataFrame",
+    store: Any,
+    stream_id: str = "rollup",
+    timeout_s: int = 300,
+) -> None:
+    """EXACTLY-ONCE streaming rollup over an at-least-once source — the
+    composition the r8 multi-table transaction exists for. Additive
+    counters are NOT replay-idempotent (unlike the bitmap family's
+    bit_or), so exactness needs a commit ledger, and the ledger is only
+    sound if it moves WITH the state: each micro-batch's merged rollup
+    rows and its (stream_id, batch_id) marker land through ONE
+    atomic_upsert_dfs manifest commit.
+
+    - Replayed batch (recovery rerun, at-least-once delivery): the
+      marker is already visible, the batch no-ops — counts never
+      double.
+    - Crash between state write and marker write: impossible by
+      construction — both are snapshots behind one manifest rename, so
+      either the batch fully happened or it fully didn't, and the
+      retry applies it exactly once.
+    - State is O(hours × types) rows; each batch rewrites only the
+      touched key-hash buckets (the store's MERGE), not the table.
+
+    batch_id is stable across recovery reruns of the SAME checkpointed
+    query, which is the replay class this defends against; re-running
+    against a fresh checkpoint is semantically a new ingest (pass a new
+    stream_id, or expect re-aggregation — same contract as Delta's
+    txn-version sinks)."""
+    foreach_batch_upsert(
+        stream_df, make_rollup_apply(store, stream_id), timeout_s=timeout_s
+    )

@@ -398,3 +398,81 @@ def test_bitmap_distinct_merges_and_replays_idempotently(spark, tmp_path):
 
     versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
     assert len(versions) <= 2
+
+
+def test_exactly_once_rollup_replay_and_crash(spark, tmp_path):
+    """The exactly-once contract of stream_exactly_once_rollup, driven
+    batch by batch: (a) a replayed batch_id is a no-op (additive
+    counters never double), (b) a crash injected before the manifest
+    rename exposes NEITHER the state nor the commit marker, and the
+    retry applies the batch exactly once, (c) the drained state equals
+    the one-shot batch aggregate."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mie_spark.sources import load_table
+    from mie_spark.storage import MieStore
+    from mie_spark.streaming import make_rollup_apply
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("ts", "event_type", "value")
+    ev = ev.localCheckpoint()
+    # three deterministic micro-batches split by day-of-month
+    parts = [
+        ev.filter(F.dayofmonth("ts") % 3 == i).localCheckpoint()
+        for i in range(3)
+    ]
+    store = MieStore(spark, path=str(tmp_path / "xo"), embedding_dim=4)
+    apply_fn = make_rollup_apply(store, stream_id="t")
+
+    apply_fn(parts[0], 0)
+    snap1 = {
+        (r["hour"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in store.table("mie_rollup_hourly").collect()
+    }
+    apply_fn(parts[0], 0)  # replay: must be a no-op
+    snap2 = {
+        (r["hour"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in store.table("mie_rollup_hourly").collect()
+    }
+    assert snap1 == snap2
+    assert store.table("mie_stream_commits").count() == 1
+
+    # crash before the commit point on batch 1: nothing of it lands
+    orig = store._commit_txn
+    store._commit_txn = lambda v: (_ for _ in ()).throw(
+        RuntimeError("injected crash")
+    )
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        apply_fn(parts[1], 1)
+    store._commit_txn = orig
+    assert store.table("mie_stream_commits").count() == 1  # no marker
+    snap3 = {
+        (r["hour"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in store.table("mie_rollup_hourly").collect()
+    }
+    assert snap3 == snap1  # no state either
+
+    # retry batch 1, then batch 2: exactly once each
+    apply_fn(parts[1], 1)
+    apply_fn(parts[2], 2)
+    assert store.table("mie_stream_commits").count() == 3
+
+    truth = {
+        (r["hour"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in ev.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+                "hour"
+            ),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("value_cents"))
+        .collect()
+    }
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in store.table("mie_rollup_hourly").collect()
+    }
+    assert got == truth
