@@ -155,6 +155,25 @@ def _py_native(value: Any, dtype) -> Any:  # noqa: ANN001
     return str(value)
 
 
+def _canon_select(df: DataFrame, schema, extra: tuple[str, ...] = ()) -> DataFrame:  # noqa: ANN001
+    """Cast-select to the canonical schema, filling columns the source
+    predates with typed NULLs (add-column schema evolution; see
+    MieStore.table). ``extra`` carries layout columns (``bkt``) that
+    live outside the logical schema."""
+    from pyspark.sql import functions as F
+
+    present = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in present
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema
+        ],
+        *extra,
+    )
+
+
 class MieStore:
     def __init__(
         self,
@@ -446,7 +465,6 @@ class MieStore:
         from pyspark.sql import functions as F
 
         schema = table_schema(table)
-        canon = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
 
         def residual(df: DataFrame) -> DataFrame:
             for col, (lo, hi) in ranges.items():
@@ -477,7 +495,7 @@ class MieStore:
                 keep.append(os.path.join(snap, rel))
         if not keep:
             return self.spark.createDataFrame([], schema)
-        return residual(self.spark.read.parquet(*keep).select(*canon))
+        return residual(_canon_select(self.spark.read.option("mergeSchema", "true").parquet(*keep), schema))
 
     # -- reads ------------------------------------------------------------
 
@@ -495,12 +513,22 @@ class MieStore:
                 return self.spark.createDataFrame([], schema)
             from pyspark.sql import functions as F
 
-            return self.spark.read.parquet(snap).select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
-            )
+            # SCHEMA EVOLUTION (add-column): a snapshot written before a
+            # column entered the canonical schema simply lacks it — read
+            # it as a typed NULL instead of failing the scan, the Delta
+            # mergeSchema read contract. The next merge writes the full
+            # current schema, so evolution completes lazily per table,
+            # one commit after the code ships. Removed/renamed columns
+            # are NOT silently dropped: the select keeps exactly the
+            # canonical set, and anything extra in old files is ignored
+            # the same way Delta ignores dead columns.
+            return _canon_select(self.spark.read.option("mergeSchema", "true").parquet(snap), schema)
         pdf = self._read_pdf(name)
         if pdf.empty:
             return self.spark.createDataFrame([], schema)
+        for f in schema:  # mem engine: same add-column contract
+            if f.name not in pdf.columns:
+                pdf[f.name] = None
         # parquet round-trips hand back numpy scalars/arrays, which
         # createDataFrame's strict type checks reject (e.g. numpy.float64
         # inside an ArrayType(FloatType) column) — coerce to python-native
@@ -530,7 +558,7 @@ class MieStore:
             return self.spark.createDataFrame([], schema)
         from pyspark.sql import functions as F
 
-        return self.spark.read.parquet(snap).select(
+        return self.spark.read.option("mergeSchema", "true").parquet(snap).select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
         )
 
@@ -752,7 +780,6 @@ class MieStore:
         from pyspark.sql import functions as F
 
         schema = table_schema(table)
-        canon = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
         keys = key_columns(table)
         new = new.withColumn("bkt", self._bkt(table))
         snap = self._snapshot_dir(table)
@@ -765,21 +792,21 @@ class MieStore:
         if not touched:  # empty batch: nothing to merge
             return None
         if not self._is_bucketed(snap) or len(touched) >= self.merge_buckets:
-            existing = self.spark.read.parquet(snap).select(*canon).withColumn(
-                "bkt", self._bkt(table)
-            )
+            existing = _canon_select(
+                self.spark.read.option("mergeSchema", "true").parquet(snap), schema
+            ).withColumn("bkt", self._bkt(table))
             kept = existing.join(
                 new.select(*keys).dropDuplicates(keys), keys, "left_anti"
             )
             return self._write_df(
                 table, kept.unionByName(new), defer_commit=defer_commit
             )
-        raw = self.spark.read.parquet(snap)
-        kept = (
-            raw.filter(F.col("bkt").isin(touched))  # partition pruning
-            .select(*canon, "bkt")
-            .join(new.select(*keys).dropDuplicates(keys), keys, "left_anti")
-        )
+        raw = self.spark.read.option("mergeSchema", "true").parquet(snap)
+        kept = _canon_select(
+            raw.filter(F.col("bkt").isin(touched)),  # partition pruning
+            schema,
+            extra=("bkt",),
+        ).join(new.select(*keys).dropDuplicates(keys), keys, "left_anti")
         nsnap, version = self._next_snapshot(table)
         kept.unionByName(new).write.mode("overwrite").partitionBy(
             "bkt"
@@ -841,8 +868,7 @@ class MieStore:
             from pyspark.sql import functions as F
 
             schema = table_schema(table)
-            canon = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
-            df = self.spark.read.parquet(snap).select(*canon).withColumn(
+            df = _canon_select(self.spark.read.option("mergeSchema", "true").parquet(snap), schema).withColumn(
                 "bkt", self._bkt(table)
             )
             nsnap, version = self._next_snapshot(table)
@@ -900,9 +926,10 @@ class MieStore:
             )
             if not touched:
                 return 0
-            canon = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
-            raw = self.spark.read.parquet(snap)
-            scanned = raw.filter(F.col("bkt").isin(touched)).select(*canon, "bkt")
+            raw = self.spark.read.option("mergeSchema", "true").parquet(snap)
+            scanned = _canon_select(
+                raw.filter(F.col("bkt").isin(touched)), schema, extra=("bkt",)
+            )
             removed = scanned.join(doomed, keys, "left_semi").count()
             if removed:
                 nsnap, version = self._next_snapshot(table)
@@ -1164,7 +1191,7 @@ class MieStore:
                         self._commit_snapshot(t, version)
                 else:
                     if has_data:
-                        pdf = self.spark.read.parquet(tsrc).toPandas()
+                        pdf = self.spark.read.option("mergeSchema", "true").parquet(tsrc).toPandas()
                         self._write_pdf(t, pdf)
                     else:
                         self._mem.pop(t, None)

@@ -1015,3 +1015,56 @@ def test_atomic_upsert_dfs_crash_exposes_neither_table(spark, tmp_path):
     assert out == {"mie_fact": 1, "mie_fact_embedding": 1}
     assert reader.table("mie_fact").count() == 1
     assert reader.table("mie_fact_embedding").count() == 1
+
+
+def test_schema_evolution_add_column_read_and_merge(spark, tmp_path):
+    """Add-column schema evolution: a snapshot written BEFORE a column
+    entered the canonical schema must (a) read back with the new
+    column as typed NULLs, (b) survive a point-lookup scan_pruned
+    path, and (c) be upsert-mergeable — the next merge writes the
+    full current schema. Simulated by writing a snapshot with a
+    REDUCED schema (as an old build would have) and reading with the
+    current one."""
+    from pyspark.sql import functions as F
+
+    from mie_spark import schemas as S
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "evo")
+    store = MieStore(spark, path=path, embedding_dim=4)
+    full = S.table_schema("mie_fact")
+    reduced = type(full)([f for f in full.fields if f.name != "confidence"])
+
+    import pytest as _pytest
+    from unittest import mock
+
+    with mock.patch.object(
+        S, "NODE_TABLES", {**S.NODE_TABLES, "mie_fact": reduced}
+    ):
+        # old build: writes rows that have never heard of `confidence`
+        old_store = MieStore(spark, path=path, embedding_dim=4)
+        old_store.upsert_rows(
+            "mie_fact",
+            [
+                {"id": f"fact:{i}", "content": f"c{i}", "valid": True}
+                for i in range(40)
+            ],
+        )
+
+    # new build reads the old snapshot: typed NULLs, no scan failure
+    rows = store.table("mie_fact").collect()
+    assert len(rows) == 40
+    assert all(r["confidence"] is None for r in rows)
+    assert store.table("mie_fact").schema["confidence"].dataType.simpleString() == "double"
+
+    # merge on top of the pre-evolution snapshot: old rows keep NULL,
+    # the new row carries a value, and the rewrite lands cleanly
+    store.upsert_rows(
+        "mie_fact",
+        [{"id": "fact:1", "content": "c1-new", "confidence": 0.9}],
+    )
+    by_id = {r["id"]: r for r in store.table("mie_fact").collect()}
+    assert len(by_id) == 40
+    assert by_id["fact:1"]["confidence"] == 0.9
+    assert by_id["fact:1"]["content"] == "c1-new"
+    assert by_id["fact:2"]["confidence"] is None
