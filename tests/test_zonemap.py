@@ -129,3 +129,34 @@ def test_delete_keeps_manifest_consistent(spark, tmp_path):
     assert set(manifest) == set(_part_files(snap))
     out = store.scan_pruned("mie_fact", {"created_at": (None, None)})
     assert out.count() == 58
+
+
+def test_scan_pruned_survives_schema_evolution(spark, tmp_path):
+    """The zone-map range scan reads individual kept FILES — exactly
+    where a pre-evolution file missing a new column would explode if
+    the canonical select didn't NULL-fill. Write under a reduced
+    schema, then range-scan with the current one."""
+    from unittest import mock
+
+    from mie_spark import schemas as S
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "zevo")
+    full = S.table_schema("mie_fact")
+    reduced = type(full)([f for f in full.fields if f.name != "confidence"])
+    with mock.patch.object(
+        S, "NODE_TABLES", {**S.NODE_TABLES, "mie_fact": reduced}
+    ):
+        old = MieStore(spark, path=path, embedding_dim=4)
+        old.upsert_rows(
+            "mie_fact",
+            [
+                {"id": f"fact:{i}", "content": f"c{i}", "created_at": i}
+                for i in range(50)
+            ],
+        )
+
+    store = MieStore(spark, path=path, embedding_dim=4)
+    out = store.scan_pruned("mie_fact", {"created_at": (10, 19)}).collect()
+    assert {r["id"] for r in out} == {f"fact:{i}" for i in range(10, 20)}
+    assert all(r["confidence"] is None for r in out)
