@@ -1068,3 +1068,60 @@ def test_schema_evolution_add_column_read_and_merge(spark, tmp_path):
     assert by_id["fact:1"]["confidence"] == 0.9
     assert by_id["fact:1"]["content"] == "c1-new"
     assert by_id["fact:2"]["confidence"] is None
+
+
+def test_atomic_upsert_crash_between_pointer_flips(spark, tmp_path):
+    """The subtlest crash point: AFTER the manifest rename and AFTER
+    table 1's pointer flip but BEFORE table 2's. The manifest is the
+    law: readers must see the NEW state of BOTH tables throughout
+    (table 1 via its flipped pointer, table 2 via the manifest), and
+    recovery on reopen finishes the second flip without disturbing
+    the first."""
+    import os
+
+    import pytest as _pytest
+
+    from mie_spark.storage import TXN_FILE, MieStore
+
+    path = str(tmp_path / "txn3")
+    store = MieStore(spark, path=path, embedding_dim=4)
+    store.upsert_rows("mie_fact", [{"id": "fact:1", "content": "old"}])
+
+    orig = store._commit_snapshot
+    calls = {"n": 0}
+
+    def flip_once_then_crash(table, version):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash between pointer flips")
+        orig(table, version)
+
+    store._commit_snapshot = flip_once_then_crash
+    with _pytest.raises(RuntimeError, match="between pointer flips"):
+        store.atomic_upsert_rows(
+            {
+                "mie_fact": [{"id": "fact:1", "content": "NEW"}],
+                "mie_invalidates": [
+                    {
+                        "new_fact_id": "fact:9",
+                        "old_fact_id": "fact:1",
+                        "reason": "supersede",
+                    }
+                ],
+            }
+        )
+    store._commit_snapshot = orig
+
+    # exactly one table's pointer flipped, but visibility is still
+    # all-or-nothing through the surviving manifest
+    assert os.path.exists(os.path.join(path, TXN_FILE))
+    assert {r["content"] for r in store.table("mie_fact").collect()} == {"NEW"}
+    assert store.table("mie_invalidates").count() == 1
+
+    reader = MieStore(spark, path=path, embedding_dim=4)  # roll-forward
+    assert not os.path.exists(os.path.join(path, TXN_FILE))
+    assert {r["content"] for r in reader.table("mie_fact").collect()} == {"NEW"}
+    assert reader.table("mie_invalidates").count() == 1
+    # and the store keeps working normally afterwards
+    reader.upsert_rows("mie_fact", [{"id": "fact:2", "content": "later"}])
+    assert reader.table("mie_fact").count() == 2
