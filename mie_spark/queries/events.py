@@ -1719,12 +1719,12 @@ def ev_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT event_type, length(bin(cents)) AS bucket
-      FROM c WHERE cents < 4611686018427387904
+      FROM c WHERE cents > 0 AND cents < 4611686018427387904
     )
     SELECT event_type,
            bucket::BIGINT AS bucket,
-           (2 ** (bucket - 1))::BIGINT AS lo_cents,
-           (2 ** bucket - 1)::BIGINT AS hi_cents,
+           (1::BIGINT << (bucket - 1))::BIGINT AS lo_cents,
+           ((1::BIGINT << bucket) - 1)::BIGINT AS hi_cents,
            count(*)::BIGINT AS n
     FROM b GROUP BY event_type, bucket
     """,
@@ -1747,12 +1747,18 @@ def ev_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    # guard the shift cap explicitly: cents < 2^62 keeps every bucket
-    # <= 62, where shiftleft agrees across engines (DuckDB rejects
-    # 1<<63 as overflow, Spark wraps silently — round-7 doctrine). A
-    # corpus that actually exceeded it would need the top bucket
-    # widened to [2^62, max], not a bigger shift.
-    b = c.filter(F.col("cents") < F.lit(1 << 62)).select(
+    # guard the shift cap explicitly: 0 < cents < 2^62 keeps every
+    # bucket in [1, 62], where shiftleft agrees across engines (DuckDB
+    # rejects 1<<63 as overflow, Spark wraps silently — round-7
+    # doctrine; the oracle's bounds use integer shifts too, since
+    # DuckDB's `2 ** b` is a DOUBLE pow that absorbs the -1 above
+    # 2^53). cents > 0 also keeps sub-half-cent positives out of
+    # bucket 1 (bin(0) is the string "0": length 1, wrong bucket). A
+    # corpus exceeding the cap needs the top bucket widened to
+    # [2^62, max], not a bigger shift.
+    b = c.filter(
+        (F.col("cents") > 0) & (F.col("cents") < F.lit(1 << 62))
+    ).select(
         "event_type", F.length(F.bin("cents")).cast("long").alias("bucket")
     )
     return b.groupBy("event_type", "bucket").agg(

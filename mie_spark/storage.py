@@ -556,10 +556,11 @@ class MieStore:
         schema = table_schema(name)
         if not self._has_parquet(snap):
             return self.spark.createDataFrame([], schema)
-        from pyspark.sql import functions as F
-
-        return self.spark.read.option("mergeSchema", "true").parquet(snap).select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
+        # same add-column NULL-fill as table(): a pinned version is the
+        # reader MOST likely to predate a schema evolution
+        return _canon_select(
+            self.spark.read.option("mergeSchema", "true").parquet(snap),
+            schema,
         )
 
     # -- writes -----------------------------------------------------------
@@ -702,9 +703,17 @@ class MieStore:
         """Steps 2+3 of the transaction protocol: the atomic manifest
         rename (commit point), then per-table pointer roll-forward and
         manifest removal. Callers hold the write lock and have already
-        prepared every snapshot with defer_commit=True."""
+        prepared every snapshot with defer_commit=True.
+
+        A pending manifest from an EARLIER commit whose roll-forward
+        raised mid-flip (process still alive, exception swallowed by
+        the caller) is finished FIRST — overwriting it would silently
+        unpublish that transaction's committed-but-unflipped versions
+        for every reader that consults the manifest."""
         if not versions:
             return
+        if self._txn_manifest():
+            self._recover_txn()
         tmp = os.path.join(self.path, TXN_FILE + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(versions, fh)
@@ -714,7 +723,7 @@ class MieStore:
         os.remove(os.path.join(self.path, TXN_FILE))
 
     def atomic_upsert_dfs(
-        self, updates: dict[str, DataFrame]
+        self, updates: dict[str, DataFrame], checkpoint: bool = True
     ) -> dict[str, int]:
         """DataFrame form of :meth:`atomic_upsert_rows` — the streaming
         foreachBatch sink shape: a micro-batch that lands rows in N
@@ -723,7 +732,11 @@ class MieStore:
         hasn't reached (or a crash mid-batch expose half a batch).
         Each input is localCheckpoint'ed once: the merge write and the
         returned count both consume it, and an expensive lineage (a
-        mapInPandas embedding stage) must not execute twice."""
+        mapInPandas embedding stage) must not execute twice. Callers
+        whose inputs already branch from a checkpoint (the embed sink
+        checkpoints once and derives both tables' frames from it) pass
+        ``checkpoint=False`` to skip a redundant materialization per
+        table per micro-batch."""
         updates = dict(updates)
         if not updates:
             return {}
@@ -734,7 +747,8 @@ class MieStore:
                 for table, df in sorted(updates.items()):
                     keys = key_columns(table)
                     cols = [f.name for f in table_schema(table)]
-                    df = df.localCheckpoint()
+                    if checkpoint:
+                        df = df.localCheckpoint()
                     existing = self.table(table)
                     kept = existing.join(
                         df.select(*keys).dropDuplicates(keys),
@@ -753,7 +767,8 @@ class MieStore:
             for table, df in sorted(updates.items()):
                 keys = key_columns(table)
                 cols = [f.name for f in table_schema(table)]
-                df = df.localCheckpoint()
+                if checkpoint:
+                    df = df.localCheckpoint()
                 v = self._merge_and_write(
                     table,
                     df.dropDuplicates(keys).select(*cols),

@@ -638,13 +638,17 @@ def embed_and_upsert_stream(
             F.lit(0).cast("long").alias("created_at"),
             F.lit(0).cast("long").alias("updated_at"),
         )
+        # checkpoint=False: both frames branch from `embedded`, which
+        # is already localCheckpoint'ed above — re-materializing each
+        # would cost two extra block-manager writes per micro-batch
         store.atomic_upsert_dfs(
             {
                 "mie_fact": facts,
                 "mie_fact_embedding": embedded.select(
                     F.col("id").alias("fact_id"), "embedding"
                 ),
-            }
+            },
+            checkpoint=False,
         )
 
     foreach_batch_upsert(stream_df, apply_batch, timeout_s=timeout_s)

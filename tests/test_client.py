@@ -1125,3 +1125,87 @@ def test_atomic_upsert_crash_between_pointer_flips(spark, tmp_path):
     # and the store keeps working normally afterwards
     reader.upsert_rows("mie_fact", [{"id": "fact:2", "content": "later"}])
     assert reader.table("mie_fact").count() == 2
+
+
+def test_second_txn_finishes_pending_rollforward_first(spark, tmp_path):
+    """Review finding (r8): if txn1's roll-forward dies mid-flip and
+    the process keeps running, txn2's commit must FINISH txn1's flips
+    before replacing the manifest — otherwise replacing it would
+    unpublish txn1's committed-but-unflipped versions in-process."""
+    import pytest as _pytest
+
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "txn4")
+    store = MieStore(spark, path=path, embedding_dim=4)
+    store.upsert_rows("mie_fact", [{"id": "fact:1", "content": "old"}])
+
+    orig = store._commit_snapshot
+    calls = {"n": 0}
+
+    def crash_first_flip(table, version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("mid-flip crash in txn1")
+        orig(table, version)
+
+    store._commit_snapshot = crash_first_flip
+    with _pytest.raises(RuntimeError, match="mid-flip"):
+        store.atomic_upsert_rows(
+            {
+                "mie_fact": [{"id": "fact:1", "content": "TXN1"}],
+                "mie_invalidates": [
+                    {
+                        "new_fact_id": "fact:9",
+                        "old_fact_id": "fact:1",
+                        "reason": "txn1",
+                    }
+                ],
+            }
+        )
+    store._commit_snapshot = orig
+
+    # txn2 touches a DIFFERENT table pair; it must not clobber txn1
+    store.atomic_upsert_rows(
+        {"mie_entity": [{"id": "ent:1", "name": "n", "kind": "other"}]}
+    )
+    assert {r["content"] for r in store.table("mie_fact").collect()} == {
+        "TXN1"
+    }
+    assert store.table("mie_invalidates").count() == 1
+    assert store.table("mie_entity").count() == 1
+    # and the NEXT regular write merges from txn1's base, not below it
+    store.upsert_rows("mie_fact", [{"id": "fact:2", "content": "later"}])
+    by_id = {r["id"]: r["content"] for r in store.table("mie_fact").collect()}
+    assert by_id == {"fact:1": "TXN1", "fact:2": "later"}
+
+
+def test_table_at_reads_pre_evolution_snapshot(spark, tmp_path):
+    """Review finding (r8): time-travel (and diff_versions on top of
+    it) is the reader MOST likely to hit a snapshot written before a
+    column existed — it must NULL-fill like table() does."""
+    from unittest import mock
+
+    from mie_spark import schemas as S
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "evo_tt")
+    full = S.table_schema("mie_fact")
+    reduced = type(full)([f for f in full.fields if f.name != "confidence"])
+    with mock.patch.object(
+        S, "NODE_TABLES", {**S.NODE_TABLES, "mie_fact": reduced}
+    ):
+        old = MieStore(spark, path=path, embedding_dim=4)
+        old.upsert_rows("mie_fact", [{"id": "fact:1", "content": "v1"}])
+
+    store = MieStore(spark, path=path, embedding_dim=4)
+    pinned = store.pin_current("mie_fact")
+    store.upsert_rows(
+        "mie_fact", [{"id": "fact:1", "content": "v2", "confidence": 0.5}]
+    )
+    tt = store.table_at("mie_fact", pinned).collect()
+    assert [r["content"] for r in tt] == ["v1"]
+    assert tt[0]["confidence"] is None
+    # diff across the evolution boundary works too
+    diff = store.diff_versions("mie_fact", pinned, store._snapshot_dir("mie_fact").rsplit("/", 1)[-1])
+    assert diff.count() >= 1

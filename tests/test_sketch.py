@@ -289,9 +289,15 @@ def test_cms_estimate_one_sided_and_replayable(spark):
 def test_log_histogram_buckets_match_python_bit_length(spark):
     """ev_log_histogram's bucket function (length of bin(cents)) must
     equal int.bit_length — the integer-exact DDSketch bucket — and the
-    histogram must tile: per type, sum(n) == count of positive-value
-    events, and every value's cents lands inside its bucket bounds."""
+    histogram must tile: per type, sum(n) == count of positive-cents
+    events, and bucket bounds are the exact powers of two. cents are
+    collected from the ENGINE's own rounding expression (Spark F.round
+    is HALF_UP on the decimal repr; Python round() is half-to-even —
+    recomputing cents host-side would disagree on exact .5 doubles and
+    misplace any value whose tie crosses a power of two)."""
     from collections import Counter
+
+    from pyspark.sql import functions as F
 
     from mie_spark.queries import QUERIES
     from mie_spark.sources import load_table
@@ -299,13 +305,20 @@ def test_log_histogram_buckets_match_python_bit_length(spark):
     sf = "/root/testdata/sf0.001"
     out = QUERIES["ev_log_histogram"](spark, sf).collect()
     assert out
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
     truth = Counter()
-    ev = load_table(spark, sf, "events").select("event_type", "value").collect()
     n_pos = Counter()
     for r in ev:
-        if r["value"] > 0:
-            cents = int(round(r["value"] * 100))
-            truth[(r["event_type"], cents.bit_length())] += 1
+        if r["cents"] > 0:
+            truth[(r["event_type"], r["cents"].bit_length())] += 1
             n_pos[r["event_type"]] += 1
     got = {(r["event_type"], r["bucket"]): r["n"] for r in out}
     assert got == dict(truth)
