@@ -147,6 +147,7 @@ HEADLINE = [
     "g_link_prediction",         # RA-index link prediction, in-row pairs
     "ev_ordered_funnel",         # ordered funnel, chained in-row stage mins
     "st_txn_rollup",             # exactly-once txn streaming rollup
+    "ev_cohort_ltv",             # cohort LTV triangle, integer cents
 ]
 
 

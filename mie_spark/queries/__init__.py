@@ -120,6 +120,10 @@ _GRADE_FIRST = [
     # bitmap twins dodge); the drained state must equal the one-shot
     # batch rollup bit for bit.
     "st_txn_rollup",
+    # ... and the cohort LTV triangle (revenue per signup-cohort x
+    # month-age in exact integer cents — ev_retention's revenue
+    # sibling; integer calendar arithmetic, every cell hash-graded).
+    "ev_cohort_ltv",
     # The four pregel-rewritten graph queries: rewritten over the
     # shared aggregate_messages primitive in r7, driver-graded only on
     # the pre-rewrite form (CC/PPR/HITS/MIS carried the primitive's
@@ -154,7 +158,9 @@ _GRADE_FIRST = [
     # (text_token_histogram yielded its slot to the new ev_cms_topk:
     # five text-family siblings stay in-window; it heads the r9 queue
     # with ev_unpivot.)
-    "ev_anomalies",
+    # (ev_anomalies yielded its slot to the new ev_cohort_ltv —
+    # ev_anomaly_zscore carries the outlier family's bench + r05 row;
+    # it joins the r9 queue.)
     # (ev_funnel yielded its slot to ev_ordered_funnel — the ordered
     # variant is the stronger funnel evidence; the unordered census
     # joins the r9 queue.)
@@ -185,8 +191,8 @@ _GRADE_FIRST = [
     "v_knn_join_nodes",
     # r9 queue — HEAD: ev_unpivot, text_token_histogram,
     # ev_top_spenders, ev_value_percentiles, ev_funnel,
-    # samp_hash_split, pipe_training_manifest (displaced above by the
-    # seven late-r8 additions),
+    # samp_hash_split, pipe_training_manifest, ev_anomalies (displaced
+    # above by the eight late-r8 additions),
     # then any query whose code changes in the rest of r8, then the
     # r05-era rows
     # (s1_scan_projection, s7_raw_sql, f6_range_revenue,

@@ -1941,3 +1941,59 @@ def ev_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(t3 - t2) div 1000000"),
         ).alias("purchase_lag_s"),
     )
+
+
+@query(
+    "ev_cohort_ltv",
+    oracle="""
+    WITH fu AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cm
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, date_trunc('month', ts) AS em,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (SELECT fu.cm, r.em, r.user_id, r.cents FROM r JOIN fu USING (user_id))
+    SELECT strftime(cm, '%Y-%m') AS cohort_month,
+           ((year(em) * 12 + month(em))
+            - (year(cm) * 12 + month(cm)))::BIGINT AS month_age,
+           count(DISTINCT user_id)::BIGINT AS n_buyers,
+           sum(cents)::BIGINT AS revenue_cents
+    FROM j GROUP BY cm, em
+    """,
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — revenue per (signup cohort, months since
+    signup), the warehouse staple behind every LTV curve and payback
+    chart (ev_retention's sibling: that one counts active USERS, this
+    one sums purchase REVENUE, exact integer cents). Month age is pure
+    integer calendar arithmetic (y*12+m differencing), so every cell
+    hash-grades. Plan: one grouped pass assigns each user's cohort
+    month (min ts), broadcast back over the purchase stream (users ≪
+    events), one (cohort, month) aggregate — two shuffles total, both
+    on small keys; the events scan prunes to purchases before the
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    fu = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cm")
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("month", "ts").alias("em"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = r.join(F.broadcast(fu), "user_id")
+    age = (
+        F.year("em") * 12 + F.month("em") - (F.year("cm") * 12 + F.month("cm"))
+    ).cast("long")
+    return j.groupBy("cm", "em").agg(
+        F.count_distinct("user_id").alias("n_buyers"),
+        F.sum("cents").alias("revenue_cents"),
+    ).select(
+        F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+        age.alias("month_age"),
+        "n_buyers",
+        "revenue_cents",
+    )
