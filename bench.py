@@ -241,14 +241,27 @@ def main() -> None:
 
 
 def _baseline_rows() -> dict[str, float]:
-    """Parse `| name | secs | note |` rows out of BASELINE.md (best
-    effort — bench must keep working if the file moves or reformats)."""
+    """Parse `| name | secs | note |` rows out of BASELINE.md's query
+    table ONLY — the parse is anchored to the `sec @ sf0.1` header so a
+    non-query table added elsewhere in the file can't pollute
+    vs_baseline (ADVICE r8); a second guard intersects with HEADLINE in
+    main(). Best effort — bench must keep working if the file moves."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     rows: dict[str, float] = {}
+    in_table = False
     try:
         with open(path, encoding="utf-8") as fh:
             for line in fh:
-                parts = [p.strip() for p in line.strip().strip("|").split("|")]
+                stripped = line.strip()
+                if not stripped.startswith("|"):
+                    in_table = False
+                    continue
+                if "sec @ sf0.1" in stripped:
+                    in_table = True
+                    continue
+                if not in_table:
+                    continue
+                parts = [p.strip() for p in stripped.strip("|").split("|")]
                 if len(parts) >= 2:
                     # some rows annotate the name: `q1_pricing_summary
                     # (A1/A4 wide agg)` — the query name is token one

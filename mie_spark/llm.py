@@ -28,6 +28,11 @@ import time
 import urllib.request
 from dataclasses import dataclass, field
 
+# Public Anthropic REST API version header, identical to the one the
+# reference sends (pkg/llm/provider.go:157) — a documented public API
+# constant, not an internal identifier.
+_ANTHROPIC_API_VERSION = "2023-06-01"
+
 _DEF_ANTHROPIC_MODELS = [
     # pkg/llm/provider.go:626-634 — Anthropic has no public models
     # endpoint; the reference returns a static list.
@@ -394,7 +399,10 @@ class AnthropicLLMProvider:
         if "stop" in params:
             payload["stop_sequences"] = params.pop("stop")
         payload.update(params)
-        headers = {"x-api-key": self.api_key, "anthropic-version": "2023-06-01"}
+        headers = {
+            "x-api-key": self.api_key,
+            "anthropic-version": _ANTHROPIC_API_VERSION,
+        }
         t0 = time.monotonic()
         out = _retry(
             lambda: _http_json(f"{self.base_url}/messages", payload, headers),

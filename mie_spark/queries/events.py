@@ -1260,12 +1260,18 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doctrine); recency is an integer day difference against the corpus
     max purchase date.
 
-    Plan: one user_id aggregate over the filtered scan, then three
-    global-order windows over the |users|-row aggregate (tiny — the
-    single-partition window warning applies to |users| rows, never
-    events; at 100 TB the per-metric ranking would repartitionByRange
-    on the metric and add per-partition offsets, the same pattern as
-    samp_shuffle_shards)."""
+    Plan: one user_id aggregate over the filtered scan, then the three
+    global ranks computed as a DISTRIBUTED two-level rank (the
+    ev_concurrency carry pattern): the three metrics melt into one
+    (metric, sort_key, user_id) stream (descending metrics negated so
+    every order is ascending), repartitionByRange over the composite
+    key gives range-ordered partitions, row_number runs PARTITIONED by
+    (partition, metric), and the exact global rank adds a per-partition
+    prefix-count carry (|partitions| x 3 rows — the bounded exception,
+    like ev_concurrency's per-day carry). Because the composite key is
+    unique, the reassembled rank is exact no matter where the range
+    sampler drops its boundaries, so the hash is partitioning-proof.
+    No unpartitioned window ever sees a |users|-scaled input."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -1282,26 +1288,57 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mon_cents",
     )
     n = base.agg(F.count(F.lit(1)).alias("n_users"))
-    rr = Window.orderBy("recency_days", "user_id")
-    rf = Window.orderBy(F.col("frequency").desc(), "user_id")
-    rm = Window.orderBy(F.col("mon_cents").desc(), "user_id")
-    ranked = base.select(
-        "*",
-        F.row_number().over(rr).alias("rr"),
-        F.row_number().over(rf).alias("rf"),
-        F.row_number().over(rm).alias("rm"),
-    ).crossJoin(F.broadcast(n))
-    score = lambda r: (F.lit(4) - F.expr(f"(({r} - 1) * 4) div n_users")).alias(
-        f"{r[1]}_score"
+    # melt: one row per (user, metric); descending metrics negate so a
+    # single ascending (metric, v, user_id) order ranks all three
+    melted = base.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("r").alias("m"), F.col("recency_days").alias("v")),
+                F.struct(F.lit("f").alias("m"), (-F.col("frequency")).alias("v")),
+                F.struct(F.lit("m").alias("m"), (-F.col("mon_cents")).alias("v")),
+            )
+        ).alias("x"),
+    ).select("user_id", "x.m", "x.v")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = melted.repartitionByRange(nparts, "m", "v", "user_id").withColumn(
+        "pid", F.spark_partition_id()
     )
-    return ranked.select(
+    # the carry branch re-reads parts; materialize the range shuffle
+    # once so the lineage (scan + user agg + explode) runs once
+    parts = parts.localCheckpoint(eager=False)
+    in_part = Window.partitionBy("pid", "m").orderBy("v", "user_id")
+    rn = parts.withColumn("rn", F.row_number().over(in_part))
+    carry_w = Window.partitionBy("m").orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        parts.groupBy("pid", "m")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("off", F.coalesce(F.sum("c").over(carry_w), F.lit(0)))
+        .select("pid", "m", "off")
+    )
+    ranked = rn.join(F.broadcast(carry), ["pid", "m"]).withColumn(
+        "rank", F.col("rn") + F.col("off")
+    )
+    scores = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("score", F.lit(4) - F.expr("((rank - 1) * 4) div n_users"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("m") == "r", F.col("score"))).alias("r_score"),
+            F.max(F.when(F.col("m") == "f", F.col("score"))).alias("f_score"),
+            F.max(F.when(F.col("m") == "m", F.col("score"))).alias("m_score"),
+        )
+    )
+    return base.join(scores, "user_id").select(
         "user_id",
         "recency_days",
         "frequency",
         "mon_cents",
-        score("rr"),
-        score("rf"),
-        score("rm"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -1971,10 +2008,13 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sums purchase REVENUE, exact integer cents). Month age is pure
     integer calendar arithmetic (y*12+m differencing), so every cell
     hash-grades. Plan: one grouped pass assigns each user's cohort
-    month (min ts), broadcast back over the purchase stream (users ≪
-    events), one (cohort, month) aggregate — two shuffles total, both
-    on small keys; the events scan prunes to purchases before the
-    join."""
+    month (min ts), joined back over the purchase stream, one (cohort,
+    month) aggregate; the events scan prunes to purchases before the
+    join. The per-user cohort dimension is UNBOUNDED (grows with
+    |users|), so the join carries no forced broadcast hint — AQE
+    promotes it to a broadcast join when the built side fits (it does
+    at bench SFs) and falls back to shuffle join at 100 TB instead of
+    OOMing the driver."""
     ev = load_table(spark, sf_dir, "events")
     fu = ev.groupBy("user_id").agg(
         F.date_trunc("month", F.min("ts")).alias("cm")
@@ -1984,7 +2024,7 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "ts").alias("em"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    j = r.join(F.broadcast(fu), "user_id")
+    j = r.join(fu, "user_id")
     age = (
         F.year("em") * 12 + F.month("em") - (F.year("cm") * 12 + F.month("cm"))
     ).cast("long")

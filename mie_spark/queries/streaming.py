@@ -440,6 +440,7 @@ def st_txn_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary. Crash/replay injection lives in tests/test_streaming.py;
     the maxFilesPerTrigger=1-style batching here comes from the file
     source's natural splits."""
+    import shutil
     import tempfile
 
     from mie_spark.storage import MieStore
@@ -448,13 +449,17 @@ def st_txn_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_exactly_once_rollup,
     )
 
-    store = MieStore(
-        spark, path=tempfile.mkdtemp(prefix="txn_rollup_"), embedding_dim=4
-    )
+    scratch = tempfile.mkdtemp(prefix="txn_rollup_")
+    store = MieStore(spark, path=scratch, embedding_dim=4)
     stream = read_events_stream(spark, sf_dir).select(
         "ts", "event_type", "value"
     )
     stream_exactly_once_rollup(stream, store, stream_id="st_txn_rollup")
-    return store.table("mie_rollup_hourly").select(
+    # The drained state is bounded (hours x event types): pin it into
+    # the block manager so the scratch store can be removed NOW rather
+    # than leaking a txn_rollup_* dir per invocation (ADVICE r8).
+    out = store.table("mie_rollup_hourly").select(
         "hour", "event_type", "n", "value_cents"
-    )
+    ).localCheckpoint()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -592,17 +592,18 @@ class MieStore:
         )
         return new, len(by_key)
 
-    def _upsert_rows_locked(self, table: str, rows: list[dict[str, Any]]) -> int:
-        schema = table_schema(table)
-        cols = [f.name for f in schema]
+    def _merge_pdf(
+        self, table: str, rows: list[dict[str, Any]]
+    ) -> tuple[pd.DataFrame, int]:
+        """Mem-engine merge: NULL-fill the batch to the table schema,
+        replace existing rows on key match, intra-batch dedup (last
+        write wins, like sequential :put). Shared by the single-table
+        and transactional upsert paths — key/schema semantics live in
+        exactly one place. Returns (merged frame, unique-key count)."""
+        cols = [f.name for f in table_schema(table)]
         keys = key_columns(table)
-        if self.path is not None:
-            new, n = self._rows_to_df(table, rows)
-            self._merge_and_write(table, new)
-            return n
         new = pd.DataFrame(rows)
-        missing = set(cols) - set(new.columns)
-        for col in missing:
+        for col in set(cols) - set(new.columns):
             new[col] = None
         new = new[cols]
         existing = self._read_pdf(table)
@@ -613,10 +614,18 @@ class MieStore:
             merged_keys = new[keys].apply(tuple, axis=1)
             mask = existing[keys].apply(tuple, axis=1).isin(set(merged_keys))
             out = pd.concat([existing[~mask], new], ignore_index=True)
-        # intra-batch dedup: last write wins, like sequential :put
         out = out.drop_duplicates(subset=keys, keep="last")
+        n = len({tuple(r.get(k) for k in keys) for r in rows})
+        return out, n
+
+    def _upsert_rows_locked(self, table: str, rows: list[dict[str, Any]]) -> int:
+        if self.path is not None:
+            new, n = self._rows_to_df(table, rows)
+            self._merge_and_write(table, new)
+            return n
+        out, n = self._merge_pdf(table, rows)
         self._write_pdf(table, out)
-        return len({tuple(r.get(k) for k in keys) for r in rows})
+        return n
 
     def upsert_df(self, table: str, df: DataFrame) -> int:
         """Distributed upsert: used by bulk ingest paths where the new
@@ -660,30 +669,7 @@ class MieStore:
                 built: dict[str, pd.DataFrame] = {}
                 counts: dict[str, int] = {}
                 for table, rows in sorted(updates.items()):
-                    keys = key_columns(table)
-                    cols = [f.name for f in table_schema(table)]
-                    new = pd.DataFrame(rows)
-                    for col in set(cols) - set(new.columns):
-                        new[col] = None
-                    new = new[cols]
-                    existing = self._read_pdf(table)
-                    if existing.empty:
-                        out = new
-                    else:
-                        merged_keys = new[keys].apply(tuple, axis=1)
-                        mask = (
-                            existing[keys]
-                            .apply(tuple, axis=1)
-                            .isin(set(merged_keys))
-                        )
-                        out = pd.concat(
-                            [existing[~mask], new], ignore_index=True
-                        )
-                    out = out.drop_duplicates(subset=keys, keep="last")
-                    built[table] = out
-                    counts[table] = len(
-                        {tuple(r.get(k) for k in keys) for r in rows}
-                    )
+                    built[table], counts[table] = self._merge_pdf(table, rows)
                 for table, out in built.items():  # all-or-nothing assign
                     self._write_pdf(table, out)
                 return counts
@@ -730,13 +716,15 @@ class MieStore:
         tables (e.g. nodes + their embeddings) commits them with ONE
         manifest rename, so a reader never sees a node its embedding
         hasn't reached (or a crash mid-batch expose half a batch).
-        Each input is localCheckpoint'ed once: the merge write and the
-        returned count both consume it, and an expensive lineage (a
-        mapInPandas embedding stage) must not execute twice. Callers
-        whose inputs already branch from a checkpoint (the embed sink
-        checkpoints once and derives both tables' frames from it) pass
-        ``checkpoint=False`` to skip a redundant materialization per
-        table per micro-batch."""
+        Each input is localCheckpoint'ed once (after key-dedup): the
+        merge write and the returned count both consume it, and an
+        expensive lineage (a mapInPandas embedding stage) must not
+        execute twice. Callers whose inputs already branch from a
+        checkpoint (the embed sink checkpoints once and derives both
+        tables' frames from it) pass ``checkpoint=False`` to skip a
+        redundant materialization per table per micro-batch. Returned
+        counts are unique-KEY counts after intra-batch dedup, the same
+        contract as :meth:`atomic_upsert_rows`."""
         updates = dict(updates)
         if not updates:
             return {}
@@ -747,19 +735,19 @@ class MieStore:
                 for table, df in sorted(updates.items()):
                     keys = key_columns(table)
                     cols = [f.name for f in table_schema(table)]
+                    deduped = df.dropDuplicates(keys)
                     if checkpoint:
-                        df = df.localCheckpoint()
+                        deduped = deduped.localCheckpoint()
                     existing = self.table(table)
                     kept = existing.join(
-                        df.select(*keys).dropDuplicates(keys),
-                        keys,
-                        "left_anti",
+                        deduped.select(*keys), keys, "left_anti"
                     )
                     merged = kept.select(*cols).unionByName(
-                        df.dropDuplicates(keys).select(*cols)
+                        deduped.select(*cols)
                     )
                     built[table] = merged.toPandas()
-                    counts[table] = df.count()
+                    # unique-key count, matching atomic_upsert_rows
+                    counts[table] = deduped.count()
                 for table, pdf in built.items():  # all-or-nothing assign
                     self._write_pdf(table, pdf)
                 return counts
@@ -767,14 +755,16 @@ class MieStore:
             for table, df in sorted(updates.items()):
                 keys = key_columns(table)
                 cols = [f.name for f in table_schema(table)]
+                deduped = df.dropDuplicates(keys)
                 if checkpoint:
-                    df = df.localCheckpoint()
+                    deduped = deduped.localCheckpoint()
                 v = self._merge_and_write(
                     table,
-                    df.dropDuplicates(keys).select(*cols),
+                    deduped.select(*cols),
                     defer_commit=True,
                 )
-                counts[table] = df.count()
+                # unique-key count, matching atomic_upsert_rows
+                counts[table] = deduped.count()
                 if v is not None:
                     versions[table] = v
             self._commit_txn(versions)

@@ -323,6 +323,19 @@ def test_copurchase_pairs_generated_in_row(spark):
     assert exchange_count(df) <= 5
 
 
+def test_rfm_ranks_are_distributed(spark):
+    """ev_rfm's three global ranks run as a two-level rank: every
+    WindowExec in the plan must carry a partition spec (an empty
+    partition bracket `], [], [` is the single-partition global sort
+    this rewrite removed), and the per-partition offset carry must
+    arrive by broadcast."""
+    df = QUERIES["ev_rfm"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # the two-level rank still uses windows...
+    assert "], [], [" not in plan  # ...but none of them is global
+    assert broadcast_join_count(df) >= 2  # carry + n_users scalar
+
+
 def test_scd2_single_user_exchange(spark):
     """Both SCD-2 window passes ride ONE user_id exchange."""
     df = QUERIES["ev_scd2_intervals"](spark, SF)
