@@ -148,6 +148,8 @@ HEADLINE = [
     "ev_ordered_funnel",         # ordered funnel, chained in-row stage mins
     "st_txn_rollup",             # exactly-once txn streaming rollup
     "ev_cohort_ltv",             # cohort LTV triangle, integer cents
+    # round-9 additions, benched from day one
+    "pipe_quality_buckets_cuts", # tercile census via distributed rank cuts
 ]
 
 

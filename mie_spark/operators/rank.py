@@ -1,0 +1,78 @@
+"""Distributed global ranking: the two-level rank.
+
+A global ``row_number() OVER (ORDER BY ...)`` forces every row through
+one WindowExec partition — the classic 100 TB sort bottleneck (Spark
+even warns ``No Partition Defined``). The scale-correct equivalent is a
+two-level rank: range-partition on the sort key so partitions are
+globally ordered, take an ordinary PARTITIONED row_number inside each,
+and add a per-partition prefix-count carry (|partitions| rows, joined
+back by broadcast). When the sort key is UNIQUE the reassembled rank is
+exact no matter where the range sampler drops its boundaries, so the
+result is partitioning-proof and deterministic.
+
+This is the pattern ev_concurrency pioneered for prefix sums
+(queries/events.py) generalized to ranking; ev_rfm and the quantile
+cut-point queries build on it. The reference has no distributed analog
+(single-node CozoDB sorts in-process); this operator is what makes the
+same semantics survive a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def two_level_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    part_cols: Sequence[str] = (),
+    nparts: int | None = None,
+    out: str = "rank",
+) -> DataFrame:
+    """Append exact global ``row_number`` (per ``part_cols`` group,
+    ordered by ``order_cols`` ascending) as column ``out`` — without a
+    single-partition window.
+
+    ``part_cols + order_cols`` together must be a UNIQUE key (ties
+    would make the rank depend on range-sampler boundary placement;
+    callers append a unique id column as the final tiebreak, exactly as
+    they would under a global window). Descending orders are expressed
+    by negating the column before calling (the ev_rfm melt pattern).
+
+    Plan shape: one range exchange (materialized once via lazy
+    localCheckpoint so the carry branch does not re-run the lineage),
+    one partitioned window, one |partitions|-row aggregate whose
+    prefix-sum window is the bounded exception, one broadcast join.
+    """
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    if nparts is None:
+        nparts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    keyed = df.repartitionByRange(
+        nparts, *(part_cols + order_cols)
+    ).withColumn("_pid", F.spark_partition_id())
+    keyed = keyed.localCheckpoint(eager=False)
+    in_part = Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
+    rn = keyed.withColumn("_rn", F.row_number().over(in_part))
+    carry_w = (
+        Window.partitionBy(*part_cols).orderBy("_pid")
+        if part_cols
+        else Window.orderBy("_pid")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        keyed.groupBy("_pid", *part_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_off", F.coalesce(F.sum("_c").over(carry_w), F.lit(0)))
+        .select("_pid", *part_cols, "_off")
+    )
+    return (
+        rn.join(F.broadcast(carry), ["_pid", *part_cols])
+        .withColumn(out, F.col("_rn") + F.col("_off"))
+        .drop("_pid", "_rn", "_off")
+    )

@@ -5,6 +5,7 @@ from mie_spark.plans.explain import (
     formatted_plan,
     pushed_filters,
     read_schemas,
+    unpartitioned_window_count,
     wholestage_codegen_spans,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "formatted_plan",
     "pushed_filters",
     "read_schemas",
+    "unpartitioned_window_count",
     "wholestage_codegen_spans",
 ]

@@ -146,6 +146,37 @@ def cartesian_product_count(df: DataFrame) -> int:
     )
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of WindowExec nodes with NO partition spec — each one
+    funnels its whole input through a single task (Spark's
+    "No Partition Defined" warning). The executed-plan string prints a
+    partitioned window as ``Window [exprs], [partSpec], [orderSpec]``
+    and an unpartitioned one with the middle group MISSING (not as an
+    empty ``[]``), so this counts top-level bracket groups per Window
+    line: two groups = global window. The repo rule: zero on any
+    data-scaled input; the only sanctioned uses are provably bounded
+    carriers (per-day carry in ev_concurrency, per-partition count
+    carry in operators/rank.py) and those pin ``<= 1`` per query."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        depth = 0
+        groups = 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            n += 1
+    return n
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """How many WholeStageCodegen regions the plan compiles to. More,
     wider spans = more of the query runs as generated JVM loops instead

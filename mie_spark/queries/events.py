@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mie_spark.operators.rank import two_level_rank
 from mie_spark.queries import query
 from mie_spark.sources import load_table
 
@@ -1287,6 +1288,9 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "mon_cents",
     )
+    # three consumers (n_users agg, melt, final join-back): materialize
+    # the per-user aggregate once so the events scan runs once
+    base = base.localCheckpoint(eager=False)
     n = base.agg(F.count(F.lit(1)).alias("n_users"))
     # melt: one row per (user, metric); descending metrics negate so a
     # single ascending (metric, v, user_id) order ranks all three
@@ -1300,26 +1304,8 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("user_id", "x.m", "x.v")
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parts = melted.repartitionByRange(nparts, "m", "v", "user_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    # the carry branch re-reads parts; materialize the range shuffle
-    # once so the lineage (scan + user agg + explode) runs once
-    parts = parts.localCheckpoint(eager=False)
-    in_part = Window.partitionBy("pid", "m").orderBy("v", "user_id")
-    rn = parts.withColumn("rn", F.row_number().over(in_part))
-    carry_w = Window.partitionBy("m").orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    carry = (
-        parts.groupBy("pid", "m")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("off", F.coalesce(F.sum("c").over(carry_w), F.lit(0)))
-        .select("pid", "m", "off")
-    )
-    ranked = rn.join(F.broadcast(carry), ["pid", "m"]).withColumn(
-        "rank", F.col("rn") + F.col("off")
+    ranked = two_level_rank(
+        melted, order_cols=["v", "user_id"], part_cols=["m"], out="rank"
     )
     scores = (
         ranked.crossJoin(F.broadcast(n))

@@ -15,6 +15,7 @@ from mie_spark.plans import (
     exchange_count,
     pushed_filters,
     read_schemas,
+    unpartitioned_window_count,
 )
 from mie_spark.queries import QUERIES
 
@@ -325,15 +326,25 @@ def test_copurchase_pairs_generated_in_row(spark):
 
 def test_rfm_ranks_are_distributed(spark):
     """ev_rfm's three global ranks run as a two-level rank: every
-    WindowExec in the plan must carry a partition spec (an empty
-    partition bracket `], [], [` is the single-partition global sort
-    this rewrite removed), and the per-partition offset carry must
-    arrive by broadcast."""
+    WindowExec in the plan must carry a partition spec (the carry
+    window partitions by metric, the rank window by (pid, metric)),
+    and the per-partition offset carry must arrive by broadcast."""
     df = QUERIES["ev_rfm"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan  # the two-level rank still uses windows...
-    assert "], [], [" not in plan  # ...but none of them is global
+    assert unpartitioned_window_count(df) == 0  # ...none of them global
     assert broadcast_join_count(df) >= 2  # carry + n_users scalar
+
+
+def test_quality_buckets_cuts_no_global_window(spark):
+    """pipe_quality_buckets_cuts is the executable 100 TB shape of the
+    ntile sibling: the ONLY global window allowed is the two-level
+    rank's prefix-count carry over <= |partitions| rows (the bounded
+    exception); the per-doc rank window must be partitioned, and the
+    cut points must arrive by broadcast."""
+    df = QUERIES["pipe_quality_buckets_cuts"](spark, SF)
+    assert unpartitioned_window_count(df) <= 1  # only the bounded carry
+    assert broadcast_join_count(df) >= 3
 
 
 def test_scd2_single_user_exchange(spark):

@@ -419,3 +419,47 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_two_level_rank_equals_global_row_number(spark):
+    """operators/rank.two_level_rank reassembles the EXACT global
+    row_number for a unique key, no matter where the range sampler
+    drops partition boundaries — including keys with heavy value ties
+    broken only by the id column, and a partition count larger than
+    the row count (empty partitions must not corrupt the carry)."""
+    from pyspark.sql.window import Window
+
+    from mie_spark.operators.rank import two_level_rank
+    from mie_spark.plans import unpartitioned_window_count
+
+    df = spark.range(997).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),  # heavy ties -> id is the tiebreak
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    got = two_level_rank(
+        df, order_cols=["v", "id"], nparts=8, out="rn"
+    ).select("id", "rn")
+    want = df.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+    # grouped form: rank restarts per group g
+    got_g = two_level_rank(
+        df, order_cols=["v", "id"], part_cols=["g"], nparts=8, out="rn"
+    ).select("g", "id", "rn")
+    want_g = df.select(
+        "g",
+        "id",
+        F.row_number().over(Window.partitionBy("g").orderBy("v", "id")).alias("rn"),
+    )
+    assert _sorted_rows(got_g) == _sorted_rows(want_g)
+    # the grouped form has no unpartitioned window at all
+    assert unpartitioned_window_count(got_g) == 0
+
+    # more partitions than rows: empty range partitions contribute
+    # zero-count carries, ranks still exact
+    tiny = spark.range(5).select("id", (F.col("id") * 10).alias("v"))
+    got_t = two_level_rank(tiny, order_cols=["v", "id"], nparts=64, out="rn")
+    assert sorted(r.rn for r in got_t.collect()) == [1, 2, 3, 4, 5]
