@@ -137,6 +137,7 @@ def _py_native(value: Any, dtype) -> Any:  # noqa: ANN001
         BooleanType,
         DoubleType,
         FloatType,
+        IntegerType,
         LongType,
     )
 
@@ -148,7 +149,7 @@ def _py_native(value: Any, dtype) -> Any:  # noqa: ANN001
         return None
     if isinstance(dtype, (FloatType, DoubleType)):
         return float(value)
-    if isinstance(dtype, LongType):
+    if isinstance(dtype, (IntegerType, LongType)):
         return int(value)
     if isinstance(dtype, BooleanType):
         return bool(value)
@@ -495,9 +496,31 @@ class MieStore:
                 keep.append(os.path.join(snap, rel))
         if not keep:
             return self.spark.createDataFrame([], schema)
-        return residual(_canon_select(self.spark.read.option("mergeSchema", "true").parquet(*keep), schema))
+        return residual(_canon_select(self._read_snapshot(table, *keep), schema))
 
     # -- reads ------------------------------------------------------------
+
+    def _read_snapshot(self, table: str, *paths: str) -> DataFrame:
+        """Read snapshot parquet with the CANONICAL schema requested
+        explicitly — the full schema-evolution read contract (r9):
+
+        - ADD-column: files predating the column yield typed NULLs
+          (parquet readers null-fill requested columns absent from a
+          file's footer).
+        - DROP-column: stale columns still present in old files are
+          ignored (only requested columns are materialized).
+        - Type WIDENING (int->long, float->double, int->double):
+          Spark 4's parquet readers up-cast a narrower file type to the
+          wider requested type in the scan itself (SPARK-40876) — which
+          the previous ``mergeSchema`` read could NOT survive: schema
+          merge throws CANNOT_MERGE_SCHEMAS the moment a snapshot's
+          hard-linked buckets mix pre- and post-widening file vintages
+          (verified empirically; pinned by the widening tests).
+
+        Narrowing and type CHANGES (string->long, ...) are out of
+        contract, as in Delta/Iceberg. The ``bkt`` layout partition
+        column, when present, is appended by partition discovery."""
+        return self.spark.read.schema(table_schema(table)).parquet(*paths)
 
     def table(self, name: str) -> DataFrame:
         """Spark view of a table; all query operators build on this.
@@ -513,16 +536,14 @@ class MieStore:
                 return self.spark.createDataFrame([], schema)
             from pyspark.sql import functions as F
 
-            # SCHEMA EVOLUTION (add-column): a snapshot written before a
-            # column entered the canonical schema simply lacks it — read
-            # it as a typed NULL instead of failing the scan, the Delta
-            # mergeSchema read contract. The next merge writes the full
-            # current schema, so evolution completes lazily per table,
-            # one commit after the code ships. Removed/renamed columns
-            # are NOT silently dropped: the select keeps exactly the
-            # canonical set, and anything extra in old files is ignored
-            # the same way Delta ignores dead columns.
-            return _canon_select(self.spark.read.option("mergeSchema", "true").parquet(snap), schema)
+            # SCHEMA EVOLUTION: a snapshot written by an older build is
+            # read through _read_snapshot's explicit-schema contract —
+            # added columns arrive as typed NULLs, dropped columns are
+            # ignored, and int->long / float->double widenings up-cast
+            # in the scan. The next merge writes the full current
+            # schema, so evolution completes lazily per table, one
+            # commit after the code ships (the Delta read contract).
+            return _canon_select(self._read_snapshot(name, snap), schema)
         pdf = self._read_pdf(name)
         if pdf.empty:
             return self.spark.createDataFrame([], schema)
@@ -558,10 +579,7 @@ class MieStore:
             return self.spark.createDataFrame([], schema)
         # same add-column NULL-fill as table(): a pinned version is the
         # reader MOST likely to predate a schema evolution
-        return _canon_select(
-            self.spark.read.option("mergeSchema", "true").parquet(snap),
-            schema,
-        )
+        return _canon_select(self._read_snapshot(name, snap), schema)
 
     # -- writes -----------------------------------------------------------
 
@@ -798,7 +816,7 @@ class MieStore:
             return None
         if not self._is_bucketed(snap) or len(touched) >= self.merge_buckets:
             existing = _canon_select(
-                self.spark.read.option("mergeSchema", "true").parquet(snap), schema
+                self._read_snapshot(table, snap), schema
             ).withColumn("bkt", self._bkt(table))
             kept = existing.join(
                 new.select(*keys).dropDuplicates(keys), keys, "left_anti"
@@ -806,7 +824,7 @@ class MieStore:
             return self._write_df(
                 table, kept.unionByName(new), defer_commit=defer_commit
             )
-        raw = self.spark.read.option("mergeSchema", "true").parquet(snap)
+        raw = self._read_snapshot(table, snap)
         kept = _canon_select(
             raw.filter(F.col("bkt").isin(touched)),  # partition pruning
             schema,
@@ -873,7 +891,7 @@ class MieStore:
             from pyspark.sql import functions as F
 
             schema = table_schema(table)
-            df = _canon_select(self.spark.read.option("mergeSchema", "true").parquet(snap), schema).withColumn(
+            df = _canon_select(self._read_snapshot(table, snap), schema).withColumn(
                 "bkt", self._bkt(table)
             )
             nsnap, version = self._next_snapshot(table)
@@ -931,7 +949,7 @@ class MieStore:
             )
             if not touched:
                 return 0
-            raw = self.spark.read.option("mergeSchema", "true").parquet(snap)
+            raw = self._read_snapshot(table, snap)
             scanned = _canon_select(
                 raw.filter(F.col("bkt").isin(touched)), schema, extra=("bkt",)
             )
@@ -1196,7 +1214,7 @@ class MieStore:
                         self._commit_snapshot(t, version)
                 else:
                     if has_data:
-                        pdf = self.spark.read.option("mergeSchema", "true").parquet(tsrc).toPandas()
+                        pdf = self._read_snapshot(t, tsrc).toPandas()
                         self._write_pdf(t, pdf)
                     else:
                         self._mem.pop(t, None)

@@ -1070,6 +1070,117 @@ def test_schema_evolution_add_column_read_and_merge(spark, tmp_path):
     assert by_id["fact:2"]["confidence"] is None
 
 
+def _patched_fact_schema(fields_map):
+    """A mie_fact schema with some fields' types swapped — simulates a
+    build whose canonical schema predates a widening."""
+    from pyspark.sql.types import StructField, StructType
+
+    from mie_spark import schemas as S
+
+    full = S.table_schema("mie_fact")
+    return StructType(
+        [
+            StructField(f.name, fields_map.get(f.name, f.dataType))
+            for f in full.fields
+        ]
+    )
+
+
+def test_schema_evolution_type_widening_mixed_vintages(spark, tmp_path):
+    """Type-widening schema evolution (int->long, float->double): a
+    snapshot whose hard-linked buckets MIX pre- and post-widening file
+    vintages must read back with the wide canonical types. This is the
+    exact case the r8 mergeSchema read could not survive (parquet
+    schema merge throws CANNOT_MERGE_SCHEMAS on int vs long); the
+    explicit-schema read up-casts in the scan (SPARK-40876)."""
+    from unittest import mock
+
+    from pyspark.sql.types import FloatType, IntegerType
+
+    from mie_spark import schemas as S
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "widen")
+    narrow = _patched_fact_schema(
+        {"confidence": FloatType(), "created_at": IntegerType()}
+    )
+    with mock.patch.object(
+        S, "NODE_TABLES", {**S.NODE_TABLES, "mie_fact": narrow}
+    ):
+        old_store = MieStore(spark, path=path, embedding_dim=4)
+        old_store.upsert_rows(
+            "mie_fact",
+            [
+                {
+                    "id": f"fact:{i}",
+                    "content": f"c{i}",
+                    "confidence": 0.5,
+                    "created_at": 1000 + i,
+                }
+                for i in range(40)
+            ],
+        )
+
+    # new build merges ONE row: one bucket rewritten wide, the rest
+    # hard-linked narrow -> a genuinely mixed-vintage snapshot
+    store = MieStore(spark, path=path, embedding_dim=4)
+    store.upsert_rows(
+        "mie_fact",
+        [{"id": "fact:1", "content": "c1-new", "confidence": 0.9,
+          "created_at": 2000}],
+    )
+    t = store.table("mie_fact")
+    assert t.schema["confidence"].dataType.simpleString() == "double"
+    assert t.schema["created_at"].dataType.simpleString() == "bigint"
+    by_id = {r["id"]: r for r in t.collect()}
+    assert len(by_id) == 40
+    assert by_id["fact:1"]["confidence"] == pytest.approx(0.9)
+    assert by_id["fact:1"]["created_at"] == 2000
+    assert by_id["fact:2"]["confidence"] == pytest.approx(0.5)
+    assert by_id["fact:2"]["created_at"] == 1002
+    # point-lookup path (zone-map pruned scan) survives the mix too
+    assert store.scan_pruned("mie_fact", {"id": ("fact:3", "fact:3")}).count() == 1
+
+
+def test_schema_evolution_drop_column_read_and_merge(spark, tmp_path):
+    """Drop-column schema evolution: files written when a column still
+    existed read back WITHOUT it (stale file columns are ignored, the
+    Delta dead-column contract), and the next merge writes only the
+    current schema."""
+    from unittest import mock
+
+    from pyspark.sql.types import StructType
+
+    from mie_spark import schemas as S
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "dropcol")
+    full = S.table_schema("mie_fact")
+    extended = StructType(list(full.fields) + [S._s("legacy_notes")])
+    with mock.patch.object(
+        S, "NODE_TABLES", {**S.NODE_TABLES, "mie_fact": extended}
+    ):
+        old_store = MieStore(spark, path=path, embedding_dim=4)
+        old_store.upsert_rows(
+            "mie_fact",
+            [
+                {"id": f"fact:{i}", "content": f"c{i}",
+                 "legacy_notes": f"note{i}"}
+                for i in range(10)
+            ],
+        )
+
+    store = MieStore(spark, path=path, embedding_dim=4)
+    t = store.table("mie_fact")
+    assert "legacy_notes" not in t.columns
+    assert t.count() == 10
+    # merge on top: the rewrite lands cleanly without the dead column
+    store.upsert_rows("mie_fact", [{"id": "fact:1", "content": "c1-new"}])
+    by_id = {r["id"]: r for r in store.table("mie_fact").collect()}
+    assert len(by_id) == 10
+    assert by_id["fact:1"]["content"] == "c1-new"
+
+
 def test_atomic_upsert_crash_between_pointer_flips(spark, tmp_path):
     """The subtlest crash point: AFTER the manifest rename and AFTER
     table 1's pointer flip but BEFORE table 2's. The manifest is the
