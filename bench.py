@@ -150,6 +150,7 @@ HEADLINE = [
     "ev_cohort_ltv",             # cohort LTV triangle, integer cents
     # round-9 additions, benched from day one
     "pipe_quality_buckets_cuts", # tercile census via distributed rank cuts
+    "st_dedup_minhash",          # incremental MinHash index, streaming state
 ]
 
 

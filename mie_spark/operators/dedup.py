@@ -67,9 +67,10 @@ def _doc_shingles(
     # the per-row hot path, so buy back parallelism first (no-op when
     # the input is already well-partitioned)
     df = ensure_parallelism(df)
-    # two projections on purpose: tokens materialize once per row, then
-    # shingling references the token column (n+1 refs per shingle) —
-    # inlining the split would re-run the regex per reference
+    # single-eval of the regex split is guaranteed INSIDE joined_ngrams
+    # (lambda-variable binding, r9) — the two-projection shape here is
+    # readability only, not the correctness boundary it used to claim
+    # to be (projection collapse defeated it; see joined_ngrams).
     toked = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
     )
@@ -200,6 +201,14 @@ def _signatures_from_shingles(
             "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
         ).alias("hs"),
     )
+    # Materialize the hashed table before the Arrow stage: feeding the
+    # interpreted shingle-building HOF lineage straight into
+    # mapInPandas re-evaluates it pathologically (measured ~10 s at
+    # sf0.1 vs 0.6 s to materialize + 2.5 s for the Arrow stage — the
+    # same cliff hits explode consumers). The checkpoint holds (doc,
+    # int64 hashes) — SMALLER than the shingle strings the batch
+    # pipeline already persists, so the 100 TB state story is unchanged.
+    hashed = hashed.localCheckpoint(eager=False)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         A = np.array(a_vec, dtype=np.int64)[:, None]
@@ -276,6 +285,19 @@ def minhash_lsh_pairs(
     sigs = _signatures_from_shingles(
         sh.filter(F.col("n_sh") > 0), num_hashes, seed
     )
+    cand = minhash_band_candidates(sigs, bands=bands, rows=rows)
+    return verify_jaccard_pairs(cand, sh, threshold)
+
+
+def minhash_band_candidates(
+    sigs: DataFrame, bands: int, rows: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs (a_id < b_id) from an
+    (doc, signature array<long>) table — the shared candidate stage of
+    the batch pipeline and the streaming signature-state readback.
+    Banding shuffles ONLY (doc, band) pairs — never shingle arrays;
+    carrying shingles through the bands-way posexplode would multiply
+    the shuffle payload by bands x |shingles|."""
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -290,16 +312,12 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    # banding shuffles ONLY (doc, band) pairs — never the shingle
-    # arrays; candidates (few) join back to the shingle table for exact
-    # verification. Carrying shingles through the 16-way posexplode
-    # would multiply the shuffle payload by bands × |shingles|.
     banded = sigs.select(
         "doc", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -309,6 +327,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (a_id, b_id) candidates against a
+    (doc, shingles, n_sh) table: candidates (few) join back for the
+    true set overlap, so LSH false positives cost one array_intersect,
+    never a wrong answer."""
     cand = (
         cand.join(
             sh.select(

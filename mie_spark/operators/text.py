@@ -34,27 +34,35 @@ def joined_ngrams(toks: Column, n: int = 3) -> Column:
     already-materialized token array column — one entry per starting
     position, duplicates preserved (what repetition metrics need).
 
-    IMPORTANT: pass a real column (e.g. via a prior withColumn), not an
-    inline `tokens(text)` expression — each element_at below references
-    the tokens n+1 times, and an inline expression would re-run the
-    regex split for every reference (measured 30× slowdown). A column
-    reference is computed once per row; Catalyst's CollapseProject
-    refuses to inline non-cheap expressions, so the boundary holds.
+    The token expression is bound ONCE per row as a lambda variable
+    (the single-element array_wrap + flatten below): every element_at
+    then references a cheap bound attribute, never the original
+    expression. Without this, an inline `tokens(text)` argument
+    re-runs the regex split once per reference after projection
+    collapse — n+2 references x |shingles| per doc, measured as an
+    8-18 s cliff at sf0.1 (r9) that a "keep it in a separate select"
+    convention did NOT prevent (Generate pushdown / CollapseProject
+    still inline it). Binding in the expression itself makes every
+    caller safe by construction.
 
     Spark SQL array indexing is 1-based via element_at; docs shorter
     than n produce an empty array instead of erroring. The off-by-one
     window arithmetic lives HERE only — shingles_from_tokens and the
     repetition metrics both build on this one copy.
     """
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+
+    def build(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+
+    return F.flatten(F.transform(F.array(toks), build))
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:

@@ -463,3 +463,75 @@ def st_txn_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+def _st_dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body for st_dedup_minhash (registered below with the
+    batch pipeline's oracle, imported from queries/dedup.py to keep
+    the two graded against ONE SQL text)."""
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from mie_spark.operators.dedup import (
+        _doc_shingles,
+        minhash_band_candidates,
+        verify_jaccard_pairs,
+    )
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import (
+        load_minhash_state,
+        read_documents_stream,
+        stream_minhash_signatures,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="mh_state_")
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    stream_minhash_signatures(stream, state_dir)
+    sigs = load_minhash_state(spark, state_dir)
+    cand = minhash_band_candidates(sigs, bands=16, rows=4).localCheckpoint()
+    # exact verification reads the corpus table's shingles — but ONLY
+    # the candidate docs' (unlike the batch pipeline, which needs every
+    # doc's shingles for the signature build anyway, here signatures
+    # come from the maintained state, so the corpus prunes to the few
+    # candidate ids via a broadcast semi-join BEFORE the shingle regex
+    # runs). State carries signatures, never text.
+    ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(ids), "doc_id", "left_semi"
+    )
+    sh = _doc_shingles(docs_c, "doc_id", "text", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = verify_jaccard_pairs(cand, sh, threshold=0.5)
+    out = pairs.select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    ).localCheckpoint()
+    sh.unpersist()
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
+from mie_spark.queries.dedup import _JACCARD_ORACLE  # noqa: E402
+
+
+@query("st_dedup_minhash", oracle=_JACCARD_ORACLE)
+def st_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_minhash_lsh — INCREMENTAL near-dup
+    index maintenance (the last batch/streaming asymmetry in the dedup
+    family): per-doc MinHash signatures are maintained by a
+    foreachBatch job (stream_minhash_signatures — map-only signature
+    build per micro-batch, replace-by-key into a versioned parquet
+    state behind an atomic pointer; replay-exact by IDEMPOTENCE, a
+    signature being a pure function of the text), then the drained
+    signature state feeds the SAME banded-LSH candidate + exact-Jaccard
+    verification stages as the batch pipeline. Same exact-pair oracle
+    as the batch form — the hash proves the incrementally-built index
+    finds exactly the pairs a one-shot build finds, across every
+    micro-batch boundary."""
+    return _st_dedup_minhash_impl(spark, sf_dir)

@@ -750,12 +750,15 @@ __all__ = [
     "enriched_segment_spend",
     "exact_cents",
     "foreach_batch_upsert",
+    "read_documents_stream",
     "read_events_stream",
     "run_to_memory_sink",
     "sessionized_stream",
     "stateful_user_totals",
     "stream_append_ivf_index",
     "stream_heavy_hitters_summary",
+    "stream_minhash_signatures",
+    "load_minhash_state",
     "load_heavy_hitter_candidates",
     "make_rollup_apply",
     "stream_exactly_once_rollup",
@@ -971,3 +974,107 @@ def stream_exactly_once_rollup(
     foreach_batch_upsert(
         stream_df, make_rollup_apply(store, stream_id), timeout_s=timeout_s
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> "DataFrame":
+    """File-source stream over ``documents.parquet`` (the documents
+    twin of read_events_stream — no timestamp normalization needed)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    path = f"{sf_dir}/documents.parquet*"
+    reader = spark.readStream.schema(schema).option("basePath", sf_dir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_minhash_signatures(
+    stream_df: "DataFrame",
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    timeout_s: int = 300,
+) -> None:
+    """Maintain per-document MinHash signatures incrementally across
+    micro-batches — the streaming half of the near-dup pipeline
+    (closes the last batch/streaming asymmetry in the dedup family:
+    the bitmap/MG/rollup sketches had incremental twins, MinHash did
+    not). Per batch: signatures for the batch's docs compute map-only
+    (shingle -> 64 affine min-hashes, operators/dedup.py), then UPSERT
+    into a versioned parquet state keyed by doc with the same
+    atomic-pointer commit as stream_bitmap_distinct.
+
+    Replay-exactness is free the bitmap way, by IDEMPOTENCE rather
+    than a ledger: a document's signature is a pure function of its
+    text, so a replayed micro-batch overwrites identical rows and the
+    drained state cannot drift. State is O(docs x num_hashes) longs —
+    signatures, never text or shingles; at 100 TB the state table IS
+    the dedup index and candidate generation reads only it.
+
+    Too-short-to-shingle docs (n_sh == 0) are excluded at the source,
+    exactly like the batch pipeline: their sentinel signatures would
+    band-collide quadratically (see minhash_lsh_pairs)."""
+    import os
+
+    from mie_spark.operators.dedup import (
+        _doc_shingles,
+        _signatures_from_shingles,
+    )
+
+    pointer = os.path.join(state_dir, "_CURRENT")
+
+    def _apply(batch_df: "DataFrame", batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sh = _doc_shingles(batch_df, id_col, text_col, n).filter(
+            F.col("n_sh") > 0
+        )
+        # intra-batch last-write-wins, then replace-by-key into state
+        sigs = _signatures_from_shingles(sh, num_hashes, seed=42).select(
+            "doc", "signature"
+        ).dropDuplicates(["doc"])
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                prev = spark.read.parquet(fh.read().strip())
+            sigs = prev.join(sigs, "doc", "left_anti").unionByName(sigs)
+        os.makedirs(state_dir, exist_ok=True)
+        existing = [
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        nxt = os.path.join(state_dir, f"v{max(existing, default=0) + 1}")
+        sigs.write.mode("overwrite").parquet(nxt)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(nxt)
+        os.replace(tmp, pointer)  # atomic commit, MieStore pattern
+        import shutil
+
+        versions = sorted(
+            (d for d in os.listdir(state_dir)
+             if d.startswith("v") and d[1:].isdigit()),
+            key=lambda d: int(d[1:]),
+        )
+        for stale in versions[:-2]:
+            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+
+    foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
+
+
+def load_minhash_state(spark: SparkSession, state_dir: str) -> "DataFrame":
+    """The maintained (doc, signature) table stream_minhash_signatures
+    committed. Raises if no state was ever committed."""
+    import os
+
+    pointer = os.path.join(state_dir, "_CURRENT")
+    if not os.path.exists(pointer):
+        raise FileNotFoundError(
+            f"no minhash signature state committed under {state_dir}"
+        )
+    with open(pointer) as fh:
+        return spark.read.parquet(fh.read().strip())

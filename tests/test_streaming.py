@@ -476,3 +476,83 @@ def test_exactly_once_rollup_replay_and_crash(spark, tmp_path):
         for r in store.table("mie_rollup_hourly").collect()
     }
     assert got == truth
+
+
+def test_minhash_state_incremental_equals_batch_and_replays(spark, tmp_path):
+    """stream_minhash_signatures across 4 one-file micro-batches must
+    build the SAME signature state as one batch pass, re-running the
+    ENTIRE stream must leave it unchanged (a signature is a pure
+    function of the text — replay exactness by idempotence), and the
+    drained state's banded-LSH pairs must equal the batch pipeline's
+    verified pairs."""
+    from mie_spark.operators.dedup import (
+        _doc_shingles,
+        minhash_band_candidates,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import (
+        load_minhash_state,
+        stream_minhash_signatures,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_split")
+    docs.repartition(4).write.parquet(src)
+
+    def run(state_dir: str) -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_minhash_signatures(stream, state_dir)
+
+    state_dir = str(tmp_path / "mh_state")
+    run(state_dir)
+    state = {
+        r["doc"]: tuple(r["signature"])
+        for r in load_minhash_state(spark, state_dir).collect()
+    }
+    sh = _doc_shingles(docs, "doc_id", "text", 3).filter(F.col("n_sh") > 0)
+    from mie_spark.operators.dedup import _signatures_from_shingles
+
+    truth = {
+        r["doc"]: tuple(r["signature"])
+        for r in _signatures_from_shingles(sh, 64, seed=42).collect()
+    }
+    assert state == truth
+
+    # full replay into the SAME state: identical rows overwrite
+    run(state_dir)
+    again = {
+        r["doc"]: tuple(r["signature"])
+        for r in load_minhash_state(spark, state_dir).collect()
+    }
+    assert again == truth
+    import os
+
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) <= 2
+
+    # drained state -> banded candidates -> exact verification equals
+    # the one-shot batch pipeline pair-for-pair
+    sigs = load_minhash_state(spark, state_dir)
+    got_pairs = sorted(
+        (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+        for r in verify_jaccard_pairs(
+            minhash_band_candidates(sigs, bands=16, rows=4),
+            _doc_shingles(docs, "doc_id", "text", 3),
+            threshold=0.5,
+        ).collect()
+    )
+    want_pairs = sorted(
+        (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=64, bands=16,
+            threshold=0.5,
+        ).collect()
+    )
+    assert got_pairs == want_pairs
