@@ -66,141 +66,86 @@ def _load_all() -> None:
 # rows first, (2) queries added this round, (3) queries whose code or
 # shared helpers changed this round, (4) oldest remaining stale rows.
 _GRADE_FIRST = [
-    # Round 8 rotation (VERDICT r7 item #2, executed exactly as queued
-    # at the r7 list's tail): 50 slots, ALL hash-oracled — the
-    # rows-only entries (mm_mjpeg_frames etc.) left the window because
-    # a rows-only slot carries zero driver signal; their digests live
-    # in pytest. Priority rule unchanged: (1) changed code with no
-    # driver row on the new form, (2) new this round, (3) stalest
-    # remaining rows.
+    # Round 9 rotation (VERDICT r8 item #1, executed as queued): 50
+    # slots, ALL hash-oracled. Priority rule unchanged: (1) changed
+    # code with no driver row on the shipping form, (2) new this
+    # round, (3) stalest remaining rows.
     #
-    # Head: the three late-r7 rounding-hardened emissions — their
-    # ratio outputs were rewritten to integer half-up AFTER the r7
-    # window froze, so the driver has never graded the shipping form.
-    "ev_markov_transitions",
-    "pipe_dataset_card",
-    "pipe_quality_buckets",
-    # Changed THIS round: the KMV estimator's oracle constant was
-    # corrected (ADVICE r7 — 2*(k-1)*2^60 was mistranscribed; the
-    # divergence bites above ~2,700 distinct members), and the two
-    # mm_* entries were UPGRADED from rows-only to hash-graded
-    # (integer chunk-walk replay; 1:1 + dim + unit-norm property).
-    "ev_kmv_distinct",
-    "mm_audio_chunks",
-    "mm_resize_features",
-    # New THIS round, windowed immediately (the standing r5 lesson):
-    # the real-PNG-codec round-trip graded against a closed-form
-    # pixel oracle (VERDICT item #7), the HLL accuracy sub-oracle
-    # (VERDICT item #6), the MJPEG-pipeline accuracy sub-oracle
-    # (JPEG's bounded reconstruction error as a hash-checked flag over
-    # the closed-form pre-encode sums), and the Count-Min sketch whose
-    # estimates + one-sided overcounts hash-grade exactly.
-    "mm_png_stats",
-    "ev_hll_accuracy",
-    "mm_mjpeg_accuracy",
-    "ev_cms_topk",
-    # ... and the integer-exact base-2 log histogram (the DDSketch /
-    # HdrHistogram shape, bucket = bin() bit length so no
-    # transcendental near a boundary) and the GK quantile-sketch
-    # rank-error bound (p ± 0.02 as cross-multiplied BIGINTs) — with
-    # these, every sketch family member grades exactly or by a graded
-    # accuracy flag.
-    "ev_log_histogram",
-    "ev_quantile_bound",
-    # ... and the two late additions: Resource-Allocation link
-    # prediction (the score in exact integer micro-units — RA keeps
-    # the term rational where Adamic-Adar's ln(deg) would not) and the
-    # ORDERED funnel with per-stage conversion windows (chained
-    # conditional mins computed in-row, one user shuffle).
-    "g_link_prediction",
-    "ev_ordered_funnel",
-    # ... and the exactly-once transactional streaming rollup: each
-    # micro-batch's additive state AND its commit-ledger marker land
-    # behind ONE manifest rename (the hard non-idempotent case the
-    # bitmap twins dodge); the drained state must equal the one-shot
-    # batch rollup bit for bit.
-    "st_txn_rollup",
-    # ... and the cohort LTV triangle (revenue per signup-cohort x
-    # month-age in exact integer cents — ev_retention's revenue
-    # sibling; integer calendar arithmetic, every cell hash-graded).
+    # Changed THIS round: ev_rfm's three global row_number windows
+    # became the distributed two-level rank (operators/rank.py, the
+    # VERDICT r8 weak flag), ev_cohort_ltv dropped its forced
+    # broadcast of the unbounded user dimension, st_txn_rollup rides
+    # the dedup-count-consistent atomic_upsert_dfs and cleans its
+    # scratch store.
+    "ev_rfm",
     "ev_cohort_ltv",
-    # The four pregel-rewritten graph queries: rewritten over the
-    # shared aggregate_messages primitive in r7, driver-graded only on
-    # the pre-rewrite form (CC/PPR/HITS/MIS carried the primitive's
-    # in-window evidence; these four get their own rows now).
-    "g_labelprop",
-    "g_kcore",
-    "g_sssp",
-    "g_pagerank",
-    # The r02-era survivors — the stalest driver rows in the registry
-    # (pure predicate/order/set-op scans, unchanged since r02, but the
-    # driver's row is the contract and theirs is six rounds old).
-    "s2_point_lookup",
-    "f2_substring_match",
-    "f3_disjunction",
-    "f4_case_insensitive",
-    "o1_order_limit_offset",
-    "u1_union_distinct",
-    "q14_promo_revenue_share",
-    "w_rank_per_group",
-    "w_revenue_share",
-    "a_grouping_sets",
-    "st_heavy_hitters",
-    "text_char_entropy",
-    # The r04-stale cohort (VERDICT item #4), in full — 26 entries, so
-    # after this round every one of them has a fresh row and the
-    # every-row-at-most-2-rounds-old target is met a round early.
-    "text_bpe_tokens",
-    "text_fingerprint",
-    "text_quality_filter",
-    "text_unigram_logprob",
-    "text_repeat_ngrams",
-    # (text_token_histogram yielded its slot to the new ev_cms_topk:
-    # five text-family siblings stay in-window; it heads the r9 queue
-    # with ev_unpivot.)
-    # (ev_anomalies yielded its slot to the new ev_cohort_ltv —
-    # ev_anomaly_zscore carries the outlier family's bench + r05 row;
-    # it joins the r9 queue.)
-    # (ev_funnel yielded its slot to ev_ordered_funnel — the ordered
-    # variant is the stronger funnel evidence; the unordered census
-    # joins the r9 queue.)
-    "ev_hourly_agg",
-    "ev_pivot",
-    # (ev_unpivot yielded its slot to the new mm_mjpeg_accuracy:
-    # ev_pivot keeps the reshape family in-window; the melt twin heads
-    # the r9 queue.)
-    "ev_retention",
-    # (ev_top_spenders and ev_value_percentiles yielded their slots to
-    # the new ev_log_histogram / ev_quantile_bound — the quantile
-    # bound exercises the same values the percentile query reads, and
-    # four ev r04 siblings stay in-window; both head the r9 queue with
-    # ev_unpivot and text_token_histogram.)
-    "st_dedup_totals",
-    "st_sessionize",
-    "pipe_decontaminate",
+    "st_txn_rollup",
+    # ... and every shingle-family query: joined_ngrams now binds its
+    # token-array argument once per row (the r9 re-evaluation-cliff
+    # fix) — values are unchanged by construction, but the driver rows
+    # should grade the shipping expression tree.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
     "pipe_dedup_clusters",
-    # (pipe_training_manifest yielded its slot to st_txn_rollup — two
-    # pipe siblings stay in-window; it joins the r9 queue.)
-    "v5_norms",
-    "samp_temperature_mix",
-    "samp_stratified",
-    # (samp_hash_split yielded its slot to g_link_prediction — two
-    # sampling siblings stay in-window; it joins the r9 queue.)
-    "text_lang_id",
-    "dedup_simhash_pairs",
-    "v_knn_join_nodes",
-    # r9 queue — HEAD: ev_unpivot, text_token_histogram,
-    # ev_top_spenders, ev_value_percentiles, ev_funnel,
-    # samp_hash_split, pipe_training_manifest, ev_anomalies (displaced
-    # above by the eight late-r8 additions),
-    # then any query whose code changes in the rest of r8, then the
-    # r05-era rows
-    # (s1_scan_projection, s7_raw_sql, f6_range_revenue,
-    # a1_stats_single_pass, a3_multi_table_counts, o3_topk,
-    # u3_except_customers, q1_pricing_summary), then the r06 cohort
-    # (j1_two_hop_traversal, v2_cosine_topk, v3_similarity_self_join,
-    # dedup/text/event entries first graded that round), then the r07
-    # mass (28 entries) as they age past two rounds.
+    "pipe_decontaminate",
+    "pipe_keep_best",
+    "text_repeat_ngrams",
+    "pipe_funnel_census",
+    # New THIS round, windowed immediately (the standing r5 lesson):
+    # the executable 100 TB shape of the quality terciles (graded
+    # against the SAME ntile oracle as its sibling — the equivalence
+    # proof), and the incremental streaming MinHash index (graded
+    # against the batch pipeline's exact-pair oracle).
+    "pipe_quality_buckets_cuts",
+    "st_dedup_minhash",
+    # The documented r9 queue head — the eight r04-stale rows that
+    # yielded their r8 slots to late-r8 additions.
+    "ev_unpivot",
+    "text_token_histogram",
+    "ev_top_spenders",
+    "ev_value_percentiles",
+    "ev_funnel",
+    "samp_hash_split",
+    "pipe_training_manifest",
+    "ev_anomalies",
+    # The named r05-era rows from the queue.
+    "s1_scan_projection",
+    "s7_raw_sql",
+    "f6_range_revenue",
+    "a1_stats_single_pass",
+    "a3_multi_table_counts",
+    "o3_topk",
+    "u3_except_customers",
+    "q1_pricing_summary",
+    # The rest of the r05-stale cohort, oldest remaining driver rows
+    # (alphabetical; the 10 that don't fit — q13_customer_distribution,
+    # q2_min_cost_supplier, q3_shipping_priority,
+    # q5_local_supplier_volume, samp_fixed_k, samp_shuffle_shards,
+    # samp_token_budget, st_enrich_join, text_bpe_train,
+    # w_running_total — head the r10 queue, then the r06 cohort, then
+    # r07/r08 as they age past two rounds).
+    "a_rollup_suppliers",
+    "a_salted_agg",
+    "a_stats_moments",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_exact_substring",
+    "dedup_keep_one",
+    "dedup_semantic",
+    "ev_asof_join",
+    "ev_concurrency",
+    "ev_ewma",
+    "ev_funnel_time",
+    "ev_gap_fill",
+    "ev_multi_rollup",
+    "ev_range_join",
+    "ev_sessionize",
+    "g_triangle_count",
+    "j1_two_hop_traversal",
+    "j8_anti_join_inactive",
+    "pipe_pack_sequences",
+    "q12_priority_classes",
 ]
 
 
