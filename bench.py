@@ -151,6 +151,7 @@ HEADLINE = [
     # round-9 additions, benched from day one
     "pipe_quality_buckets_cuts", # tercile census via distributed rank cuts
     "st_dedup_minhash",          # incremental MinHash index, streaming state
+    "v_ann_hnsw_topk",           # segment-parallel HNSW at the reference's point
 ]
 
 

@@ -1,0 +1,394 @@
+"""Segment-parallel HNSW — graph-based ANN, distributed the Lucene way.
+
+The reference's vector index IS an HNSW graph (cozo `hnsw` index,
+/root/reference/pkg/memory/schema.go:143-185: m=16, ef_construction=200,
+distance=Cosine; queried with ef=200 and a k×5 over-fetch,
+pkg/memory/reader.go:63,69). Earlier rounds shipped LSH/IVF/PQ as the
+sanctioned design substitution; this module closes the gap with the
+real structure, built the way a distributed engine actually deploys
+HNSW: one graph PER SEGMENT (shard), built in parallel inside
+``applyInPandas``, searched in parallel, with an exact global re-rank
+of the shards' candidates. That is the Lucene/Elasticsearch model —
+HNSW's insert loop is inherently sequential, so scale comes from
+sharding the corpus, never from parallelizing one insert.
+
+100 TB stance: shard assignment is a deterministic key hash, so each
+executor builds/searches only its shard (graph memory O(n_shard × m));
+the driver sees shards × k candidate rows, never vectors. Build cost is
+(n/P) log(n/P) × ef_construction per executor; query cost is P parallel
+sub-ms graph walks + a tiny exact re-rank — the same asymptotics Lucene
+pays per segment.
+
+Pure numpy + heapq (no vector-search libraries exist in-sandbox, and
+none are needed: the per-step work is one vectorized dot against a
+candidate block). Determinism: per-shard RNG seeded by (seed, shard),
+insert order sorted by id — the graph, and therefore the candidate set,
+is a pure function of the shard's contents.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Reference operating point (pkg/memory/schema.go:145-152; reader.go:63,69).
+DEFAULT_M = 16
+DEFAULT_EF_CONSTRUCTION = 200
+DEFAULT_EF_SEARCH = 200
+
+
+def _unit(vecs: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return vecs / norms
+
+
+def _search_layer(
+    q: np.ndarray,
+    vecs: np.ndarray,
+    adj: list[list[int]],
+    entries: list[int],
+    ef: int,
+) -> list[tuple[float, int]]:
+    """Best-first search of one layer (Malkov & Yashunin alg. 2):
+    returns up to ``ef`` (sim, node) pairs, best first. Similarity is
+    the dot of unit vectors (cosine); we maximize sim, the paper
+    minimizes distance — the two heaps below are sign-flipped
+    accordingly."""
+    sims = {e: float(vecs[e] @ q) for e in entries}
+    visited = set(entries)
+    # candidates: max-heap by sim (python heapq is a min-heap -> negate)
+    cand = [(-s, n) for n, s in sims.items()]
+    heapq.heapify(cand)
+    # results: min-heap by sim, capped at ef
+    res = [(s, n) for n, s in sims.items()]
+    heapq.heapify(res)
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        neg_s, n = heapq.heappop(cand)
+        if res and -neg_s < res[0][0] and len(res) >= ef:
+            break
+        fresh = [v for v in adj[n] if v not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        block = vecs[fresh] @ q  # one vectorized dot per hop
+        for v, s in zip(fresh, block):
+            s = float(s)
+            if len(res) < ef or s > res[0][0]:
+                heapq.heappush(cand, (-s, v))
+                heapq.heappush(res, (s, v))
+                if len(res) > ef:
+                    heapq.heappop(res)
+    return sorted(res, reverse=True)
+
+
+def build_hnsw(
+    vecs: np.ndarray,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    seed: int = 42,
+) -> tuple[list[list[list[int]]], int]:
+    """Build one HNSW graph over ``vecs`` (rows MUST be unit-norm).
+    Returns (layers, entry_point): ``layers[lev][node]`` is the
+    neighbor list of ``node`` at level ``lev`` (empty above the node's
+    level). Insert-at-a-time construction per the paper: greedy descent
+    through upper layers, ef_construction beam at the node's layers,
+    closest-m neighbor selection, bidirectional links pruned to m
+    (2m at layer 0)."""
+    n = len(vecs)
+    if n == 0:
+        return [], -1
+    rng = np.random.RandomState(seed)
+    mL = 1.0 / math.log(m)
+    node_level = np.minimum(
+        (-np.log(rng.random_sample(n).clip(1e-12, None)) * mL).astype(int),
+        16,
+    )
+    top = int(node_level[0])
+    layers: list[list[list[int]]] = [
+        [[] for _ in range(n)] for _ in range(top + 1)
+    ]
+    entry = 0
+    for i in range(1, n):
+        li = int(node_level[i])
+        q = vecs[i]
+        cur = entry
+        # greedy descent above the node's level
+        for lev in range(top, li, -1):
+            improved = True
+            while improved:
+                improved = False
+                nbrs = layers[lev][cur]
+                if nbrs:
+                    block = vecs[nbrs] @ q
+                    j = int(np.argmax(block))
+                    if float(block[j]) > float(vecs[cur] @ q):
+                        cur = nbrs[j]
+                        improved = True
+        # beam insert at the node's layers
+        for lev in range(min(top, li), -1, -1):
+            found = _search_layer(q, vecs, layers[lev], [cur], ef_construction)
+            m_max = 2 * m if lev == 0 else m
+            chosen = [node for _, node in found[:m]]
+            layers[lev][i] = list(chosen)
+            for c in chosen:
+                lst = layers[lev][c]
+                lst.append(i)
+                if len(lst) > m_max:  # prune to the closest m_max
+                    block = vecs[lst] @ vecs[c]
+                    order = np.argsort(-block)
+                    layers[lev][c] = [lst[j] for j in order[:m_max]]
+            if found:
+                cur = found[0][1]
+        # raise the graph if the new node tops it
+        if li > top:
+            for _ in range(li - top):
+                layers.append([[] for _ in range(n)])
+            top = li
+            entry = i
+    return layers, entry
+
+
+def search_hnsw(
+    layers: list[list[list[int]]],
+    entry: int,
+    vecs: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    ef: int = DEFAULT_EF_SEARCH,
+) -> list[tuple[float, int]]:
+    """Top-k (sim, node) from a built graph: greedy descent to layer 1,
+    ef-beam at layer 0 (the paper's search with ef >= k)."""
+    if entry < 0 or not layers:
+        return []
+    cur = entry
+    for lev in range(len(layers) - 1, 0, -1):
+        improved = True
+        while improved:
+            improved = False
+            nbrs = layers[lev][cur]
+            if nbrs:
+                block = vecs[nbrs] @ q
+                j = int(np.argmax(block))
+                if float(block[j]) > float(vecs[cur] @ q):
+                    cur = nbrs[j]
+                    improved = True
+    return _search_layer(q, vecs, layers[0], [cur], max(ef, k))[:k]
+
+
+def hnsw_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    shards: int = 8,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    ef: int = DEFAULT_EF_SEARCH,
+    seed: int = 42,
+) -> DataFrame:
+    """Segment-parallel HNSW top-k: deterministic key-hash sharding,
+    per-shard graph build + ef-beam search inside one applyInPandas
+    pass (each shard emits its local top-k with EXACT float64 cosine
+    sims), then a global top-k over the shards × k candidate rows.
+    Because every shard is searched, recall equals per-shard HNSW
+    recall — at the reference's m/ef operating point that is ~1.0
+    (floors pinned in tests/test_vector.py). Returns (id_col, sim),
+    best first, exactly like cosine_topk — the two rankings are
+    directly comparable."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    q = q / qn if qn > 0 else q
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def per_shard(pdf):  # noqa: ANN001
+        import pandas as pd
+
+        if pdf.empty:
+            return pd.DataFrame({id_col: [], "sim": []})
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = _unit(np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]))
+        shard_seed = int(seed + pdf["_shard"].iloc[0])
+        layers, entry = build_hnsw(vecs, m=m, ef_construction=ef_construction, seed=shard_seed)
+        hits = search_hnsw(layers, entry, vecs, q, k=k, ef=ef)
+        return pd.DataFrame(
+            {
+                id_col: [pdf[id_col].iloc[n] for _, n in hits],
+                "sim": [s for s, _ in hits],
+            }
+        )
+
+    sharded = df.select(
+        id_col, vec_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).alias("_shard")
+    )
+    local = sharded.groupBy("_shard").applyInPandas(per_shard, schema=out_schema)
+    # exact global re-rank of <= shards x k candidate rows
+    return local.orderBy(F.col("sim").desc(), id_col).limit(k)
+
+
+def write_ann_hnsw_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    shards: int = 8,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    seed: int = 42,
+) -> None:
+    """Materialize the segment-parallel HNSW index: each shard's graph
+    builds inside applyInPandas and lands as ONE parquet row (ids,
+    unit vectors, layered adjacency, entry point) in a `shard=K`
+    partition — the Lucene segment file, in parquet. Rebuilding the
+    index is the only way the graphs change, exactly like rebuilding
+    the reference's cozo HNSW index. Serving reads the graph rows and
+    never re-runs construction."""
+    from mie_spark.operators.vector import _require_nonempty, _write_ann_meta
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    _require_nonempty(df, id_col, "write_ann_hnsw_index")
+    out_schema = StructType(
+        [
+            StructField("shard", IntegerType()),
+            StructField("ids", ArrayType(df.schema[id_col].dataType)),
+            StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+            StructField("entry", IntegerType()),
+            StructField(
+                "adj",
+                ArrayType(ArrayType(ArrayType(IntegerType()))),
+            ),
+        ]
+    )
+
+    def build_shard(pdf):  # noqa: ANN001
+        import pandas as pd
+
+        if pdf.empty:
+            return pd.DataFrame(
+                {"shard": [], "ids": [], "vecs": [], "entry": [], "adj": []}
+            )
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = _unit(
+            np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        )
+        shard = int(pdf["_shard"].iloc[0])
+        layers, entry = build_hnsw(
+            vecs, m=m, ef_construction=ef_construction, seed=seed + shard
+        )
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "ids": [list(pdf[id_col])],
+                "vecs": [[list(map(float, v)) for v in vecs]],
+                "entry": [entry],
+                "adj": [layers],
+            }
+        )
+
+    sharded = df.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        .cast("int")
+        .alias("_shard"),
+    )
+    (
+        sharded.groupBy("_shard")
+        .applyInPandas(build_shard, schema=out_schema)
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    _write_ann_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "hnsw",
+            "shards": shards,
+            "m": m,
+            "ef_construction": ef_construction,
+            "seed": seed,
+        },
+    )
+
+
+def ann_topk_hnsw_indexed(
+    spark,  # SparkSession
+    path: str,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    ef: int = DEFAULT_EF_SEARCH,
+) -> DataFrame:
+    """Serve top-k from a materialized segment-parallel HNSW index:
+    every shard's graph row is searched in parallel (mapInPandas, one
+    row per shard — graph walks never leave the executor), then the
+    <= shards x k candidates re-rank exactly. Same (id, sim) contract
+    as hnsw_topk / cosine_topk."""
+    from mie_spark.operators.vector import _read_ann_meta
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    meta = _read_ann_meta(spark, path)
+    assert meta.get("kind") == "hnsw", f"not an HNSW index: {meta}"
+    graphs = spark.read.parquet(path)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    q = q / qn if qn > 0 else q
+    out_schema = StructType(
+        [
+            StructField(id_col, graphs.schema["ids"].dataType.elementType),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def search_shard(it):  # noqa: ANN001
+        import pandas as pd
+
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                vecs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in row["vecs"]]
+                )
+                layers = [
+                    [list(nbrs) for nbrs in level] for level in row["adj"]
+                ]
+                hits = search_hnsw(
+                    layers, int(row["entry"]), vecs, q, k=k, ef=ef
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: [row["ids"][n] for _, n in hits],
+                        "sim": [s for s, _ in hits],
+                    }
+                )
+
+    local = graphs.mapInPandas(search_shard, schema=out_schema)
+    return local.orderBy(F.col("sim").desc(), id_col).limit(k)

@@ -595,3 +595,47 @@ def test_hamming_topk_recall_floor(spark):
         got = {r["vec_id"] for r in hamming_topk(corpus, "embedding", qvec, 10, candidates=100).collect()}
         hits += len(got & exact)
     assert hits / (10 * len(queries)) >= 0.5
+
+
+def test_hnsw_recall_and_indexed_parity(spark, tmp_path):
+    """Segment-parallel HNSW (operators/hnsw.py) at the reference's
+    operating point (m=16, ef_construction=200, ef=200 —
+    pkg/memory/schema.go:145-152, reader.go:63,69): recall@10 vs the
+    exact ranking must be ~perfect (every shard is searched; with
+    ef >= |shard| the beam is effectively exhaustive within a
+    connected segment graph), the result must be deterministic across
+    runs, and serving from the materialized index must return exactly
+    the on-the-fly result."""
+    from mie_spark.operators.hnsw import (
+        ann_topk_hnsw_indexed,
+        hnsw_topk,
+        write_ann_hnsw_index,
+    )
+
+    emb, q = _emb_and_query(spark)
+    exact = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in cosine_topk(emb, "embedding", q, 10).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in hnsw_topk(emb, "embedding", q, k=10).collect()
+    ]
+    recall = len({v for v, _ in exact} & {v for v, _ in got}) / 10
+    assert recall >= 0.9, f"HNSW recall@10 too low: {recall}"
+
+    # determinism: the graph is a pure function of the shard contents
+    again = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in hnsw_topk(emb, "embedding", q, k=10).collect()
+    ]
+    assert got == again
+
+    # materialized index serves the identical ranking
+    path = str(tmp_path / "hnsw_idx")
+    write_ann_hnsw_index(emb, path)
+    served = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ann_topk_hnsw_indexed(spark, path, q, k=10).collect()
+    ]
+    assert served == got
