@@ -22,6 +22,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from mie_spark.operators.hnsw import hnsw_topk
 from mie_spark.operators.vector import (
     ann_topk_ivf,
     ann_topk_lsh,
@@ -62,6 +63,9 @@ VARIANTS = {
         corpus, "embedding", q, k
     ),
     "ivf-pq (m=16, rerank 8x)": lambda q, k: ann_topk_pq(
+        corpus, "embedding", q, k
+    ),
+    "hnsw (m=16, ef=200, 8 shards)": lambda q, k: hnsw_topk(
         corpus, "embedding", q, k
     ),
 }
