@@ -89,6 +89,67 @@ def _search_layer(
     return sorted(res, reverse=True)
 
 
+def _levels_for(count: int, m: int, seed: int) -> np.ndarray:
+    """Node levels for ``count`` inserts under (seed) — the paper's
+    geometric draw with mL = 1/ln(m), capped at 16."""
+    rng = np.random.RandomState(seed)
+    mL = 1.0 / math.log(m)
+    return np.minimum(
+        (-np.log(rng.random_sample(count).clip(1e-12, None)) * mL).astype(int),
+        16,
+    )
+
+
+def _insert_node(
+    layers: list[list[list[int]]],
+    entry: int,
+    vecs: np.ndarray,
+    i: int,
+    li: int,
+    m: int,
+    ef_construction: int,
+) -> tuple[int, int]:
+    """Insert node ``i`` (level ``li``) into an existing graph whose
+    per-level neighbor lists already have slots up to index i. Returns
+    the (possibly new) (entry, top_level). The paper's insert: greedy
+    descent through layers above li, ef_construction beam + closest-m
+    bidirectional linking at layers <= li, prune to m (2m at layer 0)."""
+    top = len(layers) - 1
+    q = vecs[i]
+    cur = entry
+    for lev in range(top, li, -1):
+        improved = True
+        while improved:
+            improved = False
+            nbrs = layers[lev][cur]
+            if nbrs:
+                block = vecs[nbrs] @ q
+                j = int(np.argmax(block))
+                if float(block[j]) > float(vecs[cur] @ q):
+                    cur = nbrs[j]
+                    improved = True
+    for lev in range(min(top, li), -1, -1):
+        found = _search_layer(q, vecs, layers[lev], [cur], ef_construction)
+        m_max = 2 * m if lev == 0 else m
+        chosen = [node for _, node in found[:m]]
+        layers[lev][i] = list(chosen)
+        for c in chosen:
+            lst = layers[lev][c]
+            lst.append(i)
+            if len(lst) > m_max:  # prune to the closest m_max
+                block = vecs[lst] @ vecs[c]
+                order = np.argsort(-block)
+                layers[lev][c] = [lst[j] for j in order[:m_max]]
+        if found:
+            cur = found[0][1]
+    if li > top:
+        n = len(layers[0])
+        for _ in range(li - top):
+            layers.append([[] for _ in range(n)])
+        entry = i
+    return entry, len(layers) - 1
+
+
 def build_hnsw(
     vecs: np.ndarray,
     m: int = DEFAULT_M,
@@ -98,61 +159,53 @@ def build_hnsw(
     """Build one HNSW graph over ``vecs`` (rows MUST be unit-norm).
     Returns (layers, entry_point): ``layers[lev][node]`` is the
     neighbor list of ``node`` at level ``lev`` (empty above the node's
-    level). Insert-at-a-time construction per the paper: greedy descent
-    through upper layers, ef_construction beam at the node's layers,
-    closest-m neighbor selection, bidirectional links pruned to m
-    (2m at layer 0)."""
+    level). Insert-at-a-time construction per the paper via
+    :func:`_insert_node` — the same kernel :func:`append_hnsw` uses to
+    grow an existing graph."""
     n = len(vecs)
     if n == 0:
         return [], -1
-    rng = np.random.RandomState(seed)
-    mL = 1.0 / math.log(m)
-    node_level = np.minimum(
-        (-np.log(rng.random_sample(n).clip(1e-12, None)) * mL).astype(int),
-        16,
-    )
+    node_level = _levels_for(n, m, seed)
     top = int(node_level[0])
     layers: list[list[list[int]]] = [
         [[] for _ in range(n)] for _ in range(top + 1)
     ]
     entry = 0
     for i in range(1, n):
-        li = int(node_level[i])
-        q = vecs[i]
-        cur = entry
-        # greedy descent above the node's level
-        for lev in range(top, li, -1):
-            improved = True
-            while improved:
-                improved = False
-                nbrs = layers[lev][cur]
-                if nbrs:
-                    block = vecs[nbrs] @ q
-                    j = int(np.argmax(block))
-                    if float(block[j]) > float(vecs[cur] @ q):
-                        cur = nbrs[j]
-                        improved = True
-        # beam insert at the node's layers
-        for lev in range(min(top, li), -1, -1):
-            found = _search_layer(q, vecs, layers[lev], [cur], ef_construction)
-            m_max = 2 * m if lev == 0 else m
-            chosen = [node for _, node in found[:m]]
-            layers[lev][i] = list(chosen)
-            for c in chosen:
-                lst = layers[lev][c]
-                lst.append(i)
-                if len(lst) > m_max:  # prune to the closest m_max
-                    block = vecs[lst] @ vecs[c]
-                    order = np.argsort(-block)
-                    layers[lev][c] = [lst[j] for j in order[:m_max]]
-            if found:
-                cur = found[0][1]
-        # raise the graph if the new node tops it
-        if li > top:
-            for _ in range(li - top):
-                layers.append([[] for _ in range(n)])
-            top = li
-            entry = i
+        entry, top = _insert_node(
+            layers, entry, vecs, i, int(node_level[i]), m, ef_construction
+        )
+    return layers, entry
+
+
+def append_hnsw(
+    layers: list[list[list[int]]],
+    entry: int,
+    vecs: np.ndarray,
+    n_old: int,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    seed: int = 42,
+) -> tuple[list[list[list[int]]], int]:
+    """Grow an existing graph in place: insert nodes n_old..len(vecs)-1
+    (``vecs`` = old unit vectors with the new ones appended). Level
+    draws are seeded by (seed, n_old) so a given growth step is
+    deterministic. This is the incremental-index path — the reference
+    inserts embeddings into its cozo HNSW the same one-at-a-time way
+    (async writer, pkg/memory/writer.go:71-73)."""
+    n_new = len(vecs) - n_old
+    if n_new <= 0:
+        return layers, entry
+    if n_old == 0 or not layers:
+        return build_hnsw(vecs, m=m, ef_construction=ef_construction, seed=seed)
+    node_level = _levels_for(n_new, m, seed + 1_000_003 * n_old)
+    for lev in range(len(layers)):
+        layers[lev].extend([] for _ in range(n_new))
+    for j in range(n_new):
+        entry, _ = _insert_node(
+            layers, entry, vecs, n_old + j, int(node_level[j]), m,
+            ef_construction,
+        )
     return layers, entry
 
 
@@ -392,3 +445,102 @@ def ann_topk_hnsw_indexed(
 
     local = graphs.mapInPandas(search_shard, schema=out_schema)
     return local.orderBy(F.col("sim").desc(), id_col).limit(k)
+
+
+def append_ann_hnsw_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Insert a batch of new vectors into a materialized
+    segment-parallel HNSW index, rewriting ONLY the touched `shard=K`
+    partitions (dynamic partition overwrite — O(touched segments) I/O,
+    the MERGE shape of the snapshot store applied to an index). Each
+    touched segment's graph grows in place via append_hnsw inside one
+    cogrouped applyInPandas pass; ids already present in the segment
+    are SKIPPED, so a replayed micro-batch rewrites byte-identical
+    graph rows instead of duplicating nodes — replay exactness by
+    idempotence, the bitmap/minhash-state doctrine. This is the
+    incremental path the reference's async embedding writer takes into
+    its cozo HNSW (pkg/memory/writer.go:71-73), minus its
+    search-lags-store window."""
+    import pandas as pd
+
+    from mie_spark.operators.vector import _read_ann_meta
+
+    spark = df.sparkSession
+    meta = _read_ann_meta(spark, path)
+    assert meta.get("kind") == "hnsw", f"not an HNSW index: {meta}"
+    shards = int(meta["shards"])
+    m = int(meta["m"])
+    ef_c = int(meta["ef_construction"])
+    seed = int(meta.get("seed", 42))
+    graphs = spark.read.parquet(path)
+    out_schema = graphs.schema
+
+    new = df.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def grow(key, new_pdf, graph_pdf):  # noqa: ANN001
+        shard = int(key[0])
+        if new_pdf.empty:
+            return pd.DataFrame(columns=out_schema.fieldNames())
+        new_pdf = new_pdf.drop_duplicates(id_col).sort_values(id_col)
+        if graph_pdf.empty:
+            ids: list = []
+            vecs = np.zeros((0, len(new_pdf[vec_col].iloc[0])))
+            layers: list = []
+            entry = -1
+        else:
+            row = graph_pdf.iloc[0]
+            ids = list(row["ids"])
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in row["vecs"]])
+            layers = [[list(nbrs) for nbrs in level] for level in row["adj"]]
+            entry = int(row["entry"])
+        known = set(ids)
+        fresh = new_pdf[~new_pdf[id_col].isin(known)]
+        if fresh.empty:  # pure replay: nothing to change
+            return pd.DataFrame(columns=out_schema.fieldNames())
+        add = _unit(
+            np.array([np.asarray(v, dtype=np.float64) for v in fresh[vec_col]])
+        )
+        n_old = len(ids)
+        all_vecs = add if n_old == 0 else np.vstack([vecs, add])
+        layers, entry = append_hnsw(
+            layers, entry, all_vecs, n_old, m=m, ef_construction=ef_c,
+            seed=seed + shard,
+        )
+        ids = ids + list(fresh[id_col])
+        return pd.DataFrame(
+            {
+                "ids": [ids],
+                "vecs": [[list(map(float, v)) for v in all_vecs]],
+                "entry": [entry],
+                "adj": [layers],
+                "shard": [shard],
+            }
+        )[out_schema.fieldNames()]
+
+    updated = (
+        new.groupBy("shard")
+        .cogroup(graphs.groupBy("shard"))
+        .applyInPandas(grow, schema=out_schema)
+    )
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            updated.repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)

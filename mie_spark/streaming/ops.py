@@ -551,6 +551,33 @@ def stream_append_ivf_index(
     foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
 
 
+def stream_append_hnsw_index(
+    stream_df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    timeout_s: int = 300,
+) -> None:
+    """Incremental HNSW maintenance: each micro-batch of new vectors is
+    shard-assigned and INSERTED into the matching segments' graphs
+    (operators/hnsw.append_ann_hnsw_index — cogrouped applyInPandas,
+    dynamic partition overwrite of only the touched `shard=K` dirs).
+    Unlike the IVF appender above, this one IS replay-idempotent: ids
+    already present in a segment are skipped, so a retried micro-batch
+    rewrites byte-identical graph rows. The streaming twin of the
+    reference's async embedding-writer inserts into its cozo HNSW
+    (pkg/memory/writer.go:71-73), without its search-lags-store
+    window."""
+    from mie_spark.operators.hnsw import append_ann_hnsw_index
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ann_hnsw_index(batch_df, path, vec_col=vec_col, id_col=id_col)
+
+    foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
+
+
 def embed_and_upsert_stream(
     stream_df: DataFrame,
     store: Any,
@@ -755,6 +782,7 @@ __all__ = [
     "run_to_memory_sink",
     "sessionized_stream",
     "stateful_user_totals",
+    "stream_append_hnsw_index",
     "stream_append_ivf_index",
     "stream_heavy_hitters_summary",
     "stream_minhash_signatures",

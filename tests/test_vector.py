@@ -639,3 +639,61 @@ def test_hnsw_recall_and_indexed_parity(spark, tmp_path):
         for r in ann_topk_hnsw_indexed(spark, path, q, k=10).collect()
     ]
     assert served == got
+
+
+def test_hnsw_incremental_append_grows_index_idempotently(spark, tmp_path):
+    """Incremental HNSW maintenance: build the index on half the
+    corpus, stream the rest in 4 one-file micro-batches
+    (stream_append_hnsw_index), and the grown index must (a) rank the
+    full corpus as well as exact cosine top-k, (b) contain every id
+    exactly once, and (c) be byte-stable under a FULL replay of the
+    stream — ids already present are skipped, so retries rewrite
+    identical graph rows."""
+    from mie_spark.operators.hnsw import (
+        ann_topk_hnsw_indexed,
+        write_ann_hnsw_index,
+    )
+    from mie_spark.streaming import stream_append_hnsw_index
+
+    emb, q = _emb_and_query(spark)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "hnsw_grow")
+    write_ann_hnsw_index(first, path)
+
+    src = str(tmp_path / "vec_stream")
+    rest.repartition(4).write.parquet(src)
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(rest.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_append_hnsw_index(stream, path)
+
+    run()
+    exact = {r["vec_id"] for r in cosine_topk(emb, "embedding", q, 10).collect()}
+    got = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ann_topk_hnsw_indexed(spark, path, q, k=10).collect()
+    ]
+    recall = len({v for v, _ in got} & exact) / 10
+    assert recall >= 0.9, f"grown-index recall@10 too low: {recall}"
+
+    graphs = spark.read.parquet(path)
+    all_ids = [i for r in graphs.select("ids").collect() for i in r["ids"]]
+    assert sorted(all_ids) == sorted(
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    )
+
+    # full replay: every id skips, the served ranking is unchanged
+    run()
+    again = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ann_topk_hnsw_indexed(spark, path, q, k=10).collect()
+    ]
+    assert again == got
+    graphs2 = spark.read.parquet(path)
+    all_ids2 = [i for r in graphs2.select("ids").collect() for i in r["ids"]]
+    assert sorted(all_ids2) == sorted(all_ids)
