@@ -152,6 +152,7 @@ HEADLINE = [
     "pipe_quality_buckets_cuts", # tercile census via distributed rank cuts
     "st_dedup_minhash",          # incremental MinHash index, streaming state
     "v_ann_hnsw_topk",           # segment-parallel HNSW at the reference's point
+    "ev_attribution_linear",     # multi-touch attribution, exact micro-cent split
 ]
 
 

@@ -99,6 +99,7 @@ _GRADE_FIRST = [
     # against the batch pipeline's exact-pair oracle).
     "pipe_quality_buckets_cuts",
     "st_dedup_minhash",
+    "ev_attribution_linear",
     # The documented r9 queue head — the eight r04-stale rows that
     # yielded their r8 slots to late-r8 additions.
     "ev_unpivot",
@@ -119,12 +120,13 @@ _GRADE_FIRST = [
     "u3_except_customers",
     "q1_pricing_summary",
     # The rest of the r05-stale cohort, oldest remaining driver rows
-    # (alphabetical; the 10 that don't fit — q13_customer_distribution,
-    # q2_min_cost_supplier, q3_shipping_priority,
-    # q5_local_supplier_volume, samp_fixed_k, samp_shuffle_shards,
-    # samp_token_budget, st_enrich_join, text_bpe_train,
-    # w_running_total — head the r10 queue, then the r06 cohort, then
-    # r07/r08 as they age past two rounds).
+    # (alphabetical; the 11 that don't fit — q12_priority_classes
+    # (yielded its slot to the late-r9 ev_attribution_linear),
+    # q13_customer_distribution, q2_min_cost_supplier,
+    # q3_shipping_priority, q5_local_supplier_volume, samp_fixed_k,
+    # samp_shuffle_shards, samp_token_budget, st_enrich_join,
+    # text_bpe_train, w_running_total — head the r10 queue, then the
+    # r06 cohort, then r07/r08 as they age past two rounds).
     "a_rollup_suppliers",
     "a_salted_agg",
     "a_stats_moments",
@@ -145,7 +147,6 @@ _GRADE_FIRST = [
     "j1_two_hop_traversal",
     "j8_anti_join_inactive",
     "pipe_pack_sequences",
-    "q12_priority_classes",
 ]
 
 

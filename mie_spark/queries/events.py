@@ -2023,3 +2023,113 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buyers",
         "revenue_cents",
     )
+
+
+@query(
+    "ev_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS t_id, user_id, epoch_us(ts) AS t_us,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.p_id, p.cents, t.t_id, t.t_us, t.channel
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.t_us <= p.p_us
+       AND t.t_us > p.p_us - 604800000000
+    ),
+    r AS (
+      SELECT p_id, cents, channel,
+             count(t_id) OVER (PARTITION BY p_id) AS n,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY t_us, channel, t_id) AS rk
+      FROM j
+    ),
+    credited AS (
+      SELECT coalesce(channel, 'direct') AS channel,
+             CASE WHEN n = 0 THEN cents * 1000000
+                  ELSE (cents * 1000000) // n
+                       + CASE WHEN rk = 1
+                              THEN cents * 1000000 - ((cents * 1000000) // n) * n
+                              ELSE 0 END
+             END AS micro
+      FROM r
+    )
+    SELECT channel,
+           count(*)::BIGINT AS n_credits,
+           sum(micro)::BIGINT AS attributed_microcents
+    FROM credited
+    GROUP BY channel
+    """,
+)
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution, linear model — the marketing-warehouse
+    staple the streaming interval join (st_attribution_join) only
+    half-covers: every purchase's revenue splits EQUALLY across the
+    user's view/click touchpoints in the trailing 7 days; purchases
+    with no touchpoint credit the 'direct' channel. The split is exact
+    INTEGER micro-cents (cents*1e6 div n, remainder to the EARLIEST
+    touch, ties broken (t_us, channel, event_id)) so per-channel totals
+    hash-grade and the credited sum reconstructs total purchase revenue
+    bit-for-bit (pinned in tests/test_properties.py).
+
+    Plan: both event subsets prune at the scan, ONE user_id equi-join
+    with the 7-day bound as a residual range predicate (the interval
+    join carries (purchase, touch) id pairs, never props), per-purchase
+    window for the touch count + earliest rank, one channel aggregate.
+    At 100 TB the join shuffles the two pruned subsets on user_id once;
+    window state is bounded by one user's 7-day touch fan-in."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["t_us"] <= p["p_us"])
+        & (t["t_us"] > p["p_us"] - 604_800_000_000),
+        "left",
+    ).select("p_id", "cents", "t_id", "t_us", "channel")
+    wp = Window.partitionBy("p_id")
+    rk_w = Window.partitionBy("p_id").orderBy("t_us", "channel", "t_id")
+    r = j.select(
+        "cents",
+        "channel",
+        F.count("t_id").over(wp).alias("n"),
+        F.row_number().over(rk_w).alias("rk"),
+    )
+    micro = F.col("cents") * F.lit(1_000_000)
+    share = F.expr("(cents * 1000000) div n")
+    credit = F.when(F.col("n") == 0, micro).otherwise(
+        share
+        + F.when(F.col("rk") == 1, micro - share * F.col("n")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        r.select(
+            F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+            credit.alias("micro"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("micro").alias("attributed_microcents"),
+        )
+    )

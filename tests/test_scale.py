@@ -463,3 +463,22 @@ def test_two_level_rank_equals_global_row_number(spark):
     tiny = spark.range(5).select("id", (F.col("id") * 10).alias("v"))
     got_t = two_level_rank(tiny, order_cols=["v", "id"], nparts=64, out="rn")
     assert sorted(r.rn for r in got_t.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_attribution_conserves_revenue(spark):
+    """ev_attribution_linear's integer split must reconstruct total
+    purchase revenue EXACTLY: sum of per-channel attributed micro-cents
+    == sum(purchase cents) * 1e6. The oracle hash proves Spark==DuckDB;
+    this pins that both aren't wrong together (a lost remainder or a
+    double-credited touch breaks conservation)."""
+    from mie_spark.queries import QUERIES
+
+    out = QUERIES["ev_attribution_linear"](spark, SF)
+    credited = out.agg(F.sum("attributed_microcents")).collect()[0][0]
+    ev = load_table(spark, SF, "events")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert credited == total * 1_000_000
