@@ -152,11 +152,15 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     "No Partition Defined" warning). The executed-plan string prints a
     partitioned window as ``Window [exprs], [partSpec], [orderSpec]``
     and an unpartitioned one with the middle group MISSING (not as an
-    empty ``[]``), so this counts top-level bracket groups per Window
-    line: two groups = global window. The repo rule: zero on any
+    empty ``[]``) — but a partitioned window with NO ordering ALSO
+    prints two groups (``[exprs], [partSpec]``), so two-group lines
+    are disambiguated by whether the trailing group is an ORDER spec
+    (contains ASC/DESC tokens): ordered trailing group = global sort,
+    unordered = partition spec, fine. The repo rule: zero on any
     data-scaled input; the only sanctioned uses are provably bounded
     carriers (per-day carry in ev_concurrency, per-partition count
-    carry in operators/rank.py) and those pin ``<= 1`` per query."""
+    carry in operators/rank.py, vocab/sketch/top-k-pool marginals) and
+    those pin ``<= N`` per query."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = 0
     for line in plan.splitlines():
@@ -164,16 +168,21 @@ def unpartitioned_window_count(df: DataFrame) -> int:
         if not m:
             continue
         depth = 0
-        groups = 0
+        groups: list[str] = []
         for ch in m.group(1):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append("")
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
-            n += 1
+            elif depth > 0:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # [exprs], [partSpec], [orderSpec] — partitioned
+        last = groups[-1] if len(groups) == 2 else ""
+        if len(groups) < 2 or " ASC" in last or " DESC" in last:
+            n += 1  # ordered with no partition spec: the global sort
     return n
 
 
