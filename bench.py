@@ -153,6 +153,7 @@ HEADLINE = [
     "st_dedup_minhash",          # incremental MinHash index, streaming state
     "v_ann_hnsw_topk",           # segment-parallel HNSW at the reference's point
     "ev_attribution_linear",     # multi-touch attribution, exact micro-cent split
+    "dq_expectations",           # data-quality gate, one fused scan per table
 ]
 
 

@@ -804,3 +804,145 @@ def j_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(cents("l_extendedprice")).alias("revenue_cents"),
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH li AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS null_key,
+             sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT
+               AS bad_qty,
+             sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                 THEN 1 ELSE 0 END)::BIGINT AS bad_disc,
+             (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+               AS dup_key
+      FROM lineitem
+    ),
+    o AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)::BIGINT
+               AS neg_total,
+             (count(*) - count(DISTINCT o_orderkey))::BIGINT AS dup_key
+      FROM orders
+    ),
+    c AS (
+      SELECT count(*)::BIGINT AS n,
+             (count(*) - count(DISTINCT c_custkey))::BIGINT AS dup_key
+      FROM customer
+    ),
+    orph_li AS (
+      SELECT count(*)::BIGINT AS v FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ),
+    orph_o AS (
+      SELECT count(*)::BIGINT AS v FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT 'lineitem.null_orderkey' AS check_name, null_key AS n_violations, n AS n_checked FROM li
+    UNION ALL SELECT 'lineitem.nonpositive_quantity', bad_qty, n FROM li
+    UNION ALL SELECT 'lineitem.discount_in_unit_interval', bad_disc, n FROM li
+    UNION ALL SELECT 'lineitem.unique_order_line', dup_key, n FROM li
+    UNION ALL SELECT 'lineitem.orderkey_fk', orph_li.v, li.n FROM orph_li, li
+    UNION ALL SELECT 'orders.nonnegative_totalprice', neg_total, n FROM o
+    UNION ALL SELECT 'orders.unique_orderkey', dup_key, n FROM o
+    UNION ALL SELECT 'orders.custkey_fk', orph_o.v, o.n FROM orph_o, o
+    UNION ALL SELECT 'customer.unique_custkey', dup_key, n FROM c
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report — the Great-Expectations /
+    dbt-test shape a training or warehouse pipeline gates ingest on:
+    one row per check with exact BIGINT (n_violations, n_checked).
+    Null keys, value-range rules, key uniqueness (count minus distinct
+    in the SAME single pass — no self-join), and referential integrity
+    as broadcast anti-joins. Plan: ONE aggregate pass per table (all
+    of that table's row-level rules + its uniqueness check fused into
+    a single scan) plus two anti-join counts; at 100 TB each check set
+    costs one fact scan and the FK probes broadcast the key side or
+    ride bloom_semi_join when both sides are facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_key"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bad_disc"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dup_key"),
+    )
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") < 0).cast("long")).alias("neg_total"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_key"),
+    )
+    c_agg = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("dup_key"),
+    )
+    orph_li = li.join(
+        F.broadcast(o.select("o_orderkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("v"))
+    orph_o = o.join(
+        F.broadcast(c.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("v"))
+
+    def row(name, viol, checked):  # noqa: ANN001
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            viol.cast("long").alias("n_violations"),
+            checked.cast("long").alias("n_checked"),
+        )
+
+    li_rows = li_agg.select(
+        F.explode(
+            F.array(
+                row("lineitem.null_orderkey", F.col("null_key"), F.col("n")),
+                row("lineitem.nonpositive_quantity", F.col("bad_qty"), F.col("n")),
+                row(
+                    "lineitem.discount_in_unit_interval",
+                    F.col("bad_disc"),
+                    F.col("n"),
+                ),
+                row("lineitem.unique_order_line", F.col("dup_key"), F.col("n")),
+            )
+        ).alias("r")
+    )
+    o_rows = o_agg.select(
+        F.explode(
+            F.array(
+                row("orders.nonnegative_totalprice", F.col("neg_total"), F.col("n")),
+                row("orders.unique_orderkey", F.col("dup_key"), F.col("n")),
+            )
+        ).alias("r")
+    )
+    c_rows = c_agg.select(
+        F.explode(
+            F.array(row("customer.unique_custkey", F.col("dup_key"), F.col("n")))
+        ).alias("r")
+    )
+    fk_li = orph_li.crossJoin(F.broadcast(li_agg.select("n"))).select(
+        row("lineitem.orderkey_fk", F.col("v"), F.col("n")).alias("r")
+    )
+    fk_o = orph_o.crossJoin(F.broadcast(o_agg.select("n"))).select(
+        row("orders.custkey_fk", F.col("v"), F.col("n")).alias("r")
+    )
+    return (
+        li_rows.unionByName(o_rows)
+        .unionByName(c_rows)
+        .unionByName(fk_li)
+        .unionByName(fk_o)
+        .select("r.check_name", "r.n_violations", "r.n_checked")
+    )
