@@ -154,6 +154,7 @@ HEADLINE = [
     "v_ann_hnsw_topk",           # segment-parallel HNSW at the reference's point
     "ev_attribution_linear",     # multi-touch attribution, exact micro-cent split
     "dq_expectations",           # data-quality gate, one fused scan per table
+    "ev_survival",               # Kaplan-Meier survival table, censoring-aware
 ]
 
 

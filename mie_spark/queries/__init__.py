@@ -101,6 +101,7 @@ _GRADE_FIRST = [
     "st_dedup_minhash",
     "ev_attribution_linear",
     "dq_expectations",
+    "ev_survival",
     # The documented r9 queue head — the eight r04-stale rows that
     # yielded their r8 slots to late-r8 additions.
     "ev_unpivot",
@@ -121,9 +122,10 @@ _GRADE_FIRST = [
     "u3_except_customers",
     "q1_pricing_summary",
     # The rest of the r05-stale cohort, oldest remaining driver rows
-    # (alphabetical; the 12 that don't fit — q12_priority_classes and
-    # pipe_pack_sequences (yielded their slots to the late-r9
-    # ev_attribution_linear / dq_expectations),
+    # (alphabetical; the 13 that don't fit — q12_priority_classes,
+    # pipe_pack_sequences and j8_anti_join_inactive (yielded their
+    # slots to the late-r9 ev_attribution_linear / dq_expectations /
+    # ev_survival),
     # q13_customer_distribution, q2_min_cost_supplier,
     # q3_shipping_priority, q5_local_supplier_volume, samp_fixed_k,
     # samp_shuffle_shards, samp_token_budget, st_enrich_join,
@@ -147,7 +149,6 @@ _GRADE_FIRST = [
     "ev_sessionize",
     "g_triangle_count",
     "j1_two_hop_traversal",
-    "j8_anti_join_inactive",
 ]
 
 

@@ -2133,3 +2133,110 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro").alias("attributed_microcents"),
         )
     )
+
+
+@query(
+    "ev_survival",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             epoch_us(min(ts)) AS first_us,
+             epoch_us(max(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(epoch_us(ts)) AS corpus_us FROM events),
+    lab AS (
+      SELECT (last_us - first_us) // 604800000000 AS tenure_w,
+             (corpus_us - first_us) // 604800000000 AS observable_w,
+             CASE WHEN (corpus_us - first_us) // 604800000000
+                       > (last_us - first_us) // 604800000000 + 4
+                  THEN 1 ELSE 0 END AS churned
+      FROM u, mx
+    ),
+    exits AS (
+      SELECT CASE WHEN churned = 1 THEN tenure_w ELSE observable_w END
+               AS exit_w,
+             churned
+      FROM lab
+    ),
+    weeks AS (
+      SELECT exit_w AS week,
+             sum(churned)::BIGINT AS n_churned,
+             sum(1 - churned)::BIGINT AS n_censored
+      FROM exits GROUP BY exit_w
+    ),
+    at_risk AS (
+      SELECT week, n_churned, n_censored,
+             (sum(n_churned + n_censored)
+                OVER (ORDER BY week DESC ROWS UNBOUNDED PRECEDING))::BIGINT
+               AS n_at_risk
+      FROM weeks
+    )
+    SELECT week, n_at_risk, n_churned, n_censored,
+           (2 * n_churned * 1000000 + n_at_risk) // (2 * n_at_risk)
+             AS hazard_micro
+    FROM at_risk
+    """,
+)
+def ev_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style survival table over user lifetimes — the
+    churn-analytics staple ev_retention's cohort matrix doesn't give:
+    per tenure WEEK, the at-risk count, the churn events, and the
+    right-censored exits, with the discrete hazard d_w/n_w in integer
+    half-up micro-units. Churn definition: a user whose observation
+    horizon extends >= 4 weeks past their last event churned at their
+    last-event week; everyone else is CENSORED at their horizon (the
+    corpus simply ends — treating them as churned is the classic
+    survival-analysis mistake this operator exists to avoid).
+
+    Every quantity is exact: integer week arithmetic on epoch-micros,
+    at-risk as a DESCENDING cumulative sum over the per-week exit
+    census (the window runs over |weeks| rows — a bounded carrier, the
+    ev_concurrency doctrine, registered in tools_window_audit.py), and
+    the hazard via the cross-engine integer half-up formula. Plan: one
+    user aggregate (the only events-sized shuffle), scalar corpus-max
+    broadcast, a |weeks|-row census + window."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+    mx = ev.agg(F.unix_micros(F.max("ts")).alias("corpus_us"))
+    wk = 604_800_000_000
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(last_us - first_us) div {wk}").alias("tenure_w"),
+        F.expr(f"(corpus_us - first_us) div {wk}").alias("observable_w"),
+    ).select(
+        "tenure_w",
+        "observable_w",
+        (F.col("observable_w") > F.col("tenure_w") + 4)
+        .cast("long")
+        .alias("churned"),
+    )
+    exits = lab.select(
+        F.when(F.col("churned") == 1, F.col("tenure_w"))
+        .otherwise(F.col("observable_w"))
+        .alias("exit_w"),
+        "churned",
+    )
+    weeks = exits.groupBy(F.col("exit_w").alias("week")).agg(
+        F.sum("churned").alias("n_churned"),
+        F.sum(F.lit(1) - F.col("churned")).alias("n_censored"),
+    )
+    # at-risk = suffix sum over the bounded per-week census
+    desc_w = Window.orderBy(F.col("week").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = weeks.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_churned") + F.col("n_censored")).over(desc_w),
+    )
+    return at_risk.select(
+        "week",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.expr(
+            "(2 * n_churned * 1000000 + n_at_risk) div (2 * n_at_risk)"
+        ).alias("hazard_micro"),
+    )

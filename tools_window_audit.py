@@ -35,6 +35,7 @@ EXPECTED = {
         "pipe_quality_buckets_cuts (two_level_rank)",
     ),
     "v_mmr_pool": (1, "rank over the top-50 pool"),
+    "ev_survival": (1, "at-risk suffix sum: one row per tenure week"),
 }
 
 
