@@ -482,3 +482,23 @@ def test_attribution_conserves_revenue(spark):
         .collect()[0][0]
     )
     assert credited == total * 1_000_000
+
+
+def test_survival_table_accounting(spark):
+    """ev_survival's life-table accounting: every user exits exactly
+    once (sum of churned + censored == |users|), the week-0 at-risk
+    count is the full population, and at-risk decreases by exactly the
+    previous week's exits (the Kaplan-Meier recurrence)."""
+    from mie_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["ev_survival"](spark, SF).collect(), key=lambda r: r["week"]
+    )
+    ev = load_table(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_churned"] + r["n_censored"] for r in rows) == n_users
+    assert rows[0]["n_at_risk"] == n_users
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_at_risk"] == (
+            prev["n_at_risk"] - prev["n_churned"] - prev["n_censored"]
+        )
