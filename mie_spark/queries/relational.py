@@ -858,11 +858,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per check with exact BIGINT (n_violations, n_checked).
     Null keys, value-range rules, key uniqueness (count minus distinct
     in the SAME single pass — no self-join), and referential integrity
-    as broadcast anti-joins. Plan: ONE aggregate pass per table (all
-    of that table's row-level rules + its uniqueness check fused into
-    a single scan) plus two anti-join counts; at 100 TB each check set
-    costs one fact scan and the FK probes broadcast the key side or
-    ride bloom_semi_join when both sides are facts."""
+    as anti-joins (un-hinted: AQE broadcasts the key side when it
+    fits). Plan: ONE aggregate pass per table (all of that table's
+    row-level rules + its uniqueness check fused into a single scan)
+    plus two anti-join counts; at 100 TB each check set costs one fact
+    scan and a fact-fact FK probe rides bloom_semi_join's prefilter."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -888,13 +888,18 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("dup_key"),
     )
+    # FK probes: NO forced broadcast — orders/customer scale with the
+    # corpus (an unbounded forced broadcast is the driver-OOM pattern
+    # the r9 ev_cohort_ltv fix removed); AQE promotes the anti-join
+    # build side when it fits, and at fact-fact scale the probe rides
+    # bloom_semi_join's bitmap prefilter instead.
     orph_li = li.join(
-        F.broadcast(o.select("o_orderkey")),
+        o.select("o_orderkey"),
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left_anti",
     ).agg(F.count(F.lit(1)).alias("v"))
     orph_o = o.join(
-        F.broadcast(c.select("c_custkey")),
+        c.select("c_custkey"),
         F.col("o_custkey") == F.col("c_custkey"),
         "left_anti",
     ).agg(F.count(F.lit(1)).alias("v"))
