@@ -208,6 +208,12 @@ def _signatures_from_shingles(
     # same cliff hits explode consumers). The checkpoint holds (doc,
     # int64 hashes) — SMALLER than the shingle strings the batch
     # pipeline already persists, so the 100 TB state story is unchanged.
+    # Fault-tolerance tradeoff (deliberate, ADVICE r9): checkpointed
+    # blocks are NOT recomputable — an executor loss mid-job fails the
+    # query, which then reruns whole. Acceptable for a single-pass
+    # query; a multi-hour pipeline stage would persist(MEMORY_AND_DISK)
+    # instead, keeping lineage at the cost of re-evaluating the HOF on
+    # recompute. See SCALE.md "localCheckpoint doctrine".
     hashed = hashed.localCheckpoint(eager=False)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -410,7 +410,11 @@ def ann_topk_hnsw_indexed(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     meta = _read_ann_meta(spark, path)
-    assert meta.get("kind") == "hnsw", f"not an HNSW index: {meta}"
+    if meta.get("kind") != "hnsw":
+        # runtime input validation, not an internal invariant —
+        # assert would vanish under python -O and let a non-HNSW
+        # index layout proceed into the graph reader (ADVICE r9)
+        raise ValueError(f"not an HNSW index: {meta}")
     graphs = spark.read.parquet(path)
     q = np.asarray(list(query_vec), dtype=np.float64)
     qn = float(np.linalg.norm(q))
@@ -471,7 +475,11 @@ def append_ann_hnsw_index(
 
     spark = df.sparkSession
     meta = _read_ann_meta(spark, path)
-    assert meta.get("kind") == "hnsw", f"not an HNSW index: {meta}"
+    if meta.get("kind") != "hnsw":
+        # runtime input validation, not an internal invariant —
+        # assert would vanish under python -O and let a non-HNSW
+        # index layout proceed into the graph reader (ADVICE r9)
+        raise ValueError(f"not an HNSW index: {meta}")
     shards = int(meta["shards"])
     m = int(meta["m"])
     ef_c = int(meta["ef_construction"])

@@ -57,6 +57,10 @@ def two_level_rank(
     keyed = df.repartitionByRange(
         nparts, *(part_cols + order_cols)
     ).withColumn("_pid", F.spark_partition_id())
+    # Deliberate fault-tolerance tradeoff (ADVICE r9): the checkpointed
+    # exchange is not recomputable, so executor loss fails-and-reruns
+    # the query rather than recomputing lineage; persist(MEMORY_AND_DISK)
+    # is the long-pipeline alternative. See SCALE.md.
     keyed = keyed.localCheckpoint(eager=False)
     in_part = Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
     rn = keyed.withColumn("_rn", F.row_number().over(in_part))

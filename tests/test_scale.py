@@ -502,3 +502,83 @@ def test_survival_table_accounting(spark):
         assert cur["n_at_risk"] == (
             prev["n_at_risk"] - prev["n_churned"] - prev["n_censored"]
         )
+
+
+def test_survival_table_with_real_churners(spark, tmp_path):
+    """ADVICE r9: at every graded SF the corpus spans ~30 days, so no
+    user can satisfy the >=4-weeks-silent churn rule — the driver's
+    oracle row is a single all-censored week and the KM recurrence loop
+    above is vacuous. This fixture engineers a 26-week corpus with
+    churners exiting at MANY distinct weeks, then grades ev_survival
+    against the SAME DuckDB oracle SQL on the synthetic dir, plus the
+    explicit hazard / accounting invariants the tiny corpus never
+    reaches."""
+    import duckdb
+
+    from mie_spark.queries import ORACLES, QUERIES
+
+    wk_us = 604_800_000_000
+    base = 1_700_000_000_000_000  # epoch micros, any anchor
+    rows = []
+    eid = 0
+    # One sentinel user pins the corpus horizon at week 26.
+    rows.append((eid, base + 26 * wk_us, 10_000, "view", 1.0, "{}"))
+    eid += 1
+    # 40 churners: user u starts at week (u % 5) and goes silent at
+    # week (u % 5) + 2 + (u % 9) — horizon exceeds last+4wk for all,
+    # spreading churn events over exit weeks 2..10.
+    for u in range(40):
+        first_w = u % 5
+        last_w = first_w + 2 + (u % 9)
+        rows.append((eid, base + first_w * wk_us, u, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, base + last_w * wk_us, u, "view", 1.0, "{}"))
+        eid += 1
+    # 20 censored users: still active within 4 weeks of the horizon.
+    for u in range(100, 120):
+        first_w = u % 7
+        rows.append((eid, base + first_w * wk_us, u, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, base + 25 * wk_us + (u % 3), u, "view", 1.0, "{}"))
+        eid += 1
+    pdf = spark.createDataFrame(
+        [
+            (e, __import__("datetime").datetime.fromtimestamp(ts / 1e6), u, t, v, p)
+            for e, ts, u, t, v, p in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    pdf.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = sorted(
+        QUERIES["ev_survival"](spark, sf_dir).collect(), key=lambda r: r["week"]
+    )
+    # Same oracle SQL, same synthetic corpus.
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want_rows = {
+        r[0]: r for r in con.execute(
+            f"SELECT week, n_at_risk, n_churned, n_censored, hazard_micro "
+            f"FROM ({ORACLES['ev_survival']}) ORDER BY week"
+        ).fetchall()
+    }
+    assert {r["week"]: tuple(r) for r in got} == want_rows
+    # The branches the tiny corpus never exercises:
+    churn_weeks = [r["week"] for r in got if r["n_churned"] > 0]
+    assert len(churn_weeks) >= 5, churn_weeks
+    assert any(r["n_censored"] > 0 for r in got)
+    assert any(0 < r["hazard_micro"] < 1_000_000 for r in got)
+    # KM recurrence over a MULTI-row table (was vacuous on 1 row).
+    assert len(got) >= 6
+    n_users = 61
+    assert got[0]["n_at_risk"] == n_users
+    assert sum(r["n_churned"] + r["n_censored"] for r in got) == n_users
+    for prev, cur in zip(got, got[1:]):
+        assert cur["n_at_risk"] == (
+            prev["n_at_risk"] - prev["n_churned"] - prev["n_censored"]
+        )
