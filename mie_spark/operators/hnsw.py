@@ -391,6 +391,132 @@ def hnsw_topk(
     return local.orderBy(F.col("sim").desc(), id_col).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# Index generations (ADVICE r9, medium): the materialized index is
+# never mutated in place. Every (re)build or append writes a COMPLETE
+# new generation directory `gNNNNNNNNN/` under the index path and then
+# flips the one-line `_CURRENT` pointer — the atomic-commit pattern of
+# MieStore snapshots and the streaming bitmap/minhash state. In-flight
+# readers keep a consistent view (they resolved the pointer once and
+# read only that generation's files); a crash mid-append leaves the
+# live generation untouched (the half-written new generation is simply
+# never pointed at, and the next append's higher generation number
+# ignores it). GC keeps the newest two generations: current + the one
+# a lazy reader may still hold.
+# ---------------------------------------------------------------------------
+
+_GEN_POINTER = "_CURRENT"
+
+
+def _gen_name(n: int) -> str:
+    return f"g{n:09d}"
+
+
+def _list_generations(spark, path: str) -> list[int]:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("g") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _current_generation(spark, path: str) -> str | None:
+    """Resolve the live generation dir, or None for an empty/missing
+    index. Pre-generation indexes (graph rows at the path root) are
+    read as-is — the first append upgrades them to the versioned
+    layout."""
+    from mie_spark.operators.vector import _read_text_sidecar
+
+    cur = _read_text_sidecar(spark, path, _GEN_POINTER)
+    if cur is not None:
+        return path.rstrip("/") + "/" + cur
+    # legacy layout: shard=K dirs directly under path
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath) and any(
+        st.getPath().getName().startswith("shard=")
+        for st in fs.listStatus(jpath)
+    ):
+        return path
+    return None
+
+
+def _commit_generation(spark, path: str, gen: int, keep: int = 2) -> None:
+    """Flip `_CURRENT` to generation ``gen``, then GC generations older
+    than the ``keep`` newest (current + one for in-flight readers)."""
+    from mie_spark.operators.vector import _write_text_sidecar
+
+    _write_text_sidecar(spark, path, _GEN_POINTER, _gen_name(gen))
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    live = sorted(g for g in _list_generations(spark, path) if g <= gen)
+    for stale in live[:-keep]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + "/" + _gen_name(stale)
+            ),
+            True,
+        )
+
+
+def _forward_untouched_shards(
+    spark, src_gen: str, dst_gen: str, touched: set[int]
+) -> None:
+    """Carry untouched `shard=K` partitions from the previous
+    generation into the new one. Local filesystems hard-link (O(files)
+    metadata ops, zero data copy — the MieStore vintage pattern,
+    storage.py _link_untouched); anything else goes through Hadoop
+    FileUtil.copy (on S3 a server-side copy — bytes never transit the
+    driver). Either way append stays O(touched segments) in compute
+    and local-disk I/O."""
+    import os
+    import shutil
+
+    jvm = spark._jvm
+    jsrc = jvm.org.apache.hadoop.fs.Path(src_gen)
+    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    conf = spark._jsc.hadoopConfiguration()
+    local = src_gen.startswith("/") or src_gen.startswith("file:")
+    for st in fs.listStatus(jsrc):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("shard=")):
+            continue
+        if int(name.split("=", 1)[1]) in touched:
+            continue
+        if local:
+            sdir = src_gen.replace("file:", "", 1).rstrip("/") + "/" + name
+            ddir = dst_gen.replace("file:", "", 1).rstrip("/") + "/" + name
+            os.makedirs(ddir, exist_ok=True)
+            for fn in os.listdir(sdir):
+                try:
+                    os.link(
+                        os.path.join(sdir, fn), os.path.join(ddir, fn)
+                    )
+                except OSError:  # cross-device or FS without hard links
+                    shutil.copy2(
+                        os.path.join(sdir, fn), os.path.join(ddir, fn)
+                    )
+        else:
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs,
+                st.getPath(),
+                fs,
+                jvm.org.apache.hadoop.fs.Path(
+                    dst_gen.rstrip("/") + "/" + name
+                ),
+                False,
+                conf,
+            )
+
+
 def write_ann_hnsw_index(
     df: DataFrame,
     path: str,
@@ -407,7 +533,11 @@ def write_ann_hnsw_index(
     partition — the Lucene segment file, in parquet. Rebuilding the
     index is the only way the graphs change, exactly like rebuilding
     the reference's cozo HNSW index. Serving reads the graph rows and
-    never re-runs construction."""
+    never re-runs construction.
+
+    The build lands in a fresh generation directory and commits via
+    the `_CURRENT` pointer flip (see the generation block above), so a
+    rebuild over a live index never disturbs concurrent readers."""
     from mie_spark.operators.vector import _require_nonempty, _write_ann_meta
     from pyspark.sql.types import (
         ArrayType,
@@ -464,16 +594,19 @@ def write_ann_hnsw_index(
         .cast("int")
         .alias("_shard"),
     )
+    spark = df.sparkSession
+    gen = max(_list_generations(spark, path), default=0) + 1
+    gen_path = path.rstrip("/") + "/" + _gen_name(gen)
     (
         sharded.groupBy("_shard")
         .applyInPandas(build_shard, schema=out_schema)
         .repartition("shard")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
+        .parquet(gen_path)
     )
     _write_ann_meta(
-        df.sparkSession,
+        spark,
         path,
         {
             "kind": "hnsw",
@@ -483,6 +616,7 @@ def write_ann_hnsw_index(
             "seed": seed,
         },
     )
+    _commit_generation(spark, path, gen)
 
 
 def ann_topk_hnsw_indexed(
@@ -507,7 +641,10 @@ def ann_topk_hnsw_indexed(
         # assert would vanish under python -O and let a non-HNSW
         # index layout proceed into the graph reader (ADVICE r9)
         raise ValueError(f"not an HNSW index: {meta}")
-    graphs = spark.read.parquet(path)
+    gen_path = _current_generation(spark, path)
+    if gen_path is None:
+        raise ValueError(f"HNSW index at {path} has no committed generation")
+    graphs = spark.read.parquet(gen_path)
     q = np.asarray(list(query_vec), dtype=np.float64)
     qn = float(np.linalg.norm(q))
     q = q / qn if qn > 0 else q
@@ -550,16 +687,21 @@ def append_ann_hnsw_index(
     id_col: str = "vec_id",
 ) -> None:
     """Insert a batch of new vectors into a materialized
-    segment-parallel HNSW index, rewriting ONLY the touched `shard=K`
-    partitions (dynamic partition overwrite — O(touched segments) I/O,
-    the MERGE shape of the snapshot store applied to an index). Each
-    touched segment's graph grows in place via append_hnsw inside one
-    cogrouped applyInPandas pass; ids already present in the segment
-    are SKIPPED, so a replayed micro-batch rewrites byte-identical
-    graph rows instead of duplicating nodes — replay exactness by
-    idempotence, the bitmap/minhash-state doctrine. This is the
-    incremental path the reference's async embedding writer takes into
-    its cozo HNSW (pkg/memory/writer.go:71-73), minus its
+    segment-parallel HNSW index: only the touched segments RECOMPUTE
+    (each grows via append_hnsw inside one cogrouped applyInPandas
+    pass), and the result commits as a NEW generation — touched
+    `shard=K` partitions written fresh, untouched ones hard-linked /
+    server-side-copied forward — then the `_CURRENT` pointer flips
+    (ADVICE r9 medium: the previous in-place dynamic-partition
+    overwrite let a concurrent reader observe a mix of old and new
+    segments mid-commit, and a crash between partition delete and
+    stage-move lost the segment; now readers hold a consistent
+    generation and a crash leaves the live one untouched). Ids already
+    present in a segment are SKIPPED, so a replayed micro-batch is a
+    detectable no-op — no new generation is even committed — replay
+    exactness by idempotence, the bitmap/minhash-state doctrine. This
+    is the incremental path the reference's async embedding writer
+    takes into its cozo HNSW (pkg/memory/writer.go:71-73), minus its
     search-lags-store window."""
     import pandas as pd
 
@@ -576,7 +718,10 @@ def append_ann_hnsw_index(
     m = int(meta["m"])
     ef_c = int(meta["ef_construction"])
     seed = int(meta.get("seed", 42))
-    graphs = spark.read.parquet(path)
+    cur_gen_path = _current_generation(spark, path)
+    if cur_gen_path is None:
+        raise ValueError(f"HNSW index at {path} has no committed generation")
+    graphs = spark.read.parquet(cur_gen_path)
     out_schema = graphs.schema
 
     new = df.select(
@@ -632,15 +777,26 @@ def append_ann_hnsw_index(
         .cogroup(graphs.groupBy("shard"))
         .applyInPandas(grow, schema=out_schema)
     )
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            updated.repartition("shard")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(path)
-        )
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    gen = max(_list_generations(spark, path), default=0) + 1
+    gen_path = path.rstrip("/") + "/" + _gen_name(gen)
+    # Stage the recomputed segments into the new generation. Reading
+    # cur_gen_path while writing gen_path — never the same files.
+    updated.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(gen_path)
+    jvm = spark._jvm
+    jgen = jvm.org.apache.hadoop.fs.Path(gen_path)
+    fs = jgen.getFileSystem(spark._jsc.hadoopConfiguration())
+    touched = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jgen)
+        if st.isDirectory() and st.getPath().getName().startswith("shard=")
+    }
+    if not touched:
+        # pure replay: every id already present — leave the live
+        # generation exactly as committed (idempotence is observable:
+        # no pointer flip, no new generation)
+        fs.delete(jgen, True)
+        return
+    _forward_untouched_shards(spark, cur_gen_path, gen_path, touched)
+    _commit_generation(spark, path, gen)

@@ -584,6 +584,37 @@ def _write_ann_meta(spark, path: str, meta: dict) -> None:
         out.close()
 
 
+def _write_text_sidecar(spark, path: str, name: str, text: str) -> None:
+    """Small control files (the `_CURRENT` generation pointer) go
+    through the same Hadoop FileSystem route as the meta header, so
+    commits land wherever the parquet lives (local disk, s3a, hdfs).
+    create(overwrite=true) of a one-line file is the commit primitive —
+    the same one the meta sidecar already relies on."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text_sidecar(spark, path: str, name: str) -> str | None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    try:
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    finally:
+        stream.close()
+    return bytes(baos.toByteArray()).decode("utf-8").strip()
+
+
 def _read_ann_meta(spark, path: str) -> dict:
     import json
 

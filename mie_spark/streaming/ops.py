@@ -560,12 +560,14 @@ def stream_append_hnsw_index(
 ) -> None:
     """Incremental HNSW maintenance: each micro-batch of new vectors is
     shard-assigned and INSERTED into the matching segments' graphs
-    (operators/hnsw.append_ann_hnsw_index — cogrouped applyInPandas,
-    dynamic partition overwrite of only the touched `shard=K` dirs).
-    Unlike the IVF appender above, this one IS replay-idempotent: ids
-    already present in a segment are skipped, so a retried micro-batch
-    rewrites byte-identical graph rows. The streaming twin of the
-    reference's async embedding-writer inserts into its cozo HNSW
+    (operators/hnsw.append_ann_hnsw_index — cogrouped applyInPandas;
+    only touched segments recompute, and each batch commits as a new
+    index GENERATION behind the atomic `_CURRENT` pointer flip, so
+    concurrent readers never see a torn index). Unlike the IVF
+    appender above, this one IS replay-idempotent: ids already present
+    in a segment are skipped and the replayed batch commits NOTHING
+    (no pointer flip). The streaming twin of the reference's async
+    embedding-writer inserts into its cozo HNSW
     (pkg/memory/writer.go:71-73), without its search-lags-store
     window."""
     from mie_spark.operators.hnsw import append_ann_hnsw_index

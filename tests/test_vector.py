@@ -650,6 +650,7 @@ def test_hnsw_incremental_append_grows_index_idempotently(spark, tmp_path):
     stream — ids already present are skipped, so retries rewrite
     identical graph rows."""
     from mie_spark.operators.hnsw import (
+        _current_generation,
         ann_topk_hnsw_indexed,
         write_ann_hnsw_index,
     )
@@ -681,20 +682,24 @@ def test_hnsw_incremental_append_grows_index_idempotently(spark, tmp_path):
     recall = len({v for v, _ in got} & exact) / 10
     assert recall >= 0.9, f"grown-index recall@10 too low: {recall}"
 
-    graphs = spark.read.parquet(path)
+    gen_after_stream = _current_generation(spark, path)
+    graphs = spark.read.parquet(gen_after_stream)
     all_ids = [i for r in graphs.select("ids").collect() for i in r["ids"]]
     assert sorted(all_ids) == sorted(
         r["vec_id"] for r in emb.select("vec_id").collect()
     )
 
-    # full replay: every id skips, the served ranking is unchanged
+    # full replay: every id skips — observable as a pure no-op (the
+    # `_CURRENT` pointer never flips, no new generation appears) and
+    # the served ranking is unchanged
     run()
+    assert _current_generation(spark, path) == gen_after_stream
     again = [
         (r["vec_id"], round(r["sim"], 9))
         for r in ann_topk_hnsw_indexed(spark, path, q, k=10).collect()
     ]
     assert again == got
-    graphs2 = spark.read.parquet(path)
+    graphs2 = spark.read.parquet(_current_generation(spark, path))
     all_ids2 = [i for r in graphs2.select("ids").collect() for i in r["ids"]]
     assert sorted(all_ids2) == sorted(all_ids)
 
@@ -734,3 +739,63 @@ def test_hnsw_heuristic_selection_on_clustered_corpus():
         "corpus no longer separates the strategies; tighten it"
     )
     assert r_heuristic > r_simple
+
+
+def test_hnsw_index_generations_commit_atomically(spark, tmp_path):
+    """ADVICE r9 (medium): the index must never be mutated in place.
+    Contract pinned here: (a) every rebuild/append lands in a NEW
+    gNNNNNNNNN generation dir and flips the one-line _CURRENT pointer,
+    (b) a reader that resolved the pointer BEFORE an append keeps a
+    complete, consistent generation on disk (keep-2 GC), (c) a crash
+    mid-append — a half-written generation that never got the pointer
+    flip — is invisible to serving and does not confuse the next
+    append, (d) GC bounds the layout to two generations."""
+    import os
+
+    import numpy as np
+
+    from mie_spark.operators.hnsw import (
+        _current_generation,
+        append_ann_hnsw_index,
+        ann_topk_hnsw_indexed,
+        write_ann_hnsw_index,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    write_ann_hnsw_index(df.filter("vec_id < 100"), path)
+    g1 = _current_generation(spark, path)
+    assert g1 is not None and os.path.basename(g1).startswith("g")
+
+    # a reader holding g1 keeps a complete generation after one append
+    append_ann_hnsw_index(df.filter("vec_id >= 100 and vec_id < 200"), path)
+    g2 = _current_generation(spark, path)
+    assert g2 != g1
+    assert os.path.isdir(g1), "previous generation must survive for in-flight readers"
+    held = spark.read.parquet(g1)  # resolved-before-append reader
+    held_ids = [i for r in held.select("ids").collect() for i in r["ids"]]
+    assert sorted(held_ids) == list(range(100))
+
+    # crash mid-append: half-written generation, pointer never flipped
+    fake = os.path.join(path, "g000000099")
+    os.makedirs(os.path.join(fake, "shard=0"), exist_ok=True)
+    q = [float(x) for x in rng.randn(8)]
+    assert len(ann_topk_hnsw_indexed(spark, path, q, k=5).collect()) == 5
+    # next append skips past the debris and commits a higher generation
+    append_ann_hnsw_index(df.filter("vec_id >= 200"), path)
+    g3 = _current_generation(spark, path)
+    assert int(os.path.basename(g3)[1:]) > 99
+    got_ids = [
+        i
+        for r in spark.read.parquet(g3).select("ids").collect()
+        for i in r["ids"]
+    ]
+    assert sorted(got_ids) == list(range(300))
+
+    # GC: at most two real generations remain (+ crash debris we faked)
+    gens = sorted(
+        d for d in os.listdir(path) if d.startswith("g") and d[1:].isdigit()
+    )
+    assert len([g for g in gens if g != "g000000099"]) <= 2
