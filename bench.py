@@ -155,6 +155,10 @@ HEADLINE = [
     "ev_attribution_linear",     # multi-touch attribution, exact micro-cent split
     "dq_expectations",           # data-quality gate, one fused scan per table
     "ev_survival",               # Kaplan-Meier survival table, censoring-aware
+    # round-10 additions, benched from day one
+    "v_ivf_cells",               # IVF cell-assignment sub-oracle, map-only probe
+    "st_decontaminate",          # streaming decontamination, versioned shingle state
+    "v_rerank_ce",               # BM25 pool -> cross-encoder-shape rerank
 ]
 
 

@@ -66,89 +66,81 @@ def _load_all() -> None:
 # rows first, (2) queries added this round, (3) queries whose code or
 # shared helpers changed this round, (4) oldest remaining stale rows.
 _GRADE_FIRST = [
-    # Round 9 rotation (VERDICT r8 item #1, executed as queued): 50
-    # slots, ALL hash-oracled. Priority rule unchanged: (1) changed
-    # code with no driver row on the shipping form, (2) new this
-    # round, (3) stalest remaining rows.
+    # Round 10 rotation (VERDICT r9 item #1, executed as queued): 50
+    # slots. Priority rule unchanged: (1) new this round / changed
+    # code with no driver row on the shipping form, (2) the documented
+    # r10 queue head (the 13 r05-stale rows), (3) the r04-stale
+    # rows-only ANN/sketch/codec rows, (4) the r06 cohort,
+    # alphabetical.
     #
-    # Changed THIS round: ev_rfm's three global row_number windows
-    # became the distributed two-level rank (operators/rank.py, the
-    # VERDICT r8 weak flag), ev_cohort_ltv dropped its forced
-    # broadcast of the unbounded user dimension, st_txn_rollup rides
-    # the dedup-count-consistent atomic_upsert_dfs and cleans its
-    # scratch store.
-    "ev_rfm",
-    "ev_cohort_ltv",
-    "st_txn_rollup",
-    # ... and every shingle-family query: joined_ngrams now binds its
-    # token-array argument once per row (the r9 re-evaluation-cliff
-    # fix) — values are unchanged by construction, but the driver rows
-    # should grade the shipping expression tree.
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
-    "pipe_dedup_clusters",
-    "pipe_decontaminate",
-    "pipe_keep_best",
-    "text_repeat_ngrams",
-    "pipe_funnel_census",
     # New THIS round, windowed immediately (the standing r5 lesson):
-    # the executable 100 TB shape of the quality terciles (graded
-    # against the SAME ntile oracle as its sibling — the equivalence
-    # proof), and the incremental streaming MinHash index (graded
-    # against the batch pipeline's exact-pair oracle).
-    "pipe_quality_buckets_cuts",
-    "st_dedup_minhash",
-    "ev_attribution_linear",
-    "dq_expectations",
-    "ev_survival",
-    # The documented r9 queue head — the eight r04-stale rows that
-    # yielded their r8 slots to late-r8 additions.
-    "ev_unpivot",
-    "text_token_histogram",
-    "ev_top_spenders",
-    "ev_value_percentiles",
-    "ev_funnel",
-    "samp_hash_split",
-    "pipe_training_manifest",
-    "ev_anomalies",
-    # The named r05-era rows from the queue.
-    "s1_scan_projection",
-    "s7_raw_sql",
-    "f6_range_revenue",
-    "a1_stats_single_pass",
-    "a3_multi_table_counts",
-    "o3_topk",
-    "u3_except_customers",
-    "q1_pricing_summary",
-    # The rest of the r05-stale cohort, oldest remaining driver rows
-    # (alphabetical; the 13 that don't fit — q12_priority_classes,
-    # pipe_pack_sequences and j8_anti_join_inactive (yielded their
-    # slots to the late-r9 ev_attribution_linear / dq_expectations /
-    # ev_survival),
-    # q13_customer_distribution, q2_min_cost_supplier,
-    # q3_shipping_priority, q5_local_supplier_volume, samp_fixed_k,
-    # samp_shuffle_shards, samp_token_budget, st_enrich_join,
-    # text_bpe_train, w_running_total — head the r10 queue, then the
-    # r06 cohort, then r07/r08 as they age past two rounds).
-    "a_rollup_suppliers",
-    "a_salted_agg",
-    "a_stats_moments",
-    "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_exact_substring",
-    "dedup_keep_one",
-    "dedup_semantic",
-    "ev_asof_join",
-    "ev_concurrency",
-    "ev_ewma",
-    "ev_funnel_time",
-    "ev_gap_fill",
-    "ev_multi_rollup",
-    "ev_range_join",
-    "ev_sessionize",
-    "g_triangle_count",
-    "j1_two_hop_traversal",
+    # the IVF cell-assignment sub-oracle (full Lloyd training replayed
+    # in SQL), the streaming decontamination twin (graded against
+    # pipe_decontaminate's exact SQL), and the cross-encoder-shaped
+    # rerank over the BM25 pool. v_ann_hnsw_topk (rows-only by nature)
+    # has never had a driver row AND its kernel changed this round
+    # (Alg-4 heuristic neighbor selection) — grade the shipping form.
+    "v_ivf_cells",
+    "st_decontaminate",
+    "v_rerank_ce",
+    "v_ann_hnsw_topk",
+    # The documented r10 queue head: the 13 r05-stale rows that
+    # yielded their r9 slots to late-r9 additions.
+    "q12_priority_classes",
+    "pipe_pack_sequences",
+    "j8_anti_join_inactive",
+    "q13_customer_distribution",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "samp_fixed_k",
+    "samp_shuffle_shards",
+    "samp_token_budget",
+    "st_enrich_join",
+    "text_bpe_train",
+    "w_running_total",
+    # The r04-stale rows-only rows (oldest driver rows in the
+    # registry; each is digest/recall/bound-pinned in pytest, the
+    # driver re-checks rows+schema).
+    "ev_approx_distinct",
+    "mm_phash_pairs",
+    "v_ann_ivf_topk",
+    "v_ann_lsh_topk",
+    "v_ann_pq_topk",
+    # The r06 cohort, alphabetical — first 28; the remaining 13
+    # (text_quality_model, text_redact_pii, text_tfidf,
+    # text_token_stats, text_vocab_coverage, v2_cosine_topk,
+    # v3_similarity_self_join, v_batch_knn, v_centroid_outliers,
+    # v_filtered_topk, v_mmr_topk, v_quantize_int8, w_trailing_7d)
+    # head the r11 queue, then r07/r08 as they age.
+    "a_robust_stats",
+    "dedup_fuzzy_names",
+    "ev_anomaly_zscore",
+    "ev_json_props",
+    "ev_scd2_intervals",
+    "j_bloom_semi_join",
+    "mm_binary_meta",
+    "pipe_bpe_encode",
+    "pipe_chunk_overlap",
+    "pipe_clean_corpus",
+    "pipe_corpus_delta",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_or_of_ands",
+    "q20_red_part_specialists",
+    "q21_blamed_suppliers",
+    "q22_idle_rich_customers",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "samp_epoch_mix",
+    "st_attribution_join",
+    "st_hourly_agg",
+    "st_stateful_totals",
+    "text_bm25_topk",
+    "text_hybrid_rrf",
 ]
 
 

@@ -259,9 +259,10 @@ def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipe_decontaminate",
-    oracle=r"""
+# Shared between pipe_decontaminate and its streaming twin
+# st_decontaminate (queries/streaming.py) — ONE SQL text grades both,
+# the _JACCARD_ORACLE doctrine.
+_DECONTAMINATE_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
       FROM documents
@@ -279,8 +280,10 @@ def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inv i JOIN bench b ON i.shingle = b.shingle
     WHERE i.doc_id >= 100
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("pipe_decontaminate", oracle=_DECONTAMINATE_ORACLE)
 def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the pipeline step that keeps eval
     data out of training corpora: flag any corpus document sharing an

@@ -535,3 +535,54 @@ def st_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds exactly the pairs a one-shot build finds, across every
     micro-batch boundary."""
     return _st_dedup_minhash_impl(spark, sf_dir)
+
+
+from mie_spark.queries.dedup import _DECONTAMINATE_ORACLE  # noqa: E402
+
+
+@query("st_decontaminate", oracle=_DECONTAMINATE_ORACLE)
+def st_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pipe_decontaminate (VERDICT r9 stretch — the
+    st_dedup_minhash doctrine applied to decontamination): the
+    benchmark suite arrives as a stream and its DISTINCT 8-token
+    shingle set is maintained by a foreachBatch job
+    (stream_benchmark_shingles — set-union state, replay-exact because
+    union is idempotent); the corpus then arrives as a second stream
+    whose micro-batches semi-probes the committed benchmark state
+    (broadcast hash probe, the corpus batch never shuffles on text)
+    and REPLACE-BY-KEY upserts its (doc, n_shared) contamination rows
+    (stream_decontaminate — n_shared is a pure function of doc text +
+    benchmark set, so replays rewrite identical rows). The drained
+    result table grades against the SAME SQL text as the batch
+    pipeline — the hash proves the incrementally-maintained
+    contamination index flags exactly the docs a one-shot scan flags,
+    across every micro-batch boundary. State: O(benchmark shingles) +
+    O(contaminated docs) — both tiny next to a 100 TB corpus."""
+    import shutil
+    import tempfile
+
+    from mie_spark.streaming import (
+        load_decontaminate_results,
+        read_documents_stream,
+        stream_benchmark_shingles,
+        stream_decontaminate,
+    )
+
+    bench_dir = tempfile.mkdtemp(prefix="bench_sh_")
+    result_dir = tempfile.mkdtemp(prefix="decontam_")
+    bench_stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") < 100
+    )
+    stream_benchmark_shingles(bench_stream, bench_dir, n=8)
+    corpus_stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") >= 100
+    )
+    stream_decontaminate(corpus_stream, bench_dir, result_dir, n=8)
+    out = (
+        load_decontaminate_results(spark, result_dir)
+        .select(F.col("doc").alias("doc_id"), "n_shared")
+        .localCheckpoint()
+    )
+    shutil.rmtree(bench_dir, ignore_errors=True)
+    shutil.rmtree(result_dir, ignore_errors=True)
+    return out

@@ -243,6 +243,129 @@ def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
 
 
+def _ivf_cells_oracle() -> str:
+    """v_ann_ivf_topk's cell-assignment stage as SQL (VERDICT r9 #4 —
+    the v_lsh_buckets pattern applied to IVF): the spherical-k-means
+    training is a pure function of the corpus (init = embeddings of
+    the 16 smallest ids, 2 Lloyd iterations, centroid = mean of member
+    UNIT vectors), so DuckDB replays it with two unrolled CTE rounds
+    and re-derives every vector's cell plus the 6-cell probe set.
+
+    Stability: every discrete decision is an argmax whose top-1/top-2
+    gap was measured at 1.1e-5..7.3e-4 per Lloyd round (sf0.01 and
+    sf0.1; probe boundary 6.1e-4) — >= 8 orders above the engines'
+    float-fold divergence on 64-term unit dots (~1e-15), the same
+    margin doctrine as the SRP/LSH sign oracles. Ties break to the
+    lowest cell on both sides (np.argmax takes the first maximum;
+    ORDER BY sim DESC, cell)."""
+    unit = (
+        "list_transform({v}, x -> x / "
+        "sqrt(list_dot_product({v}, {v})))"
+    )
+
+    def assign(cent_u: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT vec_id, u, cell FROM (
+        SELECT emb.vec_id, emb.u, c.cell,
+               row_number() OVER (
+                 PARTITION BY emb.vec_id
+                 ORDER BY list_dot_product(emb.u, c.cu) DESC, c.cell
+               ) AS rn
+        FROM emb CROSS JOIN {cent_u} c
+      ) WHERE rn = 1
+    )"""
+
+    def recompute(prev_c: str, asg: str, out: str) -> str:
+        # centroid = mean of member unit vectors; cells that lose all
+        # members keep their previous centroid (the Spark trainer only
+        # updates cells present in the partial sums)
+        return f"""
+    {out} AS (
+      SELECT p.cell, coalesce(l.c, p.c) AS c
+      FROM {prev_c} p LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS c FROM (
+          SELECT cell, pos, sum(val) / count(*) AS m FROM (
+            SELECT cell, unnest(u) AS val,
+                   generate_subscripts(u, 1) AS pos
+            FROM {asg}
+          ) GROUP BY cell, pos
+        ) GROUP BY cell
+      ) l USING (cell)
+    )"""
+
+    e = "embedding::DOUBLE[]"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, {e} AS raw, {unit.format(v=e)} AS u
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (
+      SELECT {unit.format(v=e)} AS qu
+      FROM embeddings WHERE vec_id = 0
+    ),
+    c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, raw AS c
+      FROM (SELECT vec_id, raw FROM emb ORDER BY vec_id LIMIT 16)
+    ),
+    c0u AS (SELECT cell, {unit.format(v='c')} AS cu FROM c0),
+    {assign('c0u', 'a1')},
+    {recompute('c0', 'a1', 'c1')},
+    c1u AS (SELECT cell, {unit.format(v='c')} AS cu FROM c1),
+    {assign('c1u', 'a2')},
+    {recompute('c1', 'a2', 'c2')},
+    c2u AS (SELECT cell, {unit.format(v='c')} AS cu FROM c2),
+    {assign('c2u', 'final')},
+    probes AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (
+                 ORDER BY list_dot_product(q.qu, c.cu) DESC, c.cell
+               ) AS rn
+        FROM c2u c CROSS JOIN q
+      ) WHERE rn <= 6
+    )
+    SELECT f.vec_id, f.cell::BIGINT AS cell,
+           f.cell IN (SELECT cell FROM probes) AS probed
+    FROM final f
+    """
+
+
+@query("v_ivf_cells", oracle=_ivf_cells_oracle())
+def v_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded sub-oracle for v_ann_ivf_topk (VERDICT r9 #4): the
+    IVF path's APPROXIMATION structure — which cell every vector lands
+    in under the deterministically-trained centroids, and which cells
+    the query probes — grades exactly, leaving only the exact cosine
+    rerank un-hash-graded (and v2_cosine_topk grades that shape on its
+    own). Drops the rows-only count to 8.
+
+    Spark side is the exact code path ann_topk_ivf takes
+    (train_ivf_centroids → _nearest_centroid → driver probe ranking),
+    emitting the assignment instead of filtering by it. Plan: training
+    is one shuffle per Lloyd round over (batches × cells) partial rows;
+    the graded projection is map-only — scan → Arrow-batched BLAS
+    argmax → project, zero shuffles, the same expression the
+    materialized write_ann_ivf_index writes as a partition column."""
+    from mie_spark.operators.vector import (
+        _driver_cos,
+        _nearest_centroid,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    centroids = train_ivf_centroids(emb, "embedding", n_centroids=16)
+    qv = _query_vec(spark, sf_dir)
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (-_driver_cos(qv, centroids[i]), i),
+    )[:6]
+    cell = _nearest_centroid(F.col("embedding"), centroids).cast("long")
+    return emb.select("vec_id", cell.alias("cell")).select(
+        "vec_id", "cell", F.col("cell").isin(*probe).alias("probed")
+    )
+
+
 # --- V1-analog: product-quantized approximate top-k (no SQL oracle: ANN) -----
 
 @query("v_ann_pq_topk")

@@ -788,6 +788,9 @@ __all__ = [
     "stream_append_ivf_index",
     "stream_heavy_hitters_summary",
     "stream_minhash_signatures",
+    "stream_benchmark_shingles",
+    "stream_decontaminate",
+    "load_decontaminate_results",
     "load_minhash_state",
     "load_heavy_hitter_candidates",
     "make_rollup_apply",
@@ -796,6 +799,160 @@ __all__ = [
     "transform_state_profile",
     "windowed_counts",
 ]
+
+
+# --- versioned parquet state, atomic pointer commit -------------------------
+#
+# The shared commit protocol of every foreachBatch-maintained state in
+# this module (bitmaps, minhash signatures, benchmark shingles,
+# contamination results): each micro-batch writes the FULL merged state
+# as a monotonically-numbered vN dir, then atomically flips the
+# one-line `_CURRENT` pointer (MieStore snapshot pattern); GC keeps the
+# newest two versions (current + one an in-flight reader may hold).
+# Monotonic numbers, NOT batch ids: a restarted stream restarts batch
+# ids at 0, which would overwrite the live version AND sort oldest in
+# the GC order (deleting the state it just committed).
+
+
+def _load_versioned_state(spark: SparkSession, state_dir: str):
+    """The committed state DataFrame, or None if nothing committed."""
+    import os
+
+    pointer = os.path.join(state_dir, "_CURRENT")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        return spark.read.parquet(fh.read().strip())
+
+
+def _commit_versioned_state(state_dir: str, merged: "DataFrame") -> None:
+    import os
+    import shutil
+
+    os.makedirs(state_dir, exist_ok=True)
+    existing = [
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    nxt = os.path.join(state_dir, f"v{max(existing, default=0) + 1}")
+    merged.write.mode("overwrite").parquet(nxt)
+    pointer = os.path.join(state_dir, "_CURRENT")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(nxt)
+    os.replace(tmp, pointer)  # atomic commit, MieStore pattern
+    versions = sorted(
+        (d for d in os.listdir(state_dir)
+         if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    )
+    for stale in versions[:-2]:
+        shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+
+
+def stream_benchmark_shingles(
+    stream_df: "DataFrame",
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    timeout_s: int = 300,
+) -> None:
+    """Maintain the DISTINCT n-token shingle set of a benchmark/eval
+    stream across micro-batches — the state side of streaming
+    decontamination (eval suites grow over time; the contamination
+    index must track them without re-shingling the history). Per
+    batch: map-only shingle explode + distinct, set-UNION into the
+    versioned state. Set union is IDEMPOTENT, so a replayed
+    micro-batch lands on identical state — replay exactness without a
+    ledger, the bitmap/minhash doctrine. State is O(distinct benchmark
+    shingles) — benchmark suites are tiny next to a 100 TB corpus."""
+    from mie_spark.operators.text import shingles_from_tokens, tokens
+
+    def _apply(batch_df: "DataFrame", batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sh = batch_df.select(
+            F.explode(
+                shingles_from_tokens(tokens(F.col(text_col)), n)
+            ).alias("shingle")
+        ).distinct()
+        prev = _load_versioned_state(spark, state_dir)
+        if prev is not None:
+            sh = prev.unionByName(sh).distinct()
+        _commit_versioned_state(state_dir, sh)
+
+    foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
+
+
+def stream_decontaminate(
+    stream_df: "DataFrame",
+    bench_state_dir: str,
+    result_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    timeout_s: int = 300,
+) -> None:
+    """Probe each corpus micro-batch against the committed
+    benchmark-shingle state and maintain (doc, n_shared) contamination
+    results — the streaming twin of pipe_decontaminate, the
+    st_dedup_minhash doctrine applied to decontamination. Per batch:
+    the batch docs' shingles semi-probe the broadcast benchmark set
+    (map-side hash probe — the corpus batch never shuffles on text),
+    count distinct shared shingles per doc, then REPLACE-BY-KEY into
+    the versioned result state. n_shared is a pure function of (doc
+    text, benchmark set), so a replayed micro-batch rewrites identical
+    rows — replay-exact by idempotence. Docs sharing nothing emit no
+    row, exactly like the batch form."""
+    import os
+
+    from mie_spark.operators.text import shingles_from_tokens, tokens
+
+    def _apply(batch_df: "DataFrame", batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bench = _load_versioned_state(spark, bench_state_dir)
+        if bench is None:
+            raise FileNotFoundError(
+                f"no benchmark shingle state committed under {bench_state_dir}"
+            )
+        sh = batch_df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                shingles_from_tokens(tokens(F.col(text_col)), n)
+            ).alias("shingle"),
+        )
+        hits = (
+            sh.join(F.broadcast(bench), "shingle")
+            .groupBy("doc")
+            .agg(F.count_distinct("shingle").cast("long").alias("n_shared"))
+        )
+        prev = _load_versioned_state(spark, result_dir)
+        if prev is not None:
+            hits = prev.join(hits, "doc", "left_anti").unionByName(hits)
+        _commit_versioned_state(result_dir, hits)
+
+    foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
+
+
+def load_decontaminate_results(
+    spark: SparkSession, result_dir: str
+) -> "DataFrame":
+    """The maintained (doc, n_shared) contamination table. Raises if no
+    state was ever committed (an empty stream is a caller bug)."""
+    import os
+
+    pointer = os.path.join(result_dir, "_CURRENT")
+    if not os.path.exists(pointer):
+        raise FileNotFoundError(
+            f"no contamination results committed under {result_dir}"
+        )
+    with open(pointer) as fh:
+        return spark.read.parquet(fh.read().strip())
 
 
 def stream_bitmap_distinct(
@@ -820,9 +977,6 @@ def stream_bitmap_distinct(
     additive counters. State merge is fully distributed (no driver
     collect; the state table never bounds to a driver cap). Ids must be
     non-negative (Spark's % is signed)."""
-    import os
-
-    pointer = os.path.join(state_dir, "_CURRENT")
 
     def _apply(batch_df: "DataFrame", batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -837,9 +991,8 @@ def stream_bitmap_distinct(
             .groupBy(group_col, "word")
             .agg(F.expr("bit_or(bit)").alias("bm"))
         )
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                prev = spark.read.parquet(fh.read().strip())
+        prev = _load_versioned_state(spark, state_dir)
+        if prev is not None:
             bm = (
                 prev.withColumnRenamed("bm", "bm_a")
                 .join(
@@ -853,34 +1006,7 @@ def stream_bitmap_distinct(
                     F.expr("coalesce(bm_a, 0L) | coalesce(bm_b, 0L)").alias("bm"),
                 )
             )
-        # monotonic version numbers, NOT batch_id: a replayed/restarted
-        # stream restarts batch ids at 0, which would both overwrite
-        # the live version dir and sort OLDEST in the GC order below
-        # (deleting the current state it just committed)
-        os.makedirs(state_dir, exist_ok=True)
-        existing = [
-            int(d[1:])
-            for d in os.listdir(state_dir)
-            if d.startswith("v") and d[1:].isdigit()
-        ]
-        nxt = os.path.join(state_dir, f"v{max(existing, default=0) + 1}")
-        bm.write.mode("overwrite").parquet(nxt)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(nxt)
-        os.replace(tmp, pointer)  # atomic commit, MieStore pattern
-        # GC: each version is a FULL state copy, so an unbounded stream
-        # would otherwise accumulate one per micro-batch. Keep the 2
-        # newest (current + the one a lazy reader may still hold) —
-        # the MieStore snapshot-retention contract.
-        import shutil
-
-        versions = sorted(
-            (d for d in os.listdir(state_dir) if d.startswith("v") and d[1:].isdigit()),
-            key=lambda d: int(d[1:]),
-        )
-        for stale in versions[:-2]:
-            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+        _commit_versioned_state(state_dir, bm)
 
     foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
 
@@ -1054,8 +1180,6 @@ def stream_minhash_signatures(
         _signatures_from_shingles,
     )
 
-    pointer = os.path.join(state_dir, "_CURRENT")
-
     def _apply(batch_df: "DataFrame", batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -1067,31 +1191,10 @@ def stream_minhash_signatures(
         sigs = _signatures_from_shingles(sh, num_hashes, seed=42).select(
             "doc", "signature"
         ).dropDuplicates(["doc"])
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                prev = spark.read.parquet(fh.read().strip())
+        prev = _load_versioned_state(spark, state_dir)
+        if prev is not None:
             sigs = prev.join(sigs, "doc", "left_anti").unionByName(sigs)
-        os.makedirs(state_dir, exist_ok=True)
-        existing = [
-            int(d[1:])
-            for d in os.listdir(state_dir)
-            if d.startswith("v") and d[1:].isdigit()
-        ]
-        nxt = os.path.join(state_dir, f"v{max(existing, default=0) + 1}")
-        sigs.write.mode("overwrite").parquet(nxt)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(nxt)
-        os.replace(tmp, pointer)  # atomic commit, MieStore pattern
-        import shutil
-
-        versions = sorted(
-            (d for d in os.listdir(state_dir)
-             if d.startswith("v") and d[1:].isdigit()),
-            key=lambda d: int(d[1:]),
-        )
-        for stale in versions[:-2]:
-            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+        _commit_versioned_state(state_dir, sigs)
 
     foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
 

@@ -556,3 +556,87 @@ def test_minhash_state_incremental_equals_batch_and_replays(spark, tmp_path):
         ).collect()
     )
     assert got_pairs == want_pairs
+
+
+def test_decontaminate_stream_equals_batch_and_replays(spark, tmp_path):
+    """st_decontaminate's two maintained states across 4 one-file
+    micro-batches each: the benchmark-shingle set (set union —
+    idempotent) and the (doc, n_shared) results (replace-by-key of a
+    pure function — idempotent) must equal the one-shot batch
+    pipe_decontaminate exactly, and a FULL replay of both streams must
+    leave both states unchanged. Also pins the growth property the
+    streaming form exists for: adding a new benchmark doc to the
+    shingle state can only grow the flagged set."""
+    from mie_spark.queries import QUERIES
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import (
+        load_decontaminate_results,
+        stream_benchmark_shingles,
+        stream_decontaminate,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench_src = str(tmp_path / "bench_split")
+    corpus_src = str(tmp_path / "corpus_split")
+    docs.filter(F.col("doc_id") < 100).repartition(4).write.parquet(bench_src)
+    docs.filter(F.col("doc_id") >= 100).repartition(4).write.parquet(corpus_src)
+    bench_state = str(tmp_path / "bench_state")
+    result_state = str(tmp_path / "result_state")
+
+    def run_bench() -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(bench_src)
+        )
+        stream_benchmark_shingles(stream, bench_state, n=8)
+
+    def run_corpus() -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(corpus_src)
+        )
+        stream_decontaminate(stream, bench_state, result_state, n=8)
+
+    run_bench()
+    run_corpus()
+    got = {
+        r["doc"]: r["n_shared"]
+        for r in load_decontaminate_results(spark, result_state).collect()
+    }
+    want = {
+        r["doc_id"]: r["n_shared"]
+        for r in QUERIES["pipe_decontaminate"](spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # full replay of BOTH streams: states must not move
+    run_bench()
+    run_corpus()
+    again = {
+        r["doc"]: r["n_shared"]
+        for r in load_decontaminate_results(spark, result_state).collect()
+    }
+    assert again == got
+
+    # growing benchmark: promote one contaminated corpus doc into the
+    # benchmark stream — every doc sharing shingles with it must now
+    # flag at least as hard as before
+    promoted = max(got)
+    extra_src = str(tmp_path / "bench_extra")
+    docs.filter(F.col("doc_id") == promoted).write.parquet(extra_src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(extra_src)
+    )
+    stream_benchmark_shingles(stream, bench_state, n=8)
+    run_corpus()
+    grown = {
+        r["doc"]: r["n_shared"]
+        for r in load_decontaminate_results(spark, result_state).collect()
+    }
+    assert set(grown) >= set(got)
+    assert all(grown[d] >= n for d, n in got.items())
+    assert grown[promoted] > 0  # a doc always shares with itself
