@@ -120,42 +120,58 @@ def _select_neighbors_heuristic(
     prunes away (the first place HNSW recall degrades, VERDICT r9
     missing #1).
 
-    ``cand`` is (sim_to_q, node) pairs, best first. ``adj`` is the
+    ``cand`` is (sim_to_q, node) pairs in any order (the selector
+    lexsorts its pool itself). ``adj`` is the
     layer's adjacency (only read when extend_candidates, which widens
     the pool with the candidates' own neighbors — the paper notes this
     matters "only for extremely clustered data", exactly the case the
-    A/B test pins). Deterministic: pools are sorted by (-sim, node)."""
-    pool = dict(
-        (n, s) for s, n in cand
-    )  # node -> sim_to_q; dict keeps first (= best) on dup ids
+    A/B test pins). Deterministic: pools are sorted by (-sim, node).
+
+    Vectorized the BLAS-per-CHOSEN way (r10 perf fix: the first cut
+    did one numpy matmul per CANDIDATE — with extend_candidates the
+    pool is ef_c·m ≈ 3k nodes, and ~850k interpreted iterations per
+    shard made the benched HNSW query 5× slower than baseline):
+    admitting a neighbor updates every pool member's
+    best-sim-to-chosen in ONE pool-sized dot, so the greedy scan does
+    at most m BLAS calls and O(1) python work per candidate."""
+    cand_nodes = [n for _, n in cand]
     if extend_candidates and adj is not None:
-        fresh = {
-            v
-            for _, n in cand
-            for v in adj[n]
-            if v not in pool
-        }
-        if fresh:
-            order = sorted(fresh)
-            block = vecs[order] @ q
-            for v, s in zip(order, block):
-                pool[v] = float(s)
-    ordered = sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))
+        seen = set(cand_nodes)
+        ext = [v for n in cand_nodes for v in adj[n] if v not in seen]
+        if ext:
+            nodes = np.fromiter(
+                (*cand_nodes, *dict.fromkeys(ext)), dtype=np.int64
+            )
+        else:
+            nodes = np.fromiter(cand_nodes, dtype=np.int64)
+        sims_q = vecs[nodes] @ q
+    else:
+        nodes = np.fromiter(cand_nodes, dtype=np.int64)
+        sims_q = np.fromiter((s for s, _ in cand), dtype=np.float64)
+    # best-first with node-id tiebreak, all in numpy
+    order = np.lexsort((nodes, -sims_q))
+    nodes, sims_q = nodes[order], sims_q[order]
+    pool_vecs = vecs[nodes]
+    # best similarity of each pool member to any chosen-so-far neighbor;
+    # admitting a neighbor refreshes it for the WHOLE pool in one BLAS
+    # dot, so the scan below does O(1) python work per candidate and at
+    # most m vector ops total
+    best_to_chosen = np.full(len(nodes), -np.inf)
     chosen: list[int] = []
-    chosen_vecs: list[np.ndarray] = []
     discarded: list[int] = []
-    for node, sim_q in ordered:
+    node_list = nodes.tolist()
+    simq_list = sims_q.tolist()
+    best = best_to_chosen
+    for i in range(len(node_list)):
         if len(chosen) >= m:
             break
-        if chosen_vecs:
-            # closer to an already-chosen neighbor than to q -> redundant
-            # intra-cluster edge; divert to the pruned pool
-            best_to_chosen = float(np.max(np.array(chosen_vecs) @ vecs[node]))
-            if best_to_chosen > sim_q:
-                discarded.append(node)
-                continue
-        chosen.append(node)
-        chosen_vecs.append(vecs[node])
+        if best[i] > simq_list[i]:
+            # closer to an already-chosen neighbor than to q ->
+            # redundant intra-cluster edge; divert to the pruned pool
+            discarded.append(node_list[i])
+            continue
+        chosen.append(node_list[i])
+        np.maximum(best, pool_vecs @ pool_vecs[i], out=best)
     if keep_pruned_connections and len(chosen) < m:
         # fill remaining slots with the best of the diverted candidates
         chosen.extend(discarded[: m - len(chosen)])
@@ -213,13 +229,10 @@ def _insert_node(
                 if heuristic:
                     # re-select with Alg. 4 over the over-full list (no
                     # extension on prune — the hnswlib convention; the
-                    # list IS the candidate set)
-                    pairs = sorted(
-                        zip(map(float, block), lst),
-                        key=lambda sn: (-sn[0], sn[1]),
-                    )
+                    # list IS the candidate set). No pre-sort: the
+                    # selector lexsorts its pool itself.
                     layers[lev][c] = _select_neighbors_heuristic(
-                        vecs[c], pairs, m_max, vecs, None,
+                        vecs[c], list(zip(block, lst)), m_max, vecs, None,
                         extend_candidates=False,
                         keep_pruned_connections=True,
                     )
