@@ -159,6 +159,7 @@ HEADLINE = [
     "v_ivf_cells",               # IVF cell-assignment sub-oracle, map-only probe
     "st_decontaminate",          # streaming decontamination, versioned shingle state
     "v_rerank_ce",               # BM25 pool -> cross-encoder-shape rerank
+    "ev_survival_daily",         # daily K-M life table, churners at graded scale
 ]
 
 

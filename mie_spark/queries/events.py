@@ -2135,9 +2135,13 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ev_survival",
-    oracle="""
+def _survival_oracle(unit_us: int, silent_units: int) -> str:
+    """Parametric SQL for the K-M life table — shared by ev_survival
+    (weekly, 4-week silence = the conservative churn rule) and
+    ev_survival_daily (daily, 1-day silence — the high-frequency
+    variant whose oracle rows actually contain churners at the graded
+    scale, ADVICE r9)."""
+    return f"""
     WITH u AS (
       SELECT user_id,
              epoch_us(min(ts)) AS first_us,
@@ -2146,10 +2150,10 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (SELECT max(epoch_us(ts)) AS corpus_us FROM events),
     lab AS (
-      SELECT (last_us - first_us) // 604800000000 AS tenure_w,
-             (corpus_us - first_us) // 604800000000 AS observable_w,
-             CASE WHEN (corpus_us - first_us) // 604800000000
-                       > (last_us - first_us) // 604800000000 + 4
+      SELECT (last_us - first_us) // {unit_us} AS tenure_w,
+             (corpus_us - first_us) // {unit_us} AS observable_w,
+             CASE WHEN (corpus_us - first_us) // {unit_us}
+                       > (last_us - first_us) // {unit_us} + {silent_units}
                   THEN 1 ELSE 0 END AS churned
       FROM u, mx
     ),
@@ -2176,8 +2180,10 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
            (2 * n_churned * 1000000 + n_at_risk) // (2 * n_at_risk)
              AS hazard_micro
     FROM at_risk
-    """,
-)
+    """
+
+
+@query("ev_survival", oracle=_survival_oracle(604_800_000_000, 4))
 def ev_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier-style survival table over user lifetimes — the
     churn-analytics staple ev_retention's cohort matrix doesn't give:
@@ -2196,20 +2202,43 @@ def ev_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hazard via the cross-engine integer half-up formula. Plan: one
     user aggregate (the only events-sized shuffle), scalar corpus-max
     broadcast, a |weeks|-row census + window."""
+    return _survival_table(spark, sf_dir, 604_800_000_000, 4)
+
+
+@query("ev_survival_daily", oracle=_survival_oracle(86_400_000_000, 1))
+def ev_survival_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY life table with a 1-day inactivity churn proxy — the
+    high-frequency-product variant of ev_survival (DAU churn, where
+    weekly granularity over a ~30-day corpus degenerates to a single
+    all-censored row). ADVICE r9 flagged that degeneracy: ev_survival's
+    driver row never exercised the hazard formula or the KM at-risk
+    recurrence. This sibling's oracle rows DO contain churners at the
+    graded scales (3 churners over 2 exit days at sf0.01, 39 at
+    sf0.1), so the churn branch, the censoring split, and the
+    multi-row suffix-sum recurrence are all driver-hash-graded — the
+    engineered-fixture pytest (test_survival_table_with_real_churners)
+    remains the deep-structure check. Same parametric body and SQL
+    text as ev_survival; only (unit, silence threshold) differ."""
+    return _survival_table(spark, sf_dir, 86_400_000_000, 1)
+
+
+def _survival_table(
+    spark: SparkSession, sf_dir: str, unit_us: int, silent_units: int
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.unix_micros(F.min("ts")).alias("first_us"),
         F.unix_micros(F.max("ts")).alias("last_us"),
     )
     mx = ev.agg(F.unix_micros(F.max("ts")).alias("corpus_us"))
-    wk = 604_800_000_000
+    wk = unit_us
     lab = u.crossJoin(F.broadcast(mx)).select(
         F.expr(f"(last_us - first_us) div {wk}").alias("tenure_w"),
         F.expr(f"(corpus_us - first_us) div {wk}").alias("observable_w"),
     ).select(
         "tenure_w",
         "observable_w",
-        (F.col("observable_w") > F.col("tenure_w") + 4)
+        (F.col("observable_w") > F.col("tenure_w") + silent_units)
         .cast("long")
         .alias("churned"),
     )

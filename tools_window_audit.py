@@ -36,6 +36,7 @@ EXPECTED = {
     ),
     "v_mmr_pool": (1, "rank over the top-50 pool"),
     "ev_survival": (1, "at-risk suffix sum: one row per tenure week"),
+    "ev_survival_daily": (1, "at-risk suffix sum: one row per tenure day"),
 }
 
 
