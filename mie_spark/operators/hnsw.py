@@ -341,13 +341,29 @@ def search_hnsw(
     return _search_layer(q, vecs, layers[0], [cur], max(ef, k))[:k]
 
 
+# Target segment size for shards="auto": per-shard build is
+# n_s·log(n_s)·ef_c and per-shard graph memory is O(n_s·m), so the
+# production lever at growing n is MORE segments at constant size (the
+# Lucene model), not bigger ones — the sf0.1->sf1 scale curve's
+# v_ann_hnsw_topk row (SCALE.md r10) measures exactly the fixed-shards
+# regime this avoids.
+AUTO_SHARD_TARGET = 4096
+
+
+def _resolve_shards(df: DataFrame, id_col: str, shards: int | str) -> int:
+    if shards == "auto":
+        n = df.select(id_col).count()
+        return max(1, -(-n // AUTO_SHARD_TARGET))
+    return int(shards)
+
+
 def hnsw_topk(
     df: DataFrame,
     vec_col: str,
     query_vec: Sequence[float],
     k: int,
     id_col: str = "vec_id",
-    shards: int = 8,
+    shards: int | str = 8,
     m: int = DEFAULT_M,
     ef_construction: int = DEFAULT_EF_CONSTRUCTION,
     ef: int = DEFAULT_EF_SEARCH,
@@ -396,8 +412,11 @@ def hnsw_topk(
             }
         )
 
+    n_shards = _resolve_shards(df, id_col, shards)
     sharded = df.select(
-        id_col, vec_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).alias("_shard")
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"),
     )
     local = sharded.groupBy("_shard").applyInPandas(per_shard, schema=out_schema)
     # exact global re-rank of <= shards x k candidate rows
@@ -535,7 +554,7 @@ def write_ann_hnsw_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    shards: int = 8,
+    shards: int | str = 8,
     m: int = DEFAULT_M,
     ef_construction: int = DEFAULT_EF_CONSTRUCTION,
     seed: int = 42,
@@ -562,6 +581,7 @@ def write_ann_hnsw_index(
     )
 
     _require_nonempty(df, id_col, "write_ann_hnsw_index")
+    shards = _resolve_shards(df, id_col, shards)
     out_schema = StructType(
         [
             StructField("shard", IntegerType()),
