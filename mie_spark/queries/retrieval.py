@@ -233,9 +233,14 @@ def v_rerank_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     cand = rank_topk(bm25_scores(docs, TERMS), "score_u", "doc_id", 50)
-    pool = docs.join(
-        F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"
-    ).select("doc_id", "text")
+    # The pool is k-bounded (50 rows) by construction — collect the ids
+    # and push them as an IN filter INTO the documents scan (PushedFilters
+    # shows In(doc_id, ...)); a broadcast-semi-join subtree here adds a
+    # whole broadcast-exchange job for 50 ids and benches noisier.
+    pool_ids = [r["doc_id"] for r in cand.select("doc_id").collect()]
+    pool = docs.filter(F.col("doc_id").isin(pool_ids)).select(
+        "doc_id", "text"
+    )
 
     qterms = set(TERMS)
     split = _re.compile(TOKEN_SPLIT_RE)
