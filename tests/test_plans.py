@@ -441,3 +441,28 @@ def test_cms_counter_table_is_sketch_sized(spark):
     )
     counters = h.groupBy("j", "b").agg(F.sum("n").alias("c"))
     assert counters.count() <= 4 * 256
+
+
+def test_rerank_pool_scan_is_in_filter_pruned(spark):
+    """v_rerank_ce: the 50-row candidate pool must reach the documents
+    scan as a pushed In(doc_id, ...) filter (the ids are k-bounded and
+    collected), the pool scan reads only (doc_id, text), and the
+    rerank stage adds no exchange — at 100 TB the reranker touches
+    O(pool), never the corpus."""
+    df = QUERIES["v_rerank_ce"](spark, SF)
+    pushed = pushed_filters(df)
+    assert any(p.startswith("In(doc_id") for p in pushed), pushed
+    schemas = read_schemas(df)
+    assert ["doc_id", "text"] in [sorted(s) for s in schemas]
+    assert exchange_count(df) == 0
+
+
+def test_ivf_cells_projection_is_map_only(spark):
+    """v_ivf_cells: after training, the graded projection is scan ->
+    Arrow argmax -> project with ZERO exchanges (the oracle replays
+    training; the shipping expression is the partition-column
+    precompute of write_ann_ivf_index)."""
+    df = QUERIES["v_ivf_cells"](spark, SF)
+    assert exchange_count(df) == 0
+    schemas = read_schemas(df)
+    assert all(set(s) <= {"vec_id", "embedding"} for s in schemas)
