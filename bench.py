@@ -160,6 +160,7 @@ HEADLINE = [
     "st_decontaminate",          # streaming decontamination, versioned shingle state
     "v_rerank_ce",               # BM25 pool -> cross-encoder-shape rerank
     "ev_survival_daily",         # daily K-M life table, churners at graded scale
+    "v_pq_codes",                # PQ code-assignment sub-oracle, sample-trained
 ]
 
 

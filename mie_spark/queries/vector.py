@@ -381,6 +381,140 @@ def v_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("sim"))
 
 
+def _pq_codes_oracle() -> str:
+    """v_ann_pq_topk's code-assignment stage as SQL (the v_ivf_cells
+    doctrine applied to product quantization): codebook training is a
+    pure function of the corpus — sample = the 4096 smallest ids,
+    unit-normalized; per subspace j of 16, init = evenly spaced sample
+    rows (numpy linspace replicated op-for-op: k * ((n-1)/31.0)
+    truncated, endpoint pinned exactly), 4 Lloyd rounds of
+    squared-distance argmin + member mean — so DuckDB replays the
+    whole thing with unrolled CTEs and re-derives every vector's
+    16-byte code word. The j dimension rides as a column, so ONE
+    generic CTE chain trains all 16 codebooks at once.
+
+    Stability: min top-1/top-2 argmin gap across all (vector,
+    subspace, round) decisions measured 9.5e-9 (sf0.1) / 2.6e-7
+    (sf0.01) — ≥6 orders above cross-engine float divergence on
+    4-term dots and ≤128-member means (~1e-15). Ties break to the
+    lowest code on both sides (np.argmin first minimum; ORDER BY dist,
+    code)."""
+    unit = (
+        "list_transform({v}, x -> x / "
+        "sqrt(list_dot_product({v}, {v})))"
+    )
+
+    def assign(cent: str, src: str, out: str) -> str:
+        # nearest code per (row, subspace): squared distance via the
+        # same expansion identity as the numpy encoder
+        return f"""
+    {out} AS (
+      SELECT rid, j, s, code FROM (
+        SELECT t.rid, t.j, t.s, c.code,
+               row_number() OVER (
+                 PARTITION BY t.rid, t.j
+                 ORDER BY list_dot_product(t.s, t.s)
+                          - 2 * list_dot_product(t.s, c.c)
+                          + list_dot_product(c.c, c.c) ASC,
+                          c.code ASC
+               ) AS rn
+        FROM {src} t JOIN {cent} c USING (j)
+      ) WHERE rn = 1
+    )"""
+
+    def recompute(prev_c: str, asg: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT p.j, p.code, coalesce(l.c, p.c) AS c
+      FROM {prev_c} p LEFT JOIN (
+        SELECT j, code, list(m ORDER BY pos) AS c FROM (
+          SELECT j, code, pos, sum(val) / count(*) AS m FROM (
+            SELECT j, code, unnest(s) AS val,
+                   generate_subscripts(s, 1) AS pos
+            FROM {asg}
+          ) GROUP BY j, code, pos
+        ) GROUP BY j, code
+      ) l USING (j, code)
+    )"""
+
+    e = "embedding::DOUBLE[]"
+    chain = [
+        f"""
+    WITH emb AS (
+      SELECT vec_id, {unit.format(v=e)} AS u
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    samp AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rid, u
+      FROM (SELECT vec_id, u FROM emb ORDER BY vec_id LIMIT 4096)
+    ),
+    nn AS (SELECT count(*) AS n FROM samp),
+    subs AS (
+      SELECT rid, j, u[j * 4 + 1 : j * 4 + 4] AS s
+      FROM samp CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+    ),
+    init_idx AS (
+      -- numpy linspace(0, n-1, 32).astype(int), op-for-op: the step
+      -- (n-1)/31.0 rounds ONCE, each element is k * step truncated,
+      -- and the endpoint is pinned exactly (numpy sets y[-1] = stop)
+      SELECT k AS code,
+             CASE WHEN k = 31 THEN nn.n - 1
+                  ELSE trunc(k * ((nn.n - 1) / 31.0))::BIGINT END AS rid
+      FROM (SELECT unnest(range(0, 32)) AS k), nn
+    ),
+    c0 AS (
+      SELECT subs.j, i.code, subs.s AS c
+      FROM init_idx i JOIN subs USING (rid)
+    )"""
+    ]
+    prev = "c0"
+    for it in range(4):
+        chain.append("," + assign(prev, "subs", f"a{it}"))
+        chain.append("," + recompute(prev, f"a{it}", f"c{it + 1}"))
+        prev = f"c{it + 1}"
+    chain.append(f""",
+    alls AS (
+      SELECT vec_id AS rid, j, u[j * 4 + 1 : j * 4 + 4] AS s
+      FROM emb CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+    ),
+    {assign(prev, "alls", "final").lstrip()}
+    SELECT rid AS vec_id, j AS subspace, code FROM final
+    """)
+    return "".join(chain)
+
+
+@query("v_pq_codes", oracle=_pq_codes_oracle())
+def v_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded sub-oracle for v_ann_pq_topk (the v_ivf_cells /
+    v_lsh_buckets pattern completing the ANN family): the PQ path's
+    COMPRESSED REPRESENTATION — every vector's 16 nearest-codebook-
+    entry indexes under the deterministically trained codebooks — is
+    what ADC scores and the materialized IVF-PQ index stores, and it
+    grades exactly. With this, every ANN variant's approximation
+    structure is driver-hash-graded (LSH signatures, IVF cells, PQ
+    codes) and only the recall-graded top-k cuts remain rows-only.
+
+    Spark side is the exact encoder ann_topk_pq / write_ann_ivfpq_index
+    use (_pq_codes_matrix — one BLAS matmul per subspace per Arrow
+    batch), long-form (vec_id, subspace, code). Plan: training touches
+    one bounded sample collect (size-independent of the table); the
+    graded projection is scan → Arrow encode → posexplode, zero
+    shuffles."""
+    from mie_spark.operators.vector import _pq_code_array, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    codebooks = train_pq_codebooks(emb, "embedding")
+    codes = _pq_code_array(F.col("embedding"), codebooks)
+    return emb.select("vec_id", codes.alias("codes")).select(
+        "vec_id",
+        F.posexplode("codes").alias("subspace", "code"),
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
 # --- batch KNN: top-k per query vector (the many-query search shape) ---------
 
 @query(
