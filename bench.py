@@ -161,6 +161,7 @@ HEADLINE = [
     "v_rerank_ce",               # BM25 pool -> cross-encoder-shape rerank
     "ev_survival_daily",         # daily K-M life table, churners at graded scale
     "v_pq_codes",                # PQ code-assignment sub-oracle, sample-trained
+    "pipe_interleave",           # WFQ training-order manifest, two-level rank
 ]
 
 

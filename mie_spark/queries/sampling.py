@@ -312,3 +312,70 @@ def samp_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     return weighted_sample_k(docs, "doc_id", "n_chars", k=20)
+
+
+@query(
+    "pipe_interleave",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             (CAST(substr(source, 4) AS INT) % 3) + 1 AS w
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, w,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS r
+      FROM d
+    ),
+    k AS (SELECT *, (r * (6 // w))::BIGINT AS vkey FROM r)
+    SELECT doc_id, source, w::BIGINT AS w, vkey,
+           row_number() OVER (ORDER BY vkey, source, r)::BIGINT
+             AS train_pos
+    FROM k
+    """,
+)
+def pipe_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleaving — the training-ORDER
+    manifest (the stage after mixing decides proportions: a data
+    loader needs one reproducible global sequence in which source s
+    appears ~w_s/W of the time in every prefix, not just overall —
+    weighted fair queuing applied to dataset mixing; torchdata/Mosaic
+    StreamingDataset interleave semantics). Per source: docs take the
+    md5-of-id shuffle order (the samp_* convention). The WFQ virtual
+    finish time r/w_s orders the merge; with integer weights in {1,2,3}
+    the key r*(6/w_s) is an exact BIGINT, so the manifest hash-grades
+    bit-for-bit — no float virtual clock.
+
+    Scale: the per-source shuffle rank is an ordinary partitioned
+    window; the GLOBAL position is two_level_rank (range partition +
+    partitioned row_number + broadcast carry — never a one-partition
+    window). Weights derive deterministically from the source name
+    suffix ((suffix % 3) + 1) so the corpus exercises unequal rates."""
+    from mie_spark.operators.rank import two_level_rank
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (
+            (F.substring("source", 4, 10).cast("int") % 3) + 1
+        ).alias("w"),
+    )
+    per_src = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.withColumn("r", F.row_number().over(per_src))
+    k = r.withColumn("vkey", F.expr("CAST(r * (6 div w) AS BIGINT)"))
+    ranked = two_level_rank(
+        k, order_cols=["vkey", "source", "r"], out="train_pos"
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("w").cast("long").alias("w"),
+        "vkey",
+        F.col("train_pos").cast("long").alias("train_pos"),
+    )

@@ -582,3 +582,50 @@ def test_survival_table_with_real_churners(spark, tmp_path):
         assert cur["n_at_risk"] == (
             prev["n_at_risk"] - prev["n_churned"] - prev["n_censored"]
         )
+
+
+def test_interleave_prefix_fairness_and_rank_form(spark):
+    """pipe_interleave: the WFQ guarantee is PREFIX fairness — in every
+    prefix of the training order, each source's share tracks w_s/W to
+    within a constant (one full round of the heaviest weight), not just
+    overall. Also pins that the global position comes from the
+    distributed two-level rank (positions are a permutation of 1..n)
+    and that within a source the manifest preserves the md5 shuffle
+    order."""
+    from mie_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["pipe_interleave"](spark, SF).collect(),
+        key=lambda r: r["train_pos"],
+    )
+    n = len(rows)
+    assert [r["train_pos"] for r in rows] == list(range(1, n + 1))
+    weights = {}
+    for r in rows:
+        weights[r["source"]] = r["w"]
+    total_w = sum(weights.values())
+    from collections import Counter
+
+    n_per_src = Counter(r["source"] for r in rows)
+    seen = {s: 0 for s in weights}
+    checked = 0
+    for p, r in enumerate(rows, start=1):
+        seen[r["source"]] += 1
+        if any(seen[s] >= n_per_src[s] for s in weights):
+            # WFQ fairness holds only while every source is backlogged;
+            # once one drains, the others legitimately overshoot
+            break
+        for s, w in weights.items():
+            expect = p * w / total_w
+            # WFQ bound: within one service round of the expectation
+            assert abs(seen[s] - expect) <= 3 + w, (p, s, seen[s], expect)
+        checked = p
+    assert checked >= n // 3, f"backlogged prefix too short: {checked}/{n}"
+    # per-source order preserved (r strictly increases with train_pos)
+    last_r = {}
+    from collections import defaultdict
+
+    per_src_rank = defaultdict(int)
+    for r in rows:
+        per_src_rank[r["source"]] += 1
+        assert r["vkey"] == per_src_rank[r["source"]] * (6 // r["w"])

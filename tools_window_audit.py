@@ -37,6 +37,10 @@ EXPECTED = {
     "v_mmr_pool": (1, "rank over the top-50 pool"),
     "ev_survival": (1, "at-risk suffix sum: one row per tenure week"),
     "ev_survival_daily": (1, "at-risk suffix sum: one row per tenure day"),
+    "pipe_interleave": (
+        1,
+        "two_level_rank prefix-carry: one row per range partition",
+    ),
 }
 
 
