@@ -162,6 +162,7 @@ HEADLINE = [
     "ev_survival_daily",         # daily K-M life table, churners at graded scale
     "v_pq_codes",                # PQ code-assignment sub-oracle, sample-trained
     "pipe_interleave",           # WFQ training-order manifest, two-level rank
+    "st_sample_fixed_k",         # streaming reservoir, same oracle as batch
 ]
 
 

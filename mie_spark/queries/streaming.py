@@ -586,3 +586,48 @@ def st_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(bench_dir, ignore_errors=True)
     shutil.rmtree(result_dir, ignore_errors=True)
     return out
+
+
+_SAMP_FIXED_K_ORACLE = """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@query("st_sample_fixed_k", oracle=_SAMP_FIXED_K_ORACLE)
+def st_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of samp_fixed_k — the INCREMENTAL reservoir: an
+    eval/holdout sample that stays pinned while the corpus streams in.
+    foreachBatch maintains the k-smallest-md5-keys-per-stratum state
+    (stream_fixed_k_sample: per-batch local top-k, merge, re-top-k,
+    versioned atomic-pointer commit); because the selection rule is a
+    pure function of the SET of ids seen, the drained state is
+    independent of batch cuts and replay-exact by idempotence. Graded
+    against the SAME SQL text as the batch form — the hash proves the
+    incrementally-maintained sample equals the one-shot sample exactly.
+    State is O(strata x k) rows regardless of stream length."""
+    import shutil
+    import tempfile
+
+    from mie_spark.streaming import (
+        load_fixed_k_sample,
+        read_documents_stream,
+        stream_fixed_k_sample,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="fixedk_")
+    stream = read_documents_stream(spark, sf_dir).select("source", "doc_id")
+    stream_fixed_k_sample(stream, state_dir, "source", "doc_id", k=5)
+    out = (
+        load_fixed_k_sample(spark, state_dir, "source", "doc_id")
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+        .localCheckpoint()
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return out

@@ -790,6 +790,8 @@ __all__ = [
     "stream_minhash_signatures",
     "stream_benchmark_shingles",
     "stream_decontaminate",
+    "stream_fixed_k_sample",
+    "load_fixed_k_sample",
     "load_decontaminate_results",
     "load_minhash_state",
     "load_heavy_hitter_candidates",
@@ -937,6 +939,78 @@ def stream_decontaminate(
         _commit_versioned_state(result_dir, hits)
 
     foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
+
+
+def stream_fixed_k_sample(
+    stream_df: "DataFrame",
+    state_dir: str,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+    timeout_s: int = 300,
+) -> None:
+    """Maintain an exactly-k deterministic sample per stratum across
+    micro-batches — the streaming reservoir (eval/holdout sets must
+    stay pinned while the corpus streams in). Same selection rule as
+    the batch fixed_k_per_stratum: the k smallest md5(id) keys per
+    stratum, so the maintained sample is a PURE FUNCTION of the set of
+    ids seen — order-independent across batch cuts and replay-exact by
+    idempotence (union + top-k of a replayed batch changes nothing),
+    the minhash/bitmap doctrine. Per batch: local per-stratum top-k
+    (bounded rows leave the batch), merge with the committed state,
+    re-top-k, commit behind the versioned atomic pointer. State is
+    O(strata x k) rows forever."""
+    from pyspark.sql.window import Window
+
+    def _apply(batch_df: "DataFrame", batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(stratum_col).orderBy("key", id_col)
+        cand = (
+            batch_df.select(
+                stratum_col,
+                id_col,
+                F.md5(F.col(id_col).cast("string")).alias("key"),
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+        prev = _load_versioned_state(spark, state_dir)
+        if prev is not None:
+            cand = prev.unionByName(cand).dropDuplicates(
+                [stratum_col, id_col]
+            )
+        merged = (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+        _commit_versioned_state(state_dir, merged)
+
+    foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
+
+
+def load_fixed_k_sample(
+    spark: SparkSession,
+    state_dir: str,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """The maintained per-stratum sample with its rank recomputed from
+    the stored keys. Raises if no state was ever committed."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    pointer = os.path.join(state_dir, "_CURRENT")
+    if not os.path.exists(pointer):
+        raise FileNotFoundError(f"no sample state committed under {state_dir}")
+    with open(pointer) as fh:
+        state = spark.read.parquet(fh.read().strip())
+    w = Window.partitionBy(stratum_col).orderBy("key", id_col)
+    return state.withColumn("rk", F.row_number().over(w)).drop("key")
 
 
 def load_decontaminate_results(

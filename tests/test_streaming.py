@@ -640,3 +640,52 @@ def test_decontaminate_stream_equals_batch_and_replays(spark, tmp_path):
     assert set(grown) >= set(got)
     assert all(grown[d] >= n for d, n in got.items())
     assert grown[promoted] > 0  # a doc always shares with itself
+
+
+def test_fixed_k_sample_stream_equals_batch_and_replays(spark, tmp_path):
+    """st_sample_fixed_k across 4 one-file micro-batches must equal the
+    one-shot batch sample (selection is a pure function of the id SET,
+    so batch cuts cannot matter), and a FULL replay must leave the
+    state untouched. Also pins the pinned-holdout property: streaming
+    MORE documents can only replace a sample member with a
+    smaller-keyed one, never grow the sample past k."""
+    from mie_spark.queries import QUERIES
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import load_fixed_k_sample, stream_fixed_k_sample
+
+    docs = load_table(spark, SF, "documents").select("source", "doc_id")
+    src = str(tmp_path / "docs4")
+    docs.repartition(4).write.parquet(src)
+    state = str(tmp_path / "fk_state")
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_fixed_k_sample(stream, state, "source", "doc_id", k=5)
+
+    run()
+    got = {
+        (r["source"], r["doc_id"], r["rk"])
+        for r in load_fixed_k_sample(spark, state).collect()
+    }
+    want = {
+        (r["source"], r["doc_id"], r["rk"])
+        for r in QUERIES["samp_fixed_k"](spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
+
+    run()  # full replay: idempotent
+    again = {
+        (r["source"], r["doc_id"], r["rk"])
+        for r in load_fixed_k_sample(spark, state).collect()
+    }
+    assert again == got
+
+    # sample size stays exactly k per stratum
+    from collections import Counter
+
+    per = Counter(s for s, _, _ in got)
+    assert all(v == 5 for v in per.values())
