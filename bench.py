@@ -163,6 +163,7 @@ HEADLINE = [
     "v_pq_codes",                # PQ code-assignment sub-oracle, sample-trained
     "pipe_interleave",           # WFQ training-order manifest, two-level rank
     "st_sample_fixed_k",         # streaming reservoir, same oracle as batch
+    "ev_forecast_holt",          # Holt trend forecast, recursive-CTE oracle
 ]
 
 

@@ -97,6 +97,9 @@ _GRADE_FIRST = [
     # Late r10: the streaming reservoir (incremental fixed-k holdout,
     # same oracle as the batch form).
     "st_sample_fixed_k",
+    # Late r10: Holt linear-trend forecast — the first recursive-CTE
+    # oracle (sequential recurrence replayed natively in SQL).
+    "ev_forecast_holt",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -120,11 +123,11 @@ _GRADE_FIRST = [
     "v_ann_ivf_topk",
     "v_ann_lsh_topk",
     "v_ann_pq_topk",
-    # The r06 cohort, alphabetical — first 24; the remaining 17
-    # (st_hourly_agg, st_stateful_totals, text_bm25_topk and
-    # text_hybrid_rrf — displaced by the late-r10 ev_survival_daily /
-    # v_pq_codes / pipe_interleave / st_sample_fixed_k —
-    # text_quality_model, text_redact_pii, text_tfidf,
+    # The r06 cohort, alphabetical — first 23; the remaining 18
+    # (st_attribution_join, st_hourly_agg, st_stateful_totals,
+    # text_bm25_topk and text_hybrid_rrf — displaced by the late-r10
+    # ev_survival_daily / v_pq_codes / pipe_interleave /
+    # st_sample_fixed_k / ev_forecast_holt — text_quality_model, text_redact_pii, text_tfidf,
     # text_token_stats, text_vocab_coverage, v2_cosine_topk,
     # v3_similarity_self_join, v_batch_knn, v_centroid_outliers,
     # v_filtered_topk, v_mmr_topk, v_quantize_int8, w_trailing_7d)
@@ -152,7 +155,6 @@ _GRADE_FIRST = [
     "q7_volume_shipping",
     "q9_product_profit",
     "samp_epoch_mix",
-    "st_attribution_join",
 ]
 
 

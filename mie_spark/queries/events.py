@@ -2269,3 +2269,112 @@ def _survival_table(
             "(2 * n_churned * 1000000 + n_at_risk) div (2 * n_at_risk)"
         ).alias("hazard_micro"),
     )
+
+
+def _holt_oracle() -> str:
+    """Holt linear-trend recurrence as a RECURSIVE CTE — the first
+    oracle in the repo that replays a sequential recurrence natively
+    in SQL rather than unrolling it (the Lloyd oracles unroll because
+    their iteration count is tiny; Holt runs once per observed day).
+    Exactness: daily totals are exact integer cents; level/trend live
+    in integer MILLI-cents with dyadic smoothing (alpha=1/4, beta=1/8)
+    and explicit HALF-AWAY-FROM-ZERO rounding at every step — both
+    engines truncate integer division toward zero, so
+    sign(n)*((2|n|+d) div 2d) is bit-identical, and no denominator
+    ever compounds (the unrounded dyadic recurrence would overflow
+    BIGINT by day 30)."""
+
+    def rhalf(n: str, d: int) -> str:
+        return (
+            f"(CASE WHEN ({n}) >= 0 THEN (2 * ({n}) + {d}) // {2 * d} "
+            f"ELSE -((2 * (-({n})) + {d}) // {2 * d}) END)::BIGINT"
+        )
+
+    new_l = rhalf("y1000 + 3 * (l_prev + b_prev)", 4)
+    new_b = rhalf("(l_new - l_prev) + 7 * b_prev", 8)
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT (row_number() OVER (ORDER BY day)) - 1 AS t, day, y FROM d
+    ),
+    h(t, l, b) AS (
+      SELECT 0::BIGINT,
+             (SELECT y * 1000 FROM s WHERE t = 0),
+             ((SELECT y FROM s WHERE t = 1)
+              - (SELECT y FROM s WHERE t = 0)) * 1000
+      UNION ALL
+      SELECT t, l_new, {new_b} FROM (
+        SELECT s.t AS t,
+               {new_l.replace('y1000', 's.y * 1000')
+                     .replace('l_prev', 'h.l')
+                     .replace('b_prev', 'h.b')} AS l_new,
+               h.l AS l_prev, h.b AS b_prev
+        FROM h JOIN s ON s.t = h.t + 1
+      )
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           s.y AS cents,
+           h.l AS level_milli,
+           h.b AS trend_milli,
+           (h.l + h.b)::BIGINT AS forecast_milli
+    FROM h JOIN s USING (t)
+    """
+
+
+@query("ev_forecast_holt", oracle=_holt_oracle())
+def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) over
+    daily revenue — the forecasting pass ev_ewma's single smoother
+    can't do (EWMA lags a trending series; Holt's trend term doesn't),
+    and the next-day forecast l_t + b_t is the anomaly baseline /
+    capacity-planning staple. alpha=1/4, beta=1/8 (dyadic), state in
+    integer milli-cents with half-away-from-zero rounding per step —
+    the recurrence is exact on both engines, and the oracle replays it
+    with a RECURSIVE CTE (first truly sequential oracle in the repo).
+
+    Scale shape: ONE day aggregate touches the events table (the only
+    corpus-sized work); the recurrence runs on the driver over the
+    bounded |days| rows — time is bounded, corpora are not; this is
+    the MMR/BPE bounded-driver-state precedent. Init: l_0 = y_0,
+    b_0 = y_1 - y_0 (standard Holt initialization)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+        .orderBy("day")
+    )
+    rows = daily.collect()  # bounded: one row per observed day
+    if len(rows) < 2:
+        raise ValueError("ev_forecast_holt needs >= 2 observed days")
+
+    def rhalf(n: int, d: int) -> int:
+        return (2 * abs(n) + d) // (2 * d) * (1 if n >= 0 else -1)
+
+    out = []
+    level = rows[0]["y"] * 1000
+    trend = (rows[1]["y"] - rows[0]["y"]) * 1000
+    for t, r in enumerate(rows):
+        if t > 0:
+            l_new = rhalf(r["y"] * 1000 + 3 * (level + trend), 4)
+            trend = rhalf((l_new - level) + 7 * trend, 8)
+            level = l_new
+        out.append(
+            (
+                r["day"].strftime("%Y-%m-%d"),
+                int(r["y"]),
+                int(level),
+                int(trend),
+                int(level + trend),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "day string, cents long, level_milli long, trend_milli long, "
+        "forecast_milli long",
+    )

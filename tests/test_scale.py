@@ -629,3 +629,49 @@ def test_interleave_prefix_fairness_and_rank_form(spark):
     for r in rows:
         per_src_rank[r["source"]] += 1
         assert r["vkey"] == per_src_rank[r["source"]] * (6 // r["w"])
+
+
+def test_holt_tracks_linear_series_exactly(spark, tmp_path):
+    """ev_forecast_holt on a perfectly linear daily series: with
+    l_0 = y_0 and b_0 = y_1 - y_0, Holt's recurrence reproduces a
+    linear series EXACTLY at every step (the update errors are zero,
+    so rounding never engages): level_t = y_t, trend_t = slope, and
+    the one-step forecast equals the next day's actual. This is the
+    defining property separating Holt from ev_ewma's single smoother,
+    which lags any trending series."""
+    import datetime
+
+    from mie_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for day in range(12):
+        # one purchase per day, revenue 10.00 + 2.50/day -> linear cents
+        rows.append(
+            (
+                day,
+                base + datetime.timedelta(days=day),
+                1,
+                "purchase",
+                10.0 + 2.5 * day,
+                "{}",
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = sorted(
+        QUERIES["ev_forecast_holt"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(got) == 12
+    for i, r in enumerate(got):
+        assert r["cents"] == 1000 + 250 * i
+        assert r["level_milli"] == r["cents"] * 1000
+        assert r["trend_milli"] == 250 * 1000
+        if i + 1 < len(got):
+            assert r["forecast_milli"] == got[i + 1]["cents"] * 1000
