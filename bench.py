@@ -164,6 +164,10 @@ HEADLINE = [
     "pipe_interleave",           # WFQ training-order manifest, two-level rank
     "st_sample_fixed_k",         # streaming reservoir, same oracle as batch
     "ev_forecast_holt",          # Holt trend forecast, recursive-CTE oracle
+    "ev_forecast_hw",            # Holt-Winters weekly-seasonal forecast
+    "ev_changepoint",            # CUSUM level-shift locator, exact xD BIGINTs
+    "dq_drift_ks",               # two-sample KS drift gate, integer CDF gap
+    "st_drift_ks",               # streaming twin: incremental census + same projection
 ]
 
 

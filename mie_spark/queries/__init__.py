@@ -100,6 +100,24 @@ _GRADE_FIRST = [
     # Late r10: Holt linear-trend forecast — the first recursive-CTE
     # oracle (sequential recurrence replayed natively in SQL).
     "ev_forecast_holt",
+    # Late r10: v_mmr_topk graduated from rows-only to a full
+    # recursive-CTE hash oracle (the greedy argmax loop replayed in
+    # SQL) — grade the shipping form immediately (standing r5 lesson;
+    # displaces samp_epoch_mix to the r11 queue head).
+    "v_mmr_topk",
+    # Late r10 additions, windowed immediately (displacing
+    # q6_forecast_revenue / q7_volume_shipping / q9_product_profit to
+    # the r11 queue): Holt-Winters weekly-seasonal forecast (first
+    # list-valued recursive-CTE oracle), CUSUM changepoint (exact
+    # BIGINT via the xD scaling), and the two-sample KS drift gate
+    # (cross-multiplied integer CDF gap).
+    "ev_forecast_hw",
+    "ev_changepoint",
+    "dq_drift_ks",
+    # Late r10: the streaming twin of the KS gate (incremental census
+    # in the state store, same projection, same SQL text) — displaces
+    # q22_idle_rich_customers to the r11 queue.
+    "st_drift_ks",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -127,10 +145,15 @@ _GRADE_FIRST = [
     # (st_attribution_join, st_hourly_agg, st_stateful_totals,
     # text_bm25_topk and text_hybrid_rrf — displaced by the late-r10
     # ev_survival_daily / v_pq_codes / pipe_interleave /
-    # st_sample_fixed_k / ev_forecast_holt — text_quality_model, text_redact_pii, text_tfidf,
+    # st_sample_fixed_k / ev_forecast_holt / v_mmr_topk (graduated to
+    # a windowed slot when it gained its recursive-CTE oracle, taking
+    # samp_epoch_mix's slot) — samp_epoch_mix, q6_forecast_revenue,
+    # q7_volume_shipping, q9_product_profit, q22_idle_rich_customers,
+    # text_quality_model,
+    # text_redact_pii, text_tfidf,
     # text_token_stats, text_vocab_coverage, v2_cosine_topk,
     # v3_similarity_self_join, v_batch_knn, v_centroid_outliers,
-    # v_filtered_topk, v_mmr_topk, v_quantize_int8, w_trailing_7d)
+    # v_filtered_topk, v_quantize_int8, w_trailing_7d)
     # head the r11 queue, then r07/r08 as they age.
     "a_robust_stats",
     "dedup_fuzzy_names",
@@ -150,11 +173,6 @@ _GRADE_FIRST = [
     "q19_or_of_ands",
     "q20_red_part_specialists",
     "q21_blamed_suppliers",
-    "q22_idle_rich_customers",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "samp_epoch_mix",
 ]
 
 

@@ -2378,3 +2378,235 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day string, cents long, level_milli long, trend_milli long, "
         "forecast_milli long",
     )
+
+
+def _hw_oracle() -> str:
+    """Holt-Winters additive seasonal recurrence (m=7) as a RECURSIVE
+    CTE extending the ev_forecast_holt doctrine: level + trend as
+    before, plus the 7-slot seasonal state carried through the
+    recursion as a rotating BIGINT list (sea[1] = s_{t-6} .. sea[7] =
+    s_t). State in integer MILLI-cents, dyadic smoothing (alpha=1/4,
+    beta=1/8, gamma=1/4) with explicit half-away-from-zero rounding at
+    every step, so both engines produce bit-identical integers. Init
+    is the detrended textbook one: b = (mean week 2 - mean week 1)/7
+    (folded into one /49 rounding), l = mean(week 1) + 3b (midpoint
+    level shifted to t=6), s_i = y_i - mean(week 1) - b*(i-3)."""
+
+    def rhalf(n: str, d: int) -> str:
+        return (
+            f"(CASE WHEN ({n}) >= 0 THEN (2 * ({n}) + {d}) // {2 * d} "
+            f"ELSE -((2 * (-({n})) + {d}) // {2 * d}) END)::BIGINT"
+        )
+
+    lm = rhalf("(SELECT sum(y) FROM s WHERE t <= 6) * 1000", 7)
+    b0 = rhalf(
+        "((SELECT sum(y) FROM s WHERE t BETWEEN 7 AND 13)"
+        " - (SELECT sum(y) FROM s WHERE t <= 6)) * 1000",
+        49,
+    )
+    # the inner projection computes l_new FROM RAW h/s columns (a
+    # same-clause alias like y1000 can't be referenced before it is
+    # defined); the outer projection then derives b_new / s_new from
+    # the inner aliases
+    l_new_inner = rhalf(
+        "(s.y * 1000 - h.sea[1]) + 3 * (h.l + h.b)", 4
+    )
+    b_new = rhalf("(l_new - l_prev) + 7 * b_prev", 8)
+    s_new = rhalf("(y1000 - l_new) + 3 * s_lag", 4)
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT (row_number() OVER (ORDER BY day)) - 1 AS t, day, y FROM d
+    ),
+    init AS (SELECT {lm} AS lm, {b0} AS b0),
+    h(t, l, b, sea, fc) AS (
+      SELECT 6::BIGINT, i.lm + 3 * i.b0, i.b0,
+             (SELECT list(y * 1000 - i.lm - i.b0 * (t - 3) ORDER BY t)
+              FROM s WHERE t <= 6),
+             NULL::BIGINT
+      FROM init i
+      UNION ALL
+      SELECT t, l_new, {b_new},
+             list_append(sea_tail, {s_new}), fc
+      FROM (
+        SELECT s.t AS t, {l_new_inner} AS l_new,
+               h.l AS l_prev, h.b AS b_prev, h.sea[1] AS s_lag,
+               h.sea[2:7] AS sea_tail, s.y * 1000 AS y1000,
+               (h.l + h.b + h.sea[1])::BIGINT AS fc
+        FROM h JOIN s ON s.t = h.t + 1
+      )
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           s.y AS cents,
+           h.l AS level_milli,
+           h.b AS trend_milli,
+           h.sea[7] AS season_milli,
+           h.fc AS forecast_milli
+    FROM h JOIN s USING (t) WHERE h.t >= 7
+    """
+
+
+@query("ev_forecast_hw", oracle=_hw_oracle())
+def ev_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing (level + trend +
+    weekly seasonality, m=7) over daily revenue — the forecaster for
+    the series ev_forecast_holt's trend-only model systematically
+    misses: traffic and revenue have day-of-week shape, and a Holt
+    forecast of a Sunday from six weekdays is biased by exactly the
+    seasonal term this model carries. forecast_milli for day t is the
+    one-step-ahead forecast MADE AT t-1 (l + b + s_{t-7} before
+    observing y_t), so the column is a true out-of-sample baseline for
+    anomaly gating, unlike in-sample smoothed fits.
+
+    State in integer milli-cents with dyadic smoothing (alpha=1/4,
+    beta=1/8, gamma=1/4) and half-away-from-zero rounding per step —
+    exact on both engines; the oracle replays the full recurrence with
+    a recursive CTE whose seasonal state rides along as a rotating
+    7-slot BIGINT list (first list-valued recursion state in the
+    repo). Init: b = (mean week 2 - mean week 1)/7 folded into one
+    /49 rounding, l = mean(week 1) + 3b (midpoint level shifted to
+    the end of week 1), s_i = y_i - mean(week 1) - b*(i-3) —
+    DETRENDED seasonal indices, which make the recurrence reproduce a
+    pure linear+seasonal series exactly (pinned in tests); output
+    starts at t=7 where the first real forecast exists.
+
+    Scale shape (the Holt/MMR/BPE bounded-driver-state doctrine): ONE
+    day aggregate touches the events table — the only corpus-sized
+    work; the recurrence runs on the driver over the bounded |days|
+    rows. Time is bounded, corpora are not."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+        .orderBy("day")
+    )
+    rows = daily.collect()  # bounded: one row per observed day
+    if len(rows) < 15:
+        raise ValueError("ev_forecast_hw needs >= 15 observed days")
+
+    def rhalf(n: int, d: int) -> int:
+        return (2 * abs(n) + d) // (2 * d) * (1 if n >= 0 else -1)
+
+    y = [int(r["y"]) for r in rows]
+    l_mid = rhalf(sum(y[0:7]) * 1000, 7)  # level at the week-1 MIDPOINT
+    trend = rhalf((sum(y[7:14]) - sum(y[0:7])) * 1000, 49)
+    level = l_mid + 3 * trend  # shift the midpoint level to t=6
+    # DETRENDED seasonal indices: subtract the fitted line l_mid +
+    # b*(i-3), not just the week mean — the week-mean form leaves a
+    # b*(i-3) trend residue inside every seasonal slot, which biases
+    # the first cycle of forecasts by up to 3b (and breaks the exact
+    # linear+seasonal tracking property pinned in tests/test_scale.py)
+    sea = [
+        y[i] * 1000 - l_mid - trend * (i - 3) for i in range(7)
+    ]  # sea[t] for t = 0..6
+    out = []
+    for t in range(7, len(rows)):
+        s_lag = sea[t - 7]
+        fcast = level + trend + s_lag
+        l_new = rhalf((y[t] * 1000 - s_lag) + 3 * (level + trend), 4)
+        trend = rhalf((l_new - level) + 7 * trend, 8)
+        level = l_new
+        sea.append(rhalf((y[t] * 1000 - level) + 3 * s_lag, 4))
+        out.append(
+            (
+                rows[t]["day"].strftime("%Y-%m-%d"),
+                y[t],
+                int(level),
+                int(trend),
+                int(sea[t]),
+                int(fcast),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "day string, cents long, level_milli long, trend_milli long, "
+        "season_milli long, forecast_milli long",
+    )
+
+
+@query(
+    "ev_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT count(*)::BIGINT AS nd, sum(y)::BIGINT AS s FROM d),
+    c AS (
+      SELECT day, y,
+             row_number() OVER (ORDER BY day) AS rn,
+             sum(y) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             nd, s
+      FROM d, tot
+    ),
+    k AS (SELECT day, y, (nd * cum - rn * s)::BIGINT AS cusum_xd FROM c)
+    SELECT strftime(day, '%Y-%m-%d') AS day, y AS cents, cusum_xd,
+           (abs(cusum_xd) = max(abs(cusum_xd)) OVER ()) AS is_peak
+    FROM k
+    """,
+)
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily revenue: the classic
+    single-changepoint estimator argmax_t |sum_{i<=t}(y_i - mean)| —
+    the day the series' level most plausibly shifted (Page/Pettitt
+    shape). The dashboard question behind it: "did the metric break,
+    and WHEN?" — ev_anomaly_zscore flags outlier points; this locates
+    a sustained level shift.
+
+    Exactness without a single division: the CUSUM is scaled by the
+    day count D — cusum_xd_t = D*cum_t - t*S (S = total cents) — so
+    every value is an exact BIGINT on both engines, sign and argmax
+    identical to the mean-subtracted float form. is_peak marks the
+    argmax rows (ties flag all, deterministically).
+
+    Scale shape: one day aggregate touches the corpus; the cumulative
+    and global-max windows run over the bounded |days| census
+    (registered bounded exception, ev_survival precedent). The D/S
+    scalars ride a broadcast crossJoin of a 1-row aggregate — the
+    scalar-subquery decorrelation pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").alias("s"),
+    )
+    w = Window.orderBy("day")
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "y",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("y").over(cum).alias("cum"),
+        "nd",
+        "s",
+    )
+    k = c.select(
+        "day",
+        "y",
+        (F.col("nd") * F.col("cum") - F.col("rn") * F.col("s"))
+        .cast("long")
+        .alias("cusum_xd"),
+    )
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return k.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("y").alias("cents"),
+        "cusum_xd",
+        (
+            F.abs(F.col("cusum_xd"))
+            == F.max(F.abs(F.col("cusum_xd"))).over(wall)
+        ).alias("is_peak"),
+    )

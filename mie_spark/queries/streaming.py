@@ -631,3 +631,37 @@ def st_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(state_dir, ignore_errors=True)
     return out
+
+
+from mie_spark.queries.relational import KS_DRIFT_ORACLE  # noqa: E402
+
+
+@query("st_drift_ks", oracle=KS_DRIFT_ORACLE)
+def st_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dq_drift_ks: the (event_type, day, value-unit
+    bucket) census is maintained INCREMENTALLY by the streaming state
+    store (complete-mode aggregate — each micro-batch folds its rows
+    into the standing cells), and the bounded KS projection
+    (half-split by day rank, cross-multiplied integer CDF gap) runs
+    over the drained census via the SAME ks_drift_from_cells the batch
+    gate uses, grading against the SAME SQL text. This is the ingest
+    shape: the census accretes as batches arrive; the drift verdict is
+    recomputed from O(types x days x units) state, never by rescanning
+    the corpus. State is census-bounded exactly like st_hourly_agg;
+    the production path would age out days past the comparison horizon
+    with a watermark."""
+    from mie_spark.functions.numeric import int_div
+    from mie_spark.queries.relational import ks_drift_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        int_div(F.round(F.col("value") * 100).cast("long"), 100)
+        .cast("long")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained = run_to_memory_sink(
+        cells, output_mode="complete", state_partitions=8
+    )
+    return ks_drift_from_cells(drained)

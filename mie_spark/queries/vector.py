@@ -699,16 +699,78 @@ def v_mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("v_mmr_topk")
+@query(
+    "v_mmr_topk",
+    oracle="""
+    WITH RECURSIVE q AS (
+      SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT vec_id, label,
+             list_cosine_similarity(embedding::DOUBLE[], qe) AS rel,
+             embedding::DOUBLE[] AS x
+      FROM embeddings, q WHERE vec_id <> 0
+      QUALIFY row_number() OVER (
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC,
+                 vec_id) <= 50
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             list_cosine_similarity(a.x, b.x) AS s
+      FROM pool a, pool b WHERE a.vec_id <> b.vec_id
+    ),
+    -- greedy recurrence: step 1 takes argmax(rel); every later step
+    -- takes argmax over the remainder of lam*rel - (1-lam)*max_sim to
+    -- the chosen set, carried as a growing id list. (1.0 - 0.7) is
+    -- spelled as the SUBTRACTION, not 0.3: the Spark kernel computes
+    -- the IEEE double 1.0-0.7 = 0.30000000000000004 and the scores
+    -- must use the identical coefficient.
+    sel AS (
+      SELECT 1 AS rank,
+             (SELECT vec_id FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+               AS picked,
+             (SELECT rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+               AS score,
+             [(SELECT vec_id FROM pool ORDER BY rel DESC, vec_id LIMIT 1)]
+               AS chosen
+      UNION ALL
+      SELECT s.rank + 1, nx.vec_id, nx.sc, list_append(s.chosen, nx.vec_id)
+      FROM sel s, LATERAL (
+         SELECT p.vec_id,
+                0.7 * p.rel - (1.0 - 0.7) * (
+                  SELECT max(pr2.s) FROM pairs pr2
+                  WHERE pr2.i = p.vec_id
+                    AND list_contains(s.chosen, pr2.j)) AS sc
+         FROM pool p
+         WHERE NOT list_contains(s.chosen, p.vec_id)
+         -- tie-break mirrors the kernel: numpy argmax takes the FIRST
+         -- max in (rel desc, id asc) candidate order
+         ORDER BY sc DESC, p.rel DESC, p.vec_id LIMIT 1) nx
+      WHERE s.rank < 10
+    )
+    SELECT s.picked AS vec_id, p.label, s.rank::BIGINT AS rank,
+           round(p.rel, 6) AS rel, round(s.score, 6) AS mmr
+    FROM sel s JOIN pool p ON p.vec_id = s.picked
+    """,
+)
 def v_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: exact top-50 cosine candidate pool
     (distributed, no shuffle) re-ranked by greedy Maximal Marginal
     Relevance (lam=0.7) down to 10 — the result-set diversification
-    pass RAG stacks run after ANN. Greedy MMR is an inherently
-    sequential k-step recurrence (each pick changes every remaining
-    score), so it is not SQL-expressible: rows-only here, with an
-    independent numpy recomputation and a full-output digest pinned in
-    pytest (tests/test_vector.py, tests/test_rows_only_digests.py)."""
+    pass RAG stacks run after ANN.
+
+    Hash-graded since r10: greedy MMR is a sequential k-step recurrence
+    (each pick changes every remaining score), but k and pool are
+    bounded, so the oracle replays the WHOLE recurrence with a
+    recursive CTE (the ev_forecast_holt doctrine) — chosen set carried
+    as a growing list, each step's argmax as a correlated LATERAL
+    top-1. Cross-engine exactness is a margin argument like
+    v_ivf_cells/v_pq_codes: the engines compute cosine in different
+    fold orders (~1e-16 divergence), and the measured min decision gap
+    between the chosen and runner-up candidate across every step is
+    5.9e-4 / 7.5e-4 / 9.5e-4 at sf0.01/0.001/0.1 — ≥11 orders above
+    float noise (DRIVE_r10.md). The independent numpy recomputation
+    and full-output digest stay pinned in pytest
+    (tests/test_vector.py, tests/test_rows_only_digests.py)."""
     from mie_spark.operators.vector import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)

@@ -675,3 +675,147 @@ def test_holt_tracks_linear_series_exactly(spark, tmp_path):
         assert r["trend_milli"] == 250 * 1000
         if i + 1 < len(got):
             assert r["forecast_milli"] == got[i + 1]["cents"] * 1000
+
+
+def test_hw_tracks_linear_seasonal_series_exactly(spark, tmp_path):
+    """ev_forecast_hw on a pure linear+weekly-seasonal daily series:
+    with the detrended init (l = mean(week1) + 3b, s_i = y_i -
+    mean(week1) - b*(i-3)) the Holt-Winters recurrence is exactly
+    self-consistent — level_t = a + b*t, trend_t = b, season_t =
+    s_{t mod 7}, and every one-step forecast equals the next actual.
+    Constants are chosen so every dyadic division is exact (update
+    errors are all zero), so rounding never engages. This is the
+    property the week-mean seasonal init (no detrending) FAILS — it
+    leaves a b*(i-3) residue in each seasonal slot and biases the
+    first cycle of forecasts by up to 3b."""
+    import datetime
+
+    from mie_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    a_c, b_c = 5000, 350  # cents: level 50.00, slope 3.50/day
+    season = [700, -350, 0, 350, -700, 210, -210]  # cents, sums to 0
+    rows = []
+    for day in range(21):
+        cents = a_c + b_c * day + season[day % 7]
+        rows.append(
+            (
+                day,
+                base + datetime.timedelta(days=day),
+                1,
+                "purchase",
+                cents / 100.0,
+                "{}",
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = sorted(
+        QUERIES["ev_forecast_hw"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(got) == 14  # t = 7..20
+    for i, r in enumerate(got):
+        t = i + 7
+        assert r["cents"] == a_c + b_c * t + season[t % 7]
+        assert r["level_milli"] == (a_c + b_c * t) * 1000
+        assert r["trend_milli"] == b_c * 1000
+        assert r["season_milli"] == season[t % 7] * 1000
+        # out-of-sample one-step forecast equals the actual
+        assert r["forecast_milli"] == r["cents"] * 1000
+
+
+def test_changepoint_locates_level_shift(spark, tmp_path):
+    """ev_changepoint on a series flat at 100.00 for 10 days then
+    200.00 for 10 days: the CUSUM argmax must land on day 10 (the
+    last day of the first regime) and nowhere else, and the xD-scaled
+    values must match the closed form D*cum_t - t*S exactly."""
+    import datetime
+
+    from mie_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = []
+    for day in range(20):
+        val = 100.0 if day < 10 else 200.0
+        rows.append(
+            (
+                day,
+                base + datetime.timedelta(days=day),
+                1,
+                "purchase",
+                val,
+                "{}",
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = sorted(
+        QUERIES["ev_changepoint"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(got) == 20
+    d, s = 20, (10 * 10000 + 10 * 20000)  # cents total
+    cum = 0
+    for i, r in enumerate(got):
+        cum += 10000 if i < 10 else 20000
+        assert r["cusum_xd"] == d * cum - (i + 1) * s
+        assert r["is_peak"] == (i == 9)  # day 10, 0-indexed 9
+
+
+def test_ks_drift_detects_injected_shift(spark, tmp_path):
+    """dq_drift_ks on two engineered event types: type 'shifted' has
+    first-half values ~10 and second-half values ~110 (disjoint
+    supports -> KS = 1.0); type 'stable' draws the same deterministic
+    value pattern in both halves (KS ~ 0). Also pins the
+    cross-multiplied integer form: ks_num == ks * n1 * n2 within
+    rounding."""
+    import datetime
+
+    from mie_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 0, 30, 0)
+    rows, eid = [], 0
+    for day in range(20):
+        for k in range(5):
+            shifted_val = 10.0 + k if day < 10 else 110.0 + k
+            stable_val = 50.0 + (k * 7) % 5
+            for et, v in (("shifted", shifted_val), ("stable", stable_val)):
+                rows.append(
+                    (
+                        eid,
+                        base + datetime.timedelta(days=day, minutes=k),
+                        k,
+                        et,
+                        v,
+                        "{}",
+                    )
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["dq_drift_ks"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"shifted", "stable"}
+    for r in got.values():
+        assert (r["n1"], r["n2"]) == (50, 50)
+        assert abs(r["ks"] - r["ks_num"] / (r["n1"] * r["n2"])) < 1e-6
+    assert got["shifted"]["ks"] == 1.0  # disjoint supports
+    assert got["stable"]["ks"] == 0.0  # identical per-half histograms

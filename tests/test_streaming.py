@@ -689,3 +689,54 @@ def test_fixed_k_sample_stream_equals_batch_and_replays(spark, tmp_path):
 
     per = Counter(s for s, _, _ in got)
     assert all(v == 5 for v in per.values())
+
+
+def test_drift_ks_stream_equals_batch(spark, tmp_path):
+    """st_drift_ks (incremental census in the streaming state store)
+    must land on the exact same per-type KS rows as dq_drift_ks's one
+    batch aggregate — same split, same integer cross-multiplied gap —
+    on an engineered corpus with a real injected shift. The graded
+    contract (same oracle text) is driven at all three SFs by the
+    registry tools; this pins the equivalence on a fixture where the
+    drift verdict is non-trivial in both directions."""
+    import datetime
+
+    from mie_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 0, 30, 0)
+    rows, eid = [], 0
+    for day in range(10):
+        for k in range(4):
+            shifted = 5.0 + k if day < 5 else 205.0 + k
+            stable = 42.0 + (k % 2)
+            for et, v in (("shifted", shifted), ("stable", stable)):
+                rows.append(
+                    (
+                        eid,
+                        base + datetime.timedelta(days=day, minutes=k),
+                        k,
+                        et,
+                        v,
+                        "{}",
+                    )
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    batch = sorted(
+        QUERIES["dq_drift_ks"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_type"],
+    )
+    stream = sorted(
+        QUERIES["st_drift_ks"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_type"],
+    )
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    by_type = {r["event_type"]: r for r in batch}
+    assert by_type["shifted"]["ks"] == 1.0
+    assert by_type["stable"]["ks"] == 0.0

@@ -41,6 +41,16 @@ EXPECTED = {
         1,
         "two_level_rank prefix-carry: one row per range partition",
     ),
+    "ev_changepoint": (
+        2,
+        "cumsum + global max over the <=|days| daily census",
+    ),
+    "dq_drift_ks": (
+        1,
+        "day-rank + day-count over the <=|days| distinct-day census, "
+        "planned as one Window node "
+        "(CDF windows are partitioned by event_type)",
+    ),
 }
 
 
