@@ -168,6 +168,8 @@ HEADLINE = [
     "ev_changepoint",            # CUSUM level-shift locator, exact xD BIGINTs
     "dq_drift_ks",               # two-sample KS drift gate, integer CDF gap
     "st_drift_ks",               # streaming twin: incremental census + same projection
+    "ev_ab_test",                # two-proportion z-test on the deterministic md5 split
+    "dq_benford",                # first-digit forensic audit, integer micro-units
 ]
 
 

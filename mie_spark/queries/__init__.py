@@ -118,6 +118,12 @@ _GRADE_FIRST = [
     # in the state store, same projection, same SQL text) — displaces
     # q22_idle_rich_customers to the r11 queue.
     "st_drift_ks",
+    # Late r10: experiment analytics + forensic DQ (displace
+    # q20_red_part_specialists / q21_blamed_suppliers to the r11
+    # queue): two-proportion A/B z-test on the deterministic md5
+    # split, and the Benford first-digit audit in integer micro-units.
+    "ev_ab_test",
+    "dq_benford",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -148,7 +154,8 @@ _GRADE_FIRST = [
     # st_sample_fixed_k / ev_forecast_holt / v_mmr_topk (graduated to
     # a windowed slot when it gained its recursive-CTE oracle, taking
     # samp_epoch_mix's slot) — samp_epoch_mix, q6_forecast_revenue,
-    # q7_volume_shipping, q9_product_profit, q22_idle_rich_customers,
+    # q7_volume_shipping, q9_product_profit, q20_red_part_specialists,
+    # q21_blamed_suppliers, q22_idle_rich_customers,
     # text_quality_model,
     # text_redact_pii, text_tfidf,
     # text_token_stats, text_vocab_coverage, v2_cosine_topk,
@@ -171,8 +178,6 @@ _GRADE_FIRST = [
     "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "q19_or_of_ands",
-    "q20_red_part_specialists",
-    "q21_blamed_suppliers",
 ]
 
 

@@ -2610,3 +2610,115 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max(F.abs(F.col("cusum_xd"))).over(wall)
         ).alias("is_peak"),
     )
+
+
+@query(
+    "ev_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value >= 100
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 2))
+                       ::INTEGER < 128
+                  THEN 'A' ELSE 'B' END AS variant,
+             converted
+      FROM u
+    ),
+    v AS (
+      SELECT variant, count(*)::BIGINT AS n_users,
+             sum(converted)::BIGINT AS n_conv
+      FROM a GROUP BY variant
+    ),
+    w AS (
+      SELECT
+        (SELECT n_users FROM v WHERE variant = 'A') AS n1,
+        (SELECT n_conv  FROM v WHERE variant = 'A') AS c1,
+        (SELECT n_users FROM v WHERE variant = 'B') AS n2,
+        (SELECT n_conv  FROM v WHERE variant = 'B') AS c2
+    )
+    SELECT n1, c1, n2, c2,
+           round(c1 * 1.0 / n1 - c2 * 1.0 / n2, 6) AS lift,
+           round((c1 * 1.0 / n1 - c2 * 1.0 / n2)
+                 / sqrt(((c1 + c2) * 1.0 / (n1 + n2))
+                        * (1.0 - (c1 + c2) * 1.0 / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z,
+           abs((c1 * 1.0 / n1 - c2 * 1.0 / n2)
+               / sqrt(((c1 + c2) * 1.0 / (n1 + n2))
+                      * (1.0 - (c1 + c2) * 1.0 / (n1 + n2))
+                      * (1.0 / n1 + 1.0 / n2))) >= 1.96 AS significant
+    FROM w
+    """,
+)
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test: users are hash-split into
+    variants (md5 first byte < 0x80 -> A, the repo's deterministic
+    split rule — re-runs, retries, and late shards all agree, unlike
+    rand()), conversion = "ever made a purchase of at least 100"
+    (every user fires SOME purchase in this corpus — a universal
+    conversion makes the pooled variance 0), and the
+    pooled two-proportion z-statistic decides significance at the
+    usual 1.96 two-sided threshold. This is the experiment-analysis
+    pass every product analytics stack runs; here it doubles as an
+    A/A test harness — a uniform hash split over one population SHOULD
+    read not-significant, so a `significant=true` row on untreated
+    data is itself a red flag (the dq_drift_ks sibling for
+    experiments).
+
+    Cross-engine exactness: every input to the float expressions is an
+    exact BIGINT count, the expression TEXT is identical on both
+    engines (same divisions in the same order), and IEEE doubles +
+    sqrt (a correctly-rounded op, unlike ln/exp) are deterministic —
+    so lift/z/significant agree bit-for-bit. Plan: one user_id
+    aggregate touches events; everything after is a <=2-row reduction
+    (scalar-subquery decorrelation on the Spark side)."""
+    from mie_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 100),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    a = u.select(
+        F.when(hash_bucket(F.col("user_id")) < 128, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    w = a.groupBy().agg(
+        F.count(F.when(F.col("variant") == "A", 1)).alias("n1"),
+        F.sum(
+            F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)
+        ).alias("c1"),
+        F.count(F.when(F.col("variant") == "B", 1)).alias("n2"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)
+        ).alias("c2"),
+    )
+    p1 = F.col("c1") * F.lit(1.0) / F.col("n1")
+    p2 = F.col("c2") * F.lit(1.0) / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")) * F.lit(1.0) / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return w.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.round(p1 - p2, 6).alias("lift"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) >= F.lit(1.96)).alias("significant"),
+    )

@@ -1094,3 +1094,89 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
     return ks_drift_from_cells(cells)
+
+
+@query(
+    "dq_benford",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    d AS (
+      SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+             count(*)::BIGINT AS n
+      FROM c GROUP BY 1
+    ),
+    t AS (SELECT sum(n)::BIGINT AS total FROM d)
+    SELECT digit, n,
+           ((n * 2000000 + total) // (2 * total))::BIGINT AS share_micro,
+           (CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                      WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                      WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                      ELSE 45757 END)::BIGINT AS benford_micro,
+           abs(((n * 2000000 + total) // (2 * total))
+               - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                            WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                            WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                            WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                            ELSE 45757 END)::BIGINT AS dev_micro
+    FROM d, t
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) audit over lineitem prices —
+    the classic forensic data-quality gate: organically-generated
+    monetary amounts follow log10(1+1/d); fabricated, truncated, or
+    unit-mangled feeds don't, and the per-digit deviation column is
+    the alarm. (TPC-H-style uniform prices FAIL Benford loudly — the
+    point of the gate is the report, and a synthetic corpus is
+    exactly the kind of feed it should flag.)
+
+    Exactness: the leading digit is taken from the DECIMAL STRING of
+    integer cents (multiplying by 10^k preserves the leading
+    significant digit), never via log10 — a transcendental within a
+    ulp of a power of 10 would misbucket. Shares are integer half-up
+    micro-units ((n*2e6 + N) div 2N); the Benford expectations are
+    pre-rounded micro-unit literals, identical text on both engines.
+    Every output column is BIGINT. Plan: one map-side-combined digit
+    aggregate touches lineitem; the 9-row census crossJoins a 1-row
+    broadcast total (scalar-subquery decorrelation)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    d = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = d.agg(F.sum("n").alias("total"))
+    benford = (
+        F.when(F.col("digit") == 1, 301030)
+        .when(F.col("digit") == 2, 176091)
+        .when(F.col("digit") == 3, 124939)
+        .when(F.col("digit") == 4, 96910)
+        .when(F.col("digit") == 5, 79181)
+        .when(F.col("digit") == 6, 66947)
+        .when(F.col("digit") == 7, 57992)
+        .when(F.col("digit") == 8, 51153)
+        .otherwise(45757)
+    )
+    share = int_div(
+        F.col("n") * F.lit(2000000) + F.col("total"),
+        F.lit(2) * F.col("total"),
+    ).cast("long")
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        share.alias("share_micro"),
+        benford.cast("long").alias("benford_micro"),
+        F.abs(share - benford).cast("long").alias("dev_micro"),
+    )

@@ -819,3 +819,94 @@ def test_ks_drift_detects_injected_shift(spark, tmp_path):
         assert abs(r["ks"] - r["ks_num"] / (r["n1"] * r["n2"])) < 1e-6
     assert got["shifted"]["ks"] == 1.0  # disjoint supports
     assert got["stable"]["ks"] == 0.0  # identical per-half histograms
+
+
+def test_ab_test_aa_and_shifted(spark, tmp_path):
+    """ev_ab_test semantics on engineered fixtures. (1) A/A: both
+    hash-split arms draw conversions from the same deterministic rule,
+    so the pooled z must read not-significant (the A/A-harness
+    property the docstring sells). (2) A strongly treatment-correlated
+    conversion (conversion iff the user hashes to arm A) must read
+    significant with z > 10. Counts are also recomputed independently
+    from the same md5 rule."""
+    import datetime
+    import hashlib
+
+    from mie_spark.queries import QUERIES
+
+    def arm(uid: int) -> str:
+        return "A" if int(hashlib.md5(str(uid).encode()).hexdigest()[:2], 16) < 128 else "B"
+
+    base = datetime.datetime(2024, 6, 1, 8, 0, 0)
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type "
+            "string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/events.parquet"
+        )
+
+    # (1) A/A: user converts iff uid % 2 == 0 — independent of the arm
+    # (mod 2 chosen because it lands near-balanced across the md5 arms
+    # on uids 0..199: z = -0.42; mod 3 happens to correlate at z=2.05
+    # on this range — an instructive real A/A false-positive)
+    rows = []
+    for uid in range(200):
+        v = 150.0 if uid % 2 == 0 else 50.0
+        rows.append((uid, base, uid, "purchase", v, "{}"))
+    write_events(rows)
+    r = QUERIES["ev_ab_test"](spark, str(tmp_path)).collect()[0]
+    n1 = sum(1 for u in range(200) if arm(u) == "A")
+    c1 = sum(1 for u in range(200) if arm(u) == "A" and u % 2 == 0)
+    assert (r["n1"], r["c1"], r["n2"] + r["n1"]) == (n1, c1, 200)
+    assert r["significant"] is False
+    assert abs(r["z"]) < 1.96
+
+    # (2) perfectly arm-correlated conversion -> huge z
+    rows = []
+    for uid in range(200):
+        v = 150.0 if arm(uid) == "A" else 50.0
+        rows.append((uid, base, uid, "purchase", v, "{}"))
+    write_events(rows)
+    r = QUERIES["ev_ab_test"](spark, str(tmp_path)).collect()[0]
+    assert (r["c1"], r["c2"]) == (r["n1"], 0)
+    assert r["significant"] is True
+    assert r["z"] > 10
+
+
+def test_benford_census_and_exact_shares(spark, tmp_path):
+    """dq_benford on a hand-computable price list: the digit census,
+    micro-unit shares (integer half-up), and deviations against the
+    pinned log10(1+1/d) expectations must match exact arithmetic. The
+    leading digit must come from the value's significant digits (19.99
+    -> 1, 0.25 -> 2), insensitive to the cents scaling."""
+    from mie_spark.queries import QUERIES
+
+    prices = [19.99, 1.23, 25.50, 2.00, 31.41, 999.99, 0.25, 1.00, 47.00]
+    # leading significant digits: 1,1,2,2,3,9,2,1,4
+    rows = [
+        (i, i, i, 1.0, p, 0.0, 0.0, "N", "O", "2024-01-01T00:00:00")
+        for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity "
+        "double, l_extendedprice double, l_discount double, l_tax "
+        "double, l_returnflag string, l_linestatus string, l_shipdate "
+        "string",
+    ).withColumn("l_shipdate", __import__("pyspark").sql.functions.col("l_shipdate").cast("timestamp")).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    got = {
+        r["digit"]: r
+        for r in QUERIES["dq_benford"](spark, str(tmp_path)).collect()
+    }
+    assert {d: got[d]["n"] for d in sorted(got)} == {1: 3, 2: 3, 3: 1, 4: 1, 9: 1}
+    exp = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 9: 45757}
+    for d, r in got.items():
+        share = (r["n"] * 2_000_000 + 9) // 18  # half-up micro over N=9
+        assert r["share_micro"] == share
+        assert r["benford_micro"] == exp[d]
+        assert r["dev_micro"] == abs(share - exp[d])
