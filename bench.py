@@ -170,6 +170,7 @@ HEADLINE = [
     "st_drift_ks",               # streaming twin: incremental census + same projection
     "ev_ab_test",                # two-proportion z-test on the deterministic md5 split
     "dq_benford",                # first-digit forensic audit, integer micro-units
+    "v_kcenter_coreset",         # greedy farthest-point coreset, k incremental passes
 ]
 
 

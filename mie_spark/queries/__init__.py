@@ -124,6 +124,11 @@ _GRADE_FIRST = [
     # split, and the Benford first-digit audit in integer micro-units.
     "ev_ab_test",
     "dq_benford",
+    # Late r10: greedy k-center coreset (farthest-point diversity
+    # selection) — squared-L2 as the identical left fold on both
+    # engines, so the recursive-CTE oracle is exact with NO margin
+    # argument. Displaces q19_or_of_ands to the r11 queue.
+    "v_kcenter_coreset",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -154,7 +159,8 @@ _GRADE_FIRST = [
     # st_sample_fixed_k / ev_forecast_holt / v_mmr_topk (graduated to
     # a windowed slot when it gained its recursive-CTE oracle, taking
     # samp_epoch_mix's slot) — samp_epoch_mix, q6_forecast_revenue,
-    # q7_volume_shipping, q9_product_profit, q20_red_part_specialists,
+    # q7_volume_shipping, q9_product_profit, q19_or_of_ands,
+    # q20_red_part_specialists,
     # q21_blamed_suppliers, q22_idle_rich_customers,
     # text_quality_model,
     # text_redact_pii, text_tfidf,
@@ -177,7 +183,6 @@ _GRADE_FIRST = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q17_small_quantity_revenue",
-    "q19_or_of_ands",
 ]
 
 

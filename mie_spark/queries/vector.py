@@ -1127,3 +1127,111 @@ def v_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_sfull", 6).alias("sim_full"),
         )
     )
+
+
+@query(
+    "v_kcenter_coreset",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS x
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    -- squared L2 as the SAME left fold Spark's F.aggregate performs
+    -- (0.0 seed, element order) so the doubles are bit-identical on
+    -- both engines and every argmax/min decision is exact — no margin
+    -- argument needed (contrast v_mmr_topk's cosine folds)
+    sel(rank, picked, dist, chosen) AS (
+      -- 0.0 must be cast: a bare 0.0 types the recursion column
+      -- DECIMAL(2,1) and every later distance would round to one place
+      SELECT 1, (SELECT min(vec_id) FROM e), 0.0::DOUBLE,
+             [(SELECT min(vec_id) FROM e)]
+      UNION ALL
+      SELECT s.rank + 1, nx.vec_id, nx.d, list_append(s.chosen, nx.vec_id)
+      FROM sel s, LATERAL (
+        SELECT p.vec_id,
+               (SELECT min(list_reduce(
+                  list_prepend(0.0, list_transform(
+                    range(1, len(p.x) + 1),
+                    i -> (p.x[i] - c.x[i]) * (p.x[i] - c.x[i]))),
+                  (acc, v) -> acc + v))
+                FROM e c WHERE list_contains(s.chosen, c.vec_id)) AS d
+        FROM e p
+        WHERE NOT list_contains(s.chosen, p.vec_id)
+        ORDER BY d DESC, p.vec_id LIMIT 1) nx
+      WHERE s.rank < 10
+    )
+    SELECT s.rank::BIGINT AS rank, s.picked AS vec_id, e.label,
+           round(s.dist, 6) AS dist
+    FROM sel s JOIN e ON e.vec_id = s.picked
+    """,
+)
+def v_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    k=10): iteratively pick the vector farthest from every center
+    chosen so far — the diversity-sampling / active-learning /
+    codebook-seeding pass of a training-data pipeline (the 2-approx
+    k-center classic; also kmeans++'s deterministic cousin). `dist` is
+    the squared-L2 coverage radius at selection time: the sequence is
+    non-increasing, and dist[k] bounds how far ANY corpus point is
+    from its nearest center after k picks.
+
+    Spark shape: the min-distance column is maintained INCREMENTALLY —
+    each round one map-only pass updates mind = least(mind, sqdist(x,
+    new_center)) and one TakeOrdered(1) picks the argmax (ties by
+    vec_id), so k centers cost k linear passes with only k*d doubles
+    ever reaching the driver. At 100 TB that is exactly the deployed
+    form (GraphScope/FAISS-style farthest-point), and localCheckpoint
+    truncates the growing least() lineage every few rounds.
+
+    Exactness: squared L2 is computed as the IDENTICAL left fold on
+    both engines (F.aggregate from 0.0 in element order == DuckDB
+    list_reduce over list_prepend(0.0, ...)), so the recursive-CTE
+    oracle's every decision is bit-for-bit the Spark decision —
+    fully exact, no margin argument."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "x"
+        ),
+    )
+
+    def sqdist_to(center: list[float]):
+        c = F.array(*[F.lit(float(v)) for v in center])
+        return F.aggregate(
+            F.zip_with(F.col("x"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    seed = (
+        e.orderBy("vec_id")
+        .select("vec_id", "label", "x")
+        .first()
+    )
+    out = [(1, seed["vec_id"], seed["label"], 0.0)]
+    chosen_ids = {seed["vec_id"]}
+    cur = e.withColumn("mind", sqdist_to(list(seed["x"])))
+    for rank in range(2, 11):
+        far = (
+            cur.filter(~F.col("vec_id").isin(*chosen_ids))
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .first()
+        )
+        out.append((rank, far["vec_id"], far["label"], round(float(far["mind"]), 6)))
+        chosen_ids.add(far["vec_id"])
+        cur = cur.withColumn(
+            "mind", F.least(F.col("mind"), sqdist_to(list(far["x"])))
+        )
+        if rank % 4 == 0:
+            # bound the least()-chain lineage the same way the pregel
+            # loops do (SCALE.md localCheckpoint doctrine)
+            cur = cur.localCheckpoint(eager=False)
+    id_t = e.schema["vec_id"].dataType.simpleString()
+    lab_t = e.schema["label"].dataType.simpleString()
+    return spark.createDataFrame(
+        out, f"rank long, vec_id {id_t}, label {lab_t}, dist double"
+    )

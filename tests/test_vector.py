@@ -840,3 +840,43 @@ def test_hnsw_auto_shards_targets_segment_size(spark, tmp_path):
     got = {r["vec_id"] for r in ann_topk_hnsw_indexed(spark, path, q, k=10).collect()}
     exact = {r["vec_id"] for r in cosine_topk(df, "embedding", q, 10).collect()}
     assert len(got & exact) / 10 >= 0.9
+
+
+def test_kcenter_matches_numpy_and_radius_property(spark):
+    """v_kcenter_coreset vs an independent numpy farthest-point
+    recompute at sf0.001 (same seed = min vec_id, same squared-L2,
+    same id tie-break), plus the defining k-center property: the
+    coverage radius sequence is non-increasing from the first real
+    pick onward."""
+    import numpy as np
+
+    from mie_spark.queries import QUERIES
+    from mie_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        QUERIES["v_kcenter_coreset"](spark, sf).collect(),
+        key=lambda r: r["rank"],
+    )
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .filter("vec_id <> 0")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    chosen = [0]  # position of min vec_id after the sort
+    mind = ((V - V[0]) ** 2).sum(axis=1)
+    expect = [(1, int(ids[0]), 0.0)]
+    for rank in range(2, 11):
+        mind[chosen] = -np.inf
+        best = int(np.argmax(mind))  # first max -> lowest id tie-break
+        expect.append((rank, int(ids[best]), round(float(mind[best]), 6)))
+        chosen.append(best)
+        mind = np.minimum(mind, ((V - V[best]) ** 2).sum(axis=1))
+    assert [(r["rank"], r["vec_id"], r["dist"]) for r in got] == expect
+    radii = [r["dist"] for r in got][1:]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
