@@ -171,6 +171,8 @@ HEADLINE = [
     "ev_ab_test",                # two-proportion z-test on the deterministic md5 split
     "dq_benford",                # first-digit forensic audit, integer micro-units
     "v_kcenter_coreset",         # greedy farthest-point coreset, k incremental passes
+    "st_changepoint",            # streaming CUSUM twin: incremental daily census
+    "ev_forecast_backtest",      # naive/Holt/HW scorecard on the common OOS window
 ]
 
 

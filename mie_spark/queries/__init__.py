@@ -129,6 +129,13 @@ _GRADE_FIRST = [
     # engines, so the recursive-CTE oracle is exact with NO margin
     # argument. Displaces q19_or_of_ands to the r11 queue.
     "v_kcenter_coreset",
+    # Late r10: the streaming CUSUM twin (incremental daily census,
+    # same projection/SQL as ev_changepoint) and the forecast backtest
+    # (naive/Holt/HW scored on the common out-of-sample window; the
+    # oracle embeds both recursive CTEs as subqueries). Displace
+    # q15_top_supplier / q16_supplier_variety to the r11 queue.
+    "st_changepoint",
+    "ev_forecast_backtest",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -159,7 +166,8 @@ _GRADE_FIRST = [
     # st_sample_fixed_k / ev_forecast_holt / v_mmr_topk (graduated to
     # a windowed slot when it gained its recursive-CTE oracle, taking
     # samp_epoch_mix's slot) — samp_epoch_mix, q6_forecast_revenue,
-    # q7_volume_shipping, q9_product_profit, q19_or_of_ands,
+    # q7_volume_shipping, q9_product_profit, q15_top_supplier,
+    # q16_supplier_variety, q19_or_of_ands,
     # q20_red_part_specialists,
     # q21_blamed_suppliers, q22_idle_rich_customers,
     # text_quality_model,
@@ -180,8 +188,6 @@ _GRADE_FIRST = [
     "pipe_clean_corpus",
     "pipe_corpus_delta",
     "q10_returned_items",
-    "q15_top_supplier",
-    "q16_supplier_variety",
     "q17_small_quantity_revenue",
 ]
 

@@ -2530,9 +2530,10 @@ def ev_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ev_changepoint",
-    oracle="""
+# Shared by ev_changepoint (batch) and st_changepoint (streaming twin
+# in queries/streaming.py) — identical SQL text, the st_drift_ks
+# doctrine.
+CUSUM_ORACLE = """
     WITH d AS (
       SELECT date_trunc('day', ts)::DATE AS day,
              sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
@@ -2552,31 +2553,15 @@ def ev_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(day, '%Y-%m-%d') AS day, y AS cents, cusum_xd,
            (abs(cusum_xd) = max(abs(cusum_xd)) OVER ()) AS is_peak
     FROM k
-    """,
-)
-def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint detection over daily revenue: the classic
-    single-changepoint estimator argmax_t |sum_{i<=t}(y_i - mean)| —
-    the day the series' level most plausibly shifted (Page/Pettitt
-    shape). The dashboard question behind it: "did the metric break,
-    and WHEN?" — ev_anomaly_zscore flags outlier points; this locates
-    a sustained level shift.
+    """
 
-    Exactness without a single division: the CUSUM is scaled by the
-    day count D — cusum_xd_t = D*cum_t - t*S (S = total cents) — so
-    every value is an exact BIGINT on both engines, sign and argmax
-    identical to the mean-subtracted float form. is_peak marks the
-    argmax rows (ties flag all, deterministically).
 
-    Scale shape: one day aggregate touches the corpus; the cumulative
-    and global-max windows run over the bounded |days| census
-    (registered bounded exception, ev_survival precedent). The D/S
-    scalars ride a broadcast crossJoin of a 1-row aggregate — the
-    scalar-subquery decorrelation pattern."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+def cusum_from_daily(d: DataFrame) -> DataFrame:
+    """Bounded CUSUM projection over a (day, y) daily census: xD-scaled
+    cumulative deviation + argmax peak flag, exact BIGINTs. Shared by
+    ev_changepoint (census from one batch aggregate) and st_changepoint
+    (census drained from the streaming state store); both grade
+    against CUSUM_ORACLE. Runs entirely over the bounded |days| rows."""
     tot = d.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("y").alias("s"),
@@ -2610,6 +2595,33 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max(F.abs(F.col("cusum_xd"))).over(wall)
         ).alias("is_peak"),
     )
+
+
+@query("ev_changepoint", oracle=CUSUM_ORACLE)
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily revenue: the classic
+    single-changepoint estimator argmax_t |sum_{i<=t}(y_i - mean)| —
+    the day the series' level most plausibly shifted (Page/Pettitt
+    shape). The dashboard question behind it: "did the metric break,
+    and WHEN?" — ev_anomaly_zscore flags outlier points; this locates
+    a sustained level shift.
+
+    Exactness without a single division: the CUSUM is scaled by the
+    day count D — cusum_xd_t = D*cum_t - t*S (S = total cents) — so
+    every value is an exact BIGINT on both engines, sign and argmax
+    identical to the mean-subtracted float form. is_peak marks the
+    argmax rows (ties flag all, deterministically).
+
+    Scale shape: one day aggregate touches the corpus; the cumulative
+    and global-max windows run over the bounded |days| census
+    (registered bounded exception, ev_survival precedent). The D/S
+    scalars ride a broadcast crossJoin of a 1-row aggregate — the
+    scalar-subquery decorrelation pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    return cusum_from_daily(d)
 
 
 @query(
@@ -2721,4 +2733,129 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 - p2, 6).alias("lift"),
         F.round(z, 6).alias("z"),
         (F.abs(z) >= F.lit(1.96)).alias("significant"),
+    )
+
+
+def _backtest_oracle() -> str:
+    """Forecast backtest as SQL composition: the Holt and Holt-Winters
+    recursive-CTE oracles are embedded verbatim as subqueries (DuckDB
+    allows a WITH inside a parenthesized FROM), joined back to the
+    indexed day series, and scored against the naive lag-1 baseline on
+    the COMMON strictly-out-of-sample window t >= 14 (Holt's init sees
+    y_0..y_1, HW's sees y_0..y_13 — later than both). MAE/bias in
+    integer milli-cents with the same sign-aware half-up rounding as
+    every mean in this module."""
+
+    def rhalf_expr(n: str) -> str:
+        return (
+            f"(CASE WHEN ({n}) >= 0 "
+            f"THEN (2 * ({n}) + count(*)) // (2 * count(*)) "
+            f"ELSE -((2 * (-({n})) + count(*)) // (2 * count(*))) END)"
+            f"::BIGINT"
+        )
+
+    return f"""
+    WITH s AS (
+      SELECT (row_number() OVER (ORDER BY day)) - 1 AS t, day, y FROM (
+        SELECT date_trunc('day', ts)::DATE AS day,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+        FROM events GROUP BY 1)
+    ),
+    h AS (SELECT * FROM ({_holt_oracle()})),
+    w AS (SELECT * FROM ({_hw_oracle()})),
+    p AS (
+      SELECT 'naive' AS model, prev.y * 1000 AS f, s.y * 1000 AS a
+      FROM s JOIN s prev ON prev.t = s.t - 1 WHERE s.t >= 14
+      UNION ALL
+      SELECT 'holt', hh.forecast_milli, s.y * 1000
+      FROM s JOIN s prev ON prev.t = s.t - 1
+             JOIN h hh ON hh.day = strftime(prev.day, '%Y-%m-%d')
+      WHERE s.t >= 14
+      UNION ALL
+      SELECT 'hw', ww.forecast_milli, s.y * 1000
+      FROM s JOIN w ww ON ww.day = strftime(s.day, '%Y-%m-%d')
+      WHERE s.t >= 14
+    )
+    SELECT model, count(*)::BIGINT AS n,
+           {rhalf_expr('sum(abs(f - a))')} AS mae_milli,
+           {rhalf_expr('sum(f - a)')} AS bias_milli
+    FROM p GROUP BY model
+    """
+
+
+@query("ev_forecast_backtest", oracle=_backtest_oracle())
+def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast model selection: backtest the naive lag-1 baseline,
+    Holt (trend), and Holt-Winters (trend + weekly seasonality) on the
+    SAME strictly-out-of-sample window (t >= 14, past both models'
+    init windows) and report per-model MAE and signed bias in integer
+    milli-cents. This is the "which forecaster do we ship" pass that
+    belongs next to the forecasters themselves — a model that can't
+    beat naive on MAE has no business gating anomaly alerts. Holt's
+    prediction for day t is (l+b) at t-1; HW's is the forecast_milli
+    its recurrence emits for t; naive is y_{t-1}.
+
+    Exactness: all three prediction series are the exact integer
+    recurrences already graded by ev_forecast_holt / ev_forecast_hw,
+    errors are BIGINT differences, and the means use the sign-aware
+    half-up integer formula — bit-identical on both engines. The
+    oracle embeds both recursive CTEs as subqueries and replays
+    everything. Scale shape: ONE day aggregate touches events; the
+    three recurrences and the 3-row scorecard run over bounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+        .orderBy("day")
+    )
+    rows = daily.collect()
+    if len(rows) < 16:
+        raise ValueError("ev_forecast_backtest needs >= 16 observed days")
+
+    def rhalf(n: int, d: int) -> int:
+        return (2 * abs(n) + d) // (2 * d) * (1 if n >= 0 else -1)
+
+    y = [int(r["y"]) for r in rows]
+    T = len(y)
+    # Holt replay (ev_forecast_holt's recurrence): pred[t] = l+b at t-1
+    level = y[0] * 1000
+    trend = (y[1] - y[0]) * 1000
+    holt_pred: dict[int, int] = {}
+    for t in range(1, T):
+        holt_pred[t] = level + trend
+        l_new = rhalf(y[t] * 1000 + 3 * (level + trend), 4)
+        trend = rhalf((l_new - level) + 7 * trend, 8)
+        level = l_new
+    # HW replay (ev_forecast_hw's recurrence): pred[t] = l+b+s[t-7]
+    l_mid = rhalf(sum(y[0:7]) * 1000, 7)
+    b = rhalf((sum(y[7:14]) - sum(y[0:7])) * 1000, 49)
+    lev = l_mid + 3 * b
+    sea = [y[i] * 1000 - l_mid - b * (i - 3) for i in range(7)]
+    hw_pred: dict[int, int] = {}
+    for t in range(7, T):
+        s_lag = sea[t - 7]
+        hw_pred[t] = lev + b + s_lag
+        l_new = rhalf((y[t] * 1000 - s_lag) + 3 * (lev + b), 4)
+        b = rhalf((l_new - lev) + 7 * b, 8)
+        lev = l_new
+        sea.append(rhalf((y[t] * 1000 - lev) + 3 * s_lag, 4))
+    out = []
+    for model, pred in (
+        ("naive", {t: y[t - 1] * 1000 for t in range(1, T)}),
+        ("holt", holt_pred),
+        ("hw", hw_pred),
+    ):
+        errs = [pred[t] - y[t] * 1000 for t in range(14, T)]
+        out.append(
+            (
+                model,
+                len(errs),
+                rhalf(sum(abs(e) for e in errs), len(errs)),
+                rhalf(sum(errs), len(errs)),
+            )
+        )
+    return spark.createDataFrame(
+        out, "model string, n long, mae_milli long, bias_milli long"
     )

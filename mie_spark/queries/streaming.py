@@ -665,3 +665,30 @@ def st_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells, output_mode="complete", state_partitions=8
     )
     return ks_drift_from_cells(drained)
+
+
+from mie_spark.queries.events import CUSUM_ORACLE  # noqa: E402
+
+
+@query("st_changepoint", oracle=CUSUM_ORACLE)
+def st_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_changepoint: the daily revenue census is
+    maintained INCREMENTALLY by the streaming state store
+    (complete-mode day aggregate in integer cents), and the bounded
+    CUSUM projection (xD-scaled deviation + argmax peak) runs over the
+    drained census via the SAME cusum_from_daily the batch locator
+    uses, grading against the SAME SQL text. This is the monitoring
+    shape: "did the metric level shift, and when?" recomputes from
+    O(|days|) state on every drain, never by rescanning events. Same
+    doctrine as st_drift_ks; the production path ages out days beyond
+    the detection horizon with a watermark."""
+    from mie_spark.queries.events import cusum_from_daily
+
+    ev = read_events_stream(spark, sf_dir)
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    drained = run_to_memory_sink(
+        d, output_mode="complete", state_partitions=8
+    )
+    return cusum_from_daily(drained)

@@ -740,3 +740,37 @@ def test_drift_ks_stream_equals_batch(spark, tmp_path):
     by_type = {r["event_type"]: r for r in batch}
     assert by_type["shifted"]["ks"] == 1.0
     assert by_type["stable"]["ks"] == 0.0
+
+
+def test_changepoint_stream_equals_batch(spark, tmp_path):
+    """st_changepoint (incrementally-maintained daily census) must
+    land on the exact same CUSUM rows as ev_changepoint's one batch
+    aggregate — including the peak on an engineered level shift."""
+    import datetime
+
+    from mie_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = []
+    for day in range(16):
+        val = 80.0 if day < 8 else 160.0
+        rows.append((day, base + datetime.timedelta(days=day), 1,
+                     "purchase", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    batch = sorted(
+        QUERIES["ev_changepoint"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    stream = sorted(
+        QUERIES["st_changepoint"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    peaks = [r["day"] for r in batch if r["is_peak"]]
+    assert peaks == ["2024-05-08"]  # last day of the first regime
