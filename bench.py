@@ -173,6 +173,7 @@ HEADLINE = [
     "v_kcenter_coreset",         # greedy farthest-point coreset, k incremental passes
     "st_changepoint",            # streaming CUSUM twin: incremental daily census
     "ev_forecast_backtest",      # naive/Holt/HW scorecard on the common OOS window
+    "w_exact_quantiles",         # exact global quantiles via distributed prefix sum
 ]
 
 

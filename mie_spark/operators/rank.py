@@ -80,3 +80,57 @@ def two_level_rank(
         .withColumn(out, F.col("_rn") + F.col("_off"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def two_level_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    val_col: str,
+    part_cols: Sequence[str] = (),
+    nparts: int | None = None,
+    out: str = "cum",
+) -> DataFrame:
+    """Append the exact running SUM of ``val_col`` (per ``part_cols``
+    group, ordered by ``order_cols`` ascending) as column ``out`` —
+    the prefix-sum sibling of two_level_rank, with the same plan
+    shape: one range exchange, one PARTITIONED window, one
+    |partitions|-row carry aggregate, one broadcast join. Nothing ever
+    sorts or windows the whole dataset in one task.
+
+    Same contract as two_level_rank: ``part_cols + order_cols`` must
+    be a unique key (callers typically run this over a census whose
+    order column IS the group key, e.g. a (cents, cnt) value census).
+    """
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    if nparts is None:
+        nparts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    keyed = df.repartitionByRange(
+        nparts, *(part_cols + order_cols)
+    ).withColumn("_pid", F.spark_partition_id())
+    # same deliberate fail-and-rerun tradeoff as two_level_rank
+    keyed = keyed.localCheckpoint(eager=False)
+    in_part = (
+        Window.partitionBy("_pid", *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rn = keyed.withColumn("_ps", F.sum(val_col).over(in_part))
+    carry_w = (
+        Window.partitionBy(*part_cols).orderBy("_pid")
+        if part_cols
+        else Window.orderBy("_pid")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        keyed.groupBy("_pid", *part_cols)
+        .agg(F.sum(val_col).alias("_c"))
+        .withColumn("_off", F.coalesce(F.sum("_c").over(carry_w), F.lit(0)))
+        .select("_pid", *part_cols, "_off")
+    )
+    return (
+        rn.join(F.broadcast(carry), ["_pid", *part_cols])
+        .withColumn(out, F.col("_ps") + F.col("_off"))
+        .drop("_pid", "_ps", "_off")
+    )

@@ -136,6 +136,11 @@ _GRADE_FIRST = [
     # q15_top_supplier / q16_supplier_variety to the r11 queue.
     "st_changepoint",
     "ev_forecast_backtest",
+    # Late r10: exact global quantiles over the value census via the
+    # new two_level_cumsum (distributed prefix sum, the
+    # two_level_rank plan shape) — displaces q17_small_quantity_revenue
+    # to the r11 queue.
+    "w_exact_quantiles",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -167,7 +172,7 @@ _GRADE_FIRST = [
     # a windowed slot when it gained its recursive-CTE oracle, taking
     # samp_epoch_mix's slot) — samp_epoch_mix, q6_forecast_revenue,
     # q7_volume_shipping, q9_product_profit, q15_top_supplier,
-    # q16_supplier_variety, q19_or_of_ands,
+    # q16_supplier_variety, q17_small_quantity_revenue, q19_or_of_ands,
     # q20_red_part_specialists,
     # q21_blamed_suppliers, q22_idle_rich_customers,
     # text_quality_model,
@@ -188,7 +193,6 @@ _GRADE_FIRST = [
     "pipe_clean_corpus",
     "pipe_corpus_delta",
     "q10_returned_items",
-    "q17_small_quantity_revenue",
 ]
 
 

@@ -1042,3 +1042,80 @@ def w_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_bal",
         )
     )
+
+
+@query(
+    "w_exact_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    census AS (SELECT cents, count(*)::BIGINT AS cnt FROM c GROUP BY 1),
+    cum AS (
+      SELECT cents, cnt,
+             (sum(cnt) OVER (ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW))::BIGINT AS cum,
+             (sum(cnt) OVER ())::BIGINT AS n
+      FROM census
+    ),
+    t AS (SELECT unnest([25, 50, 75, 90, 99])::BIGINT AS pct)
+    SELECT t.pct,
+           ((t.pct * cum.n + 99) // 100)::BIGINT AS pos,
+           cum.cents
+    FROM t JOIN cum
+      ON cum.cum >= (t.pct * cum.n + 99) // 100
+     AND cum.cum - cum.cnt < (t.pct * cum.n + 99) // 100
+    """,
+)
+def w_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles at scale — the nearest-rank p25/50/75/90/
+    p99 of lineitem price cents computed WITHOUT a global sort, global
+    window, or quantile sketch: aggregate to the (cents, cnt) value
+    census (bounded by the value domain, not the row count), run the
+    distributed prefix sum over it (two_level_cumsum: range exchange +
+    partitioned window + |partitions|-row broadcast carry — the
+    two_level_rank plan shape), and pick each target position's row
+    with a broadcast 5-row range join. This is the exact complement of
+    ev_quantile_bound's GK sketch: when the value domain is bounded
+    (prices, latencies in micros, token counts), exact quantiles cost
+    one census aggregate — no approximation needed.
+
+    Everything is BIGINT (cents, counts, ceil via (p*n+99) div 100),
+    so the oracle compares bit-for-bit; ties across equal cents
+    collapse into one census row, which is what makes the census form
+    deterministic where a row-level row_number over a non-unique key
+    would not be."""
+    from mie_spark.operators.rank import two_level_cumsum
+    from mie_spark.queries.relational import int_div
+
+    li = load_table(spark, sf_dir, "lineitem")
+    census = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cc = two_level_cumsum(census, ["cents"], "cnt", out="cum")
+    tot = census.agg(F.sum("cnt").alias("n"))
+    targets = spark.createDataFrame(
+        [(25,), (50,), (75,), (90,), (99,)], "pct long"
+    )
+    pos = targets.crossJoin(F.broadcast(tot)).select(
+        "pct",
+        int_div(F.col("pct") * F.col("n") + 99, 100)
+        .cast("long")
+        .alias("pos"),
+    )
+    return (
+        cc.join(
+            F.broadcast(pos),
+            (F.col("cum") >= F.col("pos"))
+            & (F.col("cum") - F.col("cnt") < F.col("pos")),
+        )
+        .select("pct", "pos", "cents")
+    )

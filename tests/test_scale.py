@@ -910,3 +910,27 @@ def test_benford_census_and_exact_shares(spark, tmp_path):
         assert r["share_micro"] == share
         assert r["benford_micro"] == exp[d]
         assert r["dev_micro"] == abs(share - exp[d])
+
+
+def test_two_level_cumsum_equals_global_window(spark):
+    """two_level_cumsum must reproduce the plain global running sum
+    (the thing it exists to avoid computing in one task) on a census
+    fanned across many range partitions, including sums that span
+    partition boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mie_spark.operators.rank import two_level_cumsum
+
+    rows = [(v, (v * 7) % 13 + 1) for v in range(1, 500)]
+    df = spark.createDataFrame(rows, "k long, cnt long").repartition(16)
+    got = {
+        r["k"]: r["cum"]
+        for r in two_level_cumsum(df, ["k"], "cnt", nparts=11).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("cnt").over(w)).collect()
+    }
+    assert got == want

@@ -45,6 +45,10 @@ EXPECTED = {
         2,
         "cumsum + global max over the <=|days| daily census",
     ),
+    "w_exact_quantiles": (
+        1,
+        "two_level_cumsum carry: one row per range partition",
+    ),
     "dq_drift_ks": (
         1,
         "day-rank + day-count over the <=|days| distinct-day census, "
