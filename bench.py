@@ -174,6 +174,7 @@ HEADLINE = [
     "st_changepoint",            # streaming CUSUM twin: incremental daily census
     "ev_forecast_backtest",      # naive/Holt/HW scorecard on the common OOS window
     "w_exact_quantiles",         # exact global quantiles via distributed prefix sum
+    "st_forecast_holt",          # streaming forecast twin: census state + shared recurrence
 ]
 
 

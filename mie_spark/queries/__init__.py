@@ -141,6 +141,10 @@ _GRADE_FIRST = [
     # two_level_rank plan shape) — displaces q17_small_quantity_revenue
     # to the r11 queue.
     "w_exact_quantiles",
+    # Late r10: the streaming forecasting twin (incremental daily
+    # census + the shared Holt recurrence at drain, same SQL text) —
+    # displaces q10_returned_items to the r11 queue.
+    "st_forecast_holt",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -171,7 +175,8 @@ _GRADE_FIRST = [
     # st_sample_fixed_k / ev_forecast_holt / v_mmr_topk (graduated to
     # a windowed slot when it gained its recursive-CTE oracle, taking
     # samp_epoch_mix's slot) — samp_epoch_mix, q6_forecast_revenue,
-    # q7_volume_shipping, q9_product_profit, q15_top_supplier,
+    # q7_volume_shipping, q9_product_profit, q10_returned_items,
+    # q15_top_supplier,
     # q16_supplier_variety, q17_small_quantity_revenue, q19_or_of_ands,
     # q20_red_part_specialists,
     # q21_blamed_suppliers, q22_idle_rich_customers,
@@ -192,7 +197,6 @@ _GRADE_FIRST = [
     "pipe_chunk_overlap",
     "pipe_clean_corpus",
     "pipe_corpus_delta",
-    "q10_returned_items",
 ]
 
 

@@ -2349,9 +2349,19 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
         .orderBy("day")
     )
-    rows = daily.collect()  # bounded: one row per observed day
+    return holt_from_daily(daily)
+
+
+def holt_from_daily(daily: DataFrame) -> DataFrame:
+    """Bounded Holt recurrence over a (day, y) daily census: collect
+    the <=|days| rows, replay the integer milli-cent recurrence on the
+    driver. Shared by ev_forecast_holt (census from one batch
+    aggregate) and st_forecast_holt (census drained from the streaming
+    state store); both grade against _holt_oracle()."""
+    spark = daily.sparkSession
+    rows = sorted(daily.collect(), key=lambda r: r["day"])
     if len(rows) < 2:
-        raise ValueError("ev_forecast_holt needs >= 2 observed days")
+        raise ValueError("holt_from_daily needs >= 2 observed days")
 
     def rhalf(n: int, d: int) -> int:
         return (2 * abs(n) + d) // (2 * d) * (1 if n >= 0 else -1)

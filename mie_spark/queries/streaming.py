@@ -692,3 +692,32 @@ def st_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, output_mode="complete", state_partitions=8
     )
     return cusum_from_daily(drained)
+
+
+from mie_spark.queries.events import _holt_oracle  # noqa: E402
+
+
+@query("st_forecast_holt", oracle=_holt_oracle())
+def st_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_forecast_holt: the daily revenue census
+    accretes in the complete-mode state store, and the bounded Holt
+    recurrence replays over the drained census via the SAME
+    holt_from_daily the batch form uses, grading against the SAME
+    recursive-CTE SQL. This is how a forecasting baseline actually
+    runs in an ingest pipeline — per micro-batch the state store folds
+    new events into day cells, and the model refits from O(|days|)
+    state at drain, never rescanning events. Completes the
+    batch/streaming twin set across the analytics verticals: dedup
+    (st_dedup_minhash), decontamination (st_decontaminate), sampling
+    (st_sample_fixed_k), drift (st_drift_ks), changepoint
+    (st_changepoint), and now forecasting."""
+    from mie_spark.queries.events import holt_from_daily
+
+    ev = read_events_stream(spark, sf_dir)
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    drained = run_to_memory_sink(
+        d, output_mode="complete", state_partitions=8
+    )
+    return holt_from_daily(drained)

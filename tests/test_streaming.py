@@ -774,3 +774,36 @@ def test_changepoint_stream_equals_batch(spark, tmp_path):
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
     peaks = [r["day"] for r in batch if r["is_peak"]]
     assert peaks == ["2024-05-08"]  # last day of the first regime
+
+
+def test_forecast_holt_stream_equals_batch(spark, tmp_path):
+    """st_forecast_holt (incrementally-maintained daily census) must
+    reproduce ev_forecast_holt's rows exactly — same recurrence, same
+    integer state — on a trending fixture."""
+    import datetime
+
+    from mie_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 7, 1, 10, 0, 0)
+    rows = [
+        (d, base + datetime.timedelta(days=d), 1, "purchase",
+         20.0 + 1.25 * d + (3.0 if d % 3 == 0 else 0.0), "{}")
+        for d in range(12)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    batch = sorted(
+        QUERIES["ev_forecast_holt"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    stream = sorted(
+        QUERIES["st_forecast_holt"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    assert len(batch) == 12
