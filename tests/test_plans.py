@@ -466,3 +466,42 @@ def test_ivf_cells_projection_is_map_only(spark):
     assert exchange_count(df) == 0
     schemas = read_schemas(df)
     assert all(set(s) <= {"vec_id", "embedding"} for s in schemas)
+
+
+def test_benford_single_shuffle_and_pruned_scan(spark):
+    """dq_benford: one map-combined digit aggregate; the lineitem scan
+    reads exactly l_extendedprice; the 9-row census crossJoins a
+    broadcast 1-row total (no second full-table pass)."""
+    df = QUERIES["dq_benford"](spark, SF)
+    schemas = read_schemas(df)
+    assert any(set(s) == {"l_extendedprice"} for s in schemas), schemas
+    assert exchange_count(df) <= 4  # digit agg + total agg reductions
+
+
+def test_ab_test_single_user_aggregate(spark):
+    """ev_ab_test: ONE user_id shuffle touches events; everything
+    downstream is a <=2-row reduction. A second events exchange means
+    the variant split stopped fusing into the scan."""
+    df = QUERIES["ev_ab_test"](spark, SF)
+    assert exchange_count(df) <= 3, df._jdf.queryExecution().toString()[:500]
+
+
+def test_exact_quantiles_census_prefix_shape(spark):
+    """w_exact_quantiles: the census prefix sum must keep the
+    two_level shape — a range exchange and PARTITIONED windows, with
+    the only global window being the |partitions|-row carry; the
+    5-row positions side must broadcast (no sort-merge join against
+    the census)."""
+    df = QUERIES["w_exact_quantiles"](spark, SF)
+    assert unpartitioned_window_count(df) == 1  # the bounded carry
+    assert broadcast_join_count(df) >= 2  # carry join + positions join
+
+
+def test_drift_ks_census_then_partitioned_windows(spark):
+    """dq_drift_ks: corpus-sized work is ONE aggregate down to
+    (type, day, bucket) cells; the CDF windows are partitioned by
+    event_type, leaving only the bounded day-rank window global; the
+    half map rides a broadcast join."""
+    df = QUERIES["dq_drift_ks"](spark, SF)
+    assert unpartitioned_window_count(df) == 1  # day-rank over |days|
+    assert broadcast_join_count(df) >= 1
