@@ -185,6 +185,7 @@ HEADLINE = [
     "ev_forecast_backtest",      # naive/Holt/HW scorecard on the common OOS window
     "w_exact_quantiles",         # exact global quantiles via distributed prefix sum
     "st_forecast_holt",          # streaming forecast twin: census state + shared recurrence
+    "st_exact_quantiles",        # streaming exact percentiles: value-census state
 ]
 
 

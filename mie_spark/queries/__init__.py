@@ -145,6 +145,10 @@ _GRADE_FIRST = [
     # census + the shared Holt recurrence at drain, same SQL text) —
     # displaces q10_returned_items to the r11 queue.
     "st_forecast_holt",
+    # Late r10: the streaming exact-percentile twin (value census in
+    # the state store + the shared two_level_cumsum projection) —
+    # displaces pipe_corpus_delta to the r11 queue.
+    "st_exact_quantiles",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -174,7 +178,8 @@ _GRADE_FIRST = [
     # ev_survival_daily / v_pq_codes / pipe_interleave /
     # st_sample_fixed_k / ev_forecast_holt / v_mmr_topk (graduated to
     # a windowed slot when it gained its recursive-CTE oracle, taking
-    # samp_epoch_mix's slot) — samp_epoch_mix, q6_forecast_revenue,
+    # samp_epoch_mix's slot) — samp_epoch_mix, pipe_corpus_delta,
+    # q6_forecast_revenue,
     # q7_volume_shipping, q9_product_profit, q10_returned_items,
     # q15_top_supplier,
     # q16_supplier_variety, q17_small_quantity_revenue, q19_or_of_ands,
@@ -196,7 +201,6 @@ _GRADE_FIRST = [
     "pipe_bpe_encode",
     "pipe_chunk_overlap",
     "pipe_clean_corpus",
-    "pipe_corpus_delta",
 ]
 
 

@@ -1044,9 +1044,10 @@ def w_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "w_exact_quantiles",
-    oracle="""
+# Shared by w_exact_quantiles (batch) and st_exact_quantiles (streaming
+# twin in queries/streaming.py) — identical SQL text, the census-twin
+# doctrine.
+QUANTILES_ORACLE = """
     WITH c AS (
       SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
       FROM lineitem
@@ -1067,8 +1068,38 @@ def w_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t JOIN cum
       ON cum.cum >= (t.pct * cum.n + 99) // 100
      AND cum.cum - cum.cnt < (t.pct * cum.n + 99) // 100
-    """,
-)
+    """
+
+
+def quantiles_from_census(census: DataFrame) -> DataFrame:
+    """Nearest-rank p25/50/75/90/99 projection over a (cents, cnt)
+    value census: two_level_cumsum distributed prefix sum + broadcast
+    5-row range join. Shared by w_exact_quantiles (census from one
+    batch aggregate) and st_exact_quantiles (census drained from the
+    streaming state store); both grade against QUANTILES_ORACLE."""
+    from mie_spark.operators.rank import two_level_cumsum
+    from mie_spark.queries.relational import int_div
+
+    spark = census.sparkSession
+    cc = two_level_cumsum(census, ["cents"], "cnt", out="cum")
+    tot = census.agg(F.sum("cnt").alias("n"))
+    targets = spark.createDataFrame(
+        [(25,), (50,), (75,), (90,), (99,)], "pct long"
+    )
+    pos = targets.crossJoin(F.broadcast(tot)).select(
+        "pct",
+        int_div(F.col("pct") * F.col("n") + 99, 100)
+        .cast("long")
+        .alias("pos"),
+    )
+    return cc.join(
+        F.broadcast(pos),
+        (F.col("cum") >= F.col("pos"))
+        & (F.col("cum") - F.col("cnt") < F.col("pos")),
+    ).select("pct", "pos", "cents")
+
+
+@query("w_exact_quantiles", oracle=QUANTILES_ORACLE)
 def w_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global quantiles at scale — the nearest-rank p25/50/75/90/
     p99 of lineitem price cents computed WITHOUT a global sort, global
@@ -1087,9 +1118,6 @@ def w_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse into one census row, which is what makes the census form
     deterministic where a row-level row_number over a non-unique key
     would not be."""
-    from mie_spark.operators.rank import two_level_cumsum
-    from mie_spark.queries.relational import int_div
-
     li = load_table(spark, sf_dir, "lineitem")
     census = (
         li.select(
@@ -1100,22 +1128,4 @@ def w_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cc = two_level_cumsum(census, ["cents"], "cnt", out="cum")
-    tot = census.agg(F.sum("cnt").alias("n"))
-    targets = spark.createDataFrame(
-        [(25,), (50,), (75,), (90,), (99,)], "pct long"
-    )
-    pos = targets.crossJoin(F.broadcast(tot)).select(
-        "pct",
-        int_div(F.col("pct") * F.col("n") + 99, 100)
-        .cast("long")
-        .alias("pos"),
-    )
-    return (
-        cc.join(
-            F.broadcast(pos),
-            (F.col("cum") >= F.col("pos"))
-            & (F.col("cum") - F.col("cnt") < F.col("pos")),
-        )
-        .select("pct", "pos", "cents")
-    )
+    return quantiles_from_census(census)

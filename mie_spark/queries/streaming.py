@@ -721,3 +721,36 @@ def st_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, output_mode="complete", state_partitions=8
     )
     return holt_from_daily(drained)
+
+
+from mie_spark.queries.analytic import QUANTILES_ORACLE  # noqa: E402
+
+
+@query("st_exact_quantiles", oracle=QUANTILES_ORACLE)
+def st_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of w_exact_quantiles: the (cents, cnt) value
+    census accretes in the complete-mode state store — each
+    micro-batch folds its lineitem rows into the standing cells — and
+    the exact nearest-rank percentiles recompute from O(|distinct
+    values|) state at drain via the SAME quantiles_from_census
+    projection (two_level_cumsum prefix sum + broadcast range join),
+    grading against the SAME SQL text. This is the latency-dashboard
+    shape: exact running percentiles without ever rescanning the
+    corpus, the streaming complement of ev_quantile_bound's sketch."""
+    from mie_spark.queries.analytic import quantiles_from_census
+    from mie_spark.streaming import read_lineitem_stream
+
+    li = read_lineitem_stream(spark, sf_dir)
+    census = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    drained = run_to_memory_sink(
+        census, output_mode="complete", state_partitions=8
+    )
+    return quantiles_from_census(drained)

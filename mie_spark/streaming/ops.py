@@ -1219,6 +1219,20 @@ def read_documents_stream(
     return reader.parquet(path)
 
 
+def read_lineitem_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> "DataFrame":
+    """File-source stream over ``lineitem.parquet`` (same shape as
+    read_documents_stream; feeds the streaming census twins that run
+    over fact-table values, e.g. st_exact_quantiles)."""
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    path = f"{sf_dir}/lineitem.parquet*"
+    reader = spark.readStream.schema(schema).option("basePath", sf_dir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
 def stream_minhash_signatures(
     stream_df: "DataFrame",
     state_dir: str,

@@ -807,3 +807,37 @@ def test_forecast_holt_stream_equals_batch(spark, tmp_path):
     )
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
     assert len(batch) == 12
+
+
+def test_exact_quantiles_stream_equals_batch(spark, tmp_path):
+    """st_exact_quantiles (value census in the state store) must land
+    on the same nearest-rank percentile rows as w_exact_quantiles'
+    one batch aggregate, on a fixture with known exact answers
+    (values 1..100 cents once each: p25=25, p50=50, p75=75, p90=90,
+    p99=99)."""
+    from mie_spark.queries import QUERIES
+
+    rows = [
+        (i, i, i, 1.0, v / 100.0, 0.0, 0.0, "N", "O")
+        for i, v in enumerate(range(1, 101))
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity "
+        "double, l_extendedprice double, l_discount double, l_tax "
+        "double, l_returnflag string, l_linestatus string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    batch = sorted(
+        QUERIES["w_exact_quantiles"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["pct"],
+    )
+    stream = sorted(
+        QUERIES["st_exact_quantiles"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["pct"],
+    )
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    assert [(r["pct"], r["cents"]) for r in batch] == [
+        (25, 25), (50, 50), (75, 75), (90, 90), (99, 99),
+    ]
