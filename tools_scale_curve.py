@@ -39,11 +39,21 @@ QUERIES_TO_CURVE = [
     "st_decontaminate",
     "v_rerank_ce",
     "v_ann_hnsw_topk",
+    # late-r10 additions: one per new plan-shape family — the
+    # (type, day, bucket) census gate, the census + two_level_cumsum
+    # prefix sum (batch and streaming forms), the k-pass farthest-point
+    # loop, and the bounded-driver forecast recurrences.
+    "dq_drift_ks",
+    "w_exact_quantiles",
+    "st_exact_quantiles",
+    "v_kcenter_coreset",
+    "ev_forecast_backtest",
 ]
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    digit_args = [a for a in sys.argv[1:] if a.isdigit()]
+    runs = int(digit_args[0]) if digit_args else 3
     spark = get_spark("mie_spark_scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
     from mie_spark.queries import QUERIES
@@ -58,8 +68,10 @@ def main() -> None:
 
     spark.range(0, 64, 1, 32).mapInPandas(_warm, "id long").count()
 
+    only = [a for a in sys.argv[1:] if not a.isdigit()]
+    to_run = [n for n in QUERIES_TO_CURVE if not only or n in only]
     print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s} {'exp':>6s}")
-    for name in QUERIES_TO_CURVE:
+    for name in to_run:
         meds = {}
         for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             samples = []
