@@ -1071,6 +1071,21 @@ QUANTILES_ORACLE = """
     """
 
 
+def price_cents_census(li: DataFrame) -> DataFrame:
+    """The (cents, cnt) value census both exact-percentile forms
+    aggregate to — ONE definition so the batch query and the streaming
+    twin stay bit-identical (the twin-grading contract)."""
+    return (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def quantiles_from_census(census: DataFrame) -> DataFrame:
     """Nearest-rank p25/50/75/90/99 projection over a (cents, cnt)
     value census: two_level_cumsum distributed prefix sum + broadcast
@@ -1119,13 +1134,4 @@ def w_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic where a row-level row_number over a non-unique key
     would not be."""
     li = load_table(spark, sf_dir, "lineitem")
-    census = (
-        li.select(
-            F.round(F.col("l_extendedprice") * 100)
-            .cast("long")
-            .alias("cents")
-        )
-        .groupBy("cents")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return quantiles_from_census(census)
+    return quantiles_from_census(price_cents_census(li))

@@ -2271,6 +2271,54 @@ def _survival_table(
     )
 
 
+def _rhalf(n: int, d: int) -> int:
+    """Half-away-from-zero integer rounding of n/d — the ONE Python
+    mirror of the SQL CASE template every forecast oracle embeds."""
+    return (2 * abs(n) + d) // (2 * d) * (1 if n >= 0 else -1)
+
+
+def _holt_step(y_milli: int, level: int, trend: int) -> tuple[int, int]:
+    """One Holt update (alpha=1/4, beta=1/8, integer milli-cents).
+    Shared by holt_from_daily and ev_forecast_backtest so the
+    recurrence is defined exactly once."""
+    l_new = _rhalf(y_milli + 3 * (level + trend), 4)
+    b_new = _rhalf((l_new - level) + 7 * trend, 8)
+    return l_new, b_new
+
+
+def _hw_step(
+    y_milli: int, level: int, trend: int, s_lag: int
+) -> tuple[int, int, int]:
+    """One Holt-Winters additive update (alpha=1/4, beta=1/8,
+    gamma=1/4). Shared by ev_forecast_hw and ev_forecast_backtest."""
+    l_new = _rhalf((y_milli - s_lag) + 3 * (level + trend), 4)
+    b_new = _rhalf((l_new - level) + 7 * trend, 8)
+    s_new = _rhalf((y_milli - l_new) + 3 * s_lag, 4)
+    return l_new, b_new, s_new
+
+
+def _hw_init(y: list[int]) -> tuple[int, int, list[int]]:
+    """Detrended Holt-Winters init from the first 14 days (see
+    ev_forecast_hw's docstring): returns (level at t=6, trend,
+    seasonal slots for t=0..6). One definition for the query and the
+    backtest."""
+    l_mid = _rhalf(sum(y[0:7]) * 1000, 7)
+    trend = _rhalf((sum(y[7:14]) - sum(y[0:7])) * 1000, 49)
+    level = l_mid + 3 * trend
+    sea = [y[i] * 1000 - l_mid - trend * (i - 3) for i in range(7)]
+    return level, trend, sea
+
+
+def daily_cents_census(ev: DataFrame) -> DataFrame:
+    """The (day, y=exact-cents) daily census every forecast/changepoint
+    form aggregates to — ONE definition so the batch queries and their
+    streaming twins stay bit-identical (the twin-grading contract
+    depends on the census text never forking)."""
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+
+
 def _holt_oracle() -> str:
     """Holt linear-trend recurrence as a RECURSIVE CTE — the first
     oracle in the repo that replays a sequential recurrence natively
@@ -2342,14 +2390,7 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MMR/BPE bounded-driver-state precedent. Init: l_0 = y_0,
     b_0 = y_1 - y_0 (standard Holt initialization)."""
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-        )
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
-        .orderBy("day")
-    )
-    return holt_from_daily(daily)
+    return holt_from_daily(daily_cents_census(ev))
 
 
 def holt_from_daily(daily: DataFrame) -> DataFrame:
@@ -2363,17 +2404,12 @@ def holt_from_daily(daily: DataFrame) -> DataFrame:
     if len(rows) < 2:
         raise ValueError("holt_from_daily needs >= 2 observed days")
 
-    def rhalf(n: int, d: int) -> int:
-        return (2 * abs(n) + d) // (2 * d) * (1 if n >= 0 else -1)
-
     out = []
     level = rows[0]["y"] * 1000
     trend = (rows[1]["y"] - rows[0]["y"]) * 1000
     for t, r in enumerate(rows):
         if t > 0:
-            l_new = rhalf(r["y"] * 1000 + 3 * (level + trend), 4)
-            trend = rhalf((l_new - level) + 7 * trend, 8)
-            level = l_new
+            level, trend = _holt_step(r["y"] * 1000, level, trend)
         out.append(
             (
                 r["day"].strftime("%Y-%m-%d"),
@@ -2489,40 +2525,27 @@ def ev_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     work; the recurrence runs on the driver over the bounded |days|
     rows. Time is bounded, corpora are not."""
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-        )
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
-        .orderBy("day")
-    )
-    rows = daily.collect()  # bounded: one row per observed day
-    if len(rows) < 15:
-        raise ValueError("ev_forecast_hw needs >= 15 observed days")
-
-    def rhalf(n: int, d: int) -> int:
-        return (2 * abs(n) + d) // (2 * d) * (1 if n >= 0 else -1)
+    rows = sorted(
+        daily_cents_census(ev).collect(), key=lambda r: r["day"]
+    )  # bounded: one row per observed day
+    # 14 days exactly suffice: init consumes t=0..13 (week-2 trend uses
+    # y[7:14]) and the first output row is t=7 — a stricter guard would
+    # raise where the oracle happily returns rows (caught in review)
+    if len(rows) < 14:
+        raise ValueError("ev_forecast_hw needs >= 14 observed days")
 
     y = [int(r["y"]) for r in rows]
-    l_mid = rhalf(sum(y[0:7]) * 1000, 7)  # level at the week-1 MIDPOINT
-    trend = rhalf((sum(y[7:14]) - sum(y[0:7])) * 1000, 49)
-    level = l_mid + 3 * trend  # shift the midpoint level to t=6
-    # DETRENDED seasonal indices: subtract the fitted line l_mid +
-    # b*(i-3), not just the week mean — the week-mean form leaves a
-    # b*(i-3) trend residue inside every seasonal slot, which biases
-    # the first cycle of forecasts by up to 3b (and breaks the exact
-    # linear+seasonal tracking property pinned in tests/test_scale.py)
-    sea = [
-        y[i] * 1000 - l_mid - trend * (i - 3) for i in range(7)
-    ]  # sea[t] for t = 0..6
+    # detrended init — see _hw_init (one definition with the backtest);
+    # the week-mean form leaves a b*(i-3) trend residue in every
+    # seasonal slot and breaks the exact linear+seasonal tracking
+    # property pinned in tests/test_scale.py
+    level, trend, sea = _hw_init(y)
     out = []
     for t in range(7, len(rows)):
         s_lag = sea[t - 7]
         fcast = level + trend + s_lag
-        l_new = rhalf((y[t] * 1000 - s_lag) + 3 * (level + trend), 4)
-        trend = rhalf((l_new - level) + 7 * trend, 8)
-        level = l_new
-        sea.append(rhalf((y[t] * 1000 - level) + 3 * s_lag, 4))
+        level, trend, s_new = _hw_step(y[t] * 1000, level, trend, s_lag)
+        sea.append(s_new)
         out.append(
             (
                 rows[t]["day"].strftime("%Y-%m-%d"),
@@ -2628,10 +2651,7 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars ride a broadcast crossJoin of a 1-row aggregate — the
     scalar-subquery decorrelation pattern."""
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
-    return cusum_from_daily(d)
+    return cusum_from_daily(daily_cents_census(ev))
 
 
 @query(
@@ -2813,44 +2833,33 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything. Scale shape: ONE day aggregate touches events; the
     three recurrences and the 3-row scorecard run over bounded state."""
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-        )
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
-        .orderBy("day")
+    rows = sorted(
+        daily_cents_census(ev).collect(), key=lambda r: r["day"]
     )
-    rows = daily.collect()
-    if len(rows) < 16:
-        raise ValueError("ev_forecast_backtest needs >= 16 observed days")
-
-    def rhalf(n: int, d: int) -> int:
-        return (2 * abs(n) + d) // (2 * d) * (1 if n >= 0 else -1)
+    # 15 days = the first scorable point (t=14 with init through t=13);
+    # the oracle emits rows at len >= 15, so the guard must match
+    if len(rows) < 15:
+        raise ValueError("ev_forecast_backtest needs >= 15 observed days")
 
     y = [int(r["y"]) for r in rows]
     T = len(y)
-    # Holt replay (ev_forecast_holt's recurrence): pred[t] = l+b at t-1
+    # Holt replay — the recurrence lives ONCE in _holt_step (shared
+    # with holt_from_daily): pred[t] = l+b at t-1
     level = y[0] * 1000
     trend = (y[1] - y[0]) * 1000
     holt_pred: dict[int, int] = {}
     for t in range(1, T):
         holt_pred[t] = level + trend
-        l_new = rhalf(y[t] * 1000 + 3 * (level + trend), 4)
-        trend = rhalf((l_new - level) + 7 * trend, 8)
-        level = l_new
-    # HW replay (ev_forecast_hw's recurrence): pred[t] = l+b+s[t-7]
-    l_mid = rhalf(sum(y[0:7]) * 1000, 7)
-    b = rhalf((sum(y[7:14]) - sum(y[0:7])) * 1000, 49)
-    lev = l_mid + 3 * b
-    sea = [y[i] * 1000 - l_mid - b * (i - 3) for i in range(7)]
+        level, trend = _holt_step(y[t] * 1000, level, trend)
+    # HW replay — init and step shared with ev_forecast_hw:
+    # pred[t] = l+b+s[t-7]
+    lev, b, sea = _hw_init(y)
     hw_pred: dict[int, int] = {}
     for t in range(7, T):
         s_lag = sea[t - 7]
         hw_pred[t] = lev + b + s_lag
-        l_new = rhalf((y[t] * 1000 - s_lag) + 3 * (lev + b), 4)
-        b = rhalf((l_new - lev) + 7 * b, 8)
-        lev = l_new
-        sea.append(rhalf((y[t] * 1000 - lev) + 3 * s_lag, 4))
+        lev, b, s_new = _hw_step(y[t] * 1000, lev, b, s_lag)
+        sea.append(s_new)
     out = []
     for model, pred in (
         ("naive", {t: y[t - 1] * 1000 for t in range(1, T)}),
@@ -2862,8 +2871,8 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 model,
                 len(errs),
-                rhalf(sum(abs(e) for e in errs), len(errs)),
-                rhalf(sum(errs), len(errs)),
+                _rhalf(sum(abs(e) for e in errs), len(errs)),
+                _rhalf(sum(errs), len(errs)),
             )
         )
     return spark.createDataFrame(

@@ -965,8 +965,15 @@ KS_DRIFT_ORACLE = """
             FROM events)
     ),
     b AS (
+      -- bucket = (cents + 2^40) // 100: the offset keeps the dividend
+      -- non-negative for any realistic cents, where Spark's int_div
+      -- (floor) and DuckDB's // (truncate) agree bit-for-bit; without
+      -- it a negative value (refunds) floors on one engine and
+      -- truncates on the other, silently shifting the CDF. Order is
+      -- preserved, and bucket is internal to the CDF, never emitted.
       SELECT e.event_type,
-             CAST(round(e.value * 100) AS BIGINT) // 100 AS bucket,
+             (CAST(round(e.value * 100) AS BIGINT) + 1099511627776)
+               // 100 AS bucket,
              CASE WHEN d.dr * 2 <= d.nd THEN 1 ELSE 0 END AS h1
       FROM events e
       JOIN days d ON date_trunc('day', e.ts)::DATE = d.day
@@ -994,6 +1001,27 @@ KS_DRIFT_ORACLE = """
                  / (max(n1) * max(n2) * 1.0), 6) AS ks
     FROM c GROUP BY event_type
     """
+
+
+def drift_cells_census(ev: DataFrame) -> DataFrame:
+    """The (event_type, day, value-unit bucket) census both KS forms
+    aggregate to — ONE definition so the batch gate and the streaming
+    twin stay bit-identical (the twin-grading contract depends on it).
+    bucket = (cents + 2^40) div 100: int_div needs a non-negative
+    dividend to match DuckDB's truncating `//` (floor vs truncate
+    diverge on negatives, e.g. refunds); the offset shift preserves
+    order and the bucket never leaves the CDF computation."""
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        int_div(
+            F.round(F.col("value") * 100).cast("long")
+            + F.lit(1099511627776),
+            100,
+        )
+        .cast("long")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 def ks_drift_from_cells(cells: DataFrame) -> DataFrame:
@@ -1084,16 +1112,7 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     The day-rank window runs over the distinct-day census (bounded
     exception, ev_survival precedent)."""
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type",
-        F.date_trunc("day", "ts").cast("date").alias("day"),
-        # int_div, not double `/`: exact past 2^53 (values are
-        # non-negative cents; the helper's pmod doctrine applies)
-        int_div(F.round(F.col("value") * 100).cast("long"), 100)
-        .cast("long")
-        .alias("bucket"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return ks_drift_from_cells(cells)
+    return ks_drift_from_cells(drift_cells_census(ev))
 
 
 @query(

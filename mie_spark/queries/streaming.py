@@ -650,19 +650,14 @@ def st_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. State is census-bounded exactly like st_hourly_agg;
     the production path would age out days past the comparison horizon
     with a watermark."""
-    from mie_spark.functions.numeric import int_div
-    from mie_spark.queries.relational import ks_drift_from_cells
+    from mie_spark.queries.relational import (
+        drift_cells_census,
+        ks_drift_from_cells,
+    )
 
     ev = read_events_stream(spark, sf_dir)
-    cells = ev.groupBy(
-        "event_type",
-        F.date_trunc("day", "ts").cast("date").alias("day"),
-        int_div(F.round(F.col("value") * 100).cast("long"), 100)
-        .cast("long")
-        .alias("bucket"),
-    ).agg(F.count(F.lit(1)).alias("n"))
     drained = run_to_memory_sink(
-        cells, output_mode="complete", state_partitions=8
+        drift_cells_census(ev), output_mode="complete", state_partitions=8
     )
     return ks_drift_from_cells(drained)
 
@@ -682,14 +677,11 @@ def st_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|days|) state on every drain, never by rescanning events. Same
     doctrine as st_drift_ks; the production path ages out days beyond
     the detection horizon with a watermark."""
-    from mie_spark.queries.events import cusum_from_daily
+    from mie_spark.queries.events import cusum_from_daily, daily_cents_census
 
     ev = read_events_stream(spark, sf_dir)
-    d = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
     drained = run_to_memory_sink(
-        d, output_mode="complete", state_partitions=8
+        daily_cents_census(ev), output_mode="complete", state_partitions=8
     )
     return cusum_from_daily(drained)
 
@@ -711,14 +703,11 @@ def st_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (st_dedup_minhash), decontamination (st_decontaminate), sampling
     (st_sample_fixed_k), drift (st_drift_ks), changepoint
     (st_changepoint), and now forecasting."""
-    from mie_spark.queries.events import holt_from_daily
+    from mie_spark.queries.events import daily_cents_census, holt_from_daily
 
     ev = read_events_stream(spark, sf_dir)
-    d = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
     drained = run_to_memory_sink(
-        d, output_mode="complete", state_partitions=8
+        daily_cents_census(ev), output_mode="complete", state_partitions=8
     )
     return holt_from_daily(drained)
 
@@ -737,20 +726,14 @@ def st_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     grading against the SAME SQL text. This is the latency-dashboard
     shape: exact running percentiles without ever rescanning the
     corpus, the streaming complement of ev_quantile_bound's sketch."""
-    from mie_spark.queries.analytic import quantiles_from_census
+    from mie_spark.queries.analytic import (
+        price_cents_census,
+        quantiles_from_census,
+    )
     from mie_spark.streaming import read_lineitem_stream
 
     li = read_lineitem_stream(spark, sf_dir)
-    census = (
-        li.select(
-            F.round(F.col("l_extendedprice") * 100)
-            .cast("long")
-            .alias("cents")
-        )
-        .groupBy("cents")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     drained = run_to_memory_sink(
-        census, output_mode="complete", state_partitions=8
+        price_cents_census(li), output_mode="complete", state_partitions=8
     )
     return quantiles_from_census(drained)

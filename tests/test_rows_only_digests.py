@@ -45,7 +45,14 @@ PINNED = {
     # still pass). The new value is confirmed by an independent
     # driver-side numpy recompute (asset 0: frames 0+2 decode to
     # 34525+50349 = 84874 = the Spark row) and is invariant across
-    # partitionings and sessions.
+    # partitionings and sessions. Probable cause (review): the JPEG
+    # DCT in operators/jpeg.py is float matmul whose 1-ulp results a
+    # numpy/BLAS change can move across a uint8 rounding boundary —
+    # i.e. this pin is weakly environment-sensitive by construction.
+    # If it flips again with code+census verified unchanged, recompute
+    # independently and re-pin per this protocol; the codec's
+    # correctness pin is mm_mjpeg_accuracy's hash-graded bound, not
+    # this digest.
     "mm_mjpeg_frames": "a2773606481f78c5",
     # re-pinned when mmr_rerank stopped stringifying the label column
     # (label now carries the input's integer type; values unchanged).

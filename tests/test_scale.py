@@ -934,3 +934,77 @@ def test_two_level_cumsum_equals_global_window(spark):
         for r in df.withColumn("cum", F.sum("cnt").over(w)).collect()
     }
     assert got == want
+
+    # part_cols path: per-group running sums must match the plain
+    # partitioned window (this path had no caller when it shipped)
+    g = spark.createDataFrame(
+        [(v % 5, v, (v * 3) % 7 + 1) for v in range(1, 300)],
+        "grp long, k long, cnt long",
+    ).repartition(16)
+    got_g = {
+        (r["grp"], r["k"]): r["cum"]
+        for r in two_level_cumsum(
+            g, ["k"], "cnt", part_cols=["grp"], nparts=7
+        ).collect()
+    }
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want_g = {
+        (r["grp"], r["k"]): r["cum"]
+        for r in g.withColumn("cum", F.sum("cnt").over(wg)).collect()
+    }
+    assert got_g == want_g
+
+
+def test_ks_drift_exact_with_negative_values(spark, tmp_path):
+    """Regression for the floor-vs-truncate bucket divergence: with
+    NEGATIVE values (refunds) in the corpus, Spark's int_div floors
+    where DuckDB's // truncates toward zero — the shift-offset bucket
+    ((cents + 2^40) div 100) keeps both engines bit-identical. Run the
+    real oracle SQL in DuckDB against the Spark result on a fixture
+    where negatives straddle bucket boundaries."""
+    import datetime
+
+    import duckdb
+
+    from mie_spark.queries import ORACLES, QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 0, 30, 0)
+    rows, eid = [], 0
+    vals = [-1.50, -0.50, -0.01, 0.0, 0.49, 1.50, -2.49, 3.01]
+    for day in range(8):
+        for k, v in enumerate(vals):
+            # drift the second half by shifting sign structure
+            vv = v if day < 4 else v + 1.0
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(days=day, minutes=k),
+                    k,
+                    "pay",
+                    vv,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["dq_drift_ks"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES["dq_drift_ks"]).fetchall())
+    assert got == want
