@@ -186,6 +186,7 @@ HEADLINE = [
     "w_exact_quantiles",         # exact global quantiles via distributed prefix sum
     "st_forecast_holt",          # streaming forecast twin: census state + shared recurrence
     "st_exact_quantiles",        # streaming exact percentiles: value-census state
+    "pipe_span_corruption",      # T5 masking manifest, blockwise md5 schedule
 ]
 
 

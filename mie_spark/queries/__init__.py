@@ -149,6 +149,10 @@ _GRADE_FIRST = [
     # the state store + the shared two_level_cumsum projection) —
     # displaces pipe_corpus_delta to the r11 queue.
     "st_exact_quantiles",
+    # Late r10: the T5-style span-corruption manifest (blockwise
+    # md5-deterministic masking schedule, positional checksum graded)
+    # — displaces pipe_clean_corpus to the r11 queue.
+    "pipe_span_corruption",
     # The documented r10 queue head: the 13 r05-stale rows that
     # yielded their r9 slots to late-r9 additions.
     "q12_priority_classes",
@@ -178,7 +182,8 @@ _GRADE_FIRST = [
     # ev_survival_daily / v_pq_codes / pipe_interleave /
     # st_sample_fixed_k / ev_forecast_holt / v_mmr_topk (graduated to
     # a windowed slot when it gained its recursive-CTE oracle, taking
-    # samp_epoch_mix's slot) — samp_epoch_mix, pipe_corpus_delta,
+    # samp_epoch_mix's slot) — samp_epoch_mix, pipe_clean_corpus,
+    # pipe_corpus_delta,
     # q6_forecast_revenue,
     # q7_volume_shipping, q9_product_profit, q10_returned_items,
     # q15_top_supplier,
@@ -200,7 +205,6 @@ _GRADE_FIRST = [
     "mm_binary_meta",
     "pipe_bpe_encode",
     "pipe_chunk_overlap",
-    "pipe_clean_corpus",
 ]
 
 

@@ -1800,3 +1800,125 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_sw.alias("flag_stopwords"),
         (f_wc & f_mwl & f_sym & f_alpha & f_sw).alias("keep"),
     )
+
+
+@query(
+    "pipe_span_corruption",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> ''))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT d.doc_id, d.n_tokens, g.b,
+             least(d.n_tokens - g.b * 20, 20) AS m,
+             1 + ('0x' || substr(md5(d.doc_id::VARCHAR || ':' ||
+                                     g.b::VARCHAR), 1, 2))::INTEGER % 5
+               AS len,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || ':' ||
+                                 g.b::VARCHAR), 3, 2))::INTEGER AS obase
+      FROM d
+      JOIN LATERAL (
+        SELECT unnest(range(0, ((d.n_tokens + 19) // 20)::BIGINT)) AS b
+      ) g ON true
+      WHERE d.n_tokens > 0
+    ),
+    sp AS (
+      SELECT doc_id, n_tokens, b, m, len,
+             obase % (21 - len) AS o
+      FROM b
+    ),
+    k AS (
+      SELECT doc_id, n_tokens, b,
+             CASE WHEN o < m THEN least(o + len, m) - o ELSE 0 END
+               AS masked,
+             CASE WHEN o < m THEN
+               -- sum of positions 20b+o .. 20b+min(o+len,m)-1
+               (least(o + len, m) - o)
+                 * (2 * (20 * b + o) + least(o + len, m) - o - 1) // 2
+             ELSE 0 END AS pos_sum
+      FROM sp
+    )
+    SELECT doc_id, max(n_tokens)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_blocks,
+           sum(masked)::BIGINT AS n_masked,
+           sum(pos_sum)::BIGINT AS mask_pos_sum
+    FROM k GROUP BY doc_id
+    """,
+)
+def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption manifest, deterministic and
+    shard-local: the token stream is cut into 20-token blocks and each
+    block masks ONE contiguous span whose length (1..5, mean 3 ~ the
+    T5 mean) and offset derive from md5(doc_id:block) — expected mask
+    rate 3/20 = 15%, the T5 default. Blockwise placement makes spans
+    non-overlapping BY CONSTRUCTION (no gaps-and-islands merge pass)
+    and means a 100 TB corpus can generate its masking schedule
+    map-only, per shard, with zero coordination — reproducible across
+    re-runs, retries, and engines because the schedule is a pure
+    function of (doc_id, block).
+
+    The manifest grades exactly: n_masked and the positional checksum
+    mask_pos_sum (sum of masked token positions via the arithmetic-
+    series formula — integer, order-free) are BIGINTs both engines
+    derive from n_tokens alone, so the hash proves the two engines
+    would mask the SAME positions, not just the same count. Plan:
+    pure map-only per-doc expressions — the block walk is a bounded
+    HOF over sequence(0, ceil(n/20)-1) folded in-row, so there is no
+    explode and no shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    d = docs.select("doc_id", n_tokens.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    nblocks = int_div(F.col("n_tokens") + 19, 20).cast("long")
+    blocks = F.sequence(F.lit(0).cast("long"), nblocks - 1)
+
+    def per_block(b):
+        h = F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), b.cast("string")
+            )
+        )
+        ln = 1 + F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 5
+        obase = F.conv(F.substring(h, 3, 2), 16, 10).cast("long")
+        o = obase % (21 - ln)
+        m = F.least(F.col("n_tokens") - b * 20, F.lit(20).cast("long"))
+        end = F.least(o + ln, m)
+        masked = F.when(o < m, end - o).otherwise(F.lit(0).cast("long"))
+        pos_sum = F.when(
+            o < m,
+            int_div((end - o) * (2 * (b * 20 + o) + end - o - 1), 2),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            masked.alias("masked"), pos_sum.cast("long").alias("pos_sum")
+        )
+
+    k = d.select(
+        "doc_id",
+        "n_tokens",
+        nblocks.alias("n_blocks"),
+        F.transform(blocks, per_block).alias("bk"),
+    )
+    return k.select(
+        "doc_id",
+        "n_tokens",
+        "n_blocks",
+        F.aggregate(
+            F.col("bk"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["masked"],
+        ).alias("n_masked"),
+        F.aggregate(
+            F.col("bk"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["pos_sum"],
+        ).alias("mask_pos_sum"),
+    )

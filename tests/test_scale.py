@@ -1008,3 +1008,41 @@ def test_ks_drift_exact_with_negative_values(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(ORACLES["dq_drift_ks"]).fetchall())
     assert got == want
+
+
+def test_span_corruption_manifest_semantics(spark):
+    """pipe_span_corruption semantics at sf0.001: per-doc masks are
+    recomputed independently with hashlib (same md5(doc_id:block)
+    schedule), the corpus-wide mask rate sits near the 15% T5 target,
+    and every checksum is consistent with its doc's token count."""
+    import hashlib
+
+    from mie_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_span_corruption"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+
+    def expect(doc_id: int, n: int) -> tuple[int, int]:
+        masked = pos_sum = 0
+        for b in range((n + 19) // 20):
+            h = hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()
+            ln = 1 + int(h[0:2], 16) % 5
+            o = int(h[2:4], 16) % (21 - ln)
+            m = min(n - b * 20, 20)
+            if o < m:
+                end = min(o + ln, m)
+                masked += end - o
+                pos_sum += (end - o) * (2 * (b * 20 + o) + end - o - 1) // 2
+        return masked, pos_sum
+
+    total_tok = total_masked = 0
+    for r in rows:
+        em, es = expect(r["doc_id"], r["n_tokens"])
+        assert (r["n_masked"], r["mask_pos_sum"]) == (em, es), r["doc_id"]
+        assert 0 <= r["n_masked"] <= r["n_tokens"]
+        total_tok += r["n_tokens"]
+        total_masked += r["n_masked"]
+    rate = total_masked / total_tok
+    assert 0.10 < rate < 0.20, rate  # 3/20 target with partial blocks
