@@ -28,10 +28,15 @@ visible instead of silently polluting round-over-round deltas. A warmup
 pass amortizes JVM/codegen/python-worker startup so the numbers measure
 the plans, not the JIT.
 
-Ambient re-measure pass (late r10): any query whose in-suite median
-reads >2x its committed BASELINE row is measured ONCE more at suite
-end and the better median is reported; both values appear under
-`remeasured` in the output, so the correction is auditable. Rationale:
+Ambient re-measure pass (late r10, unbiased since r11): any query whose
+in-suite median reads >2x its committed BASELINE row is measured ONCE
+more at suite end and the RETRY median is reported unconditionally —
+not min-of-two, which would bias the headline total downward on noisy
+queries (ADVICE r10). Both values appear under `remeasured` in the
+output, so the correction is auditable. `load_1m` records the 1-minute
+load immediately before each query and `load_avg` the suite-start/end
+triples, so ambient co-tenant drift is attributable from the artifact
+alone (VERDICT r10 item 2). Rationale:
 BASELINE.md documents a 12x in-suite blip (st_dedup_minhash) on a
 query that reads 1.3x isolated and shows zero degradation under a
 controlled in-session pressure test — single in-suite medians measure
@@ -232,16 +237,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    load_1m: dict[str, float] = {}
+    load_start = _loadavg()
     for name in HEADLINE:
+        # 1-min load immediately before each query: makes ambient
+        # co-tenant bursts attributable PER QUERY from the artifact
+        # alone (VERDICT r10 item 2) instead of via BASELINE.md prose.
+        load_1m[name] = _loadavg()[0]
         timings[name], spread[name] = _measure(name)
 
     # Ambient re-measure pass: this box is co-tenant (BASELINE.md
     # documents 12x single-suite blips on queries that read 1.3x
     # isolated — disk starvation during a neighbor's burst). Any query
     # whose in-suite median reads >2x its committed baseline row gets
-    # ONE more median-of-N at suite end, and the BETTER median is
-    # reported; both values are recorded in `remeasured` so the
-    # correction is visible, never silent.
+    # ONE more median-of-N at suite end, and the RETRY median is
+    # reported UNCONDITIONALLY (not min-of-two — a min would bias the
+    # headline total downward on noisy queries, ADVICE r10); both
+    # values are recorded in `remeasured` so the correction is
+    # visible, never silent, and a sustained regression still reads
+    # >2x on the retry.
     baseline_rows = _baseline_rows()
     remeasured: dict[str, dict[str, float]] = {}
     for name in list(timings):
@@ -249,9 +263,9 @@ def main() -> None:
         if row > 0 and timings[name] > 2.0 * row:
             again, again_spread = _measure(name)
             remeasured[name] = {"first": timings[name], "retry": again}
-            if again < timings[name]:
-                timings[name] = again
-                spread[name] = again_spread
+            timings[name] = again
+            spread[name] = again_spread
+    load_end = _loadavg()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -264,6 +278,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "load_1m": load_1m,
+                "load_avg": {"start": load_start, "end": load_end},
                 "runs_per_query": runs,
                 "remeasured": remeasured,
                 "sf": sf_val,
@@ -283,6 +299,7 @@ def main() -> None:
         "runs_per_query": runs,
         "worst": worst,
         "remeasured": remeasured,
+        "load_avg": {"start": load_start, "end": load_end},
     }
     baseline = baseline_rows
     if baseline:
@@ -300,6 +317,15 @@ def main() -> None:
                 if timings[n] > 2 * matched[n]
             }
     print(json.dumps(summary), flush=True)
+
+
+def _loadavg() -> list[float]:
+    """1/5/15-minute load averages, rounded; [-1.0]*3 where the
+    platform lacks getloadavg (bench must keep working anywhere)."""
+    try:
+        return [round(v, 2) for v in os.getloadavg()]
+    except (AttributeError, OSError):
+        return [-1.0, -1.0, -1.0]
 
 
 def _baseline_rows() -> dict[str, float]:

@@ -1143,12 +1143,22 @@ def mmr_rerank(
             _id: [ids[i] for i, _ in selected],
             **({_label: [labels[i] for i, _ in selected]} if _label else {}),
             "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
-            "rel": [round(float(rel[i]), 6) for i, _ in selected],
-            "mmr": [round(m, 6) for _, m in selected],
+            "rel": [float(rel[i]) for i, _ in selected],
+            "mmr": [float(m) for _, m in selected],
         }
         yield pd.DataFrame(out)
 
-    return pooled.mapInPandas(_greedy, schema=out_schema)
+    # Round via the ENGINE, not Python round() in the kernel: Python
+    # rounds half-even while DuckDB's round() (the oracle side) is
+    # half-away-from-zero — they diverge at exact midpoints (ADVICE
+    # r10). Spark F.round is Java HALF_UP = half-away-from-zero on BOTH
+    # signs, so it matches DuckDB for the non-negative rel AND the
+    # possibly-negative mmr scores.
+    return (
+        pooled.mapInPandas(_greedy, schema=out_schema)
+        .withColumn("rel", F.round("rel", 6))
+        .withColumn("mmr", F.round("mmr", 6))
+    )
 
 
 def append_ann_ivf_index(

@@ -2401,8 +2401,30 @@ def holt_from_daily(daily: DataFrame) -> DataFrame:
     state store); both grade against _holt_oracle()."""
     spark = daily.sparkSession
     rows = sorted(daily.collect(), key=lambda r: r["day"])
-    if len(rows) < 2:
-        raise ValueError("holt_from_daily needs >= 2 observed days")
+    schema = (
+        "day string, cents long, level_milli long, trend_milli long, "
+        "forecast_milli long"
+    )
+    # Mirror the oracle on degenerate inputs (the ADVICE r10 doctrine):
+    # 0 days -> empty; 1 day -> the recursive CTE's base case joins to
+    # t=0 and emits one row with NULL trend (y at t=1 is missing) and
+    # hence NULL forecast.
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if len(rows) == 1:
+        r = rows[0]
+        return spark.createDataFrame(
+            [
+                (
+                    r["day"].strftime("%Y-%m-%d"),
+                    int(r["y"]),
+                    int(r["y"]) * 1000,
+                    None,
+                    None,
+                )
+            ],
+            schema,
+        )
 
     out = []
     level = rows[0]["y"] * 1000
@@ -2419,11 +2441,7 @@ def holt_from_daily(daily: DataFrame) -> DataFrame:
                 int(level + trend),
             )
         )
-    return spark.createDataFrame(
-        out,
-        "day string, cents long, level_milli long, trend_milli long, "
-        "forecast_milli long",
-    )
+    return spark.createDataFrame(out, schema)
 
 
 def _hw_oracle() -> str:
@@ -2528,11 +2546,18 @@ def ev_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sorted(
         daily_cents_census(ev).collect(), key=lambda r: r["day"]
     )  # bounded: one row per observed day
-    # 14 days exactly suffice: init consumes t=0..13 (week-2 trend uses
-    # y[7:14]) and the first output row is t=7 — a stricter guard would
-    # raise where the oracle happily returns rows (caught in review)
-    if len(rows) < 14:
-        raise ValueError("ev_forecast_hw needs >= 14 observed days")
+    # Mirror the oracle EXACTLY on degenerate inputs (ADVICE r10): the
+    # oracle emits no rows below 8 observed days (the first forecast is
+    # t=7), and for 8-13 days its week-2 trend sum (t BETWEEN 7 AND 13)
+    # is a PARTIAL sum — which is precisely what _hw_init's y[7:14]
+    # slice computes on a short list. So: empty frame below 8 days,
+    # partial-init recurrence for 8-13, full init from 14 up.
+    if len(rows) <= 7:
+        return spark.createDataFrame(
+            [],
+            "day string, cents long, level_milli long, trend_milli long, "
+            "season_milli long, forecast_milli long",
+        )
 
     y = [int(r["y"]) for r in rows]
     # detrended init — see _hw_init (one definition with the backtest);
@@ -2836,10 +2861,14 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sorted(
         daily_cents_census(ev).collect(), key=lambda r: r["day"]
     )
-    # 15 days = the first scorable point (t=14 with init through t=13);
-    # the oracle emits rows at len >= 15, so the guard must match
+    # 15 days = the first scorable point (t=14 with init through t=13).
+    # Below that the oracle's t >= 14 window is empty and it returns an
+    # EMPTY result set — mirror that exactly instead of raising
+    # (ADVICE r10: engine and oracle must agree on degenerate inputs).
     if len(rows) < 15:
-        raise ValueError("ev_forecast_backtest needs >= 15 observed days")
+        return spark.createDataFrame(
+            [], "model string, n long, mae_milli long, bias_milli long"
+        )
 
     y = [int(r["y"]) for r in rows]
     T = len(y)

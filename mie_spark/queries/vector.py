@@ -1221,7 +1221,7 @@ def v_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("mind").desc(), "vec_id")
             .first()
         )
-        out.append((rank, far["vec_id"], far["label"], round(float(far["mind"]), 6)))
+        out.append((rank, far["vec_id"], far["label"], float(far["mind"])))
         chosen_ids.add(far["vec_id"])
         cur = cur.withColumn(
             "mind", F.least(F.col("mind"), sqdist_to(list(far["x"])))
@@ -1232,6 +1232,12 @@ def v_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = cur.localCheckpoint(eager=False)
     id_t = e.schema["vec_id"].dataType.simpleString()
     lab_t = e.schema["label"].dataType.simpleString()
-    return spark.createDataFrame(
+    res = spark.createDataFrame(
         out, f"rank long, vec_id {id_t}, label {lab_t}, dist double"
     )
+    # Round via the ENGINE (Spark F.round = HALF_UP), not Python round()
+    # (half-even): squared-L2 of float embeddings lands on exact dyadic
+    # midpoints (e.g. 0.0078125), where half-even rounds DOWN while
+    # DuckDB's round() goes half-away-from-zero (ADVICE r10). For
+    # non-negative dist HALF_UP == half-away, so both engines agree.
+    return res.withColumn("dist", F.round("dist", 6))
