@@ -364,6 +364,18 @@ def _resolve_shards(df: DataFrame, id_col: str, shards: int | str) -> int:
     return int(shards)
 
 
+def shard_of(id_col: F.Column, n_shards: int) -> F.Column:
+    """Deterministic segment assignment for every HNSW path (build,
+    append, on-the-fly) — ENGINE-PORTABLE md5 arithmetic (the repo's
+    standard hash-rule construction) rather than xxhash64, so the
+    sharding stage is replayable in a SQL oracle (v_hnsw_rerank):
+    DuckDB `('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % n`.
+    15 hex digits < 2^60, so the value is exact in a BIGINT on both
+    engines and already non-negative (no pmod needed)."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
+    return (h.cast("long") % n_shards).alias("_shard")
+
+
 def hnsw_topk(
     df: DataFrame,
     vec_col: str,
@@ -421,9 +433,7 @@ def hnsw_topk(
 
     n_shards = _resolve_shards(df, id_col, shards)
     sharded = df.select(
-        id_col,
-        vec_col,
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"),
+        id_col, vec_col, shard_of(F.col(id_col), n_shards)
     )
     local = sharded.groupBy("_shard").applyInPandas(per_shard, schema=out_schema)
     # exact global re-rank of <= shards x k candidate rows
@@ -630,9 +640,7 @@ def write_ann_hnsw_index(
     sharded = df.select(
         id_col,
         vec_col,
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
-        .cast("int")
-        .alias("_shard"),
+        shard_of(F.col(id_col), shards).cast("int").alias("_shard"),
     )
     spark = df.sparkSession
     gen = max(_list_generations(spark, path), default=0) + 1
@@ -767,9 +775,7 @@ def append_ann_hnsw_index(
     new = df.select(
         id_col,
         vec_col,
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
-        .cast("int")
-        .alias("shard"),
+        shard_of(F.col(id_col), shards).cast("int").alias("shard"),
     )
 
     def grow(key, new_pdf, graph_pdf):  # noqa: ANN001

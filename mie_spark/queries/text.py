@@ -1191,7 +1191,86 @@ def pipe_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipe_bpe_encode")
+def _bpe_encode_oracle(n_merges: int = 30) -> str:
+    """The FULL BPE pipeline replayed in SQL (graduates pipe_bpe_encode
+    from rows-only — the v_pq_codes doctrine taken to completion):
+    every training round is an unrolled CTE triple {pair counts over
+    the current symbolized vocab, argmax with the exact (count desc,
+    pair lex asc) tie order, merge application}, and the encode stage
+    re-applies the learned merges to every distinct corpus word before
+    joining back to occurrences.
+
+    The key construction is the merge-application FOLD: the imperative
+    leftmost non-overlapping scan (operators/text.py bpe_encode) is
+    exactly a left fold over symbols — merge when acc's last element
+    is `a` and the incoming symbol is `b` — because a just-created
+    token a||b can never equal `a` (b is non-empty), so a fold never
+    re-merges output of the same round, which is precisely the
+    imperative scan's skip-by-two rule. Symbols ride as single-element
+    lists so DuckDB's 2-arg list_reduce (first element = seed) types
+    the accumulator as LIST<VARCHAR>. Empty-pair rounds (vocabulary
+    fully merged) keep the vocab unchanged via the LEFT JOIN NULL
+    sentinel, mirroring the trainer's early break."""
+    fold = (
+        "CASE WHEN ma IS NULL THEN syms ELSE "
+        "list_reduce(list_transform(syms, s -> [s]), "
+        "(acc, x) -> CASE WHEN len(acc) >= 1 AND acc[-1] = ma "
+        "AND x[1] = mb "
+        "THEN list_append(acc[1:len(acc)-1], ma || mb) "
+        "ELSE list_concat(acc, x) END) END"
+    )
+    parts = [
+        r"""
+    WITH occ AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    v0 AS MATERIALIZED (
+      SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS syms,
+             count(*)::BIGINT AS freq
+      FROM occ GROUP BY w
+    ),
+    dw0 AS MATERIALIZED (
+      SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+      FROM (SELECT DISTINCT w FROM occ)
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    p{k} AS MATERIALIZED (
+      SELECT p.a AS a, p.b AS b, sum(freq)::BIGINT AS c
+      FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                     i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p, freq
+            FROM v{k - 1} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (SELECT a AS ma, b AS mb FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+    v{k} AS MATERIALIZED (SELECT {fold} AS syms, freq FROM v{k - 1} LEFT JOIN b{k} ON TRUE),
+    dw{k} AS MATERIALIZED (SELECT w, {fold} AS syms FROM dw{k - 1} LEFT JOIN b{k} ON TRUE)"""
+        )
+    parts.append(
+        f""",
+    enc AS (
+      SELECT w, len(syms)::BIGINT AS n_syms,
+             len(list_filter(syms, s -> length(s) > 1))::BIGINT AS n_merged
+      FROM dw{n_merges}
+    )
+    SELECT d.doc_id,
+           count(o.w)::BIGINT AS n_words,
+           coalesce(sum(e.n_syms), 0)::BIGINT AS n_syms,
+           coalesce(sum(e.n_merged), 0)::BIGINT AS n_merged_syms
+    FROM documents d
+    LEFT JOIN occ o ON o.doc_id = d.doc_id
+    LEFT JOIN enc e ON e.w = o.w
+    GROUP BY d.doc_id"""
+    )
+    return "".join(parts)
+
+
+@query("pipe_bpe_encode", oracle=_bpe_encode_oracle())
 def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer fit + apply in one pipeline: word-frequency
     vocabulary (distributed aggregate over the corpus — the part that
@@ -1202,11 +1281,15 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched map-only pass (bpe_encode) reporting per-document
     symbol counts and merge compression.
 
-    No SQL oracle: the merge loop is inherently iterative (merge k
-    changes what merge k+1 counts — the same non-SQL-expressible class
-    as MMR); output is digest-pinned in tests/test_rows_only_digests.py
-    and the trainer's merge choices are unit-tested against a
-    hand-computed example."""
+    Hash-oracled IN FULL since r11 (previously rows-only): the oracle
+    unrolls all 30 training rounds in SQL — the v_pq_codes doctrine —
+    and replays the encode as a per-word left fold (see
+    _bpe_encode_oracle for why the fold is exactly the imperative
+    leftmost-scan). Exactness needs no margin argument: every decision
+    is integer (pair counts) or string-equality, and the argmax tie
+    order (count desc, pair lex asc) is the same total order on both
+    engines. The digest pins in tests/test_rows_only_digests.py stay
+    as the cheap regression tripwire."""
     from mie_spark.operators.text import bpe_encode, train_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")

@@ -148,6 +148,93 @@ def v_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def _hnsw_rerank_oracle() -> str:
+    """v_ann_hnsw_topk's DETERMINISTIC stages replayed in SQL: the
+    md5 segment assignment (operators/hnsw.py shard_of — the engine-
+    portable hash every HNSW path uses since r11), the per-shard
+    k-candidate pool, and the exact global re-rank over the pooled
+    shards x k rows. Pool and cut rank on the UNROUNDED similarity
+    (the v2_cosine_topk oracle doctrine), emit rounded."""
+    return """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT vec_id,
+             (('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 8)
+               AS shard,
+             list_cosine_similarity(embedding::DOUBLE[], qe) AS s
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    pooled AS (
+      SELECT shard, vec_id, s,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY s DESC, vec_id) AS shard_rank
+      FROM scored
+      QUALIFY shard_rank <= 10
+    )
+    SELECT shard, shard_rank::BIGINT AS shard_rank, vec_id,
+           round(s, 6) AS sim,
+           CASE WHEN g <= 10 THEN g END AS global_rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY s DESC, vec_id)::BIGINT AS g
+      FROM pooled
+    )
+    """
+
+
+@query("v_hnsw_rerank", oracle=_hnsw_rerank_oracle())
+def v_hnsw_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded sub-oracle for v_ann_hnsw_topk (VERDICT r10 item 5 —
+    with it every ANN family has one: LSH/IVF/PQ/HNSW): emits the full
+    candidate POOL of the segment-parallel pipeline — each shard's
+    k=10 candidates with their exact float64 cosines — plus the global
+    rank for the rows the final re-rank keeps (NULL otherwise), so the
+    oracle verifies output == exact top-k of the candidates AND the
+    candidate pool itself.
+
+    What this grades deterministically: the md5 shard assignment
+    (operators/hnsw.py shard_of — the SAME expression hnsw_topk,
+    write_ann_hnsw_index and the streaming append use), the per-shard
+    pooling shape (k per shard by sim desc, id asc), and the exact
+    global re-rank hnsw_topk applies to its shards x k candidates.
+    The one stage this can't replay is the graph traversal itself —
+    per-shard HNSW beam search — which stays pinned by the recall
+    floors (1.000@10/@50) and determinism tests in tests/test_vector.py;
+    here its candidates are the per-shard EXACT top-k, i.e. what the
+    traversal returns at the pinned operating point.
+
+    Plan shape: one scan with the sim expression fused (JVM fold), one
+    shuffle on the 3-bit shard key for the per-shard rank, then a
+    global window over the BOUNDED shards x k = 80-row pool (registered
+    bounded exception, tools_window_audit.py) — at 100 TB the pool is
+    still 80 rows."""
+    from mie_spark.functions.vectors import cosine_sim
+    from mie_spark.operators.hnsw import shard_of
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    scored = emb.select(
+        "vec_id",
+        shard_of(F.col("vec_id"), 8).alias("shard"),
+        cosine_sim(F.col("embedding"), q).alias("_s"),
+    )
+    w_shard = Window.partitionBy("shard").orderBy(F.col("_s").desc(), "vec_id")
+    pooled = scored.withColumn(
+        "shard_rank", F.row_number().over(w_shard).cast("long")
+    ).filter(F.col("shard_rank") <= 10)
+    w_glob = Window.orderBy(F.col("_s").desc(), "vec_id")
+    g = F.row_number().over(w_glob).cast("long")
+    return pooled.withColumn("g", g).select(
+        "shard",
+        "shard_rank",
+        "vec_id",
+        F.round("_s", 6).alias("sim"),
+        F.when(F.col("g") <= 10, F.col("g")).alias("global_rank"),
+    )
+
+
 @query("v_ann_lsh_topk")
 def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate path behind the same semantics as v2_cosine_topk;

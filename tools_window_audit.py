@@ -55,6 +55,11 @@ EXPECTED = {
         "planned as one Window node "
         "(CDF windows are partitioned by event_type)",
     ),
+    "v_hnsw_rerank": (
+        1,
+        "exact global re-rank over the <= shards x k = 80 candidate "
+        "pool (the hnsw_topk final stage)",
+    ),
 }
 
 
