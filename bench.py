@@ -192,6 +192,10 @@ HEADLINE = [
     "st_forecast_holt",          # streaming forecast twin: census state + shared recurrence
     "st_exact_quantiles",        # streaming exact percentiles: value-census state
     "pipe_span_corruption",      # T5 masking manifest, blockwise md5 schedule
+    # round-11 additions, benched from day one
+    "v_hnsw_rerank",             # HNSW deterministic stages: shard + pool + exact re-rank
+    "st_ab_test",                # streaming experiment monitor, per-user census state
+    "pipe_tokenizer_drift",      # per-source OOV drift gate, integer ppm
 ]
 
 

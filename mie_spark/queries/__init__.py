@@ -66,145 +66,84 @@ def _load_all() -> None:
 # rows first, (2) queries added this round, (3) queries whose code or
 # shared helpers changed this round, (4) oldest remaining stale rows.
 _GRADE_FIRST = [
-    # Round 10 rotation (VERDICT r9 item #1, executed as queued): 50
-    # slots. Priority rule unchanged: (1) new this round / changed
-    # code with no driver row on the shipping form, (2) the documented
-    # r10 queue head (the 13 r05-stale rows), (3) the r04-stale
-    # rows-only ANN/sketch/codec rows, (4) the r06 cohort,
-    # alphabetical.
+    # Round 11 rotation (VERDICT r10 item #1). Priority rule unchanged:
+    # (1) queries added or whose GRADED path changed this round —
+    # windowed immediately, the standing r5 lesson — then (2) the
+    # stalest driver rows: ALL 31 r06-stale entries (last driver row
+    # r06: the cohort displaced across r9/r10), then (3) the r07-stale
+    # queue head in VERDICT r10's order. 6 + 31 + 13 = 50; the
+    # remaining 34 r07-stale rows head the r12 queue
+    # (dedup_containment, ev_heavy_hitters, ev_kmv_overlap,
+    # ev_stickiness, g_bfs_hops, g_chain_motif, g_connected_components,
+    # g_copurchase_jaccard, g_mis, g_random_walks, j3/j4/j6, o5,
+    # a4_groupby_metrics, a_assoc_rules, a_cube_orders, mm_decode_meta,
+    # mm_frame_sample, mm_mjpeg_frames, q4/q8/q11/q18,
+    # st_sliding_distinct, text_bigram_logprob, text_gopher_rules,
+    # ev_sliding_distinct, v_lsh_buckets, w_distribution_stats,
+    # u2/u4, v_embed_corpus, w_lag_monthly_delta), then r08.
     #
-    # New THIS round, windowed immediately (the standing r5 lesson):
-    # the IVF cell-assignment sub-oracle (full Lloyd training replayed
-    # in SQL), the streaming decontamination twin (graded against
-    # pipe_decontaminate's exact SQL), and the cross-encoder-shaped
-    # rerank over the BM25 pool. v_ann_hnsw_topk (rows-only by nature)
-    # has never had a driver row AND its kernel changed this round
-    # (Alg-4 heuristic neighbor selection) — grade the shipping form.
-    "v_ivf_cells",
-    "st_decontaminate",
-    "v_rerank_ce",
-    "v_ann_hnsw_topk",
-    # Late r10: the daily life table whose oracle rows actually
-    # contain churners at the graded scale (ADVICE r9 — ev_survival's
-    # weekly row is one all-censored week at every SF).
-    "ev_survival_daily",
-    # Late r10: the PQ code-assignment sub-oracle — with it every ANN
-    # variant's approximation structure is hash-graded.
-    "v_pq_codes",
-    # Late r10: the WFQ training-order manifest (prefix-fair weighted
-    # source interleave on the two-level rank).
-    "pipe_interleave",
-    # Late r10: the streaming reservoir (incremental fixed-k holdout,
-    # same oracle as the batch form).
-    "st_sample_fixed_k",
-    # Late r10: Holt linear-trend forecast — the first recursive-CTE
-    # oracle (sequential recurrence replayed natively in SQL).
-    "ev_forecast_holt",
-    # Late r10: v_mmr_topk graduated from rows-only to a full
-    # recursive-CTE hash oracle (the greedy argmax loop replayed in
-    # SQL) — grade the shipping form immediately (standing r5 lesson;
-    # displaces samp_epoch_mix to the r11 queue head).
-    "v_mmr_topk",
-    # Late r10 additions, windowed immediately (displacing
-    # q6_forecast_revenue / q7_volume_shipping / q9_product_profit to
-    # the r11 queue): Holt-Winters weekly-seasonal forecast (first
-    # list-valued recursive-CTE oracle), CUSUM changepoint (exact
-    # BIGINT via the xD scaling), and the two-sample KS drift gate
-    # (cross-multiplied integer CDF gap).
-    "ev_forecast_hw",
-    "ev_changepoint",
-    "dq_drift_ks",
-    # Late r10: the streaming twin of the KS gate (incremental census
-    # in the state store, same projection, same SQL text) — displaces
-    # q22_idle_rich_customers to the r11 queue.
-    "st_drift_ks",
-    # Late r10: experiment analytics + forensic DQ (displace
-    # q20_red_part_specialists / q21_blamed_suppliers to the r11
-    # queue): two-proportion A/B z-test on the deterministic md5
-    # split, and the Benford first-digit audit in integer micro-units.
-    "ev_ab_test",
-    "dq_benford",
-    # Late r10: greedy k-center coreset (farthest-point diversity
-    # selection) — squared-L2 as the identical left fold on both
-    # engines, so the recursive-CTE oracle is exact with NO margin
-    # argument. Displaces q19_or_of_ands to the r11 queue.
-    "v_kcenter_coreset",
-    # Late r10: the streaming CUSUM twin (incremental daily census,
-    # same projection/SQL as ev_changepoint) and the forecast backtest
-    # (naive/Holt/HW scored on the common out-of-sample window; the
-    # oracle embeds both recursive CTEs as subqueries). Displace
-    # q15_top_supplier / q16_supplier_variety to the r11 queue.
-    "st_changepoint",
-    "ev_forecast_backtest",
-    # Late r10: exact global quantiles over the value census via the
-    # new two_level_cumsum (distributed prefix sum, the
-    # two_level_rank plan shape) — displaces q17_small_quantity_revenue
-    # to the r11 queue.
-    "w_exact_quantiles",
-    # Late r10: the streaming forecasting twin (incremental daily
-    # census + the shared Holt recurrence at drain, same SQL text) —
-    # displaces q10_returned_items to the r11 queue.
-    "st_forecast_holt",
-    # Late r10: the streaming exact-percentile twin (value census in
-    # the state store + the shared two_level_cumsum projection) —
-    # displaces pipe_corpus_delta to the r11 queue.
-    "st_exact_quantiles",
-    # Late r10: the T5-style span-corruption manifest (blockwise
-    # md5-deterministic masking schedule, positional checksum graded)
-    # — displaces pipe_clean_corpus to the r11 queue.
-    "pipe_span_corruption",
-    # The documented r10 queue head: the 13 r05-stale rows that
-    # yielded their r9 slots to late-r9 additions.
-    "q12_priority_classes",
-    "pipe_pack_sequences",
-    "j8_anti_join_inactive",
-    "q13_customer_distribution",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "samp_fixed_k",
-    "samp_shuffle_shards",
-    "samp_token_budget",
-    "st_enrich_join",
-    "text_bpe_train",
-    "w_running_total",
-    # The r04-stale rows-only rows (oldest driver rows in the
-    # registry; each is digest/recall/bound-pinned in pytest, the
-    # driver re-checks rows+schema).
-    "ev_approx_distinct",
-    "mm_phash_pairs",
-    "v_ann_ivf_topk",
-    "v_ann_lsh_topk",
-    "v_ann_pq_topk",
-    # The r06 cohort, alphabetical — first 23; the remaining 18
-    # (st_attribution_join, st_hourly_agg, st_stateful_totals,
-    # text_bm25_topk and text_hybrid_rrf — displaced by the late-r10
-    # ev_survival_daily / v_pq_codes / pipe_interleave /
-    # st_sample_fixed_k / ev_forecast_holt / v_mmr_topk (graduated to
-    # a windowed slot when it gained its recursive-CTE oracle, taking
-    # samp_epoch_mix's slot) — samp_epoch_mix, pipe_clean_corpus,
-    # pipe_corpus_delta,
-    # q6_forecast_revenue,
-    # q7_volume_shipping, q9_product_profit, q10_returned_items,
-    # q15_top_supplier,
-    # q16_supplier_variety, q17_small_quantity_revenue, q19_or_of_ands,
-    # q20_red_part_specialists,
-    # q21_blamed_suppliers, q22_idle_rich_customers,
-    # text_quality_model,
-    # text_redact_pii, text_tfidf,
-    # text_token_stats, text_vocab_coverage, v2_cosine_topk,
-    # v3_similarity_self_join, v_batch_knn, v_centroid_outliers,
-    # v_filtered_topk, v_quantize_int8, w_trailing_7d)
-    # head the r11 queue, then r07/r08 as they age.
-    "a_robust_stats",
-    "dedup_fuzzy_names",
-    "ev_anomaly_zscore",
-    "ev_json_props",
-    "ev_scd2_intervals",
-    "j_bloom_semi_join",
-    "mm_binary_meta",
+    # New this round: pipe_bpe_encode GRADUATED to a full hash oracle
+    # (all 30 training rounds + the encode fold replayed in SQL) —
+    # grade the shipping form; v_hnsw_rerank (the HNSW family's
+    # deterministic-stage sub-oracle); st_ab_test (streaming
+    # experiment monitor, same SQL as ev_ab_test); pipe_tokenizer_drift
+    # (per-source OOV drift gate in integer ppm). Changed graded path:
+    # v_kcenter_coreset / v_mmr_topk now round via the engine (HALF_UP)
+    # instead of Python's half-even round() (ADVICE r10) — regrade the
+    # shipping forms.
     "pipe_bpe_encode",
-    "pipe_chunk_overlap",
+    "v_hnsw_rerank",
+    "st_ab_test",
+    "pipe_tokenizer_drift",
+    "v_kcenter_coreset",
+    "v_mmr_topk",
+    # The 31 r06-stale rows (every entry whose last driver row is r06),
+    # alphabetical.
+    "pipe_clean_corpus",
+    "pipe_corpus_delta",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_or_of_ands",
+    "q20_red_part_specialists",
+    "q21_blamed_suppliers",
+    "q22_idle_rich_customers",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "samp_epoch_mix",
+    "st_attribution_join",
+    "st_hourly_agg",
+    "st_stateful_totals",
+    "text_bm25_topk",
+    "text_hybrid_rrf",
+    "text_quality_model",
+    "text_redact_pii",
+    "text_tfidf",
+    "text_token_stats",
+    "text_vocab_coverage",
+    "v2_cosine_topk",
+    "v3_similarity_self_join",
+    "v_batch_knn",
+    "v_centroid_outliers",
+    "v_filtered_topk",
+    "v_quantize_int8",
+    "w_trailing_7d",
+    # The r07-stale queue head, in VERDICT r10 item #1's order.
+    "text_pmi_collocations",
+    "ev_session_paths",
+    "g_hits",
+    "g_ppr",
+    "ev_bitmap_distinct",
+    "ev_bitmap_overlap",
+    "st_bitmap_distinct",
+    "v_hamming_topk",
+    "v_matryoshka_topk",
+    "samp_weighted_k",
+    "pipe_bpe_vocab",
+    "v_mmr_pool",
+    "dedup_url_canon",
 ]
 
 

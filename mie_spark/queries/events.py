@@ -2679,9 +2679,9 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_from_daily(daily_cents_census(ev))
 
 
-@query(
-    "ev_ab_test",
-    oracle="""
+# Shared by ev_ab_test (batch) and st_ab_test (streaming twin in
+# queries/streaming.py) — identical SQL text, the st_drift_ks doctrine.
+AB_TEST_ORACLE = """
     WITH u AS (
       SELECT user_id,
              max(CASE WHEN event_type = 'purchase' AND value >= 100
@@ -2718,8 +2718,10 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (1.0 - (c1 + c2) * 1.0 / (n1 + n2))
                       * (1.0 / n1 + 1.0 / n2))) >= 1.96 AS significant
     FROM w
-    """,
-)
+    """
+
+
+@query("ev_ab_test", oracle=AB_TEST_ORACLE)
 def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion A/B significance test: users are hash-split into
     variants (md5 first byte < 0x80 -> A, the repo's deterministic
@@ -2742,10 +2744,18 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     so lift/z/significant agree bit-for-bit. Plan: one user_id
     aggregate touches events; everything after is a <=2-row reduction
     (scalar-subquery decorrelation on the Spark side)."""
-    from mie_spark.operators.sampling import hash_bucket
-
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
+    return ab_test_from_users(user_conversion_census(ev))
+
+
+def user_conversion_census(ev: DataFrame) -> DataFrame:
+    """The per-user (user_id, converted) census both A/B forms
+    aggregate to — ONE definition so the batch test and its streaming
+    twin stay bit-identical (the twin-grading contract). Streaming:
+    this is a complete-mode aggregate whose state is O(|users|) flags
+    — experiment-bounded, not corpus-bounded (a user converts once,
+    however many events they fire)."""
+    return ev.groupBy("user_id").agg(
         F.max(
             F.when(
                 (F.col("event_type") == "purchase")
@@ -2754,6 +2764,14 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("converted")
     )
+
+
+def ab_test_from_users(u: DataFrame) -> DataFrame:
+    """Variant split + pooled two-proportion z over a (user_id,
+    converted) census — the bounded projection shared by ev_ab_test
+    and st_ab_test (drained state in, <=2-row reduction out)."""
+    from mie_spark.operators.sampling import hash_bucket
+
     a = u.select(
         F.when(hash_bucket(F.col("user_id")) < 128, "A")
         .otherwise("B")

@@ -712,6 +712,39 @@ def st_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_from_daily(drained)
 
 
+from mie_spark.queries.events import AB_TEST_ORACLE  # noqa: E402
+
+
+@query("st_ab_test", oracle=AB_TEST_ORACLE)
+def st_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_ab_test — SEQUENTIAL experiment
+    monitoring: the per-user conversion census accretes in the
+    complete-mode state store (each micro-batch folds its events into
+    the standing per-user max-converted flags via the SAME
+    user_conversion_census the batch test aggregates), and the pooled
+    two-proportion z recomputes from the drained O(|users|) state via
+    the SAME ab_test_from_users projection, grading against the SAME
+    SQL text. This is the anytime monitor every experimentation stack
+    runs: the z-statistic refreshes per micro-batch from
+    experiment-bounded state — a user's flag is idempotent under
+    replay (max of 0/1), so late or duplicated events never flip a
+    verdict — and the honest deployment pairs it with a sequential
+    boundary (the fixed 1.96 threshold is anytime-INVALID; the
+    significant column is the gate input, not a peeking license).
+    Same doctrine as st_drift_ks/st_changepoint; state is users, not
+    events."""
+    from mie_spark.queries.events import (
+        ab_test_from_users,
+        user_conversion_census,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    drained = run_to_memory_sink(
+        user_conversion_census(ev), output_mode="complete", state_partitions=8
+    )
+    return ab_test_from_users(drained)
+
+
 from mie_spark.queries.analytic import QUANTILES_ORACLE  # noqa: E402
 
 

@@ -1310,6 +1310,137 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_tokenizer_drift",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    census AS (
+      SELECT source, w,
+             count(*)::BIGINT AS n_curr,
+             count(CASE WHEN doc_id % 10 <> 0 THEN 1 END)::BIGINT AS n_prev
+      FROM tok GROUP BY source, w
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, sum(n_prev)::BIGINT AS freq FROM census GROUP BY w
+      ) WHERE freq > 0 ORDER BY freq DESC, w LIMIT 20
+    ),
+    per_source AS (
+      SELECT c.source,
+             sum(c.n_prev)::BIGINT AS tok_prev,
+             sum(CASE WHEN v.w IS NULL THEN c.n_prev ELSE 0 END)::BIGINT
+               AS oov_prev,
+             sum(c.n_curr)::BIGINT AS tok_curr,
+             sum(CASE WHEN v.w IS NULL THEN c.n_curr ELSE 0 END)::BIGINT
+               AS oov_curr
+      FROM census c LEFT JOIN vocab v ON c.w = v.w
+      GROUP BY c.source
+    )
+    SELECT source, tok_prev, oov_prev, tok_curr, oov_curr,
+           CASE WHEN tok_prev > 0 THEN
+             ((oov_prev * 2000000 + tok_prev) // (2 * tok_prev))::BIGINT
+           END AS oov_ppm_prev,
+           ((oov_curr * 2000000 + tok_curr) // (2 * tok_curr))::BIGINT
+             AS oov_ppm_curr,
+           CASE WHEN tok_prev > 0 THEN
+             abs(((oov_curr * 2000000 + tok_curr) // (2 * tok_curr))
+                 - ((oov_prev * 2000000 + tok_prev) // (2 * tok_prev)))
+               >= 5000
+           ELSE
+             ((oov_curr * 2000000 + tok_curr) // (2 * tok_curr)) >= 5000
+           END AS drift
+    FROM per_source
+    """,
+)
+def pipe_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary drift gate (VERDICT r10 stretch): when a
+    corpus refresh lands, does the SHIPPED tokenizer still cover it?
+    The vocabulary is the top-20 words (freq desc, word asc — the
+    pipe_bpe_vocab rule) of the PREVIOUS snapshot (doc_id % 10 <> 0,
+    pipe_corpus_delta's simulated-crawl convention: every 10th doc is
+    new this crawl), and the gate compares per-source out-of-vocabulary
+    rates between snapshots — a source whose OOV rate moved >= 5000 ppm
+    (0.5%) needs tokenizer retraining before the next pretraining run
+    (the dq_drift_ks sibling for the tokenizer).
+
+    Exactness: rates are integer PPM via the half-up formula
+    ((2*oov*10^6 + tok) div (2*tok)) — no float division anywhere, so
+    the drift comparison is a pure BIGINT predicate on both engines
+    (and 2*oov*10^6 stays < 2^63 well past sf10 under ANSI). Plan: one
+    tokenize scan feeds BOTH snapshot censuses (the prev snapshot is a
+    conditional count, not a second scan), the 20-row vocab broadcasts
+    back onto the (source, word) census, and the per-source rollup is
+    map-side-combinable — two small shuffles at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    census = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("n_curr"),
+        F.count(F.when(F.col("doc_id") % 10 != 0, 1)).alias("n_prev"),
+    )
+    vocab = (
+        census.groupBy("w")
+        .agg(F.sum("n_prev").alias("freq"))
+        .filter(F.col("freq") > 0)
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(20)
+        .select("w", F.lit(1).alias("iv"))
+    )
+    marked = census.join(F.broadcast(vocab), "w", "left")
+    per_source = marked.groupBy("source").agg(
+        F.sum("n_prev").alias("tok_prev"),
+        F.sum(
+            F.when(F.col("iv").isNull(), F.col("n_prev")).otherwise(0)
+        ).alias("oov_prev"),
+        F.sum("n_curr").alias("tok_curr"),
+        F.sum(
+            F.when(F.col("iv").isNull(), F.col("n_curr")).otherwise(0)
+        ).alias("oov_curr"),
+    )
+    # A source with tok_prev = 0 is NEW this crawl (whole sources do
+    # appear: src0/src10's doc_ids are all = 0 mod 10 at sf0.01) — its
+    # prev rate is undefined (NULL, and the naked formula would divide
+    # by zero under the driver's ANSI session), so a new source gates
+    # on its ABSOLUTE current OOV rate instead of the delta.
+    ppm_prev = F.when(
+        F.col("tok_prev") > 0,
+        int_div(
+            F.col("oov_prev") * 2_000_000 + F.col("tok_prev"),
+            F.col("tok_prev") * 2,
+        ),
+    )
+    ppm_curr = int_div(
+        F.col("oov_curr") * 2_000_000 + F.col("tok_curr"),
+        F.col("tok_curr") * 2,
+    )
+    drift = F.when(
+        F.col("tok_prev") > 0, F.abs(ppm_curr - ppm_prev) >= 5000
+    ).otherwise(ppm_curr >= 5000)
+    return per_source.select(
+        "source",
+        "tok_prev",
+        "oov_prev",
+        "tok_curr",
+        "oov_curr",
+        ppm_prev.alias("oov_ppm_prev"),
+        ppm_curr.alias("oov_ppm_curr"),
+        drift.alias("drift"),
+    )
+
+
+@query(
     "pipe_corpus_delta",
     oracle=r"""
     WITH curr AS (
