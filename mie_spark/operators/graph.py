@@ -541,7 +541,12 @@ def luby_mis(
     priority) — never adjacency lists; a hub's priority comparison is
     one map-combined min over its incident messages.
     """
-    e = _undirect(edges).select("src", "dst")
+    # Materialize the undirected edge list ONCE: every round references
+    # it twice (both phases' triplet joins), so an unmaterialized edge
+    # derivation — g_mis feeds the planted-edge EXPRESSION over
+    # documents — would recompute 2*rounds times (the BFS/pagerank
+    # edge-checkpoint doctrine; g_mis r11 profile).
+    e = _undirect(edges).select("src", "dst").localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).distinct()
     state = nodes.withColumn("status", F.lit(0))  # 0 undec / 1 mis / 2 out
 
@@ -596,11 +601,15 @@ def luby_mis(
         state,
         step,
         rounds,
-        eager=True,
         # a fixed-round (statuses) run must execute EVERY round so the
         # unrolled oracle replays the identical computation; the early
         # halt is an optimization only valid when reporting membership
-        # (extra rounds are no-ops once nothing is undecided)
+        # (extra rounds are no-ops once nothing is undecided). With no
+        # halt probe there is nothing to materialize per round either:
+        # lazy checkpoints run the whole loop as ONE job (the pregel
+        # fixed-iteration doctrine; g_mis r11 — eager cadence cost ~2x
+        # the baseline row at sf0.1, 6 extra materialization jobs)
+        eager=not statuses,
         halt=None
         if statuses
         else (

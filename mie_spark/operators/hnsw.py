@@ -356,11 +356,20 @@ def search_hnsw(
 # regime this avoids.
 AUTO_SHARD_TARGET = 4096
 
+# Parallelism floor for shards="auto": below 8*4096 vectors the target
+# alone would give < 8 segments (a single 2000-vector graph at the
+# bench corpus — one thread building while 31 idle). Lucene behaves the
+# same way: small indexes still carry multiple segments from concurrent
+# flushes. 8 matches the historical fixed default, so auto strictly
+# dominates it: identical small-corpus behavior, constant-size segments
+# once n clears 32k (the r11 sf1->sf10 curve measures exactly this).
+AUTO_MIN_SHARDS = 8
+
 
 def _resolve_shards(df: DataFrame, id_col: str, shards: int | str) -> int:
     if shards == "auto":
         n = df.select(id_col).count()
-        return max(1, -(-n // AUTO_SHARD_TARGET))
+        return max(AUTO_MIN_SHARDS, -(-n // AUTO_SHARD_TARGET))
     return int(shards)
 
 

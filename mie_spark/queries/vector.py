@@ -140,11 +140,20 @@ def v_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     last 'missing' line from VERDICT r8 (LSH/IVF/PQ were the sanctioned
     substitution; this is the real graph). Rows-only like the rest of
     the ANN family; recall floor + determinism + indexed==on-the-fly
-    parity pinned in tests/test_vector.py."""
+    parity pinned in tests/test_vector.py; the deterministic stages
+    (shard/pool/re-rank) hash-grade via v_hnsw_rerank.
+
+    shards="auto" since r11 (constant ~4096-vector segments — the
+    Lucene lever): the sf1->sf10 curve measured fixed-8 shards going
+    super-linear (per-shard n·log n·ef_c growing 10x) while auto stays
+    near-linear by adding segments at constant size; see SCALE.md r11
+    and AUTO_SHARD_TARGET in operators/hnsw.py."""
     from mie_spark.operators.hnsw import hnsw_topk
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    top = hnsw_topk(emb, "embedding", _query_vec(spark, sf_dir), k=10)
+    top = hnsw_topk(
+        emb, "embedding", _query_vec(spark, sf_dir), k=10, shards="auto"
+    )
     return top.select("vec_id", F.round("sim", 6).alias("sim"))
 
 

@@ -803,13 +803,17 @@ def test_hnsw_index_generations_commit_atomically(spark, tmp_path):
 
 def test_hnsw_auto_shards_targets_segment_size(spark, tmp_path):
     """shards="auto" sizes the segment count from the corpus
-    (ceil(n / AUTO_SHARD_TARGET)) — the Lucene lever the scale curve
-    names: at growing n the production answer is MORE segments at
-    constant size, never bigger graphs. Pins the resolution rule and
-    that the auto-sharded index serves the same exact-rerank contract."""
+    (max(AUTO_MIN_SHARDS, ceil(n / AUTO_SHARD_TARGET))) — the Lucene
+    lever the scale curve names: at growing n the production answer is
+    MORE segments at constant size, never bigger graphs, and below
+    8 * target the parallelism floor keeps small corpora on 8 segments
+    (the historical fixed default, so auto strictly dominates it).
+    Pins the resolution rule and that the auto-sharded index serves
+    the same exact-rerank contract."""
     import numpy as np
 
     from mie_spark.operators.hnsw import (
+        AUTO_MIN_SHARDS,
         AUTO_SHARD_TARGET,
         _current_generation,
         _resolve_shards,
@@ -819,14 +823,17 @@ def test_hnsw_auto_shards_targets_segment_size(spark, tmp_path):
     from mie_spark.operators.vector import cosine_topk
 
     rng = np.random.RandomState(9)
-    n = 2 * AUTO_SHARD_TARGET + 500  # -> 3 shards
+    n = 2 * AUTO_SHARD_TARGET + 500  # under the floor -> 8 shards
     df = spark.createDataFrame(
         [(int(i), [float(x) for x in rng.randn(8)]) for i in range(n)],
         "vec_id long, embedding array<double>",
     )
-    assert _resolve_shards(df, "vec_id", "auto") == 3
-    assert _resolve_shards(df.limit(10), "vec_id", "auto") == 1
+    assert _resolve_shards(df, "vec_id", "auto") == AUTO_MIN_SHARDS
+    assert _resolve_shards(df.limit(10), "vec_id", "auto") == AUTO_MIN_SHARDS
     assert _resolve_shards(df, "vec_id", 8) == 8
+    # above the floor the target governs: constant ~4096-vector segments
+    big = spark.range(AUTO_MIN_SHARDS * AUTO_SHARD_TARGET + 500)
+    assert _resolve_shards(big, "id", "auto") == AUTO_MIN_SHARDS + 1
 
     path = str(tmp_path / "auto_idx")
     write_ann_hnsw_index(df, path, shards="auto")
@@ -835,7 +842,7 @@ def test_hnsw_auto_shards_targets_segment_size(spark, tmp_path):
     gen = _current_generation(spark, path)
     assert sorted(
         d for d in os.listdir(gen) if d.startswith("shard=")
-    ) == ["shard=0", "shard=1", "shard=2"]
+    ) == [f"shard={i}" for i in range(AUTO_MIN_SHARDS)]
     q = [float(x) for x in rng.randn(8)]
     got = {r["vec_id"] for r in ann_topk_hnsw_indexed(spark, path, q, k=10).collect()}
     exact = {r["vec_id"] for r in cosine_topk(df, "embedding", q, 10).collect()}

@@ -21,7 +21,13 @@ corpus rather than degenerating):
   (seed = copy) so ANN structure is 10 independent corpora rather
   than every vector having 9 exact twins.
 
-Usage: python tools_gen_scale_sf.py [copies] (default 10)
+Usage: python tools_gen_scale_sf.py [copies] [dst] [only]
+  copies: replica count (default 10 -> sf1)
+  dst:    output dir (default /root/repo/.scale/sf1)
+  only:   comma-separated table subset (default: all) — the sf10 curve
+          (VERDICT r10 #3) needs only documents+embeddings at 100
+          copies, so: `python tools_gen_scale_sf.py 100
+          /root/repo/.scale/sf10 documents,embeddings`
 """
 
 import os
@@ -34,8 +40,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/.scale/sf1"
 COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+
+def _wanted(t: str) -> bool:
+    return ONLY is None or t in ONLY
 
 SHIFTS = {
     "customer": {"c_custkey": 100_000},
@@ -57,12 +68,16 @@ def main() -> None:
     con = duckdb.connect()
 
     for t in ("region", "nation"):
+        if not _wanted(t):
+            continue
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
             f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
         )
 
     for t, shifts in SHIFTS.items():
+        if not _wanted(t):
+            continue
         cols = [
             c[0]
             for c in con.execute(
@@ -87,6 +102,8 @@ def main() -> None:
         print(t, "done")
 
     # documents: token-renamed copies (see module docstring)
+    if not _wanted("documents"):
+        return _embeddings(con)
     n_docs = con.execute(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
@@ -112,7 +129,12 @@ def main() -> None:
       ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
     """)
     print("documents done")
+    _embeddings(con)
 
+
+def _embeddings(con) -> None:
+    if not _wanted("embeddings"):
+        return
     # embeddings: noise-perturbed copies
     tbl = pq.read_table(f"{SRC}/embeddings.parquet")
     vec_ids = tbl["vec_id"].to_numpy()
@@ -144,6 +166,8 @@ def main() -> None:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
+        if not _wanted(t):
+            continue
         cnt = con.execute(
             f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
         ).fetchone()[0]
