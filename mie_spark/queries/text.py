@@ -1386,10 +1386,16 @@ def pipe_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
+    # The census is consumed TWICE (vocab derivation + the per-source
+    # rollup); Catalyst does not reuse the exchange across the two
+    # consumers, so without this the corpus would be tokenized twice
+    # (caught in the r11 PLANS.md audit: 2 full document scans). The
+    # census is (source, word)-bounded — vocabulary-sized, sublinear
+    # in the corpus — so one localCheckpoint is the scale-correct fix.
     census = tok.groupBy("source", "w").agg(
         F.count(F.lit(1)).alias("n_curr"),
         F.count(F.when(F.col("doc_id") % 10 != 0, 1)).alias("n_prev"),
-    )
+    ).localCheckpoint()
     vocab = (
         census.groupBy("w")
         .agg(F.sum("n_prev").alias("freq"))
