@@ -196,6 +196,8 @@ HEADLINE = [
     "v_hnsw_rerank",             # HNSW deterministic stages: shard + pool + exact re-rank
     "st_ab_test",                # streaming experiment monitor, per-user census state
     "pipe_tokenizer_drift",      # per-source OOV drift gate, integer ppm
+    "st_tokenizer_drift",        # streaming tokenizer-coverage twin, census state
+    "ev_ab_sequential",          # per-day prefix z curve, the peeking audit
 ]
 
 

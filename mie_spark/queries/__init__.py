@@ -71,9 +71,10 @@ _GRADE_FIRST = [
     # windowed immediately, the standing r5 lesson — then (2) the
     # stalest driver rows: ALL 31 r06-stale entries (last driver row
     # r06: the cohort displaced across r9/r10), then (3) the r07-stale
-    # queue head in VERDICT r10's order. 6 + 31 + 13 = 50; the
-    # remaining 34 r07-stale rows head the r12 queue
-    # (dedup_containment, ev_heavy_hitters, ev_kmv_overlap,
+    # queue head in VERDICT r10's order. 8 + 31 + 11 = 50; the
+    # remaining 36 r07-stale rows head the r12 queue (v_mmr_pool and
+    # dedup_url_canon displaced by the late-r11 additions, then:
+    # dedup_containment, ev_heavy_hitters, ev_kmv_overlap,
     # ev_stickiness, g_bfs_hops, g_chain_motif, g_connected_components,
     # g_copurchase_jaccard, g_mis, g_random_walks, j3/j4/j6, o5,
     # a4_groupby_metrics, a_assoc_rules, a_cube_orders, mm_decode_meta,
@@ -95,6 +96,13 @@ _GRADE_FIRST = [
     "v_hnsw_rerank",
     "st_ab_test",
     "pipe_tokenizer_drift",
+    # Late r11, windowed on arrival: the streaming tokenizer-coverage
+    # twin (8th twin family, same SQL text) and the sequential
+    # experiment-monitoring curve (per-day prefix z, the peeking
+    # audit). They displace v_mmr_pool / dedup_url_canon to the r12
+    # queue head.
+    "st_tokenizer_drift",
+    "ev_ab_sequential",
     "v_kcenter_coreset",
     "v_mmr_topk",
     # The 31 r06-stale rows (every entry whose last driver row is r06),
@@ -142,8 +150,6 @@ _GRADE_FIRST = [
     "v_matryoshka_topk",
     "samp_weighted_k",
     "pipe_bpe_vocab",
-    "v_mmr_pool",
-    "dedup_url_canon",
 ]
 
 

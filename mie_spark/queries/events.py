@@ -2679,6 +2679,170 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_from_daily(daily_cents_census(ev))
 
 
+_AB_Z_SQL = (
+    "(c1 * 1.0 / n1 - c2 * 1.0 / n2)"
+    " / sqrt(((c1 + c2) * 1.0 / (n1 + n2))"
+    "        * (1.0 - (c1 + c2) * 1.0 / (n1 + n2))"
+    "        * (1.0 / n1 + 1.0 / n2))"
+)
+
+_AB_Z_GUARD = "n1 > 0 AND n2 > 0 AND c1 + c2 > 0 AND c1 + c2 < n1 + n2"
+
+
+@query(
+    "ev_ab_sequential",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 2))
+                       ::INTEGER < 128
+                  THEN 'A' ELSE 'B' END AS variant,
+             min(date_trunc('day', ts)::DATE) AS enter_day,
+             min(CASE WHEN event_type = 'purchase' AND value >= 100
+                      THEN date_trunc('day', ts)::DATE END) AS conv_day
+      FROM events GROUP BY user_id
+    ),
+    days AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS day FROM events),
+    spine AS (
+      SELECT day, v.variant
+      FROM days, (SELECT 'A' AS variant UNION ALL SELECT 'B') v
+    ),
+    e AS (
+      SELECT variant, enter_day AS day, count(*)::BIGINT AS n
+      FROM u GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT variant, conv_day AS day, count(*)::BIGINT AS n
+      FROM u WHERE conv_day IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT s.day, s.variant,
+             sum(coalesce(e.n, 0)) OVER (PARTITION BY s.variant
+                                         ORDER BY s.day)::BIGINT AS n_cum,
+             sum(coalesce(c.n, 0)) OVER (PARTITION BY s.variant
+                                         ORDER BY s.day)::BIGINT AS c_cum
+      FROM spine s
+      LEFT JOIN e ON e.variant = s.variant AND e.day = s.day
+      LEFT JOIN c ON c.variant = s.variant AND c.day = s.day
+    ),
+    p AS (
+      SELECT day,
+             max(CASE WHEN variant = 'A' THEN n_cum END)::BIGINT AS n1,
+             max(CASE WHEN variant = 'A' THEN c_cum END)::BIGINT AS c1,
+             max(CASE WHEN variant = 'B' THEN n_cum END)::BIGINT AS n2,
+             max(CASE WHEN variant = 'B' THEN c_cum END)::BIGINT AS c2
+      FROM cum GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n1, c1, n2, c2,
+           CASE WHEN {_AB_Z_GUARD} THEN round({_AB_Z_SQL}, 6) END AS z,
+           CASE WHEN {_AB_Z_GUARD} THEN abs({_AB_Z_SQL}) >= 1.96 END
+             AS crossed_naive
+    FROM p
+    """,
+)
+def ev_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL experiment monitoring curve — the per-day prefix
+    z-statistic ev_ab_test's single verdict collapses: for every
+    calendar day, users entered (first event) and converted (first
+    qualifying purchase) BY that day per variant, the pooled
+    two-proportion z over the cumulative counts, and the naive
+    |z| >= 1.96 crossing flag. On untreated (A/A) data this is the
+    peeking-inflation audit: counting crossed_naive days measures
+    exactly the alpha inflation that makes fixed-threshold peeking
+    invalid, and the honest deployed monitor replaces 1.96 with a
+    sequential boundary (alpha-spending) over THIS SAME curve — the
+    curve, not the boundary constant, is the operator.
+
+    Exactness: per-user (variant, enter_day, conv_day) comes from ONE
+    user_id aggregate (the only corpus-sized work); everything after
+    runs over the bounded |days| x 2 census — prefix sums are exact
+    BIGINTs, z derives from identical expression text on identical
+    integers (the ev_ab_test doctrine), and the crossing flag compares
+    the UNROUNDED z on both engines. Degenerate prefixes (a variant
+    not yet entered, pooled rate 0 or 1) emit NULL z/flag under the
+    same guard in both engines rather than inf/NaN."""
+    from mie_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.min(day).alias("enter_day"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 100),
+                day,
+            )
+        ).alias("conv_day"),
+    )
+    u = u.select(
+        F.when(hash_bucket(F.col("user_id")) < 128, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "enter_day",
+        "conv_day",
+    )
+    enters = u.groupBy("variant", F.col("enter_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    convs = (
+        u.filter(F.col("conv_day").isNotNull())
+        .groupBy("variant", F.col("conv_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark_ = u.sparkSession
+    variants = spark_.createDataFrame([("A",), ("B",)], "variant string")
+    spine = (
+        ev.select(day.alias("day")).distinct().crossJoin(F.broadcast(variants))
+    )
+    joined = (
+        spine.join(enters.withColumnRenamed("n", "ne"), ["variant", "day"], "left")
+        .join(convs.withColumnRenamed("n", "nc"), ["variant", "day"], "left")
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.select(
+        "day",
+        "variant",
+        F.sum(F.coalesce(F.col("ne"), F.lit(0))).over(w).alias("n_cum"),
+        F.sum(F.coalesce(F.col("nc"), F.lit(0))).over(w).alias("c_cum"),
+    )
+    p = cum.groupBy("day").agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_cum"))).alias("n1"),
+        F.max(F.when(F.col("variant") == "A", F.col("c_cum"))).alias("c1"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_cum"))).alias("n2"),
+        F.max(F.when(F.col("variant") == "B", F.col("c_cum"))).alias("c2"),
+    )
+    p1 = F.col("c1") * F.lit(1.0) / F.col("n1")
+    p2 = F.col("c2") * F.lit(1.0) / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")) * F.lit(1.0) / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    guard = (
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & (F.col("c1") + F.col("c2") > 0)
+        & (F.col("c1") + F.col("c2") < F.col("n1") + F.col("n2"))
+    )
+    return p.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.when(guard, F.round(z, 6)).alias("z"),
+        F.when(guard, F.abs(z) >= F.lit(1.96)).alias("crossed_naive"),
+    )
+
+
 # Shared by ev_ab_test (batch) and st_ab_test (streaming twin in
 # queries/streaming.py) — identical SQL text, the st_drift_ks doctrine.
 AB_TEST_ORACLE = """

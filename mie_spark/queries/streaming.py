@@ -712,6 +712,39 @@ def st_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_from_daily(drained)
 
 
+from mie_spark.queries.text import TOKENIZER_DRIFT_ORACLE  # noqa: E402
+
+
+@query("st_tokenizer_drift", oracle=TOKENIZER_DRIFT_ORACLE)
+def st_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pipe_tokenizer_drift — the ingest-time
+    tokenizer-coverage gate: the (source, word, n_curr, n_prev) token
+    census accretes in the complete-mode state store (each corpus
+    micro-batch folds its tokenized words into the standing cells via
+    the SAME tokenizer_census the batch gate aggregates), and the
+    vocab + OOV-ppm drift verdict recomputes from the drained
+    vocabulary-bounded state via the SAME tokenizer_drift_from_census
+    projection, grading against the SAME SQL text. This is how the
+    gate actually deploys: as crawl shards stream in, the census
+    updates incrementally and 'does the shipped tokenizer still cover
+    the refresh?' re-answers per micro-batch from O(sources x vocab)
+    state — never a corpus rescan. Eighth member of the twin set
+    (dedup, decontamination, sampling, drift, changepoint, forecast,
+    exact quantiles, experiment monitoring, tokenizer coverage)."""
+    from mie_spark.queries.text import (
+        tokenizer_census,
+        tokenizer_drift_from_census,
+    )
+
+    from mie_spark.streaming import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    drained = run_to_memory_sink(
+        tokenizer_census(docs), output_mode="complete", state_partitions=8
+    )
+    return tokenizer_drift_from_census(drained.localCheckpoint())
+
+
 from mie_spark.queries.events import AB_TEST_ORACLE  # noqa: E402
 
 

@@ -1309,9 +1309,10 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
-@query(
-    "pipe_tokenizer_drift",
-    oracle=r"""
+# Shared by pipe_tokenizer_drift (batch) and st_tokenizer_drift
+# (streaming twin in queries/streaming.py) — identical SQL text, the
+# st_drift_ks doctrine.
+TOKENIZER_DRIFT_ORACLE = r"""
     WITH tok AS (
       SELECT source, doc_id,
              unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -1354,8 +1355,10 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
              ((oov_curr * 2000000 + tok_curr) // (2 * tok_curr)) >= 5000
            END AS drift
     FROM per_source
-    """,
-)
+    """
+
+
+@query("pipe_tokenizer_drift", oracle=TOKENIZER_DRIFT_ORACLE)
 def pipe_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary drift gate (VERDICT r10 stretch): when a
     corpus refresh lands, does the SHIPPED tokenizer still cover it?
@@ -1376,6 +1379,20 @@ def pipe_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the (source, word) census, and the per-source rollup is
     map-side-combinable — two small shuffles at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
+    return tokenizer_drift_from_census(
+        tokenizer_census(docs).localCheckpoint()
+    )
+
+
+def tokenizer_census(docs: DataFrame) -> DataFrame:
+    """The (source, word, n_curr, n_prev) token census both drift
+    forms aggregate to — ONE definition so the batch gate and its
+    streaming twin stay bit-identical (the twin-grading contract).
+    Vocabulary-bounded: O(sources x distinct words) rows at any corpus
+    size. Batch callers localCheckpoint it (it is consumed twice —
+    vocab derivation + rollup — and Catalyst does not reuse the
+    exchange across the consumers, PLANS.md r11); the streaming twin
+    materializes it through the state store instead."""
     tok = docs.select(
         "source",
         "doc_id",
@@ -1386,16 +1403,17 @@ def pipe_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
-    # The census is consumed TWICE (vocab derivation + the per-source
-    # rollup); Catalyst does not reuse the exchange across the two
-    # consumers, so without this the corpus would be tokenized twice
-    # (caught in the r11 PLANS.md audit: 2 full document scans). The
-    # census is (source, word)-bounded — vocabulary-sized, sublinear
-    # in the corpus — so one localCheckpoint is the scale-correct fix.
-    census = tok.groupBy("source", "w").agg(
+    return tok.groupBy("source", "w").agg(
         F.count(F.lit(1)).alias("n_curr"),
         F.count(F.when(F.col("doc_id") % 10 != 0, 1)).alias("n_prev"),
-    ).localCheckpoint()
+    )
+
+
+def tokenizer_drift_from_census(census: DataFrame) -> DataFrame:
+    """Vocab + per-source OOV-ppm drift projection over a (source, w,
+    n_curr, n_prev) census — the bounded stage shared by
+    pipe_tokenizer_drift and st_tokenizer_drift (census in, one row
+    per source out)."""
     vocab = (
         census.groupBy("w")
         .agg(F.sum("n_prev").alias("freq"))
