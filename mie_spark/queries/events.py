@@ -2775,13 +2775,18 @@ def ev_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("conv_day"),
     )
+    # The user census is consumed TWICE (enter census + conversion
+    # census) and Catalyst does not reuse the aggregate across the two
+    # consumers — without this the corpus is scanned twice (r11
+    # PLANS.md audit, same class as pipe_tokenizer_drift's). O(|users|)
+    # rows, distributed materialization only.
     u = u.select(
         F.when(hash_bucket(F.col("user_id")) < 128, "A")
         .otherwise("B")
         .alias("variant"),
         "enter_day",
         "conv_day",
-    )
+    ).localCheckpoint()
     enters = u.groupBy("variant", F.col("enter_day").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
