@@ -198,6 +198,7 @@ HEADLINE = [
     "pipe_tokenizer_drift",      # per-source OOV drift gate, integer ppm
     "st_tokenizer_drift",        # streaming tokenizer-coverage twin, census state
     "ev_ab_sequential",          # per-day prefix z curve, the peeking audit
+    "dq_profile_drift",          # column-profile drift gate, one-scan multi-distinct
 ]
 
 

@@ -71,9 +71,10 @@ _GRADE_FIRST = [
     # windowed immediately, the standing r5 lesson — then (2) the
     # stalest driver rows: ALL 31 r06-stale entries (last driver row
     # r06: the cohort displaced across r9/r10), then (3) the r07-stale
-    # queue head in VERDICT r10's order. 8 + 31 + 11 = 50; the
-    # remaining 36 r07-stale rows head the r12 queue (v_mmr_pool and
-    # dedup_url_canon displaced by the late-r11 additions, then:
+    # queue head in VERDICT r10's order. 9 + 31 + 10 = 50; the
+    # remaining 37 r07-stale rows head the r12 queue (pipe_bpe_vocab,
+    # v_mmr_pool and dedup_url_canon displaced by late-r11 additions,
+    # then:
     # dedup_containment, ev_heavy_hitters, ev_kmv_overlap,
     # ev_stickiness, g_bfs_hops, g_chain_motif, g_connected_components,
     # g_copurchase_jaccard, g_mis, g_random_walks, j3/j4/j6, o5,
@@ -103,6 +104,11 @@ _GRADE_FIRST = [
     # queue head.
     "st_tokenizer_drift",
     "ev_ab_sequential",
+    # Late r11 (2): column-profile drift gate — the dbt-style profile
+    # diff, with the semi-structured null-drift branch genuinely
+    # exercised via the simulated rollout. Displaces pipe_bpe_vocab to
+    # the r12 queue head.
+    "dq_profile_drift",
     "v_kcenter_coreset",
     "v_mmr_topk",
     # The 31 r06-stale rows (every entry whose last driver row is r06),
@@ -149,7 +155,6 @@ _GRADE_FIRST = [
     "v_hamming_topk",
     "v_matryoshka_topk",
     "samp_weighted_k",
-    "pipe_bpe_vocab",
 ]
 
 

@@ -1199,3 +1199,141 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford.cast("long").alias("benford_micro"),
         F.abs(share - benford).cast("long").alias("dev_micro"),
     )
+
+
+def _profile_drift_oracle() -> str:
+    """One SELECT per profiled column, unioned — each computes both
+    snapshots' metrics in a single aggregate over events (prev
+    membership and the simulated schema rollout are the same
+    deterministic arithmetic the Spark side uses)."""
+
+    def ppm(nulls: str, rows: str) -> str:
+        return f"((2 * ({nulls}) * 1000000 + ({rows})) // (2 * ({rows})))::BIGINT"
+
+    def col_block(name: str, curr: str, prev: str) -> str:
+        np_, nc = (
+            f"count(CASE WHEN p AND ({prev}) IS NULL THEN 1 END)::BIGINT",
+            f"count(CASE WHEN ({curr}) IS NULL THEN 1 END)::BIGINT",
+        )
+        dp, dc = (
+            f"count(DISTINCT CASE WHEN p THEN ({prev}) END)::BIGINT",
+            f"count(DISTINCT ({curr}))::BIGINT",
+        )
+        rp, rc = "count(CASE WHEN p THEN 1 END)::BIGINT", "count(*)::BIGINT"
+        return f"""
+      SELECT '{name}' AS col,
+             {rp} AS rows_prev, {rc} AS rows_curr,
+             {np_} AS nulls_prev, {nc} AS nulls_curr,
+             {dp} AS distinct_prev, {dc} AS distinct_curr,
+             {ppm(np_, rp)} AS null_ppm_prev,
+             {ppm(nc, rc)} AS null_ppm_curr,
+             abs({ppm(nc, rc)} - {ppm(np_, rp)}) >= 5000 AS null_drift,
+             {ppm(dp, rp)} AS uniq_ppm_prev,
+             {ppm(dc, rc)} AS uniq_ppm_curr,
+             abs({ppm(dc, rc)} - {ppm(dp, rp)}) >= 10000 AS uniq_drift
+      FROM d"""
+
+    cols = [
+        ("value_cents", "value_cents", "value_cents"),
+        ("user_id", "user_id", "user_id"),
+        ("event_type", "event_type", "event_type"),
+        ("props_k", "k", "k_prev"),
+    ]
+    blocks = " UNION ALL ".join(col_block(*c) for c in cols)
+    return f"""
+    WITH d AS (
+      SELECT event_id % 10 <> 0 AS p,
+             CAST(round(value * 100) AS BIGINT) AS value_cents,
+             user_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN event_id % 7 <> 0
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k_prev
+      FROM events
+    )
+    {blocks}
+    """
+
+
+@query("dq_profile_drift", oracle=_profile_drift_oracle())
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between corpus snapshots — the
+    dbt/great-expectations "profile diff" every ingest pipeline runs
+    before accepting a refresh: per profiled column, row/null/distinct
+    counts for the previous and current snapshots, null-rate and
+    uniqueness in integer PPM (half-up formula — the
+    pipe_tokenizer_drift doctrine), and pure-BIGINT drift flags
+    (null-rate moved >= 5000 ppm; uniqueness moved >= 10000 ppm). The
+    semi-structured column (props ->> k) is where real feeds break
+    first — upstream rollouts add or drop JSON fields for a fraction
+    of traffic — so the previous snapshot SIMULATES exactly that
+    deterministically (field absent for event_id % 7 == 0, the
+    pipe_corpus_delta convention: both engines derive the scenario
+    from the same arithmetic), making the null-drift branch genuinely
+    exercised at every graded scale rather than vacuously zero (the
+    ev_survival_daily lesson).
+
+    Plan shape: ONE pass over events computes all 4 columns x 2
+    snapshots of metrics (the multi-count(DISTINCT) expands to a
+    grouping-sets style plan, still one scan); the 4-row output
+    assembles from the single collected aggregate row — the bounded
+    scalar-decorrelation pattern. At 100 TB: one scan, map-side
+    combine, O(columns) driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    d = ev.select(
+        (F.col("event_id") % 10 != 0).alias("p"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        "user_id",
+        "event_type",
+        k.alias("k"),
+        F.when(F.col("event_id") % 7 != 0, k).alias("k_prev"),
+    )
+
+    cols = [
+        ("value_cents", "value_cents", "value_cents"),
+        ("user_id", "user_id", "user_id"),
+        ("event_type", "event_type", "event_type"),
+        ("props_k", "k", "k_prev"),
+    ]
+    aggs = [
+        F.count(F.when(F.col("p"), 1)).alias("rows_prev"),
+        F.count(F.lit(1)).alias("rows_curr"),
+    ]
+    for name, curr, prev in cols:
+        aggs += [
+            F.count(
+                F.when(F.col("p") & F.col(prev).isNull(), 1)
+            ).alias(f"np_{name}"),
+            F.count(F.when(F.col(curr).isNull(), 1)).alias(f"nc_{name}"),
+            F.countDistinct(F.when(F.col("p"), F.col(prev))).alias(
+                f"dp_{name}"
+            ),
+            F.countDistinct(F.col(curr)).alias(f"dc_{name}"),
+        ]
+    row = d.agg(*aggs).collect()[0]  # bounded: ONE row of counters
+
+    def ppm(nulls: int, rows: int) -> int:
+        return (2 * nulls * 1_000_000 + rows) // (2 * rows)
+
+    out = []
+    rp, rc = int(row["rows_prev"]), int(row["rows_curr"])
+    for name, _, _ in cols:
+        np_, nc = int(row[f"np_{name}"]), int(row[f"nc_{name}"])
+        dp, dc = int(row[f"dp_{name}"]), int(row[f"dc_{name}"])
+        out.append(
+            (
+                name, rp, rc, np_, nc, dp, dc,
+                ppm(np_, rp), ppm(nc, rc),
+                abs(ppm(nc, rc) - ppm(np_, rp)) >= 5000,
+                ppm(dp, rp), ppm(dc, rc),
+                abs(ppm(dc, rc) - ppm(dp, rp)) >= 10000,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "col string, rows_prev long, rows_curr long, nulls_prev long, "
+        "nulls_curr long, distinct_prev long, distinct_curr long, "
+        "null_ppm_prev long, null_ppm_curr long, null_drift boolean, "
+        "uniq_ppm_prev long, uniq_ppm_curr long, uniq_drift boolean",
+    )
