@@ -7,7 +7,19 @@ dedup); prefixes double as type tags for dispatch (`fact:` `dec:` `ent:`
 `evt:` `top:`, reader.go:310-325).
 
 Same content ⇒ same ID ⇒ upsert gives idempotent, dedup-by-construction
-writes. Provided both as plain Python (driver-side single writes) and
+writes.
+
+KNOWN reference-inherited semantics (kept for parity — the content-hash
+idempotency story depends on byte-identical IDs): the field separator
+`|` is NOT escaped, exactly as in the reference's
+``strings.Join(fields, "|")`` (ids.go:16-20). Fields that themselves
+contain `|` can therefore collide under permutation or re-splitting —
+e.g. ``generate_id("fact", "", "|") == generate_id("fact", "|", "")``
+(both join to ``"||"``). This is the same class of inherited quirk as
+the threshold comparison in SURVEY §2.10: documented, tested at the
+boundary, deliberately not "fixed".
+
+Provided both as plain Python (driver-side single writes) and
 as Spark column expressions (bulk ingest: sha2 + substring stay in
 whole-stage codegen, so a 100 TB ingest derives IDs with zero Python).
 """

@@ -51,13 +51,30 @@ def test_entity_id_ascii_case_insensitive(name, kind):
     assert entity_id(name, kind) == entity_id(name.swapcase(), kind)
 
 
-@given(st.text(max_size=50), st.text(max_size=50), st.text(max_size=50))
+NO_PIPE = st.text(max_size=50).filter(lambda s: "|" not in s)
+
+
+@given(NO_PIPE, NO_PIPE, st.text(max_size=50))
 def test_field_order_matters(a, b, c):
-    """join('|') is order-sensitive: permuting distinct fields must not
-    collide (sha256 collision odds aside)."""
+    """join('|') is order-sensitive for DELIMITER-FREE fields: permuting
+    distinct fields must not collide (sha256 collision odds aside).
+
+    Fields containing '|' are excluded: the reference's unescaped
+    strings.Join(fields, "|") (ids.go:16-20) makes e.g. ('', '|') and
+    ('|', '') join to the same "||" in BOTH engines — a documented,
+    parity-inherited collision (ids.py docstring), not a bug to fix
+    here. test_pipe_delimiter_collision_is_inherited pins it."""
     if a != b:
         assert generate_id("fact", a, b) != generate_id("fact", b, a)
     assert generate_id("fact", a, b, c) == generate_id("fact", a, b, c)
+
+
+def test_pipe_delimiter_collision_is_inherited():
+    """The exact counterexample Hypothesis found in r11, pinned as the
+    EXPECTED (reference-parity) behavior: unescaped '|' join collides
+    under permutation, identically to the reference's ids.go:16-20."""
+    assert generate_id("fact", "", "|") == generate_id("fact", "|", "")
+    assert generate_id("fact", "a|", "b") == generate_id("fact", "a", "|b")
 
 
 @given(st.one_of(st.none(), st.floats(allow_nan=False), st.just(0.0)))
