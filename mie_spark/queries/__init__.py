@@ -66,95 +66,80 @@ def _load_all() -> None:
 # rows first, (2) queries added this round, (3) queries whose code or
 # shared helpers changed this round, (4) oldest remaining stale rows.
 _GRADE_FIRST = [
-    # Round 11 rotation (VERDICT r10 item #1). Priority rule unchanged:
-    # (1) queries added or whose GRADED path changed this round —
-    # windowed immediately, the standing r5 lesson — then (2) the
-    # stalest driver rows: ALL 31 r06-stale entries (last driver row
-    # r06: the cohort displaced across r9/r10), then (3) the r07-stale
-    # queue head in VERDICT r10's order. 9 + 31 + 10 = 50; the
-    # remaining 37 r07-stale rows head the r12 queue (pipe_bpe_vocab,
-    # v_mmr_pool and dedup_url_canon displaced by late-r11 additions,
-    # then:
-    # dedup_containment, ev_heavy_hitters, ev_kmv_overlap,
-    # ev_stickiness, g_bfs_hops, g_chain_motif, g_connected_components,
-    # g_copurchase_jaccard, g_mis, g_random_walks, j3/j4/j6, o5,
-    # a4_groupby_metrics, a_assoc_rules, a_cube_orders, mm_decode_meta,
-    # mm_frame_sample, mm_mjpeg_frames, q4/q8/q11/q18,
-    # st_sliding_distinct, text_bigram_logprob, text_gopher_rules,
-    # ev_sliding_distinct, v_lsh_buckets, w_distribution_stats,
-    # u2/u4, v_embed_corpus, w_lag_monthly_delta), then r08.
+    # Round 12 rotation (VERDICT r11 item #2). Priority rule unchanged
+    # (stable since r5): (1) queries added or whose GRADED path changed
+    # this round — windowed on arrival — then (2) stalest driver rows.
+    # This round the stalest cohort is exactly VERDICT r11's documented
+    # r12 queue: ALL 37 r07-stale entries (verified against the
+    # CORRECTNESS_r07..r11 artifacts: these 37 have had no driver row
+    # since r07), in VERDICT r10/r11's order (pipe_bpe_vocab,
+    # v_mmr_pool, dedup_url_canon — displaced by late-r11 arrivals —
+    # then the 34 remaining), then (3) the r08-stale queue in
+    # alphabetical order to fill to 50. New r12 queries displace the
+    # r08 tail heads on arrival; displaced heads lead the r13 queue
+    # (ev_markov_transitions, ev_ordered_funnel, ev_pivot,
+    # ev_quantile_bound, ev_retention,
+    # f2_substring_match, then the rest of r08 alphabetical:
+    # f3_disjunction, f4_case_insensitive, g_kcore, g_labelprop,
+    # g_link_prediction, g_pagerank, g_sssp, mm_audio_chunks, ...).
     #
-    # New this round: pipe_bpe_encode GRADUATED to a full hash oracle
-    # (all 30 training rounds + the encode fold replayed in SQL) —
-    # grade the shipping form; v_hnsw_rerank (the HNSW family's
-    # deterministic-stage sub-oracle); st_ab_test (streaming
-    # experiment monitor, same SQL as ev_ab_test); pipe_tokenizer_drift
-    # (per-source OOV drift gate in integer ppm). Changed graded path:
-    # v_kcenter_coreset / v_mmr_topk now round via the engine (HALF_UP)
-    # instead of Python's half-even round() (ADVICE r10) — regrade the
-    # shipping forms.
-    "pipe_bpe_encode",
-    "v_hnsw_rerank",
-    "st_ab_test",
-    "pipe_tokenizer_drift",
-    # Late r11, windowed on arrival: the streaming tokenizer-coverage
-    # twin (8th twin family, same SQL text) and the sequential
-    # experiment-monitoring curve (per-day prefix z, the peeking
-    # audit). They displace v_mmr_pool / dedup_url_canon to the r12
-    # queue head.
-    "st_tokenizer_drift",
-    "ev_ab_sequential",
-    # Late r11 (2): column-profile drift gate — the dbt-style profile
-    # diff, with the semi-structured null-drift branch genuinely
-    # exercised via the simulated rollout. Displaces pipe_bpe_vocab to
-    # the r12 queue head.
+    # New or changed-graded-path this round, windowed on arrival:
+    # dq_profile_drift's graded SQL changed (ADVICE r11: rows==0 now
+    # yields NULL ppm/drift in engine AND oracle instead of
+    # parity-by-crash) — regrade the shipping form; displaces
+    # ev_markov_transitions to the r13 queue head.
     "dq_profile_drift",
-    "v_kcenter_coreset",
-    "v_mmr_topk",
-    # The 31 r06-stale rows (every entry whose last driver row is r06),
-    # alphabetical.
-    "pipe_clean_corpus",
-    "pipe_corpus_delta",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q19_or_of_ands",
-    "q20_red_part_specialists",
-    "q21_blamed_suppliers",
-    "q22_idle_rich_customers",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "samp_epoch_mix",
-    "st_attribution_join",
-    "st_hourly_agg",
-    "st_stateful_totals",
-    "text_bm25_topk",
-    "text_hybrid_rrf",
-    "text_quality_model",
-    "text_redact_pii",
-    "text_tfidf",
-    "text_token_stats",
-    "text_vocab_coverage",
-    "v2_cosine_topk",
-    "v3_similarity_self_join",
-    "v_batch_knn",
-    "v_centroid_outliers",
-    "v_filtered_topk",
-    "v_quantize_int8",
-    "w_trailing_7d",
-    # The r07-stale queue head, in VERDICT r10 item #1's order.
-    "text_pmi_collocations",
-    "ev_session_paths",
-    "g_hits",
-    "g_ppr",
-    "ev_bitmap_distinct",
-    "ev_bitmap_overlap",
-    "st_bitmap_distinct",
-    "v_hamming_topk",
-    "v_matryoshka_topk",
-    "samp_weighted_k",
+    "ev_hll_registers",
+    # "mm_phash_hamming",  # uncomment on arrival (r12 build queue)
+    # "ev_ab_boundary",  # uncomment on arrival (r12 build queue)
+    # "pipe_pack_bestfit",  # uncomment on arrival (r12 build queue)
+    # "dq_schema_drift",  # uncomment on arrival (r12 build queue)
+    # The 37 r07-stale rows, VERDICT r11 queue order.
+    "pipe_bpe_vocab",
+    "v_mmr_pool",
+    "dedup_url_canon",
+    "dedup_containment",
+    "ev_heavy_hitters",
+    "ev_kmv_overlap",
+    "ev_stickiness",
+    "g_bfs_hops",
+    "g_chain_motif",
+    "g_connected_components",
+    "g_copurchase_jaccard",
+    "g_mis",
+    "g_random_walks",
+    "j3_edge_attr_traversal",
+    "j4_reverse_traversal",
+    "j6_union_join_single_pass",
+    "o5_first_match",
+    "a4_groupby_metrics",
+    "a_assoc_rules",
+    "a_cube_orders",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_mjpeg_frames",
+    "q4_order_priority",
+    "q8_market_share",
+    "q11_important_stock",
+    "q18_large_volume_orders",
+    "st_sliding_distinct",
+    "text_bigram_logprob",
+    "text_gopher_rules",
+    "ev_sliding_distinct",
+    "v_lsh_buckets",
+    "w_distribution_stats",
+    "u2_pair_dedup",
+    "u4_intersect_customers",
+    "v_embed_corpus",
+    "w_lag_monthly_delta",
+    # r08-stale alphabetical heads (fill to 50).
+    "a_grouping_sets",
+    "dedup_simhash_pairs",
+    "ev_cms_topk",
+    "ev_hll_accuracy",
+    "ev_hourly_agg",
+    "ev_kmv_distinct",
+    "ev_log_histogram",
 ]
 
 
