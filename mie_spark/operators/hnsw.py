@@ -373,6 +373,18 @@ def _resolve_shards(df: DataFrame, id_col: str, shards: int | str) -> int:
     return int(shards)
 
 
+# Segment-routing hash scheme, stamped into the ANN meta at build time
+# and VERIFIED at append time (ADVICE r11): the r11 switch from
+# xxhash64 to md5 silently re-routed ids, and append's replay-
+# idempotence check ("known ids in THIS shard") only looks in the
+# shard the CURRENT hash picks — replaying a batch against an index
+# built under a different scheme would insert duplicate vec_ids into a
+# second segment and search could return the same id twice. The stamp
+# makes the mismatch loud instead of silent. Bump the tag whenever
+# shard_of's expression changes.
+SHARD_HASH_SCHEME = "md5-15"
+
+
 def shard_of(id_col: F.Column, n_shards: int) -> F.Column:
     """Deterministic segment assignment for every HNSW path (build,
     append, on-the-fly) — ENGINE-PORTABLE md5 arithmetic (the repo's
@@ -671,6 +683,7 @@ def write_ann_hnsw_index(
             "m": m,
             "ef_construction": ef_construction,
             "seed": seed,
+            "shard_hash": SHARD_HASH_SCHEME,
         },
     )
     _commit_generation(spark, path, gen)
@@ -771,6 +784,20 @@ def append_ann_hnsw_index(
         # assert would vanish under python -O and let a non-HNSW
         # index layout proceed into the graph reader (ADVICE r9)
         raise ValueError(f"not an HNSW index: {meta}")
+    recorded_hash = meta.get("shard_hash")
+    if recorded_hash != SHARD_HASH_SCHEME:
+        # Appending with a different routing hash than the index was
+        # built under would bypass the per-shard replay-idempotence
+        # check and duplicate ids across segments (ADVICE r11). A
+        # missing stamp means a pre-stamp index whose scheme is
+        # unknowable — refuse rather than guess; rebuild is the fix.
+        raise ValueError(
+            f"HNSW index at {path} was built with shard_hash="
+            f"{recorded_hash!r} but this engine routes with "
+            f"{SHARD_HASH_SCHEME!r}; appending would mis-route ids "
+            f"and break replay idempotence. Rebuild the index with "
+            f"write_ann_hnsw_index."
+        )
     shards = int(meta["shards"])
     m = int(meta["m"])
     ef_c = int(meta["ef_construction"])

@@ -887,3 +887,50 @@ def test_kcenter_matches_numpy_and_radius_property(spark):
     assert [(r["rank"], r["vec_id"], r["dist"]) for r in got] == expect
     radii = [r["dist"] for r in got][1:]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_hnsw_append_refuses_shard_hash_mismatch(spark, tmp_path):
+    """ADVICE r11: the routing hash is stamped into the ANN meta at
+    build time and append refuses a mismatch — appending under a
+    different scheme than the index was built with would mis-route ids
+    past the per-shard replay-idempotence check and duplicate vec_ids
+    across segments. A pre-stamp index (no shard_hash field) is
+    refused too: its scheme is unknowable."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from mie_spark.operators.hnsw import (
+        SHARD_HASH_SCHEME,
+        append_ann_hnsw_index,
+        write_ann_hnsw_index,
+    )
+    from mie_spark.operators.vector import _ANN_META, _read_ann_meta
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    write_ann_hnsw_index(df.filter("vec_id < 60"), path)
+
+    meta = _read_ann_meta(spark, path)
+    assert meta["shard_hash"] == SHARD_HASH_SCHEME  # stamped at build
+
+    # same scheme: append proceeds
+    append_ann_hnsw_index(df.filter("vec_id >= 60 and vec_id < 90"), path)
+
+    # foreign scheme (an index built by a pre-md5 engine): refused
+    meta["shard_hash"] = "xxhash64"
+    with open(os.path.join(path, _ANN_META), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="shard_hash"):
+        append_ann_hnsw_index(df.filter("vec_id >= 90"), path)
+
+    # pre-stamp index (field absent): scheme unknowable, refused
+    del meta["shard_hash"]
+    with open(os.path.join(path, _ANN_META), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="shard_hash"):
+        append_ann_hnsw_index(df.filter("vec_id >= 90"), path)
