@@ -1208,7 +1208,13 @@ def _profile_drift_oracle() -> str:
     deterministic arithmetic the Spark side uses)."""
 
     def ppm(nulls: str, rows: str) -> str:
-        return f"((2 * ({nulls}) * 1000000 + ({rows})) // (2 * ({rows})))::BIGINT"
+        # rows = 0 => NULL rate (mirrors the engine's guard, ADVICE
+        # r11 — previously both sides crashed on an empty snapshot)
+        return (
+            f"(CASE WHEN ({rows}) = 0 THEN NULL ELSE "
+            f"(2 * ({nulls}) * 1000000 + ({rows})) // (2 * ({rows})) "
+            f"END)::BIGINT"
+        )
 
     def col_block(name: str, curr: str, prev: str) -> str:
         np_, nc = (
@@ -1220,6 +1226,13 @@ def _profile_drift_oracle() -> str:
             f"count(DISTINCT ({curr}))::BIGINT",
         )
         rp, rc = "count(CASE WHEN p THEN 1 END)::BIGINT", "count(*)::BIGINT"
+
+        def drift(a: str, b: str, thresh: int) -> str:
+            return (
+                f"CASE WHEN ({rp}) = 0 OR ({rc}) = 0 THEN NULL "
+                f"ELSE abs({b} - {a}) >= {thresh} END"
+            )
+
         return f"""
       SELECT '{name}' AS col,
              {rp} AS rows_prev, {rc} AS rows_curr,
@@ -1227,10 +1240,10 @@ def _profile_drift_oracle() -> str:
              {dp} AS distinct_prev, {dc} AS distinct_curr,
              {ppm(np_, rp)} AS null_ppm_prev,
              {ppm(nc, rc)} AS null_ppm_curr,
-             abs({ppm(nc, rc)} - {ppm(np_, rp)}) >= 5000 AS null_drift,
+             {drift(ppm(np_, rp), ppm(nc, rc), 5000)} AS null_drift,
              {ppm(dp, rp)} AS uniq_ppm_prev,
              {ppm(dc, rc)} AS uniq_ppm_curr,
-             abs({ppm(dc, rc)} - {ppm(dp, rp)}) >= 10000 AS uniq_drift
+             {drift(ppm(dp, rp), ppm(dc, rc), 10000)} AS uniq_drift
       FROM d"""
 
     cols = [
@@ -1313,8 +1326,18 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     row = d.agg(*aggs).collect()[0]  # bounded: ONE row of counters
 
-    def ppm(nulls: int, rows: int) -> int:
+    def ppm(nulls: int, rows: int) -> int | None:
+        # rows == 0 (empty snapshot) => NULL rate, not a crash — the
+        # tokenizer_drift tok_prev==0 doctrine (ADVICE r11: the
+        # unguarded // raised here AND in the oracle, parity-by-crash)
+        if rows == 0:
+            return None
         return (2 * nulls * 1_000_000 + rows) // (2 * rows)
+
+    def drift(a: int | None, b: int | None, thresh: int) -> bool | None:
+        if a is None or b is None:
+            return None  # a missing snapshot can't certify drift
+        return abs(b - a) >= thresh
 
     out = []
     rp, rc = int(row["rows_prev"]), int(row["rows_curr"])
@@ -1325,9 +1348,9 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 name, rp, rc, np_, nc, dp, dc,
                 ppm(np_, rp), ppm(nc, rc),
-                abs(ppm(nc, rc) - ppm(np_, rp)) >= 5000,
+                drift(ppm(np_, rp), ppm(nc, rc), 5000),
                 ppm(dp, rp), ppm(dc, rc),
-                abs(ppm(dc, rc) - ppm(dp, rp)) >= 10000,
+                drift(ppm(dp, rp), ppm(dc, rc), 10000),
             )
         )
     return spark.createDataFrame(

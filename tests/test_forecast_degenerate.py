@@ -106,3 +106,27 @@ def test_holt_degenerate_mirrors_oracle(spark, tmp_path, n_days):
     if n_days == 1:
         assert s_rows[0][3] is None and s_rows[0][4] is None
     assert sorted(map(repr, s_rows)) == sorted(map(repr, d_rows))
+
+
+@pytest.mark.parametrize("n_days", [0, 1, 3])
+def test_profile_drift_degenerate_mirrors_oracle(spark, tmp_path, n_days):
+    """dq_profile_drift (ADVICE r11): an empty snapshot must emit NULL
+    ppm / NULL drift flags in BOTH engines, never a ZeroDivisionError.
+    n_days=0 -> both snapshots empty (rows 0/0); n_days=1 -> the only
+    event_id is 0, so event_id % 10 == 0 empties the PREV snapshot
+    while curr has 1 row (the mixed branch: prev ppm NULL, curr ppm
+    real, drift NULL); n_days=3 -> both populated, drift flags real."""
+    sf_dir = _write_days(spark, tmp_path, n_days)
+    n = _assert_parity(spark, sf_dir, "dq_profile_drift")
+    assert n == 4  # one row per profiled column, even on empty input
+    sdf = QUERIES["dq_profile_drift"](spark, sf_dir)
+    rows = {r["col"]: r for r in sdf.collect()}
+    r = rows["user_id"]
+    if n_days == 0:
+        assert r["null_ppm_prev"] is None and r["null_ppm_curr"] is None
+        assert r["null_drift"] is None and r["uniq_drift"] is None
+    elif n_days == 1:
+        assert r["null_ppm_prev"] is None and r["null_ppm_curr"] == 0
+        assert r["null_drift"] is None
+    else:
+        assert r["null_drift"] is not None and r["uniq_drift"] is not None
