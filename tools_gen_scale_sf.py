@@ -101,9 +101,14 @@ def main() -> None:
         )
         print(t, "done")
 
+    if _wanted("documents"):
+        _documents(con)
+    _embeddings(con)
+    _verify(con)
+
+
+def _documents(con) -> None:
     # documents: token-renamed copies (see module docstring)
-    if not _wanted("documents"):
-        return _embeddings(con)
     n_docs = con.execute(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
@@ -129,7 +134,6 @@ def main() -> None:
       ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
     """)
     print("documents done")
-    _embeddings(con)
 
 
 def _embeddings(con) -> None:
@@ -162,6 +166,12 @@ def _embeddings(con) -> None:
     pq.write_table(big, f"{DST}/embeddings.parquet")
     print("embeddings done")
 
+
+def _verify(con) -> None:
+    # End-of-run row-count verification for EVERY table this run
+    # generated — lives in main()'s straight-line flow, not inside
+    # _embeddings(), so an `only` subset that excludes embeddings
+    # still verifies the tables it DID write (ADVICE r11).
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
