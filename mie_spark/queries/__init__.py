@@ -91,7 +91,7 @@ _GRADE_FIRST = [
     "dq_profile_drift",
     "ev_hll_registers",
     # "mm_phash_hamming",  # uncomment on arrival (r12 build queue)
-    # "ev_ab_boundary",  # uncomment on arrival (r12 build queue)
+    "ev_ab_boundary",
     # "pipe_pack_bestfit",  # uncomment on arrival (r12 build queue)
     # "dq_schema_drift",  # uncomment on arrival (r12 build queue)
     # The 37 r07-stale rows, VERDICT r11 queue order.

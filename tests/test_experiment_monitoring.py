@@ -105,3 +105,40 @@ def test_tokenizer_drift_rates_are_consistent(spark):
         else:
             assert r["oov_ppm_prev"] is None
             assert r["drift"] == (ppm_curr >= 5000)
+
+
+def test_ab_boundary_refines_sequential_curve(spark):
+    """ev_ab_boundary (VERDICT r11 item #6) against the curve it
+    monitors: same prefix census per day as ev_ab_sequential; at full
+    information (the final day, info_ppm == 1e6) the OBF rule
+    b(1) = 1.96 collapses to the naive threshold, so crossed_obf must
+    equal crossed_naive there; earlier days are strictly MORE
+    conservative (crossed_obf => crossed_naive, never the reverse);
+    first_crossing marks exactly the earliest crossed day."""
+    from mie_spark.queries import QUERIES
+
+    seq = {
+        r["day"]: r for r in QUERIES["ev_ab_sequential"](spark, SF).collect()
+    }
+    bnd = sorted(
+        QUERIES["ev_ab_boundary"](spark, SF).collect(), key=lambda r: r["day"]
+    )
+    assert set(seq) == {r["day"] for r in bnd}
+    for r in bnd:
+        s = seq[r["day"]]
+        assert (r["n1"], r["c1"], r["n2"], r["c2"]) == (
+            s["n1"], s["c1"], s["n2"], s["c2"],
+        )
+        # info fraction is a half-up ppm of cumulative/final enrollment
+        assert 0 < r["info_ppm"] <= 1_000_000
+        # the boundary only ever stops when the naive rule would too
+        if r["crossed_obf"]:
+            assert s["crossed_naive"] is True
+        # NULL guard is shared: both engines' guards are the same text
+        assert (r["crossed_obf"] is None) == (s["crossed_naive"] is None)
+    final = bnd[-1]
+    assert final["info_ppm"] == 1_000_000
+    assert final["crossed_obf"] == seq[final["day"]]["crossed_naive"]
+    crossed_days = [r["day"] for r in bnd if r["crossed_obf"]]
+    flagged = [r["day"] for r in bnd if r["first_crossing"]]
+    assert flagged == (crossed_days[:1] if crossed_days else [])

@@ -60,6 +60,10 @@ EXPECTED = {
         "exact global re-rank over the <= shards x k = 80 candidate "
         "pool (the hnsw_topk final stage)",
     ),
+    "ev_ab_boundary": (
+        1,
+        "first-crossing min over the <= |days| prefix census",
+    ),
 }
 
 
