@@ -205,6 +205,11 @@ HEADLINE = [
     "st_tokenizer_drift",        # streaming tokenizer-coverage twin, census state
     "ev_ab_sequential",          # per-day prefix z curve, the peeking audit
     "dq_profile_drift",          # column-profile drift gate, one-scan multi-distinct
+    # round-12 additions, benched from day one
+    "ev_hll_registers",          # HLL register replay: md5 hash + 512-group agg
+    "ev_ab_boundary",            # OBF sequential boundary, integer cross-mult
+    "pipe_pack_bestfit",         # FFD bin-packing manifest per source shard
+    "dq_schema_drift",           # struct-level schema diff, one-scan counters
 ]
 
 

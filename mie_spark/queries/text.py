@@ -645,6 +645,127 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_pack_bestfit",
+    oracle=r"""
+    WITH RECURSIVE dl AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    d AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id)::BIGINT AS rn
+      FROM dl WHERE n_tokens > 0 AND n_tokens <= 256
+    ),
+    grp AS (SELECT source, max(rn) AS mx FROM d GROUP BY source),
+    ffd AS (
+      SELECT source, 0::BIGINT AS rn, NULL::BIGINT AS doc_id,
+             NULL::BIGINT AS n_tokens, NULL::BIGINT AS bin,
+             NULL::BIGINT AS bin_offset, []::BIGINT[] AS bins
+      FROM grp
+      UNION ALL
+      SELECT f.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN list_position(list_transform(f.bins,
+                        x -> x + d.n_tokens <= 256), true) = 0
+                  THEN len(f.bins)::BIGINT
+                  ELSE (list_position(list_transform(f.bins,
+                        x -> x + d.n_tokens <= 256), true) - 1)::BIGINT
+             END AS bin,
+             CASE WHEN list_position(list_transform(f.bins,
+                        x -> x + d.n_tokens <= 256), true) = 0
+                  THEN 0::BIGINT
+                  ELSE f.bins[list_position(list_transform(f.bins,
+                        x -> x + d.n_tokens <= 256), true)]::BIGINT
+             END AS bin_offset,
+             CASE WHEN list_position(list_transform(f.bins,
+                        x -> x + d.n_tokens <= 256), true) = 0
+                  THEN list_append(f.bins, d.n_tokens)
+                  ELSE list_transform(f.bins, (x, i) ->
+                        CASE WHEN i = list_position(list_transform(f.bins,
+                              x2 -> x2 + d.n_tokens <= 256), true)
+                             THEN x + d.n_tokens ELSE x END)
+             END AS bins
+      FROM ffd f JOIN d ON d.source = f.source AND d.rn = f.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin, bin_offset
+    FROM ffd WHERE rn > 0
+    """,
+)
+def pipe_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence-packing manifest (VERDICT r11
+    item #8) — the OTHER packing discipline next to
+    pipe_pack_sequences' concat-and-chunk: documents that fit a fixed
+    256-token window whole are BIN-PACKED (sorted by token count
+    descending, doc_id tiebreak, each doc into the first window with
+    room) so no document is ever split across training sequences —
+    the packing used when cross-document attention contamination
+    matters. Docs longer than the window stay with the chunker
+    (pipe_pack_sequences); empty docs are dropped. Output is the
+    manifest a loader replays: (source, doc_id, n_tokens, bin,
+    bin_offset), all exact BIGINTs.
+
+    Packing is inherently sequential, so the scale shape is the
+    pipe_pack_sequences doctrine: FFD runs independently per source
+    shard (one applyInPandas group per source, bounded state = the
+    bin-occupancy array), never globally — a 100 TB corpus packs as
+    thousands of independent shards. The per-shard first-fit scan is
+    O(docs x bins); swap the linear probe for a segment tree when a
+    single shard's bin count grows past ~10^4 (documented scale path,
+    same class as the two_level_rank swap).
+
+    The DuckDB oracle replays FFD EXACTLY as a recursive CTE over the
+    same (n_tokens DESC, doc_id) order, carrying each source's
+    bin-occupancy array as list state — one recursion step per rank,
+    all sources advancing in parallel rows (depth = max docs/source,
+    bounded; the pipe_bpe_encode recursion doctrine)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.lower(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter((F.col("n_tokens") > 0) & (F.col("n_tokens") <= 256))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []
+        out_bin: list[int] = []
+        out_off: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for i, occ in enumerate(bins):  # first fit, creation order
+                if occ + n <= 256:
+                    idx = i
+                    break
+            else:
+                idx = len(bins)
+                bins.append(0)
+            out_bin.append(idx)
+            out_off.append(bins[idx])
+            bins[idx] += n
+        return pd.DataFrame(
+            {
+                "source": pdf["source"],
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "bin": out_bin,
+                "bin_offset": out_off,
+            }
+        )
+
+    return dl.groupBy("source").applyInPandas(
+        pack,
+        schema="source string, doc_id long, n_tokens long, "
+        "bin long, bin_offset long",
+    )
+
+
+@query(
     "text_bpe_train",
     oracle=r"""
     WITH vocab AS (

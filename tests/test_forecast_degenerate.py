@@ -130,3 +130,27 @@ def test_profile_drift_degenerate_mirrors_oracle(spark, tmp_path, n_days):
         assert r["null_drift"] is None
     else:
         assert r["null_drift"] is not None and r["uniq_drift"] is not None
+
+
+@pytest.mark.parametrize("n_days", [0, 1, 3])
+def test_schema_drift_degenerate_mirrors_oracle(spark, tmp_path, n_days):
+    """dq_schema_drift inherits the profile-drift empty-snapshot
+    doctrine: either snapshot empty -> NULL ppm and NULL status in
+    BOTH engines (a missing snapshot can't certify schema drift);
+    populated snapshots -> real verdicts on every branch."""
+    sf_dir = _write_days(spark, tmp_path, n_days)
+    n = _assert_parity(spark, sf_dir, "dq_schema_drift")
+    assert n == 4
+    rows = {
+        r["field"]: r
+        for r in QUERIES["dq_schema_drift"](spark, sf_dir).collect()
+    }
+    if n_days in (0, 1):  # n_days=1: the only event_id is 0 -> prev empty
+        assert all(r["status"] is None for r in rows.values())
+        assert all(r["present_ppm_prev"] is None for r in rows.values())
+    else:
+        # the degenerate corpus writes props='{}', so the REAL field k
+        # is genuinely absent from both snapshots — 'absent', not
+        # 'stable' (which the graded corpora exercise)
+        assert rows["k"]["status"] == "absent"
+        assert rows["exp_flag"]["status"] == "added"
