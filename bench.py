@@ -210,6 +210,7 @@ HEADLINE = [
     "ev_ab_boundary",            # OBF sequential boundary, integer cross-mult
     "pipe_pack_bestfit",         # FFD bin-packing manifest per source shard
     "dq_schema_drift",           # struct-level schema diff, one-scan counters
+    "mm_phash_hamming",          # integer-DCT pHash + banded pair census
 ]
 
 

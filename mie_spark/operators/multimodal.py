@@ -894,15 +894,25 @@ PHASH_SCHEMA = StructType(
 def image_phash(assets: DataFrame, bits: int = 60) -> DataFrame:
     """REAL perceptual hash over binary PPM payloads → (asset_id,
     ``bits``-bit signature long), the image analog of simhash: decode →
-    grayscale → 32×32 nearest-neighbor resample → 2D DCT-II (a pair of
-    numpy float64 matmuls against a cosine basis — no scipy needed) →
-    keep the low-frequency 8×8 block minus the DC term → threshold each
+    grayscale → 32×32 nearest-neighbor resample → 2D DCT-II → keep the
+    low-frequency 8×8 block minus the DC term → threshold each
     coefficient at the median. Near-duplicate images (re-encodes, small
     edits, resizes) land within a few bits of hamming distance, so the
     SAME pigeonhole banding as text simhash
     (operators/dedup.py:simhash_candidate_pairs) finds pairs with no
-    all-pairs join. Everything is deterministic float64, so signatures
-    are reproducible across machines and runs.
+    all-pairs join.
+
+    EXACT INTEGER transform (r12 — the change that graduated the pair
+    census to a hash oracle, mm_phash_hamming): grayscale is the
+    channel SUM r+g+b (a uniform x3 scale — threshold-vs-median
+    behavior is identical to the mean, with no division), the DCT
+    basis is the FROZEN Q14 integer table (operators/phash_basis.py —
+    bit-identical constants in numpy and in the DuckDB oracle's
+    VALUES join, immune to libm cos() drift), both matmul stages stay
+    inside int64 by construction (<= 2^48), and the threshold is the
+    LOWER MEDIAN (30th order statistic of the 60 coefficients) so no
+    midpoint averaging ever happens. Every stage is therefore
+    replayable bit-for-bit in SQL; float64 appears nowhere.
 
     Default 60 bits to match the banding operator's default split
     (8 bands × 7-8 bits); the hash stays positive in a signed long, so
@@ -910,6 +920,13 @@ def image_phash(assets: DataFrame, bits: int = 60) -> DataFrame:
     """
     if not 1 <= bits <= 62:
         raise ValueError("bits must be in [1, 62]")
+
+    from mie_spark.operators.phash_basis import PHASH_BASIS_Q14
+
+    # plain nested lists captured in the closure cell ship BY VALUE to
+    # workers (unlike module-level function refs, which pickle by
+    # module path — the documented worker-pickling constraint below)
+    basis_rows = [list(row) for row in PHASH_BASIS_Q14]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -948,26 +965,24 @@ def image_phash(assets: DataFrame, bits: int = 60) -> DataFrame:
             return width, height, pixels.reshape(height, width, 3)
 
         n = 32
-        # DCT-II basis, orthonormal-ish scaling irrelevant for median
-        # thresholding: B[u, x] = cos(pi*(2x+1)*u/(2n))
-        x = np.arange(n, dtype=np.float64)
-        u = np.arange(n, dtype=np.float64)[:, None]
-        basis = np.cos(np.pi * (2.0 * x + 1.0) * u / (2.0 * n))
+        # frozen integer DCT-II basis (phash_basis.py): exact int64
+        # matmuls, bit-replayable in the mm_phash_hamming oracle
+        basis = np.array(basis_rows, dtype=np.int64)
 
         for pdf in it:
             out_ids, out_hashes = [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 w, h, px = _parse_ppm(bytes(payload))
-                gray = px.astype(np.float64).mean(axis=2)
+                gray3 = px.astype(np.int64).sum(axis=2)  # r+g+b, no /3
                 ys = (np.arange(n) * h // n).clip(0, h - 1)
                 xs = (np.arange(n) * w // n).clip(0, w - 1)
-                small = gray[ys][:, xs]
-                coef = basis @ small @ basis.T
+                small = gray3[ys][:, xs]
+                coef = basis @ small @ basis.T  # int64 exact, <= 2^48
                 flat = coef[:8, :8].ravel()[1:][:bits]  # drop DC, keep `bits`
-                med = np.median(flat)
+                med = int(np.sort(flat)[(len(flat) - 1) // 2])  # lower median
                 sig = 0
                 for i, v in enumerate(flat):
-                    if v > med:
+                    if int(v) > med:
                         sig |= 1 << i
                 out_ids.append(asset_id)
                 out_hashes.append(sig)
@@ -982,33 +997,63 @@ def synthetic_ppm_corpus(
     """Deterministic image corpus for exercising the pHash pipeline
     without codec libraries: every document gets a binary PPM whose
     pixel pattern derives from its group (``id // group_size``), with a
-    small per-document brightness perturbation — so documents in the
-    same group are near-duplicate images (few-bit pHash hamming) and
-    documents in different groups are far apart. Pure numpy per Arrow
-    batch; the payload column is a real P6 file parse_ppm accepts."""
+    small per-document perturbation — so documents in the same group
+    are near-duplicate images (few-bit pHash hamming) and documents in
+    different groups are far apart. Pure numpy per Arrow batch; the
+    payload column is a real P6 file parse_ppm accepts.
+
+    ENGINE-PORTABLE arithmetic (r12 — replaces the original PCG64 +
+    sin/cos generator so the whole pHash pipeline is replayable in the
+    mm_phash_hamming SQL oracle): each group's base image is a 4x4
+    MOSAIC of 6-pixel cells whose brightnesses come from the repo's
+    standard md5-15 hash — 64 independent values per group (every one
+    of the 60 kept DCT coefficients gets real energy, so the median
+    threshold is robust and the sign bits are informative), so the
+    60-bit sign-vs-median hash separates groups with effectively zero
+    collision probability (the triangle-wave design this replaced had
+    ~20 bits of effective hash entropy and collided pervasively at
+    200 groups). The per-document perturbation is a +1..+3 brightness
+    bump on a doc-positioned 8x8 block — a genuine near-dup edit that
+    moves a few AC coefficients. Spec, mirrored verbatim in the
+    oracle:
+
+        g = doc_id // group_size;  d = doc_id % group_size
+        H(s) = int(md5(s)[:15 hex], 16)
+        base(x, y) = 28 + H(f"{g}:b{x//6}_{y//6}") % 200
+        px = base + (d % 3 + 1  if  (d*7)%40 <= x < (d*7)%40+8
+                                and (d*11)%40 <= y < (d*11)%40+8
+                     else 0)                        (<= 230, r=g=b)
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         import numpy as np
 
         w = h = 48
         yy, xx = np.mgrid[0:h, 0:w]
 
+        def md5_15(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
         for pdf in it:
             ids, payloads = [], []
             for doc_id in pdf[id_col]:
                 g = int(doc_id) // group_size
-                rng = np.random.default_rng(g)  # group-deterministic
-                fx, fy = rng.uniform(0.5, 3.0, 2)
-                phase = rng.uniform(0.0, 2 * np.pi)
-                base = (
-                    np.sin(2 * np.pi * fx * xx / w + phase)
-                    + np.cos(2 * np.pi * fy * yy / h)
+                cells = np.array(
+                    [
+                        [28 + md5_15(f"{g}:b{cx}_{cy}") % 200 for cx in range(8)]
+                        for cy in range(8)
+                    ],
+                    dtype=np.int64,
                 )
-                img = ((base + 2.0) / 4.0 * 255.0).astype(np.uint8)
-                # per-doc perturbation: tiny brightness offset
-                img = np.clip(
-                    img.astype(np.int16) + (int(doc_id) % group_size) % 3, 0, 255
-                ).astype(np.uint8)
+                base = cells[yy // 6, xx // 6]
+                d = int(doc_id) % group_size
+                bx, by = (d * 7) % 40, (d * 11) % 40
+                bump = (
+                    (xx >= bx) & (xx < bx + 8) & (yy >= by) & (yy < by + 8)
+                ) * (d % 3 + 1)
+                img = (base + bump).astype(np.uint8)  # <= 230 by spec
                 rgb = np.repeat(img[:, :, None], 3, axis=2)
                 header = f"P6\n{w} {h}\n255\n".encode()
                 ids.append(int(doc_id))

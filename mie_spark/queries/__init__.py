@@ -90,7 +90,7 @@ _GRADE_FIRST = [
     # ev_markov_transitions to the r13 queue head.
     "dq_profile_drift",
     "ev_hll_registers",
-    # "mm_phash_hamming",  # uncomment on arrival (r12 build queue)
+    "mm_phash_hamming",
     "ev_ab_boundary",
     "pipe_pack_bestfit",
     "dq_schema_drift",

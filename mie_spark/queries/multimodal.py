@@ -381,6 +381,118 @@ def mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(batches, schema=schema)
 
 
+def _phash_hamming_oracle() -> str:
+    """Replays the ENTIRE pHash pipeline in SQL — synthetic pixels
+    (md5-parameterized triangle waves, synthetic_ppm_corpus spec),
+    nearest-neighbor 48→32 resample (pure index arithmetic, so pixels
+    are generated directly at the 32x32 sample points), the two-stage
+    integer DCT against the frozen Q14 basis (operators/phash_basis.py
+    literals, joined as VALUES), lower-median thresholding, 60-bit
+    packing — then the EXACT all-pairs hamming<=6 census. The engine
+    runs the banded-LSH path instead of all-pairs; the two are equal
+    by the pigeonhole theorem (8 bands catch every pair differing in
+    <=7 bits) plus the engine's exact xor verify, which is precisely
+    the claim this oracle grades. All arithmetic BIGINT; the DCT
+    stages stay under 2^48."""
+    from mie_spark.operators.phash_basis import PHASH_BASIS_Q14
+
+    basis_rows = ", ".join(
+        f"({u}, {x}, {q})"
+        for u, row in enumerate(PHASH_BASIS_Q14)
+        for x, q in enumerate(row)
+        if u < 8 or x < 48  # all rows; kept explicit for readability
+    )
+    h = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+    return f"""
+    WITH b(u, x, q) AS (VALUES {basis_rows}),
+    par AS MATERIALIZED (
+      SELECT doc_id, g, doc_id % 25 AS d,
+             ((doc_id % 25) * 7) % 40 AS bx,
+             ((doc_id % 25) * 11) % 40 AS by
+      FROM (SELECT doc_id, doc_id // 25 AS g FROM documents)
+    ),
+    res AS MATERIALIZED (
+      -- pixel value AT the 32x32 nearest-neighbor sample points:
+      -- source (row, col) = ((3*j)//2, (3*i)//2); g3 = r+g+b = 3*v;
+      -- base = the md5 mosaic cell at (col//6, row//6)
+      SELECT p.doc_id, tj.j AS rj, ti.i AS ci,
+             3 * (
+               28 + {h.format(
+                 s="g::VARCHAR || ':b' || (((3 * ti.i) // 2) // 6)"
+                   "::VARCHAR || '_' || (((3 * tj.j) // 2) // 6)::VARCHAR"
+               )} % 200
+               + CASE WHEN (3 * ti.i) // 2 >= bx
+                       AND (3 * ti.i) // 2 < bx + 8
+                       AND (3 * tj.j) // 2 >= by
+                       AND (3 * tj.j) // 2 < by + 8
+                      THEN d % 3 + 1 ELSE 0 END
+             )::BIGINT AS g3
+      FROM par p, range(0, 32) tj(j), range(0, 32) ti(i)
+    ),
+    t1 AS MATERIALIZED (
+      SELECT r.doc_id, b.u, r.ci, sum(b.q * r.g3)::BIGINT AS t
+      FROM res r JOIN b ON b.x = r.rj
+      WHERE b.u < 8
+      GROUP BY 1, 2, 3
+    ),
+    flat AS MATERIALIZED (
+      SELECT t1.doc_id, (t1.u * 8 + b2.u - 1)::BIGINT AS bit,
+             sum(t1.t * b2.q)::BIGINT AS coef
+      FROM t1 JOIN b b2 ON b2.x = t1.ci
+      WHERE b2.u < 8 AND t1.u * 8 + b2.u BETWEEN 1 AND 60
+      GROUP BY 1, 2
+    ),
+    med AS MATERIALIZED (
+      SELECT doc_id, coef AS med FROM (
+        SELECT doc_id, coef,
+               row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+        FROM flat
+      ) WHERE rn = 30
+    ),
+    sig AS MATERIALIZED (
+      SELECT f.doc_id,
+             sum(CASE WHEN f.coef > m.med
+                      THEN 1::BIGINT << f.bit::INTEGER
+                      ELSE 0 END)::BIGINT AS phash
+      FROM flat f JOIN med m USING (doc_id) GROUP BY 1
+    )
+    SELECT a.doc_id AS a_id, b_.doc_id AS b_id,
+           bit_count(xor(a.phash, b_.phash))::BIGINT AS hamming
+    FROM sig a JOIN sig b_ ON a.doc_id < b_.doc_id
+    WHERE bit_count(xor(a.phash, b_.phash)) <= 6
+    """
+
+
+@query("mm_phash_hamming", oracle=_phash_hamming_oracle())
+def mm_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pHash near-dup pair census, HASH-GRADED end to end (VERDICT
+    r11 item #5, graduated in full rather than pair-stage-only): the
+    r12 integer rework (engine-portable synthetic corpus, frozen-Q14
+    integer DCT, lower-median threshold — see image_phash /
+    synthetic_ppm_corpus) makes every stage exact BIGINT arithmetic,
+    so the DuckDB oracle replays pixels → resample → DCT → threshold →
+    pack → pairs bit-for-bit. The ENGINE side runs the production
+    shape — real P6 payload bytes through the inline parser, then
+    pigeonhole-banded candidate generation + exact xor verify (never
+    all-pairs); the oracle computes the exact quadratic census, so a
+    green hash row PROVES the banding loses nothing at this corpus
+    (pigeonhole: 8 bands catch every pair differing in <= 7 bits).
+    mm_phash_pairs stays the rows-only production query; this is its
+    grading twin, the v_hnsw_rerank move."""
+    from mie_spark.operators.dedup import simhash_candidate_pairs
+    from mie_spark.operators.multimodal import image_phash, synthetic_ppm_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthetic_ppm_corpus(docs, group_size=25)
+    sigs = image_phash(assets)
+    pairs = simhash_candidate_pairs(
+        sigs, max_hamming=6, id_col="asset_id", sig_col="phash"
+    )
+    return pairs.select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 @query("mm_phash_pairs")
 def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection, end to end and REAL: a
@@ -391,9 +503,12 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py simhash_candidate_pairs) → exact hamming
     filter. No all-pairs join anywhere: the shuffle carries (id, sig,
     band, value) longs, never pixels, which is what makes image dedup
-    run at corpus scale. Rows-only check (DCT isn't SQL-expressible);
-    grouping correctness, the hamming bound, and a full-output digest
-    are pinned in tests/test_rows_only_digests.py."""
+    run at corpus scale. Rows-only in the driver (kept as the
+    production query, ordered output); since r12 the ENTIRE pipeline
+    is hash-graded through its twin mm_phash_hamming (integer DCT —
+    see image_phash), and grouping correctness, the hamming bound,
+    and a full-output digest stay pinned in
+    tests/test_rows_only_digests.py."""
     from mie_spark.operators.dedup import simhash_candidate_pairs
     from mie_spark.operators.multimodal import image_phash, synthetic_ppm_corpus
 

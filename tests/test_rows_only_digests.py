@@ -26,7 +26,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PINNED = {
     "v_embed_corpus": "3c1a0aae85b22133",
-    "mm_phash_pairs": "ec7d203088fd9723",
+    # re-pinned r12: deliberate pHash version bump — frozen integer
+    # Q14 DCT + md5-mosaic corpus + lower-median threshold, the rework
+    # that made the pipeline SQL-replayable (the digest is now
+    # environment-INSENSITIVE by construction: no float anywhere).
+    # The full pipeline is hash-oracled as mm_phash_hamming.
+    "mm_phash_pairs": "10bb7dc035b7a2e3",
     "mm_binary_meta": "05b816ebb71a096a",
     "mm_decode_meta": "1e2dea2c5853f7a7",
     "mm_frame_sample": "ba36dbce31b1d664",
