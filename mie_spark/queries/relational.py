@@ -1382,11 +1382,16 @@ def _schema_drift_oracle() -> str:
     """
 
     def block(field, pp, pc, np_, np_c, sp, sc, bp, bc):
+        # every counter ::BIGINT: bare 0 literals and count-differences
+        # otherwise come back int32 through DuckDB->pandas and fail the
+        # exact-dtype drive even when values agree
         return f"""
       SELECT '{field}' AS field, rows_prev, rows_curr,
-             {pp} AS present_prev, {pc} AS present_curr,
-             {np_} AS n_num_prev, {sp} AS n_str_prev, {bp} AS n_bool_prev,
-             {np_c} AS n_num_curr, {sc} AS n_str_curr, {bc} AS n_bool_curr,
+             ({pp})::BIGINT AS present_prev, ({pc})::BIGINT AS present_curr,
+             ({np_})::BIGINT AS n_num_prev, ({sp})::BIGINT AS n_str_prev,
+             ({bp})::BIGINT AS n_bool_prev,
+             ({np_c})::BIGINT AS n_num_curr, ({sc})::BIGINT AS n_str_curr,
+             ({bc})::BIGINT AS n_bool_curr,
              {ppm.format(pres=pp, rows='rows_prev')} AS present_ppm_prev,
              {ppm.format(pres=pc, rows='rows_curr')} AS present_ppm_curr,
              {status.format(pp=pp, pc=pc, np=np_, nc=np_c,

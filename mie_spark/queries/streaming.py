@@ -803,3 +803,33 @@ def st_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         price_cents_census(li), output_mode="complete", state_partitions=8
     )
     return quantiles_from_census(drained)
+
+
+from mie_spark.queries.text import PACK_BESTFIT_ORACLE  # noqa: E402
+
+
+@query("st_pack_bestfit", oracle=PACK_BESTFIT_ORACLE)
+def st_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pipe_pack_bestfit — the ingest-time packing
+    manifest: the (source, doc_id, n_tokens) census accretes in the
+    complete-mode state store (per-doc token counts are deterministic,
+    so each micro-batch's max() fold is idempotent under replay — the
+    SAME pack_token_census the batch manifest aggregates), and the
+    first-fit-decreasing manifest recomputes from the drained
+    O(|packable docs|) state via the SAME ffd_from_census projection,
+    grading against the SAME SQL text. This is how packing actually
+    deploys against a live crawl: the census updates incrementally per
+    shard and the manifest a trainer loads is re-derived from state —
+    never from a corpus rescan (placements are order-global, so an
+    arrival-order append discipline would be next-fit, a different,
+    worse packing). Ninth member of the twin set (dedup,
+    decontamination, sampling, drift, changepoint, forecast, exact
+    quantiles, experiment monitoring, tokenizer coverage, packing)."""
+    from mie_spark.queries.text import ffd_from_census, pack_token_census
+    from mie_spark.streaming import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    drained = run_to_memory_sink(
+        pack_token_census(docs), output_mode="complete", state_partitions=8
+    )
+    return ffd_from_census(drained)

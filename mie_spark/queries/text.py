@@ -644,9 +644,7 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipe_pack_bestfit",
-    oracle=r"""
+PACK_BESTFIT_ORACLE = r"""
     WITH RECURSIVE dl AS (
       SELECT source, doc_id,
              len(list_filter(string_split_regex(lower(text), '\s+'),
@@ -691,43 +689,30 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, doc_id, n_tokens, bin, bin_offset
     FROM ffd WHERE rn > 0
-    """,
-)
-def pipe_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-fit-decreasing sequence-packing manifest (VERDICT r11
-    item #8) — the OTHER packing discipline next to
-    pipe_pack_sequences' concat-and-chunk: documents that fit a fixed
-    256-token window whole are BIN-PACKED (sorted by token count
-    descending, doc_id tiebreak, each doc into the first window with
-    room) so no document is ever split across training sequences —
-    the packing used when cross-document attention contamination
-    matters. Docs longer than the window stay with the chunker
-    (pipe_pack_sequences); empty docs are dropped. Output is the
-    manifest a loader replays: (source, doc_id, n_tokens, bin,
-    bin_offset), all exact BIGINTs.
+    """
 
-    Packing is inherently sequential, so the scale shape is the
-    pipe_pack_sequences doctrine: FFD runs independently per source
-    shard (one applyInPandas group per source, bounded state = the
-    bin-occupancy array), never globally — a 100 TB corpus packs as
-    thousands of independent shards. The per-shard first-fit scan is
-    O(docs x bins); swap the linear probe for a segment tree when a
-    single shard's bin count grows past ~10^4 (documented scale path,
-    same class as the two_level_rank swap).
 
-    The DuckDB oracle replays FFD EXACTLY as a recursive CTE over the
-    same (n_tokens DESC, doc_id) order, carrying each source's
-    bin-occupancy array as list state — one recursion step per rank,
-    all sources advancing in parallel rows (depth = max docs/source,
-    bounded; the pipe_bpe_encode recursion doctrine)."""
-    import pandas as pd
-
-    docs = load_table(spark, sf_dir, "documents")
+def pack_token_census(docs: DataFrame) -> DataFrame:
+    """The (source, doc_id, n_tokens) census FFD packs over — shared
+    by the batch manifest and its streaming twin (st_pack_bestfit):
+    per-doc token counts are deterministic, so the max() fold is
+    idempotent under micro-batch replay (the st_ab_test doctrine), and
+    the window filter runs map-side before any state."""
     dl = docs.select(
         "source",
         "doc_id",
         token_count(F.lower(F.col("text"))).cast("long").alias("n_tokens"),
     ).filter((F.col("n_tokens") > 0) & (F.col("n_tokens") <= 256))
+    return dl.groupBy("source", "doc_id").agg(
+        F.max("n_tokens").alias("n_tokens")
+    )
+
+
+def ffd_from_census(census: DataFrame) -> DataFrame:
+    """First-fit-decreasing packing of a (source, doc_id, n_tokens)
+    census into 256-token windows — the shared final projection of
+    pipe_pack_bestfit and st_pack_bestfit (same code, same oracle)."""
+    import pandas as pd
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -758,11 +743,43 @@ def pipe_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return dl.groupBy("source").applyInPandas(
+    return census.groupBy("source").applyInPandas(
         pack,
         schema="source string, doc_id long, n_tokens long, "
         "bin long, bin_offset long",
     )
+
+
+@query("pipe_pack_bestfit", oracle=PACK_BESTFIT_ORACLE)
+def pipe_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence-packing manifest (VERDICT r11
+    item #8) — the OTHER packing discipline next to
+    pipe_pack_sequences' concat-and-chunk: documents that fit a fixed
+    256-token window whole are BIN-PACKED (sorted by token count
+    descending, doc_id tiebreak, each doc into the first window with
+    room) so no document is ever split across training sequences —
+    the packing used when cross-document attention contamination
+    matters. Docs longer than the window stay with the chunker
+    (pipe_pack_sequences); empty docs are dropped. Output is the
+    manifest a loader replays: (source, doc_id, n_tokens, bin,
+    bin_offset), all exact BIGINTs.
+
+    Packing is inherently sequential, so the scale shape is the
+    pipe_pack_sequences doctrine: FFD runs independently per source
+    shard (one applyInPandas group per source, bounded state = the
+    bin-occupancy array), never globally — a 100 TB corpus packs as
+    thousands of independent shards. The per-shard first-fit scan is
+    O(docs x bins); swap the linear probe for a segment tree when a
+    single shard's bin count grows past ~10^4 (documented scale path,
+    same class as the two_level_rank swap).
+
+    The DuckDB oracle replays FFD EXACTLY as a recursive CTE over the
+    same (n_tokens DESC, doc_id) order, carrying each source's
+    bin-occupancy array as list state — one recursion step per rank,
+    all sources advancing in parallel rows (depth = max docs/source,
+    bounded; the pipe_bpe_encode recursion doctrine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ffd_from_census(pack_token_census(docs))
 
 
 @query(

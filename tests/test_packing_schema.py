@@ -98,3 +98,18 @@ def test_schema_drift_exercises_every_verdict(spark):
             r["n_num_curr"] + r["n_str_curr"] + r["n_bool_curr"]
             == r["present_curr"]
         )
+
+
+def test_pack_bestfit_streaming_twin_equals_batch(spark):
+    """st_pack_bestfit drains the same census through the same FFD
+    projection: its manifest must equal the batch manifest row-for-row
+    (the ninth twin family's equality contract)."""
+    from mie_spark.queries import QUERIES
+
+    st = sorted(
+        tuple(r) for r in QUERIES["st_pack_bestfit"](spark, SF).collect()
+    )
+    ba = sorted(
+        tuple(r) for r in QUERIES["pipe_pack_bestfit"](spark, SF).collect()
+    )
+    assert st == ba and st
