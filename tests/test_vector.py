@@ -921,16 +921,24 @@ def test_hnsw_append_refuses_shard_hash_mismatch(spark, tmp_path):
     # same scheme: append proceeds
     append_ann_hnsw_index(df.filter("vec_id >= 60 and vec_id < 90"), path)
 
+    def rewrite_meta(m):
+        # plain open() bypasses Hadoop's LocalFileSystem, whose stale
+        # .crc sidecar would then fail the next checksummed read —
+        # drop it so the tampered meta is actually readable
+        with open(os.path.join(path, _ANN_META), "w") as f:
+            json.dump(m, f)
+        crc = os.path.join(path, "._ann_meta.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
     # foreign scheme (an index built by a pre-md5 engine): refused
     meta["shard_hash"] = "xxhash64"
-    with open(os.path.join(path, _ANN_META), "w") as f:
-        json.dump(meta, f)
+    rewrite_meta(meta)
     with pytest.raises(ValueError, match="shard_hash"):
         append_ann_hnsw_index(df.filter("vec_id >= 90"), path)
 
     # pre-stamp index (field absent): scheme unknowable, refused
     del meta["shard_hash"]
-    with open(os.path.join(path, _ANN_META), "w") as f:
-        json.dump(meta, f)
+    rewrite_meta(meta)
     with pytest.raises(ValueError, match="shard_hash"):
         append_ann_hnsw_index(df.filter("vec_id >= 90"), path)

@@ -48,6 +48,16 @@ QUERIES_TO_CURVE = [
     "st_exact_quantiles",
     "v_kcenter_coreset",
     "ev_forecast_backtest",
+    # r12 additions: the integer-DCT pHash pair census (mapInPandas
+    # codec + banded join), the per-shard FFD pack (batch + streaming
+    # census twin), the sequential-boundary census, and the one-scan
+    # counter gates.
+    "mm_phash_hamming",
+    "pipe_pack_bestfit",
+    "st_pack_bestfit",
+    "ev_ab_boundary",
+    "ev_hll_registers",
+    "dq_schema_drift",
 ]
 
 
