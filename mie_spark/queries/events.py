@@ -3086,8 +3086,15 @@ def ev_ab_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("variant") == "B", F.col("n_cum"))).alias("n2"),
         F.max(F.when(F.col("variant") == "B", F.col("c_cum"))).alias("c2"),
     )
-    bign = p.agg(F.max(F.col("n1") + F.col("n2")).alias("bign"))
-    d = p.crossJoin(F.broadcast(bign))
+    # N (final enrollment) as a window max over the SAME bounded
+    # census, NOT an agg + broadcast crossJoin: the scalar-subquery
+    # pattern would duplicate the whole census subtree (the PLANS.md
+    # audit read 11 exchanges / 2 corpus scans vs ev_ab_sequential's
+    # 5 / 1) because p's lineage re-computes for the 1-row aggregate.
+    # Both windows here run over the <= |days| census (registered
+    # bounded exceptions).
+    wg = Window.partitionBy()
+    d = p.withColumn("bign", F.max(F.col("n1") + F.col("n2")).over(wg))
     dec = "cast({} as decimal(38,0))"
     num = "(c1 * n2 - c2 * n1)"  # fits long: c,n <= ~1e5 at graded SFs
     lhs = (
@@ -3122,7 +3129,6 @@ def ev_ab_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("info_ppm"),
         F.when(guard, F.expr(f"{lhs} >= {rhs}")).alias("crossed_obf"),
     )
-    wg = Window.partitionBy()  # bounded: <= |days| census rows
     return d.select(
         "day",
         "n1",

@@ -61,8 +61,10 @@ EXPECTED = {
         "pool (the hnsw_topk final stage)",
     ),
     "ev_ab_boundary": (
-        1,
-        "first-crossing min over the <= |days| prefix census",
+        2,
+        "final-enrollment max + first-crossing min over the <= |days| "
+        "prefix census (window-max instead of agg+crossJoin: the "
+        "scalar pattern duplicated the census subtree, PLANS r12)",
     ),
 }
 
