@@ -393,51 +393,87 @@ def simhash_candidate_pairs(
     Reference capability matched: the V3 conflict-scan family
     (conflicts.go:34-170) — candidate generation for near-identical
     content, here by bit signature instead of an O(n) probe loop.
+
+    Scale shape (r12 — the sf10 curve forced it): banding runs over
+    DISTINCT signatures, not raw ids. Exact re-encodes/copies form
+    large identical-signature cliques (they do in real corpora, and
+    overwhelmingly in any near-dup-rich one), and banding raw ids
+    multiplies every clique into every bucket — at 500k images the
+    candidate join materialized ~n^2/2^7.5 ≈ 4e9 rows and died of GC
+    pressure. Over unique signatures the candidate volume is
+    O(n_unique^2 / 2^band_bits); id pairs then come from (a) the
+    banded unique-sig pairs expanded through the id lists and (b)
+    within-clique pairs (hamming 0) — the same exact result set, with
+    the quadratic term paid only on distinct fingerprints.
     """
     n_bands = max_hamming + 1
     base, rem = divmod(sig_bits, n_bands)
     widths = [base + 1] * rem + [base] * (n_bands - rem)
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    # both sides of the band join branch from the signature table;
-    # persist it so the signature aggregation (a scan + 60-column
-    # groupBy) runs once, not twice. Like minhash's shingle persist
-    # above, the cache is session-scoped (the returned DataFrame is
-    # lazy, so there is no safe point to unpersist here); Spark evicts
-    # LRU under memory pressure, and callers wanting deterministic
-    # release can unpersist after materializing.
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # the id↔sig table feeds three consumers (clique pairs + both
+    # sides of the expansion join); persist so the signature
+    # aggregation (a scan + 60-column groupBy) runs once. Like
+    # minhash's shingle persist above, the cache is session-scoped
+    # (the returned DataFrame is lazy, so there is no safe point to
+    # unpersist here); Spark evicts LRU under memory pressure, and
+    # callers wanting deterministic release can unpersist after
+    # materializing.
+    ids = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    uniq = ids.select("sig").distinct()
     band_vals = F.array(
         *[
-            F.shiftright(F.col(sig_col), off).bitwiseAND(F.lit((1 << w) - 1))
+            F.shiftright(F.col("sig"), off).bitwiseAND(F.lit((1 << w) - 1))
             for off, w in zip(offsets, widths)
         ]
     )
-    tagged = sigs.select(
-        F.col(id_col).alias("id"),
-        F.col(sig_col).alias("sig"),
-        F.posexplode(band_vals).alias("band", "bval"),
+    tagged = uniq.select(
+        "sig", F.posexplode(band_vals).alias("band", "bval")
     )
     a, b = tagged.alias("a"), tagged.alias("b")
-    return (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.sig") < F.col("b.sig")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sig").alias("a_sig"),
-            F.col("b.sig").alias("b_sig"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
+        .select(F.col("a.sig").alias("a_sig"), F.col("b.sig").alias("b_sig"))
+        # hamming BEFORE the dedup shuffle: the xor is a cheap map-side
+        # expression, and filtering first means the dedup exchange
+        # carries only true near-dup sig pairs, never the O(n_u^2/B)
+        # candidate superset (at sf10 that superset is ~56M rows; the
+        # survivors are thousands)
         .withColumn(
             "hamming", hamming64(F.col("a_sig"), F.col("b_sig")).cast("int")
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .dropDuplicates(["a_sig", "b_sig"])
     )
+    ia, ib = ids.alias("ia"), ids.alias("ib")
+    cross = (
+        sig_pairs.join(ia, F.col("ia.sig") == F.col("a_sig"))
+        .join(ib, F.col("ib.sig") == F.col("b_sig"))
+        .select(
+            F.least(F.col("ia.id"), F.col("ib.id")).alias("a_id"),
+            F.greatest(F.col("ia.id"), F.col("ib.id")).alias("b_id"),
+            F.col("hamming"),
+        )
+    )
+    clique = (
+        ia.join(
+            ib,
+            (F.col("ia.sig") == F.col("ib.sig"))
+            & (F.col("ia.id") < F.col("ib.id")),
+        )
+        .select(
+            F.col("ia.id").alias("a_id"),
+            F.col("ib.id").alias("b_id"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(clique)
 
 
 def exact_substring_stats(

@@ -43,6 +43,14 @@ def get_spark(app_name: str = "mie_spark", master: str | None = None) -> SparkSe
         # Arrow for every pandas_udf / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Cap Arrow batches by BYTES as well as rows: with binary
+        # payload columns (the multimodal operators) a 10k-row batch
+        # is ~70 MB, and the 64 MB default × 32 workers × the
+        # JVM↔Python copies thrashed the heap into GC-lock storms —
+        # the r12 sf10 pHash run spent 263 s of its 277 on GC; 8 MB
+        # batches read 16 s. Narrow-row batches (~1 MB at the 10k-row
+        # cap) are untouched.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(8 * 1024 * 1024))
         # Parquet scan sizing: 128 MiB splits keep partitions
         # executor-memory-friendly at any scale factor.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
