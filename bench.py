@@ -209,6 +209,7 @@ HEADLINE = [
     "ev_hll_registers",          # HLL register replay: md5 hash + 512-group agg
     "ev_ab_boundary",            # OBF sequential boundary, integer cross-mult
     "pipe_pack_bestfit",         # FFD bin-packing manifest per source shard
+    "st_pack_bestfit",           # streaming packing twin, census state drain
     "dq_schema_drift",           # struct-level schema diff, one-scan counters
     "mm_phash_hamming",          # integer-DCT pHash + banded pair census
 ]
