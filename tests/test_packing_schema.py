@@ -113,3 +113,44 @@ def test_pack_bestfit_streaming_twin_equals_batch(spark):
         tuple(r) for r in QUERIES["pipe_pack_bestfit"](spark, SF).collect()
     )
     assert st == ba and st
+
+
+def test_pack_bestfit_tree_equals_linear_probe_adversarially(spark):
+    """The segment-tree first-fit must place EXACTLY like the linear
+    probe on shapes the graded corpus never reaches: thousands of bins
+    (forces the tree's capacity-doubling rebuild past 1024) and
+    adversarial size mixes that make leftmost-feasible non-trivial."""
+    import random
+
+    from mie_spark.queries.text import ffd_from_census
+
+    rng = random.Random(12)
+    rows = []
+    # shard A: 3000 docs of 200 tokens -> no two fit together -> 3000
+    # bins (rebuild at 1024 and 2048)
+    rows += [("big", i, 200) for i in range(3000)]
+    # shard B: adversarial mix across the whole size range
+    rows += [("mix", i, rng.randint(1, 256)) for i in range(4000)]
+    census = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    )
+    got = ffd_from_census(census).collect()
+    by_source = {}
+    for r in got:
+        by_source.setdefault(r["source"], []).append(r)
+    assert len(by_source["big"]) == 3000 and len(by_source["mix"]) == 4000
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: (-r["n_tokens"], r["doc_id"]))
+        bins = []
+        for r in rs:
+            n = int(r["n_tokens"])
+            first_fit = next(
+                (i for i, occ in enumerate(bins) if occ + n <= 256),
+                len(bins),
+            )
+            assert r["bin"] == first_fit, (source, dict(r.asDict()))
+            if first_fit == len(bins):
+                bins.append(0)
+            assert r["bin_offset"] == bins[first_fit]
+            bins[first_fit] += n
+    assert max(r["bin"] for r in by_source["big"]) == 2999
