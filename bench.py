@@ -211,6 +211,7 @@ HEADLINE = [
     "pipe_pack_bestfit",         # FFD bin-packing manifest per source shard
     "st_pack_bestfit",           # streaming packing twin, census state drain
     "dq_schema_drift",           # struct-level schema diff, one-scan counters
+    "st_schema_drift",           # streaming schema gate, counter-state drain
     "mm_phash_hamming",          # integer-DCT pHash + banded pair census
 ]
 

@@ -77,7 +77,7 @@ _GRADE_FIRST = [
     # then the 34 remaining), then (3) the r08-stale queue in
     # alphabetical order to fill to 50. New r12 queries displace the
     # r08 tail heads on arrival; displaced heads lead the r13 queue
-    # (ev_log_histogram, ev_markov_transitions, ev_ordered_funnel, ev_pivot,
+    # (ev_kmv_distinct, ev_log_histogram, ev_markov_transitions, ev_ordered_funnel, ev_pivot,
     # ev_quantile_bound, ev_retention,
     # f2_substring_match, then the rest of r08 alphabetical:
     # f3_disjunction, f4_case_insensitive, g_kcore, g_labelprop,
@@ -95,6 +95,7 @@ _GRADE_FIRST = [
     "pipe_pack_bestfit",
     "st_pack_bestfit",
     "dq_schema_drift",
+    "st_schema_drift",
     # The 37 r07-stale rows, VERDICT r11 queue order.
     "pipe_bpe_vocab",
     "v_mmr_pool",
@@ -139,7 +140,6 @@ _GRADE_FIRST = [
     "ev_cms_topk",
     "ev_hll_accuracy",
     "ev_hourly_agg",
-    "ev_kmv_distinct",
 ]
 
 

@@ -1445,7 +1445,10 @@ def _schema_drift_oracle() -> str:
     """
 
 
-@query("dq_schema_drift", oracle=_schema_drift_oracle())
+SCHEMA_DRIFT_ORACLE = _schema_drift_oracle()
+
+
+@query("dq_schema_drift", oracle=SCHEMA_DRIFT_ORACLE)
 def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct-level schema drift between corpus snapshots — the
     companion dq_profile_drift's docstring implies and VERDICT r11
@@ -1474,6 +1477,15 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — the dq_profile_drift bounded-scalar pattern. At 100 TB:
     one pass, O(fields) driver state."""
     ev = load_table(spark, sf_dir, "events")
+    return schema_report_from_census(schema_drift_census(ev))
+
+
+def schema_drift_census(ev: DataFrame) -> DataFrame:
+    """The 11-counter schema census — shared by the batch gate and its
+    streaming twin (st_schema_drift): plain conditional counts (no
+    DISTINCT — deliberately, so the aggregate runs in a streaming
+    complete-mode state store), replay-idempotent because recounting
+    the same events folds to the same counters."""
     k_str = F.get_json_object("props", "$.k")
     is_num = F.coalesce(k_str, F.lit("")).rlike(r"^-?[0-9]+(\.[0-9]+)?$")
     p = F.col("event_id") % 10 != 0
@@ -1486,7 +1498,7 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 7 == 0).alias("e7"),
     )
     cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
-    row = d.agg(
+    return d.agg(
         cnt(F.col("p")).alias("rows_prev"),
         F.count(F.lit(1)).alias("rows_curr"),
         cnt(F.col("p") & F.col("k_here")).alias("k_prev"),
@@ -1496,7 +1508,15 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("p") & F.col("e3")).alias("lt_prev"),
         cnt(F.col("e7")).alias("ef_curr"),
         cnt(F.col("e5num")).alias("u_num_curr"),
-    ).collect()[0]  # bounded: ONE row of counters
+    )
+
+
+def schema_report_from_census(census: DataFrame) -> DataFrame:
+    """Assemble the 4-field verdict report from the ONE-row counter
+    census — the shared final projection of dq_schema_drift and
+    st_schema_drift (same code, same oracle)."""
+    spark = census.sparkSession
+    row = census.collect()[0]  # bounded: ONE row of counters
 
     rp, rc = int(row["rows_prev"]), int(row["rows_curr"])
 

@@ -833,3 +833,35 @@ def st_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_token_census(docs), output_mode="complete", state_partitions=8
     )
     return ffd_from_census(drained)
+
+
+from mie_spark.queries.relational import SCHEMA_DRIFT_ORACLE  # noqa: E402
+
+
+@query("st_schema_drift", oracle=SCHEMA_DRIFT_ORACLE)
+def st_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dq_schema_drift — the ingest-time schema
+    gate, which is where a schema diff actually runs: the 11-counter
+    census accretes in the complete-mode state store (each event
+    micro-batch folds its conditional counts into the standing
+    counters via the SAME schema_drift_census the batch gate
+    aggregates — plain counts, no DISTINCT, so the streaming aggregate
+    is supported and replay-idempotent), and the 4-field
+    added/dropped/type_changed verdict report recomputes from the
+    drained ONE-row state via the SAME schema_report_from_census
+    projection, grading against the SAME SQL text. 'Did the upstream
+    rollout change the payload shape?' re-answers per micro-batch from
+    O(counters) state — never a corpus rescan. Tenth member of the
+    twin set (dedup, decontamination, sampling, drift, changepoint,
+    forecast, exact quantiles, experiment monitoring, tokenizer
+    coverage, packing, schema)."""
+    from mie_spark.queries.relational import (
+        schema_drift_census,
+        schema_report_from_census,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    drained = run_to_memory_sink(
+        schema_drift_census(ev), output_mode="complete", state_partitions=8
+    )
+    return schema_report_from_census(drained)

@@ -154,3 +154,18 @@ def test_pack_bestfit_tree_equals_linear_probe_adversarially(spark):
             assert r["bin_offset"] == bins[first_fit]
             bins[first_fit] += n
     assert max(r["bin"] for r in by_source["big"]) == 2999
+
+
+def test_schema_drift_streaming_twin_equals_batch(spark):
+    """st_schema_drift drains the same 11-counter census through the
+    same 4-row assembly: its verdict report must equal the batch
+    gate's row-for-row (the tenth twin family's equality contract)."""
+    from mie_spark.queries import QUERIES
+
+    st = sorted(
+        tuple(r) for r in QUERIES["st_schema_drift"](spark, SF).collect()
+    )
+    ba = sorted(
+        tuple(r) for r in QUERIES["dq_schema_drift"](spark, SF).collect()
+    )
+    assert st == ba and len(st) == 4
