@@ -493,3 +493,50 @@ def test_luby_mis_invariants_on_random_graphs(spark, pairs):
         assert not (a in mis and b in mis), (a, b)
     for n in adj:
         assert n in mis or (adj[n] & mis), n
+
+
+@settings(max_examples=300)
+@given(
+    st.integers(min_value=0, max_value=10**5),
+    st.integers(min_value=0, max_value=10**5),
+    st.integers(min_value=0, max_value=10**5),
+    st.integers(min_value=0, max_value=10**5),
+    st.integers(min_value=1, max_value=2 * 10**5),
+)
+def test_obf_integer_rule_matches_float_boundary(n1, c1, n2, c2, big_n):
+    """ev_ab_boundary's cross-multiplied decision
+    625*num^2*ns^2 >= 2401*N*n1*n2*cs*(ns-cs) must agree with the
+    real-valued rule |z| >= 1.96/sqrt(t) wherever the float comparison
+    is not within rounding distance of the boundary (the integer form
+    exists precisely to make the knife-edge cases exact)."""
+    import math
+
+    c1, c2 = min(c1, n1), min(c2, n2)  # conversions bounded by entries
+    ns, cs = n1 + n2, c1 + c2
+    big_n = max(big_n, ns)  # final enrollment >= any prefix
+    if not (n1 > 0 and n2 > 0 and 0 < cs < ns):
+        return  # NULL-guard region: no decision on either side
+    num = c1 * n2 - c2 * n1
+    lhs = 625 * num * num * ns * ns
+    rhs = 2401 * big_n * n1 * n2 * cs * (ns - cs)
+    int_decision = lhs >= rhs
+    p1, p2, pp = c1 / n1, c2 / n2, cs / ns
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    bound = 1.96 / math.sqrt(ns / big_n)
+    if abs(abs(z) - bound) > 1e-9 * max(1.0, bound):
+        assert int_decision == (abs(z) >= bound), (
+            n1, c1, n2, c2, big_n, z, bound
+        )
+
+
+@settings(max_examples=300)
+@given(st.integers(min_value=0, max_value=(1 << 51) - 1))
+def test_hll_rank_formula_matches_bit_length(w):
+    """ev_hll_registers' rank = 52 - bitlength(w) (via the engines'
+    bin()/length) must equal the spec definition: number of leading
+    zeros of w in a 51-bit window, plus one."""
+    rank = 52 if w == 0 else 52 - w.bit_length()
+    # spec: leading zeros in 51 bits + 1
+    nlz = 51 - w.bit_length()
+    assert rank == nlz + 1
+    assert 1 <= rank <= 52
