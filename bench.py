@@ -312,7 +312,7 @@ def main() -> None:
     # bench_last_detail.json next to this script — committed with the
     # round record so the judge reads exact spreads from the repo;
     # (b) the summary line below carries compressed spread evidence
-    # (p50/max + the 10 noisiest queries) inside the tail budget.
+    # (p50/max + the 8 noisiest queries) inside the tail budget.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),

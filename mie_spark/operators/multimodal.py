@@ -1004,7 +1004,7 @@ def synthetic_ppm_corpus(
 
     ENGINE-PORTABLE arithmetic (r12 — replaces the original PCG64 +
     sin/cos generator so the whole pHash pipeline is replayable in the
-    mm_phash_hamming SQL oracle): each group's base image is a 4x4
+    mm_phash_hamming SQL oracle): each group's base image is an 8x8
     MOSAIC of 6-pixel cells whose brightnesses come from the repo's
     standard md5-15 hash — 64 independent values per group (every one
     of the 60 kept DCT coefficients gets real energy, so the median

@@ -62,84 +62,84 @@ def _load_all() -> None:
 # Registry order is part of the driver contract: the grading driver
 # hash-checks the FIRST 50 registry entries each round (empirically
 # verified r01+r02). Rotate coverage explicitly rather than relying on
-# import order. Priority rule (stable since r5): (1) stalest driver
-# rows first, (2) queries added this round, (3) queries whose code or
-# shared helpers changed this round, (4) oldest remaining stale rows.
-_GRADE_FIRST = [
-    # Round 12 rotation (VERDICT r11 item #2). Priority rule unchanged
-    # (stable since r5): (1) queries added or whose GRADED path changed
-    # this round — windowed on arrival — then (2) stalest driver rows.
-    # This round the stalest cohort is exactly VERDICT r11's documented
-    # r12 queue: ALL 37 r07-stale entries (verified against the
-    # CORRECTNESS_r07..r11 artifacts: these 37 have had no driver row
-    # since r07), in VERDICT r10/r11's order (pipe_bpe_vocab,
-    # v_mmr_pool, dedup_url_canon — displaced by late-r11 arrivals —
-    # then the 34 remaining), then (3) the r08-stale queue in
-    # alphabetical order to fill to 50. New r12 queries displace the
-    # r08 tail heads on arrival; displaced heads lead the r13 queue
-    # (ev_kmv_distinct, ev_log_histogram, ev_markov_transitions, ev_ordered_funnel, ev_pivot,
-    # ev_quantile_bound, ev_retention,
-    # f2_substring_match, then the rest of r08 alphabetical:
-    # f3_disjunction, f4_case_insensitive, g_kcore, g_labelprop,
-    # g_link_prediction, g_pagerank, g_sssp, mm_audio_chunks, ...).
-    #
-    # New or changed-graded-path this round, windowed on arrival:
-    # dq_profile_drift's graded SQL changed (ADVICE r11: rows==0 now
-    # yields NULL ppm/drift in engine AND oracle instead of
-    # parity-by-crash) — regrade the shipping form; displaces
-    # ev_markov_transitions to the r13 queue head.
-    "dq_profile_drift",
-    "ev_hll_registers",
-    "mm_phash_hamming",
+# import order.
+#
+# STEADY-STATE ROTATION POLICY (VERDICT r12 item #8, mechanical from
+# r13 on — derived by tools_rotation_queue.py and pinned by
+# tests/test_registry.py::test_grade_first_matches_rotation_policy):
+#   1. Queries added this round, or whose GRADED path (Spark plan or
+#      oracle SQL text) changed this round, are windowed on arrival —
+#      list them in _NEW_THIS_ROUND (the only hand-maintained input;
+#      reset it to [] at the start of each round).
+#   2. Remaining slots fill oldest-driver-row-first: per registry
+#      entry, the most recent CORRECTNESS_r{N}.json holding a row for
+#      it; sort by (last_round ascending, name ascending); take until
+#      the window holds 50.
+_NEW_THIS_ROUND: list[str] = [
+    # Graded path changed this round (ADVICE r12): ev_ab_boundary's
+    # decision moved to the divided-out ceil(B/ns^2) form on both
+    # engines; mm_phash_hamming's oracle VALUES list dropped the dead
+    # 3/4 of the DCT basis table.
     "ev_ab_boundary",
-    "pipe_pack_bestfit",
-    "st_pack_bestfit",
-    "dq_schema_drift",
-    "st_schema_drift",
-    # The 37 r07-stale rows, VERDICT r11 queue order.
-    "pipe_bpe_vocab",
-    "v_mmr_pool",
-    "dedup_url_canon",
-    "dedup_containment",
-    "ev_heavy_hitters",
-    "ev_kmv_overlap",
-    "ev_stickiness",
-    "g_bfs_hops",
-    "g_chain_motif",
-    "g_connected_components",
-    "g_copurchase_jaccard",
-    "g_mis",
-    "g_random_walks",
-    "j3_edge_attr_traversal",
-    "j4_reverse_traversal",
-    "j6_union_join_single_pass",
-    "o5_first_match",
-    "a4_groupby_metrics",
-    "a_assoc_rules",
-    "a_cube_orders",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_mjpeg_frames",
-    "q4_order_priority",
-    "q8_market_share",
-    "q11_important_stock",
-    "q18_large_volume_orders",
-    "st_sliding_distinct",
-    "text_bigram_logprob",
-    "text_gopher_rules",
-    "ev_sliding_distinct",
-    "v_lsh_buckets",
-    "w_distribution_stats",
-    "u2_pair_dedup",
-    "u4_intersect_customers",
-    "v_embed_corpus",
-    "w_lag_monthly_delta",
-    # r08-stale alphabetical heads (fill to 50).
-    "a_grouping_sets",
-    "dedup_simhash_pairs",
-    "ev_cms_topk",
-    "ev_hll_accuracy",
-    "ev_hourly_agg",
+    "mm_phash_hamming",
+]
+
+_GRADE_FIRST = [
+    # Round 13 queue = _NEW_THIS_ROUND + the full r08-stale cohort (40
+    # entries, no driver row since CORRECTNESS_r08, alphabetical) + the
+    # first 8 r09-stale entries. Matches tools_rotation_queue.py.
+    "ev_ab_boundary",
+    "mm_phash_hamming",
+    "ev_kmv_distinct",
+    "ev_log_histogram",
+    "ev_markov_transitions",
+    "ev_ordered_funnel",
+    "ev_pivot",
+    "ev_quantile_bound",
+    "ev_retention",
+    "f2_substring_match",
+    "f3_disjunction",
+    "f4_case_insensitive",
+    "g_kcore",
+    "g_labelprop",
+    "g_link_prediction",
+    "g_pagerank",
+    "g_sssp",
+    "mm_audio_chunks",
+    "mm_mjpeg_accuracy",
+    "mm_png_stats",
+    "mm_resize_features",
+    "o1_order_limit_offset",
+    "pipe_dataset_card",
+    "pipe_quality_buckets",
+    "q14_promo_revenue_share",
+    "s2_point_lookup",
+    "samp_stratified",
+    "samp_temperature_mix",
+    "st_dedup_totals",
+    "st_heavy_hitters",
+    "st_sessionize",
+    "text_bpe_tokens",
+    "text_char_entropy",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_unigram_logprob",
+    "u1_union_distinct",
+    "v5_norms",
+    "v_knn_join_nodes",
+    "w_rank_per_group",
+    "w_revenue_share",
+    # r09-stale alphabetical heads (fill to 50); displaced by
+    # _NEW_THIS_ROUND arrivals, tail-first.
+    "a1_stats_single_pass",
+    "a3_multi_table_counts",
+    "a_rollup_suppliers",
+    "a_salted_agg",
+    "a_stats_moments",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_exact_substring",
 ]
 
 

@@ -2980,10 +2980,17 @@ def ev_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
                625::HUGEINT
                  * ((c1 * n2 - c2 * n1)::HUGEINT
                     * (c1 * n2 - c2 * n1)::HUGEINT)
-                 * ((n1 + n2)::HUGEINT * (n1 + n2)::HUGEINT)
                >=
-               2401::HUGEINT * bign::HUGEINT * n1::HUGEINT * n2::HUGEINT
-                 * (c1 + c2)::HUGEINT * ((n1 + n2) - (c1 + c2))::HUGEINT
+               (2401::HUGEINT * bign::HUGEINT * n1::HUGEINT * n2::HUGEINT
+                  * (c1 + c2)::HUGEINT
+                  * ((n1 + n2) - (c1 + c2))::HUGEINT)
+                 // ((n1 + n2)::HUGEINT * (n1 + n2)::HUGEINT)
+               + CASE WHEN
+                   (2401::HUGEINT * bign::HUGEINT * n1::HUGEINT
+                      * n2::HUGEINT * (c1 + c2)::HUGEINT
+                      * ((n1 + n2) - (c1 + c2))::HUGEINT)
+                     % ((n1 + n2)::HUGEINT * (n1 + n2)::HUGEINT) > 0
+                 THEN 1 ELSE 0 END
              END AS crossed_obf
       FROM p, tot
     )
@@ -3011,12 +3018,22 @@ def ev_ab_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt): |z| >= 1.96/sqrt(t)  <=>  z^2 * t >= 1.96^2, and with
     z^2 = num^2 * ns / (n1 n2 cs (ns-cs)) for num = c1*n2 - c2*n1,
     ns = n1+n2, cs = c1+c2, t = ns/N, the rule cross-multiplies to
-        625 * num^2 * ns^2  >=  2401 * N * n1 * n2 * cs * (ns-cs)
-    (1.96 = 49/25, squared = 2401/625) — every operand a non-negative
-    integer, compared exactly in decimal(38,0) on the Spark side and
-    HUGEINT in DuckDB (width bound: |num| <= ns^2/4 keeps the LHS
-    under 10^38 through N ~ 1.3e6 users — orders above the graded
-    scales; a larger deployment re-scales the census first).
+        625 * num^2 * ns^2  >=  B := 2401 * N * n1 * n2 * cs * (ns-cs)
+    (1.96 = 49/25, squared = 2401/625). Evaluated in the divided-out
+    form (ADVICE r12 — the raw cross-product capped headroom at
+    ns ~ 1.1e6: worst-case LHS 625*(ns^2/4)^2*ns^2 crosses 10^38):
+        625 * num^2  >=  ceil(B / ns^2)
+                      =  B div ns^2 + (1 if B mod ns^2 > 0 else 0)
+    — exactly equivalent for integer LHS, every operand a non-negative
+    integer, computed in decimal(38,0) on the Spark side (div/mod via
+    the remainder-subtracted exact decimal division, the int_div
+    doctrine; the quotient <= 2401*N*ns^2/16 < 10^32 stays exact in
+    the decimal(38,6) division result) and HUGEINT in DuckDB. Width
+    bound is now B < 10^38: with n1*n2 <= ns^2/4 and cs*(ns-cs) <=
+    ns^2/4, B <= 2401*N^5/16 — holds through N ~ 1.4e7 users, a
+    decade above the old form (equivalence + the bound pinned by
+    tests/test_properties.py::test_obf_integer_rule_matches_float_boundary);
+    a larger deployment re-scales the census first.
     Degenerate prefixes (a variant not yet entered, pooled rate 0 or
     1) take the SAME NULL guard as ev_ab_sequential. info_ppm is the
     half-up integer information fraction.
@@ -3099,13 +3116,23 @@ def ev_ab_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = "(c1 * n2 - c2 * n1)"  # fits long: c,n <= ~1e5 at graded SFs
     lhs = (
         f"cast(625 as decimal(38,0)) * ({dec.format(num)} * {dec.format(num)})"
-        f" * ({dec.format('(n1 + n2)')} * {dec.format('(n1 + n2)')})"
     )
-    rhs = (
-        f"cast(2401 as decimal(38,0)) * {dec.format('bign')}"
+    # Divided-out RHS: ceil(B / ns^2) = B div ns^2 + (B mod ns^2 > 0),
+    # computed with the remainder-subtracted exact decimal division
+    # (int_div doctrine — Spark's decimal `/` pre-rounds to scale 6,
+    # but a zero-remainder quotient is exact; the quotient < 10^32
+    # fits the decimal(38,6) result). Guarded by `guard` (n1,n2 > 0
+    # so ns^2 > 0) — CASE branches evaluate lazily under ANSI.
+    big_b = (
+        f"(cast(2401 as decimal(38,0)) * {dec.format('bign')}"
         f" * {dec.format('n1')} * {dec.format('n2')}"
         f" * {dec.format('(c1 + c2)')}"
-        f" * {dec.format('((n1 + n2) - (c1 + c2))')}"
+        f" * {dec.format('((n1 + n2) - (c1 + c2))')})"
+    )
+    ns2 = f"({dec.format('(n1 + n2)')} * {dec.format('(n1 + n2)')})"
+    rhs = (
+        f"(({big_b} - pmod({big_b}, {ns2})) / {ns2}"
+        f" + (CASE WHEN pmod({big_b}, {ns2}) > 0 THEN 1 ELSE 0 END))"
     )
     guard = (
         (F.col("n1") > 0)

@@ -400,7 +400,10 @@ def _phash_hamming_oracle() -> str:
         f"({u}, {x}, {q})"
         for u, row in enumerate(PHASH_BASIS_Q14)
         for x, q in enumerate(row)
-        if u < 8 or x < 48  # all rows; kept explicit for readability
+        # Both DCT stages join only u < 8 basis rows (stage 1 on
+        # b.x = r.rj, stage 2 on b2.x = t1.ci, x always <= 31), so the
+        # other 3/4 of the 32x32 table would ship dead (ADVICE r12).
+        if u < 8
     )
     h = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
     return f"""

@@ -504,11 +504,14 @@ def test_luby_mis_invariants_on_random_graphs(spark, pairs):
     st.integers(min_value=1, max_value=2 * 10**5),
 )
 def test_obf_integer_rule_matches_float_boundary(n1, c1, n2, c2, big_n):
-    """ev_ab_boundary's cross-multiplied decision
-    625*num^2*ns^2 >= 2401*N*n1*n2*cs*(ns-cs) must agree with the
-    real-valued rule |z| >= 1.96/sqrt(t) wherever the float comparison
-    is not within rounding distance of the boundary (the integer form
-    exists precisely to make the knife-edge cases exact)."""
+    """ev_ab_boundary's shipped decision is the divided-out form
+    625*num^2 >= ceil(B/ns^2) with B = 2401*N*n1*n2*cs*(ns-cs)
+    (ADVICE r12 headroom fix). Pin (a) its exact equivalence to the
+    raw cross-multiplication 625*num^2*ns^2 >= B on every input, and
+    (b) agreement with the real-valued rule |z| >= 1.96/sqrt(t)
+    wherever the float comparison is not within rounding distance of
+    the boundary (the integer form exists precisely to make the
+    knife-edge cases exact)."""
     import math
 
     c1, c2 = min(c1, n1), min(c2, n2)  # conversions bounded by entries
@@ -517,9 +520,11 @@ def test_obf_integer_rule_matches_float_boundary(n1, c1, n2, c2, big_n):
     if not (n1 > 0 and n2 > 0 and 0 < cs < ns):
         return  # NULL-guard region: no decision on either side
     num = c1 * n2 - c2 * n1
-    lhs = 625 * num * num * ns * ns
-    rhs = 2401 * big_n * n1 * n2 * cs * (ns - cs)
-    int_decision = lhs >= rhs
+    big_b = 2401 * big_n * n1 * n2 * cs * (ns - cs)
+    raw_decision = 625 * num * num * ns * ns >= big_b
+    q, r = divmod(big_b, ns * ns)
+    int_decision = 625 * num * num >= q + (1 if r > 0 else 0)
+    assert int_decision == raw_decision, (n1, c1, n2, c2, big_n)
     p1, p2, pp = c1 / n1, c2 / n2, cs / ns
     z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
     bound = 1.96 / math.sqrt(ns / big_n)
