@@ -16,7 +16,10 @@ per-query >2x-vs-BASELINE flags, which are the two facts the official
 record must keep. The detail line right above survives in full when
 the window allows (it is the last-but-one line). Since r12 the summary
 also carries compressed noise evidence (spread_p50/spread_max/
-spread_top-8, remeasured capped at 8 with remeasured_n), and the FULL
+spread_top-8, remeasured capped at 8 with remeasured_n, and since r13
+cold_first-8: queries whose FIRST sample dwarfs their median —
+one-time codegen compilation named explicitly so big spreads
+self-diagnose), and the FULL
 per-query detail is additionally written to bench_last_detail.json
 next to this script — committed with the round record, so exact
 per-query spread survives the driver's 2000-byte tail capture
@@ -213,6 +216,8 @@ HEADLINE = [
     "dq_schema_drift",           # struct-level schema diff, one-scan counters
     "st_schema_drift",           # streaming schema gate, counter-state drain
     "mm_phash_hamming",          # integer-DCT pHash + banded pair census
+    # round-13 additions, benched from day one
+    "v_embed_drift",             # embedding-upgrade gate: exact Jaccard@10 panel
 ]
 
 
@@ -239,7 +244,7 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    def _measure(name: str) -> tuple[float, float]:
+    def _measure(name: str) -> tuple[float, float, float]:
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -247,6 +252,7 @@ def main() -> None:
             # full materialization; plan construction alone is not a run
             df.count()
             samples.append(time.perf_counter() - t0)
+        first = samples[0]
         samples.sort()
         mid = len(samples) // 2
         median = (
@@ -254,10 +260,11 @@ def main() -> None:
             if len(samples) % 2
             else (samples[mid - 1] + samples[mid]) / 2
         )
-        return round(median, 3), round(samples[-1] - samples[0], 3)
+        return round(median, 3), round(samples[-1] - samples[0], 3), round(first, 3)
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     load_1m: dict[str, float] = {}
     load_start = _loadavg()
     for name in HEADLINE:
@@ -265,7 +272,7 @@ def main() -> None:
         # co-tenant bursts attributable PER QUERY from the artifact
         # alone (VERDICT r10 item 2) instead of via BASELINE.md prose.
         load_1m[name] = _loadavg()[0]
-        timings[name], spread[name] = _measure(name)
+        timings[name], spread[name], first_run[name] = _measure(name)
 
     # Ambient re-measure pass: this box is co-tenant (BASELINE.md
     # documents 12x single-suite blips on queries that read 1.3x
@@ -282,7 +289,7 @@ def main() -> None:
     for name in list(timings):
         row = baseline_rows.get(name, 0.0)
         if row > 0 and timings[name] > 2.0 * row:
-            again, again_spread = _measure(name)
+            again, again_spread, _cold = _measure(name)
             remeasured[name] = {"first": timings[name], "retry": again}
             timings[name] = again
             spread[name] = again_spread
@@ -291,12 +298,29 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Cold-first self-diagnosis (VERDICT r12 item #4): a query whose
+    # FIRST sample dwarfs its median is paying one-time JVM codegen
+    # compilation of its generated stages (root-caused on
+    # mm_phash_hamming: worker-side import preloading does not absorb
+    # it — driver plan work is ~0.6 s; the delta is the first
+    # execution's whole-stage-codegen compile, quiet-box ~3.5 s, and
+    # ambient load multiplies it). The timed median is already the
+    # honest steady-state number (median-of-3 absorbs the one cold
+    # sample); cold_first NAMES the cold run so a large spread entry
+    # self-diagnoses in the artifact instead of reading as noise.
+    cold_first = {
+        n: first_run[n]
+        for n in first_run
+        if first_run[n] > max(2.0 * timings[n], timings[n] + 1.0)
+    }
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "first_run": first_run,
+        "cold_first": cold_first,
         "load_1m": load_1m,
         "load_avg": {"start": load_start, "end": load_end},
         "runs_per_query": runs,
@@ -338,6 +362,7 @@ def main() -> None:
             remeasured.items(), key=lambda kv: -kv[1]["first"]
         )[:8]
     )
+    cold_top = dict(sorted(cold_first.items(), key=lambda kv: -kv[1])[:8])
     summary = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -351,6 +376,8 @@ def main() -> None:
         "spread_top": spread_top,
         "remeasured_n": len(remeasured),
         "remeasured": rem_top,
+        "cold_first_n": len(cold_first),
+        "cold_first": cold_top,
         "load_avg": {"start": load_start, "end": load_end},
         "detail_file": "bench_last_detail.json",
     }

@@ -82,14 +82,17 @@ _NEW_THIS_ROUND: list[str] = [
     # 3/4 of the DCT basis table.
     "ev_ab_boundary",
     "mm_phash_hamming",
+    # Added this round:
+    "v_embed_drift",
 ]
 
 _GRADE_FIRST = [
     # Round 13 queue = _NEW_THIS_ROUND + the full r08-stale cohort (40
     # entries, no driver row since CORRECTNESS_r08, alphabetical) + the
-    # first 8 r09-stale entries. Matches tools_rotation_queue.py.
+    # first 7 r09-stale entries. Matches tools_rotation_queue.py.
     "ev_ab_boundary",
     "mm_phash_hamming",
+    "v_embed_drift",
     "ev_kmv_distinct",
     "ev_log_histogram",
     "ev_markov_transitions",
@@ -139,7 +142,6 @@ _GRADE_FIRST = [
     "a_stats_moments",
     "dedup_embedding_cosine",
     "dedup_exact_groups",
-    "dedup_exact_substring",
 ]
 
 

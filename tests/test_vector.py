@@ -942,3 +942,58 @@ def test_hnsw_append_refuses_shard_hash_mismatch(spark, tmp_path):
     rewrite_meta(meta)
     with pytest.raises(ValueError, match="shard_hash"):
         append_ann_hnsw_index(df.filter("vec_id >= 90"), path)
+
+
+def test_embed_drift_gate_invariants(spark):
+    """v_embed_drift (r13): panel membership, Jaccard algebra, and the
+    numpy ground truth for the quantized-integer ranking — the exact
+    top-10 sets under both models recomputed independently."""
+    import numpy as np
+
+    from mie_spark.queries import QUERIES
+
+    rows = {r["qid"]: r for r in QUERIES["v_embed_drift"](spark, SF).collect()}
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    assert set(rows) == {i for i in emb if i % 29 == 0}
+    # numpy replay of the spec: unit-normalize, quantize to 2^-20 grid,
+    # integer dot, top-10 by (dot desc, vec_id asc)
+    def quant(v):
+        u = v / np.sqrt(np.sum(v * v))
+        x = u * 1048576.0
+        # HALF-AWAY-FROM-ZERO like F.round/DuckDB round — np.round is
+        # half-EVEN and would diverge on an exact dyadic midpoint
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    qa = {i: quant(v) for i, v in emb.items()}
+    qb = {i: quant(v[:16]) for i, v in emb.items()}
+    for qid, r in rows.items():
+        def topk(q):
+            scored = sorted(
+                ((-int(q[qid] @ q[i]), i) for i in emb if i != qid)
+            )[:10]
+            return {i for _, i in scored}
+
+        inter = len(topk(qa) & topk(qb))
+        assert r["overlap10"] == inter, qid
+        assert 0 <= r["overlap10"] <= 10
+        u = 20 - inter
+        assert r["jaccard_ppm"] == (2 * inter * 1_000_000 + u) // (2 * u)
+        assert r["drift"] == (r["corpus_jaccard_ppm"] < 600000)
+    ppms = [r["jaccard_ppm"] for r in rows.values()]
+    n = len(ppms)
+    assert rows[0]["corpus_jaccard_ppm"] == (2 * sum(ppms) + n) // (2 * n)
+
+
+def test_embed_drift_broadcasts_panel(spark):
+    """The probe panel must ride a broadcast — the corpus never
+    shuffles for the scoring join."""
+    from mie_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["v_embed_drift"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -60,6 +60,11 @@ EXPECTED = {
         "exact global re-rank over the <= shards x k = 80 candidate "
         "pool (the hnsw_topk final stage)",
     ),
+    "v_embed_drift": (
+        1,
+        "corpus ppm rollup over the <= |panel| per-query rows "
+        "(pmod(vec_id,29)=0 probe panel, ~3% of the corpus)",
+    ),
     "ev_ab_boundary": (
         2,
         "final-enrollment max + first-crossing min over the <= |days| "
