@@ -218,6 +218,7 @@ HEADLINE = [
     "mm_phash_hamming",          # integer-DCT pHash + banded pair census
     # round-13 additions, benched from day one
     "v_embed_drift",             # embedding-upgrade gate: exact Jaccard@10 panel
+    "st_phash_hamming",          # streaming pHash twin: signature census state
 ]
 
 

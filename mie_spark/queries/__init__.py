@@ -84,15 +84,17 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_phash_hamming",
     # Added this round:
     "v_embed_drift",
+    "st_phash_hamming",
 ]
 
 _GRADE_FIRST = [
     # Round 13 queue = _NEW_THIS_ROUND + the full r08-stale cohort (40
     # entries, no driver row since CORRECTNESS_r08, alphabetical) + the
-    # first 7 r09-stale entries. Matches tools_rotation_queue.py.
+    # first 6 r09-stale entries. Matches tools_rotation_queue.py.
     "ev_ab_boundary",
     "mm_phash_hamming",
     "v_embed_drift",
+    "st_phash_hamming",
     "ev_kmv_distinct",
     "ev_log_histogram",
     "ev_markov_transitions",
@@ -141,7 +143,6 @@ _GRADE_FIRST = [
     "a_salted_agg",
     "a_stats_moments",
     "dedup_embedding_cosine",
-    "dedup_exact_groups",
 ]
 
 

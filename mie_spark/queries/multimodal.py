@@ -466,7 +466,44 @@ def _phash_hamming_oracle() -> str:
     """
 
 
-@query("mm_phash_hamming", oracle=_phash_hamming_oracle())
+# Shared by mm_phash_hamming (batch) and st_phash_hamming (streaming
+# twin, 11th family) — identical SQL text, the st_drift_ks doctrine.
+PHASH_HAMMING_ORACLE = _phash_hamming_oracle()
+
+
+def phash_signature_census(docs: DataFrame) -> DataFrame:
+    """The (asset_id, phash) signature census shared by the batch pair
+    query and its streaming twin: the 60-bit pHash is a pure function
+    of the payload bytes (synthetic_ppm_corpus -> image_phash, both
+    deterministic), so the max() fold is idempotent under micro-batch
+    replay — a re-delivered image folds to the same signature (the
+    pack_token_census doctrine). Streaming-safe end to end: the codec
+    chain is stateless mapInPandas; only this census aggregate holds
+    state (one (id, long) row per image)."""
+    from mie_spark.operators.multimodal import image_phash, synthetic_ppm_corpus
+
+    assets = synthetic_ppm_corpus(docs, group_size=25)
+    sigs = image_phash(assets)
+    return sigs.groupBy("asset_id").agg(F.max("phash").alias("phash"))
+
+
+def phash_pairs_from_census(sigs: DataFrame) -> DataFrame:
+    """Banded-candidate + exact-verify pair census from the signature
+    state — the shared final projection of mm_phash_hamming and
+    st_phash_hamming (same code, same oracle): pigeonhole banding over
+    DISTINCT signatures, exact xor hamming <= 6 verify, never
+    all-pairs."""
+    from mie_spark.operators.dedup import simhash_candidate_pairs
+
+    pairs = simhash_candidate_pairs(
+        sigs, max_hamming=6, id_col="asset_id", sig_col="phash"
+    )
+    return pairs.select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query("mm_phash_hamming", oracle=PHASH_HAMMING_ORACLE)
 def mm_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pHash near-dup pair census, HASH-GRADED end to end (VERDICT
     r11 item #5, graduated in full rather than pair-stage-only): the
@@ -481,19 +518,11 @@ def mm_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     green hash row PROVES the banding loses nothing at this corpus
     (pigeonhole: 8 bands catch every pair differing in <= 7 bits).
     mm_phash_pairs stays the rows-only production query; this is its
-    grading twin, the v_hnsw_rerank move."""
-    from mie_spark.operators.dedup import simhash_candidate_pairs
-    from mie_spark.operators.multimodal import image_phash, synthetic_ppm_corpus
-
+    grading twin, the v_hnsw_rerank move. Since r13 the census +
+    projection are shared with st_phash_hamming (the 11th twin
+    family)."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = synthetic_ppm_corpus(docs, group_size=25)
-    sigs = image_phash(assets)
-    pairs = simhash_candidate_pairs(
-        sigs, max_hamming=6, id_col="asset_id", sig_col="phash"
-    )
-    return pairs.select(
-        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
-    )
+    return phash_pairs_from_census(phash_signature_census(docs))
 
 
 @query("mm_phash_pairs")

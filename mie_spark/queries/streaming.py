@@ -865,3 +865,37 @@ def st_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema_drift_census(ev), output_mode="complete", state_partitions=8
     )
     return schema_report_from_census(drained)
+
+
+from mie_spark.queries.multimodal import PHASH_HAMMING_ORACLE  # noqa: E402
+
+
+@query("st_phash_hamming", oracle=PHASH_HAMMING_ORACLE)
+def st_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of mm_phash_hamming — image near-dup detection
+    at ingest, which is where a crawl actually runs it: each document
+    micro-batch flows through the stateless codec chain (payload ->
+    pHash, a pure function of the bytes, so re-delivery is idempotent)
+    and folds into the complete-mode (asset_id, phash) signature
+    census via the SAME phash_signature_census the batch query
+    aggregates; the banded-candidate + exact-verify pair census
+    recomputes from the drained O(|images|) state via the SAME
+    phash_pairs_from_census projection, grading against the SAME SQL
+    text (the end-to-end integer-DCT oracle). New images join the
+    standing signature state without re-decoding the corpus — only
+    the cheap (id, sig) banding pass re-runs, never the codec.
+    Eleventh member of the twin set (dedup, decontamination, sampling,
+    drift, changepoint, forecast, exact quantiles, experiment
+    monitoring, tokenizer coverage, packing, schema, pHash)."""
+    from mie_spark.queries.multimodal import (
+        phash_pairs_from_census,
+        phash_signature_census,
+    )
+    from mie_spark.streaming import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    drained = run_to_memory_sink(
+        phash_signature_census(docs), output_mode="complete",
+        state_partitions=8,
+    )
+    return phash_pairs_from_census(drained)

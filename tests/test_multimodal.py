@@ -960,3 +960,47 @@ def test_mm_png_stats_weighted_sum_catches_layout_drift(spark):
         break
     else:
         raise AssertionError("corpus produced no non-square image")
+
+
+def test_phash_streaming_twin_equals_batch(spark):
+    """st_phash_hamming drains the same signature census through the
+    same banded-pair projection: its pair census must equal the batch
+    one row-for-row (the 11th twin family's equality contract)."""
+    from mie_spark.queries import QUERIES
+
+    st = sorted(
+        tuple(r) for r in QUERIES["st_phash_hamming"](spark, SF).collect()
+    )
+    ba = sorted(
+        tuple(r) for r in QUERIES["mm_phash_hamming"](spark, SF).collect()
+    )
+    assert st == ba and st
+
+
+def test_phash_census_invariant_under_batch_cuts(spark, tmp_path):
+    """The signature census is a pure per-image function, so feeding
+    the corpus as 4 one-file micro-batches (arbitrary batch cuts) must
+    yield EXACTLY the batch census — the replay-idempotency the twin's
+    max() fold claims."""
+    from mie_spark.queries.multimodal import phash_signature_census
+    from mie_spark.sources import load_table
+    from mie_spark.streaming.ops import run_to_memory_sink
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    src = str(tmp_path / "docs4")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_to_memory_sink(
+        phash_signature_census(stream), output_mode="complete",
+        state_partitions=4,
+    )
+    got = {(r["asset_id"], r["phash"]) for r in drained.collect()}
+    want = {
+        (r["asset_id"], r["phash"])
+        for r in phash_signature_census(docs).collect()
+    }
+    assert got == want and len(want) > 0
