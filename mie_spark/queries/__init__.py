@@ -85,16 +85,21 @@ _NEW_THIS_ROUND: list[str] = [
     # Added this round:
     "v_embed_drift",
     "st_phash_hamming",
+    # r13 late: simhash_candidate_pairs gained the auto two-level
+    # banding lever (an extra uniq-census count() job; level-1 join
+    # subtree unchanged) — regrade its graded caller.
+    "dedup_simhash_pairs",
 ]
 
 _GRADE_FIRST = [
     # Round 13 queue = _NEW_THIS_ROUND + the full r08-stale cohort (40
     # entries, no driver row since CORRECTNESS_r08, alphabetical) + the
-    # first 6 r09-stale entries. Matches tools_rotation_queue.py.
+    # first 5 r09-stale entries. Matches tools_rotation_queue.py.
     "ev_ab_boundary",
     "mm_phash_hamming",
     "v_embed_drift",
     "st_phash_hamming",
+    "dedup_simhash_pairs",
     "ev_kmv_distinct",
     "ev_log_histogram",
     "ev_markov_transitions",
@@ -142,7 +147,6 @@ _GRADE_FIRST = [
     "a_rollup_suppliers",
     "a_salted_agg",
     "a_stats_moments",
-    "dedup_embedding_cosine",
 ]
 
 

@@ -551,3 +551,85 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, max_hamming=6, id_col="asset_id", sig_col="phash"
     )
     return pairs.orderBy("a_id", "b_id")
+
+
+# --- audio near-dup fingerprint (r13) ----------------------------------------
+
+# Shared by mm_audio_fingerprint (batch); the synthetic_wav_corpus spec
+# (operators/multimodal.py) is mirrored verbatim: 61 constant segments
+# of 64 samples, A(g,k) = md5_15(g:sk) % 28000 - 14000, one bumped
+# segment per doc — so every frame energy is the closed form 64*A^2
+# and the whole pipeline is exact BIGINT.
+AUDIO_FP_ORACLE = """
+WITH par AS MATERIALIZED (
+  SELECT doc_id, doc_id // 25 AS g, doc_id % 25 AS d FROM documents
+),
+amp AS MATERIALIZED (
+  SELECT p.doc_id, k.k,
+         (('0x' || substr(md5(p.g::VARCHAR || ':s' || k.k::VARCHAR), 1, 15))
+            ::BIGINT % 28000 - 14000
+          + CASE WHEN k.k = (p.d * 7) % 61
+                 THEN (p.d % 3 + 1) * 400 ELSE 0 END)::BIGINT AS a
+  FROM par p, range(0, 61) k(k)
+),
+e AS (SELECT doc_id, k, 64 * a * a AS e FROM amp),
+sig AS MATERIALIZED (
+  SELECT c.doc_id,
+         sum(CASE WHEN c.e > n.e THEN 1::BIGINT << c.k::INTEGER
+                  ELSE 0 END)::BIGINT AS afp
+  FROM e c JOIN e n ON n.doc_id = c.doc_id AND n.k = c.k + 1
+  WHERE c.k < 60
+  GROUP BY 1
+)
+SELECT a.doc_id AS a_id, b_.doc_id AS b_id,
+       bit_count(xor(a.afp, b_.afp))::BIGINT AS hamming
+FROM sig a JOIN sig b_ ON a.doc_id < b_.doc_id
+WHERE bit_count(xor(a.afp, b_.afp)) <= 6
+"""
+
+
+@query("mm_audio_fingerprint", oracle=AUDIO_FP_ORACLE)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection, end to end and REAL, HASH-GRADED
+    (r13 — the mm_phash_hamming playbook applied to the audio
+    vertical): a deterministic synthetic WAV corpus with near-dup
+    structure by construction (synthetic_wav_corpus — real RIFF/PCM16
+    bytes, 61 constant 64-sample segments at md5-derived integer
+    amplitudes, one re-master-style segment bump per doc) → REAL
+    container parse + PCM16 decode → exact per-segment BIGINT energies
+    → the 60-bit energy-delta sign fingerprint (audio_fingerprint, the
+    time-domain core of the Shazam/Chromaprint family) → the SAME
+    pigeonhole banding as text simhash and image pHash → exact
+    hamming <= 6 pair census.
+
+    The ENGINE runs the production shape (banded candidates + exact
+    xor verify over real decoded bytes, never all-pairs); the ORACLE
+    replays the corpus spec in closed form — constant segments make
+    every frame energy exactly 64*A^2, so no per-sample SQL sum — and
+    computes the exact quadratic census. A green hash row therefore
+    PROVES decode + framing + energies + thresholding + packing +
+    banding end to end, by pigeonhole (7 bands catch every pair
+    differing <= 6 bits). All arithmetic BIGINT: |A| <= 15200 →
+    E <= 64 * 2^30 < 2^37, shifts <= 59.
+
+    Scale shape: identical to mm_phash_hamming — the codec chain is
+    stateless mapInPandas over bare repartitioned ids, the shuffle
+    carries (id, sig, band, value) longs only, and the banding runs
+    over distinct signatures at pinned parallelism (the r13
+    simhash_candidate_pairs law: single-level to ~7e6 uniques,
+    two-level auto past it)."""
+    from mie_spark.operators.dedup import simhash_candidate_pairs
+    from mie_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthetic_wav_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthetic_wav_corpus(docs, group_size=25)
+    fps = audio_fingerprint(assets)
+    pairs = simhash_candidate_pairs(
+        fps, max_hamming=6, id_col="asset_id", sig_col="afp"
+    )
+    return pairs.select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )

@@ -353,3 +353,50 @@ def test_bpe_trainer_cap_guard(spark):
     )
     with pytest.raises(ValueError):
         train_bpe_merges(vocab, n_merges=1, max_vocab_rows=5)
+
+
+def test_simhash_two_level_banding_equals_quadratic(spark):
+    """The r13 band-bucket saturation lever: two-level banding (main
+    band + interleaved bit-class of the band-masked signature) must
+    return EXACTLY the single-level / quadratic-scan result — recall
+    is a pigeonhole theorem, not a tuning. Adversarial corpus: planted
+    near-dup cliques at every hamming 0..7 plus random far-apart
+    signatures, checked at max_hamming 6 and 7."""
+    import itertools
+    import random
+
+    from mie_spark.operators.dedup import simhash_candidate_pairs
+
+    rng = random.Random(13)
+    sigs: list[tuple[int, int]] = []
+    doc = 0
+    # planted cliques: a base sig + variants at growing hamming radii,
+    # including identical copies (hamming-0 cliques)
+    for c in range(12):
+        base = rng.getrandbits(60)
+        for d in (0, 0, 1, 2, 3, 5, 6, 7):
+            v = base
+            for bit in rng.sample(range(60), d):
+                v ^= 1 << bit
+            sigs.append((doc, v))
+            doc += 1
+    for _ in range(150):  # far-apart background
+        sigs.append((doc, rng.getrandbits(60)))
+        doc += 1
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+
+    for h in (6, 7):
+        want = {
+            (a, b, bin(sa ^ sb).count("1"))
+            for (a, sa), (b, sb) in itertools.combinations(sigs, 2)
+            if bin(sa ^ sb).count("1") <= h
+        }
+        for lever in (False, True):
+            got = {
+                (r["a_id"], r["b_id"], r["hamming"])
+                for r in simhash_candidate_pairs(
+                    df, max_hamming=h, two_level=lever
+                ).collect()
+            }
+            assert got == want, (h, lever, len(got), len(want))
+        assert len(want) > 12  # the cliques actually planted pairs

@@ -1004,3 +1004,49 @@ def test_phash_census_invariant_under_batch_cuts(spark, tmp_path):
         for r in phash_signature_census(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_audio_fingerprint_matches_spec_replay(spark):
+    """mm_audio_fingerprint (r13): the engine's decode->energy->delta
+    fingerprint over real WAV bytes must equal a pure-python replay of
+    the synthetic_wav_corpus spec, and group structure must separate —
+    in-group pairs within hamming 6, cross-group pairs far away."""
+    import hashlib
+
+    from mie_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthetic_wav_corpus,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id").limit(200)
+    fps = {
+        r["asset_id"]: r["afp"]
+        for r in audio_fingerprint(synthetic_wav_corpus(docs)).collect()
+    }
+    assert len(fps) == 200
+
+    def md5_15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def spec_fp(did):
+        g, d = divmod(did, 25)
+        amps = [md5_15(f"{g}:s{k}") % 28000 - 14000 for k in range(61)]
+        amps[(d * 7) % 61] += (d % 3 + 1) * 400
+        e = [64 * a * a for a in amps]
+        return sum(1 << k for k in range(60) if e[k] > e[k + 1])
+
+    for did, afp in fps.items():
+        assert afp == spec_fp(did), did
+
+    ids = sorted(fps)
+    in_group = cross_far = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if a // 25 == b // 25:
+                assert h <= 6, (a, b, h)
+                in_group += 1
+            else:
+                cross_far += 1
+                assert h > 6, (a, b, h)
+    assert in_group > 0 and cross_far > 0
