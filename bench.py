@@ -219,6 +219,7 @@ HEADLINE = [
     # round-13 additions, benched from day one
     "v_embed_drift",             # embedding-upgrade gate: exact Jaccard@10 panel
     "st_phash_hamming",          # streaming pHash twin: signature census state
+    "mm_audio_fingerprint",      # audio near-dup: WAV decode + energy-delta sig
 ]
 
 

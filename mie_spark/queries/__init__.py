@@ -89,17 +89,19 @@ _NEW_THIS_ROUND: list[str] = [
     # banding lever (an extra uniq-census count() job; level-1 join
     # subtree unchanged) — regrade its graded caller.
     "dedup_simhash_pairs",
+    "mm_audio_fingerprint",
 ]
 
 _GRADE_FIRST = [
     # Round 13 queue = _NEW_THIS_ROUND + the full r08-stale cohort (40
     # entries, no driver row since CORRECTNESS_r08, alphabetical) + the
-    # first 5 r09-stale entries. Matches tools_rotation_queue.py.
+    # first 4 r09-stale entries. Matches tools_rotation_queue.py.
     "ev_ab_boundary",
     "mm_phash_hamming",
     "v_embed_drift",
     "st_phash_hamming",
     "dedup_simhash_pairs",
+    "mm_audio_fingerprint",
     "ev_kmv_distinct",
     "ev_log_histogram",
     "ev_markov_transitions",
@@ -146,7 +148,6 @@ _GRADE_FIRST = [
     "a3_multi_table_counts",
     "a_rollup_suppliers",
     "a_salted_agg",
-    "a_stats_moments",
 ]
 
 
