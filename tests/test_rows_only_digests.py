@@ -58,7 +58,18 @@ PINNED = {
     # independently and re-pin per this protocol; the codec's
     # correctness pin is mm_mjpeg_accuracy's hash-graded bound, not
     # this digest.
-    "mm_mjpeg_frames": "a2773606481f78c5",
+    # Re-pinned r13 (the predicted flip): code byte-identical to the
+    # pin-era commit (git diff f4617e9..HEAD on operators/jpeg.py is
+    # empty; the r13 multimodal.py diff touches only audio + one
+    # docstring), sf0.001 doc_id census unchanged (count=500,
+    # sum=124750), and an independent NO-SPARK recompute (corpus spec →
+    # avi_from_jpeg_frames → parse_avi_mjpeg → parse_jpeg, pure local
+    # python) reproduces the Spark rows exactly on assets 0/40/200/480
+    # (84874/114690/157730/199707; asset 0 equals the r10
+    # driver-verified 34525+50349). Same root cause as r10: this box's
+    # numpy/BLAS rounds the float DCT differently by 1 ulp on a uint8
+    # boundary somewhere in the non-sampled assets.
+    "mm_mjpeg_frames": "74c8b7882071a333",
     # re-pinned when mmr_rerank stopped stringifying the label column
     # (label now carries the input's integer type; values unchanged).
     # Hash-oracled since r10 (recursive-CTE replay) — the digest stays
