@@ -1096,6 +1096,11 @@ def quantiles_from_census(census: DataFrame) -> DataFrame:
     from mie_spark.queries.relational import int_div
 
     spark = census.sparkSession
+    # materialize the census once (r13): the `tot` branch below and the
+    # prefix sum both consume it — without this the census lineage (a
+    # full corpus aggregate, or a driver-local streaming sink read)
+    # executes once more just to produce the 1-row total
+    census = census.localCheckpoint(eager=False)
     cc = two_level_cumsum(census, ["cents"], "cnt", out="cum")
     tot = census.agg(F.sum("cnt").alias("n"))
     targets = spark.createDataFrame(
