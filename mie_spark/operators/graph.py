@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mie_spark.operators.pregel import aggregate_messages, pregel
+from mie_spark.operators.pregel import (
+    aggregate_messages,
+    iter_nparts,
+    iter_shuffle_partitions,
+    pregel,
+)
 
 
 def _undirect(edges: DataFrame) -> DataFrame:
@@ -65,6 +70,8 @@ def connected_components(
     if nodes is not None:
         labels = labels.unionByName(nodes.select("node")).distinct()
     labels = labels.withColumn("comp", F.col("node")).localCheckpoint()
+    spark = edges.sparkSession
+    p = iter_nparts(spark, labels.count())
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
         # 1-hop min over neighbors (sent along both edge directions)
@@ -100,7 +107,8 @@ def connected_components(
             == 0
         )
 
-    labels = pregel(labels, step, max_iter, halt=converged)
+    with iter_shuffle_partitions(spark, p):
+        labels = pregel(labels, step, max_iter, halt=converged)
     return labels.select("node", F.col("comp").alias("component"))
 
 
@@ -133,6 +141,14 @@ def bfs(
         .localCheckpoint()
     )
     frontier = dist
+    spark = edges.sparkSession
+    with iter_shuffle_partitions(spark, iter_nparts(spark, edges.count())):
+        return _bfs_loop(edges, dist, frontier, max_hops)
+
+
+def _bfs_loop(
+    edges: DataFrame, dist: DataFrame, frontier: DataFrame, max_hops: int
+) -> DataFrame:
     for hop in range(1, max_hops + 1):
         # One eager materialization per hop (the frontier); the visited
         # set stays a lazy union of already-checkpointed frontiers, so
@@ -174,20 +190,6 @@ def pagerank(
     computed once and re-joined — at scale both sides are partitioned
     by node id so AQE keeps the join co-located.
     """
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
-    )
-    # Fold outdeg into the edge table ONCE (it is loop-invariant), and
-    # pre-shuffle it by src: every iteration's join then reuses this
-    # layout instead of re-joining deg and re-deriving edges 8 times.
-    # localCheckpoint preserves the physical partitioning, so the
-    # per-iteration join only shuffles the (tiny) rank side.
-    edgesd = (
-        edges.join(deg, deg.node == edges.src)
-        .select("src", "dst", "outdeg")
-        .repartition(F.col("src"))
-        .localCheckpoint()
-    )
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -197,28 +199,48 @@ def pagerank(
     n = all_nodes.count()
     if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
         return all_nodes.withColumn("rank", F.lit(0.0))
-    ranks = all_nodes.withColumn("rank", F.lit(1.0 / n))
-
-    def step(ranks: DataFrame, _i: int) -> DataFrame:
-        contribs = aggregate_messages(
-            edgesd,
-            ranks,
-            to_dst=F.col("rank") / F.col("outdeg"),
-            agg=[F.sum("msg").alias("contrib")],
+    spark = edges.sparkSession
+    p = iter_nparts(spark, n)
+    with iter_shuffle_partitions(spark, p):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("double").alias("outdeg")
         )
-        return all_nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-            ).alias("rank"),
+        # Fold outdeg into the edge table ONCE (it is loop-invariant), and
+        # pre-shuffle it by src — sized by iter_nparts, not the session
+        # constant (r13): every iteration's join then reuses this layout
+        # instead of re-joining deg and re-deriving edges 8 times.
+        # localCheckpoint preserves the physical partitioning, so the
+        # per-iteration join only shuffles the (tiny) rank side, into p
+        # partitions.
+        edgesd = (
+            edges.join(deg, deg.node == edges.src)
+            .select("src", "dst", "outdeg")
+            .repartition(p, F.col("src"))
+            .localCheckpoint()
         )
+        ranks = all_nodes.withColumn("rank", F.lit(1.0 / n))
 
-    # lazy checkpoints: lineage still truncates at materialization, but
-    # fixed-iteration loops need no per-round action (unlike CC's
-    # convergence check), so the whole loop runs as ONE job instead of
-    # one eager job per iteration.
-    return pregel(ranks, step, iterations, eager=False)
+        def step(ranks: DataFrame, _i: int) -> DataFrame:
+            contribs = aggregate_messages(
+                edgesd,
+                ranks,
+                to_dst=F.col("rank") / F.col("outdeg"),
+                agg=[F.sum("msg").alias("contrib")],
+            )
+            return all_nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+
+        # lazy checkpoints: lineage still truncates at materialization,
+        # but fixed-iteration algorithms need no per-round action (unlike
+        # CC's convergence check). Under AQE each checkpoint still
+        # executes its stages at call time, which is exactly why the
+        # shuffle-partition override scopes to this block.
+        return pregel(ranks, step, iterations, eager=False)
 
 
 def personalized_pagerank(
@@ -239,48 +261,54 @@ def personalized_pagerank(
     vertex-centric algorithm is a new ``step`` closure, not a new loop.
     The teleport vector is computed once (broadcast indicator join) and
     reused every superstep."""
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
-    )
-    edgesd = (
-        edges.join(deg, deg.node == edges.src)
-        .select("src", "dst", "outdeg")
-        .repartition(F.col("src"))
-        .localCheckpoint()
-    )
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
+    n = all_nodes.count()
     src = sources.select("node").distinct().withColumn("_t", F.lit(1.0))
     ns = src.count()
     if ns == 0:
         raise ValueError("personalized_pagerank requires a non-empty source set")
-    base = (
-        all_nodes.join(F.broadcast(src), "node", "left")
-        .select("node", (F.coalesce("_t", F.lit(0.0)) / ns).alias("tele"))
-        .localCheckpoint()
-    )
-    ranks = base.select("node", F.col("tele").alias("rank"))
-
-    def step(ranks: DataFrame, _i: int) -> DataFrame:
-        contribs = aggregate_messages(
-            edgesd,
-            ranks,
-            to_dst=F.col("rank") / F.col("outdeg"),
-            agg=[F.sum("msg").alias("contrib")],
+    spark = edges.sparkSession
+    # n is a cheap count over the already-checkpointed node table; it
+    # sizes the loop's exchanges (r13 — see iter_nparts)
+    p = iter_nparts(spark, n)
+    with iter_shuffle_partitions(spark, p):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("double").alias("outdeg")
         )
-        return base.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping) * F.col("tele")
-                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-            ).alias("rank"),
+        edgesd = (
+            edges.join(deg, deg.node == edges.src)
+            .select("src", "dst", "outdeg")
+            .repartition(p, F.col("src"))
+            .localCheckpoint()
         )
+        base = (
+            all_nodes.join(F.broadcast(src), "node", "left")
+            .select("node", (F.coalesce("_t", F.lit(0.0)) / ns).alias("tele"))
+            .localCheckpoint()
+        )
+        ranks = base.select("node", F.col("tele").alias("rank"))
 
-    return pregel(ranks, step, iterations, eager=False)
+        def step(ranks: DataFrame, _i: int) -> DataFrame:
+            contribs = aggregate_messages(
+                edgesd,
+                ranks,
+                to_dst=F.col("rank") / F.col("outdeg"),
+                agg=[F.sum("msg").alias("contrib")],
+            )
+            return base.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+
+        return pregel(ranks, step, iterations, eager=False)
 
 
 def chain_motif(
@@ -343,6 +371,14 @@ def sssp(
         .localCheckpoint()
     )
     frontier = dist
+    spark = edges.sparkSession
+    with iter_shuffle_partitions(spark, iter_nparts(spark, edges.count())):
+        return _sssp_loop(edges, dist, frontier, max_hops)
+
+
+def _sssp_loop(
+    edges: DataFrame, dist: DataFrame, frontier: DataFrame, max_hops: int
+) -> DataFrame:
     for _ in range(max_hops):
         cand = aggregate_messages(
             edges,
@@ -399,20 +435,22 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
 
     e = edges.select("src", "dst").localCheckpoint()
     n_edges = e.count()
-    for _ in range(rounds):
-        keep = degrees(e).filter(F.col("deg") >= k).select("node")
-        e2 = (
-            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
-        n2 = e2.count()
-        e = e2
-        if n2 == n_edges:
-            break
-        n_edges = n2
-    return degrees(e)
+    spark = edges.sparkSession
+    with iter_shuffle_partitions(spark, iter_nparts(spark, n_edges)):
+        for _ in range(rounds):
+            keep = degrees(e).filter(F.col("deg") >= k).select("node")
+            e2 = (
+                e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            n2 = e2.count()
+            e = e2
+            if n2 == n_edges:
+                break
+            n_edges = n2
+        return degrees(e)
 
 
 def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
@@ -441,6 +479,8 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    spark = edges.sparkSession
+    p = iter_nparts(spark, labels.count())
 
     def most_frequent(msgs: DataFrame) -> DataFrame:
         """Custom reducer: per-node argmax label (count desc, label asc)
@@ -462,7 +502,8 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             "node", F.coalesce("new_label", "label").alias("label")
         )
 
-    return pregel(labels, step, rounds)
+    with iter_shuffle_partitions(spark, p):
+        return pregel(labels, step, rounds)
 
 
 def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
@@ -482,34 +523,39 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
     runner with lazy checkpoints. One superstep = the two
     triplet-join shuffles + one node-keyed reduce; state is 3 columns
     per node, never materialized on the driver."""
-    edgesd = (
-        edges.select("src", "dst").repartition(F.col("src")).localCheckpoint()
-    )
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    state = all_nodes.select(
-        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    )
-
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        msgs = aggregate_messages(
-            edgesd,
-            state,
-            to_dst=F.struct(F.col("hub").alias("a"), F.lit(0.0).alias("h")),
-            to_src=F.struct(F.lit(0.0).alias("a"), F.col("auth").alias("h")),
-            agg=[F.sum("msg.a").alias("auth"), F.sum("msg.h").alias("hub")],
+    spark = edges.sparkSession
+    p = iter_nparts(spark, all_nodes.count())
+    with iter_shuffle_partitions(spark, p):
+        edgesd = (
+            edges.select("src", "dst")
+            .repartition(p, F.col("src"))
+            .localCheckpoint()
         )
-        return all_nodes.join(msgs, "node", "left").select(
-            "node",
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
-            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        state = all_nodes.select(
+            "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
         )
 
-    out = pregel(state, step, iterations, eager=False)
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            msgs = aggregate_messages(
+                edgesd,
+                state,
+                to_dst=F.struct(F.col("hub").alias("a"), F.lit(0.0).alias("h")),
+                to_src=F.struct(F.lit(0.0).alias("a"), F.col("auth").alias("h")),
+                agg=[F.sum("msg.a").alias("auth"), F.sum("msg.h").alias("hub")],
+            )
+            return all_nodes.join(msgs, "node", "left").select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            )
+
+        out = pregel(state, step, iterations, eager=False)
     norms = out.agg(F.sum("hub").alias("hn"), F.sum("auth").alias("an"))
     return out.crossJoin(F.broadcast(norms)).select(
         "node",
@@ -549,6 +595,8 @@ def luby_mis(
     e = _undirect(edges).select("src", "dst").localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).distinct()
     state = nodes.withColumn("status", F.lit(0))  # 0 undec / 1 mis / 2 out
+    spark = edges.sparkSession
+    p = iter_nparts(spark, e.count())
 
     def step(st: DataFrame, i: int) -> DataFrame:
         pr = F.md5(
@@ -597,25 +645,26 @@ def luby_mis(
             .alias("status"),
         )
 
-    done = pregel(
-        state,
-        step,
-        rounds,
-        # a fixed-round (statuses) run must execute EVERY round so the
-        # unrolled oracle replays the identical computation; the early
-        # halt is an optimization only valid when reporting membership
-        # (extra rounds are no-ops once nothing is undecided). With no
-        # halt probe there is nothing to materialize per round either:
-        # lazy checkpoints run the whole loop as ONE job (the pregel
-        # fixed-iteration doctrine; g_mis r11 — eager cadence cost ~2x
-        # the baseline row at sf0.1, 6 extra materialization jobs)
-        eager=not statuses,
-        halt=None
-        if statuses
-        else (
-            lambda _prev, new: new.filter(F.col("status") == 0).count() == 0
-        ),
-    )
+    with iter_shuffle_partitions(spark, p):
+        done = pregel(
+            state,
+            step,
+            rounds,
+            # a fixed-round (statuses) run must execute EVERY round so the
+            # unrolled oracle replays the identical computation; the early
+            # halt is an optimization only valid when reporting membership
+            # (extra rounds are no-ops once nothing is undecided). With no
+            # halt probe there is nothing to materialize per round either:
+            # lazy checkpoints run the whole loop as ONE job (the pregel
+            # fixed-iteration doctrine; g_mis r11 — eager cadence cost ~2x
+            # the baseline row at sf0.1, 6 extra materialization jobs)
+            eager=not statuses,
+            halt=None
+            if statuses
+            else (
+                lambda _prev, new: new.filter(F.col("status") == 0).count() == 0
+            ),
+        )
     if statuses:
         return done.select("node", F.col("status").cast("long").alias("status"))
     return done.select("node", (F.col("status") == 1).alias("in_mis"))

@@ -28,10 +28,57 @@ Scale stance (unchanged from the hand-rolled loops these replace):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
+from contextlib import contextmanager
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def iter_nparts(spark: SparkSession, n_rows: int) -> int:
+    """Scale-adaptive partition count for ITERATION STATE (r13, guide
+    §2: derive partitioning from input size instead of a constant).
+
+    Iterative loops shuffle the same small vertex-state table once or
+    twice per superstep; sizing those exchanges to the session-wide
+    ``spark.sql.shuffle.partitions`` means a 1k-node graph pays
+    32-partition scheduling 16+ times per query while a 10B-edge graph
+    would underscale. One partition per ``spark.mie.graph.rowsPerPartition``
+    rows (default 250k — vertex-state rows are tens of bytes, so that is
+    single-digit MB per task), clamped to [1, defaultParallelism].
+    Measured on g_ppr at sf0.1 (1k nodes): 4.1 s → 2.7 s with the loop
+    exchanges at p=2 instead of 32.
+    """
+    per = int(
+        spark.conf.get(
+            "spark.mie.graph.rowsPerPartition",
+            os.environ.get("MIE_GRAPH_ROWS_PER_PARTITION", "250000"),
+        )
+    )
+    cap = spark.sparkContext.defaultParallelism
+    return max(1, min(cap, -(-int(n_rows) // max(1, per))))
+
+
+@contextmanager
+def iter_shuffle_partitions(spark: SparkSession, nparts: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a loop's construction.
+
+    Under AQE every ``localCheckpoint`` in an iterative loop plans AND
+    executes its stages at call time (adaptive execution materializes
+    query stages during ``toRdd``), so the whole superstep chain runs
+    inside the operator function — a conf override here covers exactly
+    the loop's exchanges and is restored before control returns to the
+    caller. AQE stays ON (skew/coalesce handling is load-bearing at
+    scale); this only right-sizes the initial partition count the loop's
+    groupBys and joins start from.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 # A reducer is either a list of aggregate Columns over the message
 # column ``msg`` (the GraphX mergeMsg fast path — sum/min/count run as
