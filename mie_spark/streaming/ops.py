@@ -884,6 +884,24 @@ def _commit_versioned_state(state_dir: str, merged: "DataFrame") -> None:
         if d.startswith("v") and d[1:].isdigit()
     ]
     nxt = os.path.join(state_dir, f"v{max(existing, default=0) + 1}")
+    # Size the state snapshot's file count from the optimizer's size
+    # estimate (r13, guide §6: output files in the 100 MB+ range, not
+    # one shard per shuffle partition): a census-bounded state written
+    # at the session's 32-partition layout is 32 near-empty files whose
+    # listing/open cost is paid again on EVERY later micro-batch's
+    # read-back. ~64 MB per file, capped at defaultParallelism; join
+    # plans whose estimates blow up just keep their native layout
+    # (coalesce to >= native partition count is a no-op).
+    try:
+        est = int(
+            merged._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        cap = merged.sparkSession.sparkContext.defaultParallelism
+        merged = merged.coalesce(
+            max(1, min(cap, -(-est // (64 * 1024 * 1024))))
+        )
+    except Exception:
+        pass  # stats unavailable: write at the native layout
     merged.write.mode("overwrite").parquet(nxt)
     pointer = os.path.join(state_dir, "_CURRENT")
     tmp = pointer + ".tmp"
