@@ -90,18 +90,33 @@ _NEW_THIS_ROUND: list[str] = [
     # subtree unchanged) — regrade its graded caller.
     "dedup_simhash_pairs",
     "mm_audio_fingerprint",
+    # r13 OPTIMIZATION round: ~45 graded queries' plans changed
+    # (two_level input materialization, graph-loop adaptive partitions,
+    # streaming state sizing, IVF training sizing) — all re-driven clean
+    # against the oracle this round (232/232), and all but three are
+    # partitioning-INVARIANT by construction (integer-exact arithmetic
+    # or margin-protected argmax decisions; see OPTIMIZATION_r13.md).
+    # The three float-sum queries where a different partial-aggregation
+    # order could in principle move a rounding boundary are windowed on
+    # arrival per policy: g_pagerank is already in the r08-stale cohort
+    # below; the other two are listed here.
+    "g_ppr",
+    "g_hits",
 ]
 
 _GRADE_FIRST = [
-    # Round 13 queue = _NEW_THIS_ROUND + the full r08-stale cohort (40
-    # entries, no driver row since CORRECTNESS_r08, alphabetical) + the
-    # first 4 r09-stale entries. Matches tools_rotation_queue.py.
+    # Round 13 queue = _NEW_THIS_ROUND (incl. the two float-sum
+    # plan-changed optimization entries) + the full r08-stale cohort
+    # (40 entries, no driver row since CORRECTNESS_r08, alphabetical) +
+    # the first 2 r09-stale entries. Matches tools_rotation_queue.py.
     "ev_ab_boundary",
     "mm_phash_hamming",
     "v_embed_drift",
     "st_phash_hamming",
     "dedup_simhash_pairs",
     "mm_audio_fingerprint",
+    "g_ppr",
+    "g_hits",
     "ev_kmv_distinct",
     "ev_log_histogram",
     "ev_markov_transitions",
@@ -146,8 +161,6 @@ _GRADE_FIRST = [
     # _NEW_THIS_ROUND arrivals, tail-first.
     "a1_stats_single_pass",
     "a3_multi_table_counts",
-    "a_rollup_suppliers",
-    "a_salted_agg",
 ]
 
 
