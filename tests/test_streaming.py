@@ -841,3 +841,36 @@ def test_exact_quantiles_stream_equals_batch(spark, tmp_path):
     assert [(r["pct"], r["cents"]) for r in batch] == [
         (25, 25), (50, 50), (75, 75), (90, 90), (99, 99),
     ]
+
+
+def test_parquet_sink_drain_matches_memory_sink_across_batches(spark, tmp_path):
+    """run_to_parquet_sink (r13: the driver-free drain for row-
+    count-proportional census state) must drain a complete-mode
+    aggregation to the SAME state as the memory sink — including under
+    MULTIPLE micro-batches, where each batch OVERWRITES the snapshot
+    and only the last (complete) one may survive. Four one-file
+    batches make any per-batch append/partial-overwrite bug visible as
+    duplicated or stale cells."""
+    from mie_spark.queries.analytic import price_cents_census
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import (
+        read_lineitem_stream,
+        run_to_parquet_sink,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    # split the bounded source into 4 files -> 4 availableNow batches
+    src = f"{tmp_path}/lineitem.parquet"
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = read_lineitem_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    drained = run_to_parquet_sink(
+        price_cents_census(stream), output_mode="complete", state_partitions=2
+    )
+    expect = {
+        (r["cents"], r["cnt"])
+        for r in price_cents_census(li).collect()
+    }
+    got = {(r["cents"], r["cnt"]) for r in drained.collect()}
+    assert got == expect
+    with pytest.raises(ValueError):
+        run_to_parquet_sink(price_cents_census(stream), output_mode="append")
