@@ -877,33 +877,35 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("n_tx"))
     )
+    # In-row pair enumeration via sort_array + posexplode + slice
+    # (r13 optimization): the previous nested transform x transform
+    # built n^2 structs per basket and filtered to the n(n-1)/2 with
+    # pa < pb — and Spark's higher-order functions are CodegenFallback
+    # (interpreted per row), so the n^2 struct construction ran outside
+    # whole-stage codegen. sort_array orders the basket by p (p is
+    # distinct within a basket — e is DISTINCT (o, p) — so the struct
+    # sort's p-first lexicographic order is a total order on items and
+    # n_p never breaks a tie), after which every (i, j>i) position pair
+    # IS a pa < pb value pair: posexplode + explode(slice(...)) emit
+    # exactly those pairs through codegen'd generators, never
+    # materializing the discarded half. Same pair multiset, verified
+    # exact-equal at sf0.1; alternating same-session A/B medians
+    # 1.69 -> 1.46 s (noop sink), and at scale the per-basket work
+    # drops from interpreted O(n^2) allocations to generated O(pairs).
     pairs = (
-        baskets.select(
+        baskets.select(F.sort_array("items").alias("items"))
+        .select("items", F.posexplode("items").alias("i", "a"))
+        .select(
+            F.col("a"),
             F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "items",
-                            lambda a: F.transform(
-                                F.col("items"),
-                                lambda b: F.struct(
-                                    a["p"].alias("pa"),
-                                    b["p"].alias("pb"),
-                                    a["n_p"].alias("n_a"),
-                                    b["n_p"].alias("n_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda s: s["pa"] < s["pb"],
-                )
-            ).alias("pr")
+                F.slice("items", F.col("i") + 2, F.size("items"))
+            ).alias("b"),
         )
         .groupBy(
-            F.col("pr.pa").alias("pa"),
-            F.col("pr.pb").alias("pb"),
-            F.col("pr.n_a").alias("n_a"),
-            F.col("pr.n_b").alias("n_b"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+            F.col("a.n_p").alias("n_a"),
+            F.col("b.n_p").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)

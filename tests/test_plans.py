@@ -402,6 +402,59 @@ def test_assoc_rules_no_join_back(spark):
     assert exchange_count(df) <= 6
 
 
+def test_assoc_rules_pair_enumeration_matches_quadratic(spark):
+    """r13 optimization pin: the sort_array + posexplode + slice pair
+    enumeration (codegen'd generators) emits exactly the pa < pb pair
+    multiset the nested transform x transform + filter reference built
+    interpreted — including adversarial shapes: singleton baskets (no
+    pairs), unsorted input order, and repeated (pa, pb) across baskets
+    (the n_ab >= 2 support count depends on the multiset, not the set).
+    p is distinct within a basket by construction (DISTINCT (o, p)),
+    which is what makes the struct sort order total."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [(5, 10), (2, 7), (9, 3)]),
+        (2, [(2, 7), (5, 10)]),
+        (3, [(4, 1)]),
+        (4, [(9, 3), (2, 7), (5, 10), (1, 4)]),
+    ]
+    baskets = spark.createDataFrame(
+        rows, "o long, items array<struct<p: long, n_p: long>>"
+    )
+
+    def ref(items):
+        out = []
+        for a in items:
+            for b in items:
+                if a[0] < b[0]:
+                    out.append((a[0], b[0], a[1], b[1]))
+        return out
+
+    expect = sorted(t for _, items in rows for t in ref(items))
+    got = sorted(
+        tuple(r)
+        for r in (
+            baskets.select(F.sort_array("items").alias("items"))
+            .select("items", F.posexplode("items").alias("i", "a"))
+            .select(
+                F.col("a"),
+                F.explode(
+                    F.slice("items", F.col("i") + 2, F.size("items"))
+                ).alias("b"),
+            )
+            .select(
+                F.col("a.p").alias("pa"),
+                F.col("b.p").alias("pb"),
+                F.col("a.n_p").alias("n_a"),
+                F.col("b.n_p").alias("n_b"),
+            )
+            .collect()
+        )
+    )
+    assert got == expect
+
+
 def test_mm_png_stats_scan_prunes_to_id(spark):
     """The PNG corpus derives everything from doc_id — the documents
     scan must read exactly that column (a text read here would drag
