@@ -263,6 +263,23 @@ def main() -> None:
     # warm medians, so the comparison stays apples-to-apples. Also
     # pre-warms the shared codec chain st_phash_hamming drains through
     # (its cold first drops 12.7 -> ~5.5 s).
+    #
+    # SECOND mechanism, measured later in r13 (disclosure — see
+    # OPTIMIZATION_r13.md log #6 addendum): simhash_candidate_pairs
+    # persists its internal id<->sig table (3 consumers inside one
+    # query), and Spark's session CacheManager substitutes that
+    # InMemoryRelation into any LATER plan-equal invocation — so
+    # timed mm_phash samples after this warmup skip the codec chain
+    # recompute (cold 7.7 s / cache-CLEARED warm ~3.0 s / cached warm
+    # 1.9 s at sf0.1; the 7.7->3.0 part is the JIT/worker warmup
+    # described above, the 3.0->1.9 part is the cache). This is
+    # within-session Spark behavior, identical in the runs that
+    # produced the committed baseline rows (bench samples 2..3 always
+    # rode sample 1's persist, with or without this warmup), so the
+    # baseline comparison is unaffected; every bench invocation still
+    # computes the full chain from parquet at least once (here). The
+    # streaming twin gets NO cache benefit (its drained sink table is
+    # fresh-named per run — measured cached==cleared within noise).
     QUERIES["mm_phash_hamming"](spark, SF_DIR).count()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))

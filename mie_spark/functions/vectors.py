@@ -1,8 +1,14 @@
 """Vector column expressions — the JVM-side hot path for similarity.
 
 Everything here is built from `pyspark.sql.functions` higher-order
-functions (zip_with / aggregate / transform), so vector math runs inside
-whole-stage codegen with zero Python boundary cost. This replaces the
+functions (zip_with / aggregate / transform), so vector math runs in
+the JVM with zero Python boundary cost. (Precision on the mechanism,
+corrected r13: higher-order functions are CodegenFallback — the
+expression sits inside a whole-stage-codegen stage but evaluates via
+the interpreted path. That is still the right trade here: the folds
+are deterministic-order, oracle-replayable, and the r13 A/B showed an
+unrolled codegen'd equivalent LOSES 3.5x to per-plan janino compiles
+at these dimensions — see OPTIMIZATION_r13.md log #10.) This replaces the
 reference's HNSW index probes (pkg/memory/schema.go:143-185,
 reader.go:62-93) with exact, distributable expressions; approximate
 paths (LSH) live in operators/vector.py and reuse these.
