@@ -63,9 +63,16 @@ def bm25_scores(
     become rows), the doc length rides along with tf (no join back to a
     length table), and the corpus constants (N, avgdl) and per-term
     document frequencies are 1-row / |terms|-row aggregates folded in
-    as broadcasts. The document scan appears in three subtree copies
-    (tf, df, stats) pipelined within the one job; a production corpus
-    run persists ``base`` first to make it one physical pass.
+    as broadcasts. ``base`` (id, dl, matched-tokens — no text) is
+    materialized once with a lazy localCheckpoint (r13, guide §2.4):
+    its three consumers (stats, tf→scored, tf→df) otherwise each
+    re-run the corpus scan + regex tokenize — the plan's most
+    expensive stage — and the scan-level filter Catalyst infers for
+    the explode evaluates the tokenize twice MORE per row
+    (size(matched)>0 AND isnotnull(matched)). One tokenize pass
+    instead of three scans × three evaluations; the checkpoint holds
+    the narrow projection, which is what a production corpus run
+    persists anyway (localCheckpoint doctrine, SCALE.md).
     """
     # lowercase the TERMS to match the lowercased token stream — a
     # caller passing 'Spark' would otherwise silently match nothing
@@ -86,6 +93,7 @@ def bm25_scores(
             ).alias("_matched"),
         )
     )
+    base = base.localCheckpoint(eager=False)
     stats = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
     )
