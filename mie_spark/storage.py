@@ -975,6 +975,16 @@ class MieStore:
 
     def meta_get(self, key: str) -> str | None:
         if self.path is not None:
+            # Fast path (r13 optimization, measured): no committed
+            # snapshot means the table is empty, so every key is
+            # absent — exactly what the Spark path below concludes by
+            # collecting a filter over createDataFrame([], schema),
+            # at the cost of a full job round-trip (~0.4 s). This is
+            # the same no-snapshot check table() itself makes; every
+            # fresh-store open pays it via ensure_schema.
+            snap = self._snapshot_dir("mie_meta")
+            if snap is None or not self._has_parquet(snap):
+                return None
             from pyspark.sql import functions as F
 
             hit = (

@@ -243,6 +243,28 @@ def test_parquet_engine_persistence(spark, tmp_path):
     assert c2.get_node_by_id(fid) is None
 
 
+def test_meta_get_empty_table_fast_path(spark, tmp_path):
+    """meta_get's no-snapshot fast path (r13 optimization) must be
+    indistinguishable from the Spark path it short-circuits: a key in
+    an empty mie_meta is absent, and the first write restores the
+    normal read path."""
+    import shutil
+
+    from mie_spark.storage import MieStore
+
+    path = str(tmp_path / "meta_store")
+    store = MieStore(spark, path=path, embedding_dim=4)
+    # init's ensure_schema exercised the fast path once (fresh store)
+    # and then wrote schema_version through the real merge:
+    assert store.meta_get("schema_version") == "1"
+    assert store.meta_get("never_written") is None
+    # recreate the fresh-table state post-init: no snapshot dir at all
+    shutil.rmtree(f"{path}/mie_meta")
+    assert store.meta_get("schema_version") is None  # fast path, no job
+    store.meta_set("schema_version", "1")
+    assert store.meta_get("schema_version") == "1"  # spark path again
+
+
 def test_usage_counters(client):
     client.record_store()
     client.record_store()
