@@ -53,6 +53,41 @@ def test_kcore_empty_edges(spark):
     assert kcore(e, k=2).count() == 0
 
 
+def test_connected_components_matches_union_find(spark):
+    """CC semantics pinned against a Python union-find — through a
+    DERIVED edge lineage (filter + projection over a wider frame), the
+    shape whose per-superstep re-derivation the r13 edge checkpoint
+    removed, plus an isolated vertex via ``nodes``."""
+    from mie_spark.operators.graph import connected_components
+
+    raw = spark.createDataFrame(
+        [(a, b, a + b) for a, b in
+         [(1, 2), (2, 3), (10, 11), (5, 5), (20, 21), (21, 22), (22, 20)]],
+        ["src", "dst", "w"],
+    )
+    edges = raw.filter(F.col("w") > 3).select("src", "dst")  # drops (1,2)
+    nodes = spark.createDataFrame([(99,)], ["node"])
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    # union-find over the same filtered edge set
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in [(2, 3), (10, 11), (5, 5), (20, 21), (21, 22), (22, 20)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    find(99)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
 def test_label_propagation_matches_python_reference(spark):
     """Empty edges yield an empty labeling, and on a small graph the
     distributed loop must match an independent Python implementation of
