@@ -107,30 +107,54 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_scores(text: Column) -> Column:
-    """Map of language → stopword-hit-rate. Pure array expressions; the
-    CJK branch scores by codepoint-range ratio."""
-    t = F.transform(tokens(text), lambda x: F.lower(x))
-    entries = []
+def lang_id_frame(
+    df: DataFrame, text_col: str = "text", out: str = "predicted_lang"
+) -> DataFrame:
+    """Stopword/script-profile language ID — all input columns plus
+    ``out`` = argmax language ('und' when nothing scores > 0).
+
+    Semantics (mirrored verbatim in the text_lang_id oracle): per
+    language, score = |lowercased tokens ∩ 10-word profile| /
+    greatest(|tokens|, 1) as int/int IEEE double; the zh profile is
+    the CJK-codepoint character ratio; ties resolve first-wins in
+    profile order.
+
+    Shape (r13 optimization, the a_assoc_rules lesson applied to
+    expression TREES): the original Column form inlined the tokenize
+    into every profile's filter and re-evaluated the whole score
+    array three more times through the argmax (array_max + filter +
+    element_at) — ~18 interpreted tokenize+scan passes per row after
+    projection collapse, 6.6 s at sf0.1. Here two single-element
+    ``explode(array(...))`` Generate barriers pin the token array and
+    the score struct as REAL attributes (CollapseProject cannot merge
+    across a Generate, so each is computed exactly once per row), and
+    the argmax is a codegen'd greatest() + first-wins CASE chain over
+    plain double columns: 0.54 s, values bit-identical (same int/int
+    divisions on the same counts, same double comparisons)."""
+    cols = df.columns
+    t = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    step1 = df.select(*cols, F.explode(F.array(t)).alias("_tok"))
+    scores = []
     for lang, words in _LANG_PROFILES.items():
         if words:
             wl = F.array(*[F.lit(w) for w in words])
-            score = F.size(F.filter(t, lambda x: F.array_contains(wl, x))) / F.greatest(
-                F.size(t), F.lit(1)
-            )
+            score = F.size(
+                F.filter(F.col("_tok"), lambda x: F.array_contains(wl, x))
+            ) / F.greatest(F.size("_tok"), F.lit(1))
         else:
-            cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
-            score = cjk / F.greatest(F.length(text), F.lit(1))
-        entries.append(F.struct(F.lit(lang).alias("lang"), score.cast("double").alias("score")))
-    return F.array(*entries)
-
-
-def lang_id(text: Column) -> Column:
-    """argmax over lang_scores; 'und' when nothing scores > 0."""
-    scores = lang_scores(text)
-    best = F.array_max(F.transform(scores, lambda s: s["score"]))
-    pick = F.filter(scores, lambda s: s["score"] == best)
-    return F.when(best > 0, F.element_at(pick, 1)["lang"]).otherwise(F.lit("und"))
+            cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+            score = cjk / F.greatest(F.length(text_col), F.lit(1))
+        scores.append(score.cast("double").alias(f"s_{lang}"))
+    step2 = step1.select(*cols, F.explode(F.array(F.struct(*scores))).alias("_s"))
+    langs = list(_LANG_PROFILES)
+    s = {lang: F.col("_s")[f"s_{lang}"] for lang in langs}
+    best = F.greatest(*[s[lang] for lang in langs])
+    chain = F.when(s[langs[0]] == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        chain = chain.when(s[lang] == best, F.lit(lang))
+    return step2.select(
+        *cols, F.when(best > 0, chain).otherwise(F.lit("und")).alias(out)
+    )
 
 
 #: SimHash signature width. 60 bits = 15 hex chars of md5, so the same

@@ -12,7 +12,7 @@ from mie_spark.operators.text import (
     avg_token_len,
     fingerprint,
     joined_ngrams,
-    lang_id,
+    lang_id_frame,
     token_count,
     tokens,
     type_token_ratio,
@@ -175,13 +175,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute hit-rate = int/int in IEEE double, so scores
     agree bitwise. Behavior additionally pinned on known multilingual
     strings in tests. Output is doc_id + predicted lang + the corpus
-    label for side-by-side accuracy reads."""
+    label for side-by-side accuracy reads. Since r13 the engine side
+    is the single-evaluation lang_id_frame (6.6 -> 0.5 s at sf0.1,
+    values bit-identical — see the operator docstring)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        lang_id(F.col("text")).alias("predicted_lang"),
-        F.col("lang").alias("labeled_lang"),
-    )
+    return lang_id_frame(
+        docs.select("doc_id", "text", F.col("lang").alias("labeled_lang"))
+    ).select("doc_id", "predicted_lang", "labeled_lang")
 
 
 # THE corpus-cleaning definition (en filter, 30..1000 token band,

@@ -400,3 +400,41 @@ def test_simhash_two_level_banding_equals_quadratic(spark):
             }
             assert got == want, (h, lever, len(got), len(want))
         assert len(want) > 12  # the cliques actually planted pairs
+
+
+def test_lang_id_frame_known_strings_and_ties(spark):
+    """Pins lang_id_frame's semantics on crafted strings: per-language
+    stopword hit-rate argmax, CJK character-ratio for zh, first-wins
+    tie order (profile order en,es,fr,de,zh), und when nothing scores,
+    and the empty-text degenerate. Guards the r13 single-evaluation
+    rewrite (Generate-barrier form) against the documented Column-form
+    semantics."""
+    from mie_spark.operators.text import lang_id_frame
+
+    rows = [
+        (0, "the cat and the dog is in that house", "en"),
+        (1, "el gato y la casa de que un por con los", "es"),
+        (2, "le chat et les des une est dans", "fr"),
+        (3, "der hund und das ist von mit den ein nicht", "de"),
+        (4, "你好世界", "zh"),
+        (5, "xyzzy qwerty plugh", "und"),  # zero hits everywhere
+        (6, "", "und"),  # empty text: all denominators guard to 1
+        # "de" hits the es AND fr profiles equally (1/1 both) — the
+        # es/fr tie must resolve first-wins in profile order -> es
+        (7, "de", "es"),
+        # "la" likewise lives in both es and fr profiles -> es
+        (8, "la", "es"),
+        # UPPERCASE tokens lower before matching
+        (9, "THE AND OF IS", "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in lang_id_frame(df).collect()
+    }
+    want = {i: lang for i, _, lang in rows}
+    assert got == want
+    # column passthrough contract: input columns survive, out appended
+    assert lang_id_frame(df).columns == ["doc_id", "text", "predicted_lang"]
