@@ -220,6 +220,13 @@ HEADLINE = [
     "v_embed_drift",             # embedding-upgrade gate: exact Jaccard@10 panel
     "st_phash_hamming",          # streaming pHash twin: signature census state
     "mm_audio_fingerprint",      # audio near-dup: WAV decode + energy-delta sig
+    # r13 optimization-round additions: the tail sweep's catches, kept
+    # timed so the fixes (OPTIMIZATION_r13.md #16/#17) stay visible to
+    # every future bench artifact. Contract: entries only ever ADDED.
+    "pipe_keep_best",            # LSH clusters -> CC -> survivor window
+    "pipe_dedup_clusters",       # LSH pair graph -> connected components
+    "g_connected_components",    # hash-min + pointer-jumping CC, planted graph
+    "text_lang_id",              # stopword/script argmax, single-eval form
 ]
 
 
