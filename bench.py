@@ -360,6 +360,7 @@ def main() -> None:
         for n in first_run
         if first_run[n] > max(2.0 * timings[n], timings[n] + 1.0)
     }
+    cpus = spark.sparkContext.defaultParallelism
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -371,6 +372,7 @@ def main() -> None:
         "load_1m": load_1m,
         "load_avg": {"start": load_start, "end": load_end},
         "runs_per_query": runs,
+        "cpus": cpus,
         "remeasured": remeasured,
         "sf": sf_val,
     }
@@ -385,10 +387,17 @@ def main() -> None:
     # (b) the summary line below carries compressed spread evidence
     # (p50/max + the 8 noisiest queries) inside the tail budget.
     try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_last_detail.json"), "w") as f:
+            json.dump(detail, f)
+        # Per-core-count sidecar (VERDICT r13 item #6): the driver runs
+        # the bench at TWO core counts, and the second run used to
+        # clobber the first's per-query detail — the 32-core record
+        # survived only in git. One file per cpus axis means both
+        # records coexist and a per-query scaling table is computable
+        # from the working tree alone.
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_last_detail.json"),
-            "w",
+            os.path.join(here, f"bench_last_detail.cpus{cpus}.json"), "w"
         ) as f:
             json.dump(detail, f)
     except OSError:

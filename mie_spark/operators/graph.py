@@ -71,8 +71,11 @@ def connected_components(
     # edge lineage — for pipe_keep_best/pipe_dedup_clusters that is
     # the entire MinHash-LSH pipeline, re-run per iteration (measured
     # A/B at sf0.1: 5.5 -> 3.0 / 5.5 -> 2.7 s; even the plain parquet
-    # caller g_connected_components reads 3.4 -> 2.4 s). Same contract
-    # as GraphX's Graph.cache.
+    # caller g_connected_components reads 3.4 -> 2.4 s). Eager
+    # materialization with lineage truncated — fills Graph.cache's role
+    # of computing the adjacency once, but unlike cache it is NOT
+    # recomputable on executor loss (fine in local mode; cluster-mode
+    # work should weigh persist(MEMORY_AND_DISK) here, ADVICE r13).
     adj = _undirect(edges).localCheckpoint()
     labels = adj.select(F.col("src").alias("node")).distinct()
     if nodes is not None:

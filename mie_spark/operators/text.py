@@ -132,6 +132,16 @@ def lang_id_frame(
     plain double columns: 0.54 s, values bit-identical (same int/int
     divisions on the same counts, same double comparisons)."""
     cols = df.columns
+    # The temp columns and the default `out` must not collide with or
+    # shadow an input column (ADVICE r13): the function takes an
+    # arbitrary df, and a pre-existing `_tok`/`_s` would make the
+    # references below ambiguous.
+    for reserved in ("_tok", "_s", out):
+        if reserved in cols:
+            raise ValueError(
+                f"lang_id_frame: input already has a column named "
+                f"{reserved!r}; rename it or pass a different out="
+            )
     t = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
     step1 = df.select(*cols, F.explode(F.array(t)).alias("_tok"))
     scores = []

@@ -363,6 +363,15 @@ class MieStore:
             self._commit_snapshot(table, version)
         return version
 
+    def _table_has_no_snapshot(self, name: str) -> bool:
+        """True when a path-backed table has no committed, non-empty
+        snapshot — i.e. ``table(name)`` would return
+        ``createDataFrame([], schema)``. THE single emptiness check:
+        table() and meta_get's fast path (ADVICE r13) both call this,
+        so the two can never drift."""
+        snap = self._snapshot_dir(name)
+        return snap is None or not self._has_parquet(snap)
+
     def _has_parquet(self, snap: str) -> bool:
         # Spark writes no part files for an empty DataFrame — only
         # _SUCCESS — and spark.read can't infer schema from that.
@@ -531,9 +540,9 @@ class MieStore:
             raise KeyError(f"unknown table {name!r}")
         schema = table_schema(name)
         if self.path is not None:
-            snap = self._snapshot_dir(name)
-            if snap is None or not self._has_parquet(snap):
+            if self._table_has_no_snapshot(name):
                 return self.spark.createDataFrame([], schema)
+            snap = self._snapshot_dir(name)
             from pyspark.sql import functions as F
 
             # SCHEMA EVOLUTION: a snapshot written by an older build is
@@ -979,11 +988,11 @@ class MieStore:
             # snapshot means the table is empty, so every key is
             # absent — exactly what the Spark path below concludes by
             # collecting a filter over createDataFrame([], schema),
-            # at the cost of a full job round-trip (~0.4 s). This is
-            # the same no-snapshot check table() itself makes; every
-            # fresh-store open pays it via ensure_schema.
-            snap = self._snapshot_dir("mie_meta")
-            if snap is None or not self._has_parquet(snap):
+            # at the cost of a full job round-trip (~0.4 s). Shares
+            # table()'s emptiness check via _table_has_no_snapshot
+            # (ADVICE r13: one helper, so the two paths cannot drift);
+            # every fresh-store open pays this via ensure_schema.
+            if self._table_has_no_snapshot("mie_meta"):
                 return None
             from pyspark.sql import functions as F
 
