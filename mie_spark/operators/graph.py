@@ -447,7 +447,13 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     e = edges.select("src", "dst").localCheckpoint()
     n_edges = e.count()
     spark = edges.sparkSession
-    with iter_shuffle_partitions(spark, iter_nparts(spark, n_edges)):
+    # adaptive=True (r14): kcore is the ONE loop that measurably needs
+    # AQE — each round's semi-joins probe a SHRINKING edge table whose
+    # size only runtime stats see, and AQE's broadcast conversion beats
+    # the static plan at sf0.1 and sf1 (A/B in OPTIMIZATION_r14.md).
+    with iter_shuffle_partitions(
+        spark, iter_nparts(spark, n_edges), adaptive=True
+    ):
         for _ in range(rounds):
             keep = degrees(e).filter(F.col("deg") >= k).select("node")
             e2 = (

@@ -61,24 +61,68 @@ def iter_nparts(spark: SparkSession, n_rows: int) -> int:
 
 
 @contextmanager
-def iter_shuffle_partitions(spark: SparkSession, nparts: int):
-    """Scope ``spark.sql.shuffle.partitions`` to a loop's construction.
+def iter_shuffle_partitions(
+    spark: SparkSession, nparts: int, adaptive: bool = False
+):
+    """Scope the loop-construction confs: ``spark.sql.shuffle.partitions``
+    = nparts, and (by default) ``spark.sql.adaptive.enabled`` = false.
 
     Under AQE every ``localCheckpoint`` in an iterative loop plans AND
     executes its stages at call time (adaptive execution materializes
-    query stages during ``toRdd``), so the whole superstep chain runs
-    inside the operator function — a conf override here covers exactly
-    the loop's exchanges and is restored before control returns to the
-    caller. AQE stays ON (skew/coalesce handling is load-bearing at
-    scale); this only right-sizes the initial partition count the loop's
-    groupBys and joins start from.
+    query stages during ``toRdd`` — one JOB per query stage, so one
+    superstep with 3 exchanges schedules ~4 jobs), so the whole
+    superstep chain runs inside the operator function — a conf override
+    here covers exactly the loop's exchanges and is restored before
+    control returns to the caller.
+
+    AQE is turned OFF inside the loop (r14; ``spark.mie.graph.loopAdaptive
+    =true`` restores the r13 behavior): with a plain physical plan,
+    ``toRdd`` compiles without running anything, each lazy checkpoint
+    is genuinely lazy, and the whole fixed-iteration loop executes as
+    ONE job at first materialization instead of ~4 jobs x supersteps —
+    the job-scheduling floor was ~85% of these queries' cost at sf0.1
+    and is pure overhead at any scale. What AQE would have contributed
+    inside the loop it cannot contribute anyway: the exchanges are
+    already sized by :func:`iter_nparts` (coalescing has nothing to
+    shrink), and AQE skew handling only splits JOIN partitions above
+    256 MB — vertex-state rows are tens of bytes, so a partition that
+    big holds ~10M vertices; per-superstep message joins at that size
+    are better served by more ``iter_nparts`` partitions (raise
+    ``spark.mie.graph.rowsPerPartition`` granularity) than by runtime
+    splitting. Callers' own queries (outside the loop) keep AQE: the
+    conf is restored on exit, and the loop's plans are frozen RDDs by
+    then. Measured (r14, same-session alternating A/B, sf0.1 AND the
+    10x sf1 replica): AQE-off wins or ties on 8 of the 9 loop
+    operators at BOTH scales (g_pagerank 2.63->2.28 s, g_sssp
+    3.19->2.60 at sf1); see OPTIMIZATION_r14.md.
+
+    ``adaptive=True`` keeps AQE on for a loop that measurably NEEDS
+    runtime re-planning: kcore's per-round semi-joins filter a
+    shrinking edge table whose size the static planner cannot know,
+    and AQE's runtime broadcast conversion beats the static plan at
+    both scales (sf1: 4.68 s AQE-on vs 5.16 AQE-off — the one
+    exception, kept on its measured config).
+    ``spark.mie.graph.loopAdaptive=true`` forces AQE on everywhere
+    (the r13 behavior) as the deployment escape hatch.
     """
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    overrides = {"spark.sql.shuffle.partitions": str(nparts)}
+    force_on = spark.conf.get("spark.mie.graph.loopAdaptive", "false") == "true"
+    if not adaptive and not force_on:
+        overrides["spark.sql.adaptive.enabled"] = "false"
+    prev: dict[str, str | None] = {}
     try:
+        # set INSIDE the try (run_to_memory_sink pattern): if the Nth
+        # set raises, the finally still restores the N-1 applied
+        for k, v in overrides.items():
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 # A reducer is either a list of aggregate Columns over the message
 # column ``msg`` (the GraphX mergeMsg fast path — sum/min/count run as

@@ -56,13 +56,19 @@ DEFAULT = [
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     tag = "before"
+    confs: list[tuple[str, str]] = []
     for a in sys.argv[1:]:
         if a.startswith("--tag"):
             tag = a.split("=", 1)[1] if "=" in a else "before"
+        elif a.startswith("--conf="):
+            k, v = a[len("--conf="):].split("=", 1)
+            confs.append((k, v))
     names = args or DEFAULT
 
     spark = get_spark("r14_profile")
     spark.sparkContext.setLogLevel("ERROR")
+    for k, v in confs:
+        spark.conf.set(k, v)
     from mie_spark.queries import QUERIES
 
     # same warmup as bench.py: JVM/codegen + python worker pool
