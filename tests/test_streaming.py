@@ -901,3 +901,65 @@ def test_state_partitions_for_sums_directory_leaf_files(spark, tmp_path):
     assert got_dir == got_file == 3
     # a missing path still degrades to the floor, never raises
     assert state_partitions_for(spark, str(tmp_path / "absent")) == 2
+
+
+def test_checkpoint_sink_matches_memory_sink_all_modes(spark, tmp_path):
+    """run_to_checkpoint_sink (r14: the driver-free drain every
+    streaming query now uses) must reproduce the memory sink's
+    observable result in every mode, INCLUDING under multiple
+    micro-batches: complete keeps only the last batch's full
+    re-emission, append/update concatenate every batch's emission.
+    Four one-file batches make a keep-last vs accumulate mix-up
+    visible as duplicated or missing rows."""
+    from mie_spark.queries.analytic import price_cents_census
+    from mie_spark.sources import load_table
+    from mie_spark.streaming import (
+        read_events_stream,
+        read_lineitem_stream,
+        run_to_checkpoint_sink,
+        run_to_memory_sink,
+        stream_dedup,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    src = f"{tmp_path}/lineitem.parquet"
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = read_lineitem_stream(spark, str(tmp_path), max_files_per_trigger=1)
+
+    # complete mode: last batch wins
+    got = run_to_checkpoint_sink(
+        price_cents_census(stream), output_mode="complete", state_partitions=2
+    )
+    want = run_to_memory_sink(
+        price_cents_census(stream), output_mode="complete", state_partitions=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # append mode: concatenation of per-batch emissions
+    ev_dir = f"{tmp_path}/ev"
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(
+        f"{ev_dir}/events.parquet"
+    )
+    ev_stream = read_events_stream(spark, ev_dir, max_files_per_trigger=1)
+    got_a = run_to_checkpoint_sink(
+        stream_dedup(ev_stream), output_mode="append", state_partitions=2
+    )
+    want_a = run_to_memory_sink(
+        stream_dedup(ev_stream), output_mode="append", state_partitions=2
+    )
+    key = lambda r: (r["event_id"],)  # noqa: E731
+    assert sorted(map(key, got_a.collect())) == sorted(map(key, want_a.collect()))
+
+    # zero-batch drain: empty census with the stream's schema
+    empty_dir = f"{tmp_path}/none"
+    spark.createDataFrame([], li.schema).write.parquet(f"{empty_dir}/lineitem.parquet")
+    empty = run_to_checkpoint_sink(
+        price_cents_census(
+            read_lineitem_stream(spark, empty_dir, max_files_per_trigger=1)
+        ),
+        output_mode="complete",
+    )
+    assert empty.count() == 0
+
+    with pytest.raises(ValueError):
+        run_to_checkpoint_sink(price_cents_census(stream), output_mode="bogus")
