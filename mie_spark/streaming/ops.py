@@ -1053,6 +1053,25 @@ def _load_versioned_state(spark: SparkSession, state_dir: str):
         return spark.read.parquet(fh.read().strip())
 
 
+def _coalesce_for_write(df: "DataFrame") -> "DataFrame":
+    # Size the state snapshot's file count from the optimizer's size
+    # estimate (r13, guide §6: output files in the 100 MB+ range, not
+    # one shard per shuffle partition): a census-bounded state written
+    # at the session's 32-partition layout is 32 near-empty files whose
+    # listing/open cost is paid again on EVERY later micro-batch's
+    # read-back. ~64 MB per file, capped at defaultParallelism; join
+    # plans whose estimates blow up just keep their native layout
+    # (coalesce to >= native partition count is a no-op).
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        cap = df.sparkSession.sparkContext.defaultParallelism
+        return df.coalesce(max(1, min(cap, -(-est // (64 * 1024 * 1024)))))
+    except Exception:
+        return df  # stats unavailable: write at the native layout
+
+
 def _commit_versioned_state(state_dir: str, merged: "DataFrame") -> None:
     import os
     import shutil
@@ -1064,25 +1083,7 @@ def _commit_versioned_state(state_dir: str, merged: "DataFrame") -> None:
         if d.startswith("v") and d[1:].isdigit()
     ]
     nxt = os.path.join(state_dir, f"v{max(existing, default=0) + 1}")
-    # Size the state snapshot's file count from the optimizer's size
-    # estimate (r13, guide §6: output files in the 100 MB+ range, not
-    # one shard per shuffle partition): a census-bounded state written
-    # at the session's 32-partition layout is 32 near-empty files whose
-    # listing/open cost is paid again on EVERY later micro-batch's
-    # read-back. ~64 MB per file, capped at defaultParallelism; join
-    # plans whose estimates blow up just keep their native layout
-    # (coalesce to >= native partition count is a no-op).
-    try:
-        est = int(
-            merged._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        cap = merged.sparkSession.sparkContext.defaultParallelism
-        merged = merged.coalesce(
-            max(1, min(cap, -(-est // (64 * 1024 * 1024))))
-        )
-    except Exception:
-        pass  # stats unavailable: write at the native layout
-    merged.write.mode("overwrite").parquet(nxt)
+    _coalesce_for_write(merged).write.mode("overwrite").parquet(nxt)
     pointer = os.path.join(state_dir, "_CURRENT")
     tmp = pointer + ".tmp"
     with open(tmp, "w") as fh:
@@ -1095,6 +1096,109 @@ def _commit_versioned_state(state_dir: str, merged: "DataFrame") -> None:
     )
     for stale in versions[:-2]:
         shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+
+
+# --- delta-log variant of the versioned state (r14) -------------------------
+#
+# The replace-by-key states (minhash signatures) used to re-read and
+# re-write the FULL state every micro-batch (prev left_anti batch,
+# union, full snapshot write) — O(batches x state) I/O, measured at
+# sf0.1 with an 8-batch source: drain 11.5 s vs 1.7 s single-batch;
+# at index scale (state >> batch) the full rewrite per batch is the
+# dominant cost. The delta log writes ONLY the batch's rows per
+# commit; `_CURRENT` becomes a newline-separated manifest of delta
+# dirs (a one-line manifest is exactly the old format, so existing
+# states read unchanged), the read-side merge is last-manifest-order
+# wins per key, and every `deltaCompactEvery` commits the log compacts
+# back to one dir so read cost stays bounded. Replay exactness is
+# unchanged: a replayed batch appends a delta with identical rows (a
+# signature is a pure function of the text), and last-wins lands on
+# the same values. Crash mid-commit leaves an orphan delta dir no
+# manifest references (invisible to readers, removed by the next
+# commit's GC); the manifest rename is the atomic commit point.
+
+
+def _read_state_manifest(state_dir: str) -> list[str]:
+    pointer = os.path.join(state_dir, "_CURRENT")
+    if not os.path.exists(pointer):
+        return []
+    with open(pointer) as fh:
+        return [ln.strip() for ln in fh if ln.strip()]
+
+
+def _load_delta_state(
+    spark: SparkSession, state_dir: str, key: str
+) -> "DataFrame | None":
+    """The committed replace-by-key state: last manifest entry wins
+    per key. None when nothing was ever committed."""
+    paths = _read_state_manifest(state_dir)
+    if not paths:
+        return None
+    if len(paths) == 1:
+        return spark.read.parquet(paths[0])
+    from pyspark.sql.window import Window
+
+    parts = [
+        spark.read.parquet(p).withColumn("_delta_seq", F.lit(i))
+        for i, p in enumerate(paths)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy(key).orderBy(F.col("_delta_seq").desc())
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_delta_seq")
+    )
+
+
+def _commit_versioned_delta(
+    state_dir: str, delta: "DataFrame", key: str
+) -> None:
+    import shutil
+
+    os.makedirs(state_dir, exist_ok=True)
+    spark = delta.sparkSession
+    compact_every = int(
+        spark.conf.get("spark.mie.stream.deltaCompactEvery", "8")
+    )
+    existing = [
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    seq = max(existing, default=0) + 1
+    nxt = os.path.join(state_dir, f"v{seq}")
+    old_paths = _read_state_manifest(state_dir)
+    if len(old_paths) + 1 >= compact_every:
+        # compact: fold the standing log and this delta into ONE dir
+        # (one last-wins merge bounds every future read)
+        prev = _load_delta_state(spark, state_dir, key)  # pre-commit view
+        merged = (
+            delta
+            if prev is None
+            else prev.join(delta, key, "left_anti").unionByName(delta)
+        )
+        _coalesce_for_write(merged).write.mode("overwrite").parquet(nxt)
+        new_paths = [nxt]
+    else:
+        _coalesce_for_write(delta).write.mode("overwrite").parquet(nxt)
+        new_paths = old_paths + [nxt]
+    pointer = os.path.join(state_dir, "_CURRENT")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(new_paths))
+    os.replace(tmp, pointer)  # atomic commit
+    # GC: keep the current manifest's dirs plus the immediately
+    # superseded generation (an in-flight reader may hold it) — same
+    # one-generation grace as the snapshot protocol
+    keep = {os.path.basename(p) for p in new_paths} | {
+        os.path.basename(p) for p in old_paths
+    }
+    for d in os.listdir(state_dir):
+        if d.startswith("v") and d[1:].isdigit() and d not in keep:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 
 def stream_benchmark_shingles(
@@ -1515,31 +1619,33 @@ def stream_minhash_signatures(
     def _apply(batch_df: "DataFrame", batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         sh = _doc_shingles(batch_df, id_col, text_col, n).filter(
             F.col("n_sh") > 0
         )
-        # intra-batch last-write-wins, then replace-by-key into state
+        # intra-batch last-write-wins, then a DELTA commit (r14):
+        # the batch's signatures append to the state's delta log
+        # instead of re-reading and re-writing the full index per
+        # micro-batch (O(batches x state) I/O — measured 11.5 s vs
+        # 1.7 s on an 8-batch sf0.1 drain). Read-side merge is
+        # last-delta-wins per doc (identical replace-by-key
+        # semantics); the log compacts every deltaCompactEvery
+        # commits so reads stay bounded.
         sigs = _signatures_from_shingles(sh, num_hashes, seed=42).select(
             "doc", "signature"
         ).dropDuplicates(["doc"])
-        prev = _load_versioned_state(spark, state_dir)
-        if prev is not None:
-            sigs = prev.join(sigs, "doc", "left_anti").unionByName(sigs)
-        _commit_versioned_state(state_dir, sigs)
+        _commit_versioned_delta(state_dir, sigs, key="doc")
 
     foreach_batch_upsert(stream_df, _apply, timeout_s=timeout_s)
 
 
 def load_minhash_state(spark: SparkSession, state_dir: str) -> "DataFrame":
     """The maintained (doc, signature) table stream_minhash_signatures
-    committed. Raises if no state was ever committed."""
-    import os
-
-    pointer = os.path.join(state_dir, "_CURRENT")
-    if not os.path.exists(pointer):
+    committed — a last-delta-wins merge of the state's delta log (a
+    single-entry manifest, the compacted/legacy layout, reads as a
+    plain scan). Raises if no state was ever committed."""
+    state = _load_delta_state(spark, state_dir, key="doc")
+    if state is None:
         raise FileNotFoundError(
             f"no minhash signature state committed under {state_dir}"
         )
-    with open(pointer) as fh:
-        return spark.read.parquet(fh.read().strip())
+    return state

@@ -534,8 +534,19 @@ def test_minhash_state_incremental_equals_batch_and_replays(spark, tmp_path):
     assert again == truth
     import os
 
+    # delta-log invariants (r14): the manifest holds fewer than
+    # deltaCompactEvery entries (compaction bounds read cost), every
+    # manifest entry exists on disk, and GC keeps at most the current
+    # manifest plus one superseded generation of dirs
+    compact_every = int(
+        spark.conf.get("spark.mie.stream.deltaCompactEvery", "8")
+    )
+    with open(os.path.join(state_dir, "_CURRENT")) as fh:
+        manifest = [ln.strip() for ln in fh if ln.strip()]
+    assert len(manifest) < compact_every
+    assert all(os.path.isdir(p) for p in manifest)
     versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
-    assert len(versions) <= 2
+    assert len(versions) <= 2 * compact_every
 
     # drained state -> banded candidates -> exact verification equals
     # the one-shot batch pipeline pair-for-pair
